@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ARRAY<FLOAT>`/`ARRAY<DOUBLE>` columns, built from
+  * Spark's codegen'd higher-order functions (`zip_with` + `aggregate`) so the
+  * whole computation stays inside WholeStageCodegen — no UDF, no
+  * serialization, scales linearly with partition count.
+  *
+  * Semantics follow the reference's cosineSimilarity
+  * (reference: src/lib/tools.ts:15-20): a strict left-to-right f64 fold of
+  * x*y, with NO zero-vector guard — cosine of a zero vector is NaN, exactly
+  * as the reference produces.
+  */
+object VectorFunctions {
+
+  /** Cast to ARRAY<DOUBLE> so all arithmetic is f64, matching JS numbers. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Left-to-right fold of elementwise product — same association order as
+    * the reference's `Array.reduce` (src/lib/tools.ts:15-17). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** cos(a,b) = dot / (||a|| * ||b||); NaN when either norm is 0
+    * (reference: src/lib/tools.ts:19 divides unguarded). */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    dot(ad, bd) / (norm(ad) * norm(bd))
+  }
+
+  /** Popularity factor min(0.2, playerCount/500) + 0.8 ∈ [0.8, 1.0], null
+    * playerCount treated as 0 (reference: src/endpoints/search.get.ts:120-121,
+    * vectorSearch.get.ts:141-142). */
+  def popularityFactor(playerCount: Column): Column =
+    least(lit(graft.model.Constants.PopularityCap),
+      coalesce(playerCount.cast("double"), lit(0.0)) / graft.model.Constants.PopularityDivisor) +
+      lit(graft.model.Constants.PopularityFloor)
+
+  /** L2 (Euclidean) distance — used by the IVF/LSH approximate paths. */
+  def l2Distance(a: Column, b: Column): Column = {
+    val ad = asDouble(a)
+    val bd = asDouble(b)
+    sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
+  }
+}

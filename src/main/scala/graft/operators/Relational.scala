@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.functions.OracleParity._
+
+/** Core relational operators over the star schema (TESTDATA.md), covering
+  * SURVEY §2's join / aggregation / sort-limit inventory with Spark-first
+  * plans:
+  *   - aggregations are partial (map-side combine) by construction;
+  *   - dimension joins broadcast explicitly (region/nation/supplier are tiny
+  *     at every scale factor — at 100 TB lineitem they MUST broadcast, never
+  *     shuffle);
+  *   - top-k is orderBy+limit, which Catalyst plans as TakeOrderedAndProject
+  *     (per-partition heap + driver merge: no global sort, no single-node
+  *     bottleneck — strictly better than the reference's full sort,
+  *     reference: src/lib/commands/findSimilarGames.ts:40).
+  */
+object Relational {
+
+  /** A1-style full-scan aggregation (TPC-H Q1 shape). Exact decimal sums so
+    * the result is independent of partitioning (OracleParity). */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        exactSum(col("l_quantity")).as("sum_qty"),
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        exactAvg(col("l_quantity")).as("avg_qty"),
+        exactAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_quantity AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity), 6) AS DOUBLE) AS avg_qty,
+      |  CAST(round(CAST(sum(CAST(l_discount AS DECIMAL(30,6))) AS DOUBLE) / count(l_discount), 6) AS DOUBLE) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Join + aggregate + top-k (T3/T4): top 10 orders by discounted revenue.
+    * lineitem⋈orders is a shuffle join on the key both sides are naturally
+    * keyed by; the top-k never materializes a global sort. */
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("o_orderkey"))
+      .limit(10)
+  }
+
+  val topRevenueOrdersSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Multi-way broadcast join (TPC-H Q5 shape): revenue per nation in ASIA.
+    * supplier/nation/region are broadcast — no shuffle of the fact table
+    * beyond the final tiny groupBy. */
+  def regionNationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    li.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("n_name"))
+  }
+
+  val regionNationVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Anti-join (J3/J4/U4 pattern): customers with no recent order — the
+    * reference's requested-minus-returned set difference
+    * (src/lib/commands/downloadDescriptions.ts:64-66). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Semi-join: customers that have at least one urgent order. */
+  def customersWithUrgentOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customersWithUrgentOrdersSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Window ranking (T5): top-3 orders per customer by totalprice. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  val topOrdersPerCustomerSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Limit+offset pagination (T7, reference: src/lib/jobManager.ts:93-102). */
+  def ordersPage(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .orderBy(desc("o_orderdate"), col("o_orderkey"))
+      .offset(20)
+      .limit(100)
+  }
+
+  val ordersPageSql: String =
+    """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+      |ORDER BY o_orderdate DESC, o_orderkey
+      |LIMIT 100 OFFSET 20""".stripMargin
+
+  /** Last-wins dedup (A4, reference: src/lib/commands/gatherGames.ts:89 —
+    * `new Map(...)` keeps the LAST occurrence per key). Expressed as a
+    * window row_number over an explicit ordering, the deterministic Spark
+    * form of "last" (plain dropDuplicates keeps an arbitrary row). */
+  def latestOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    o.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val latestOrderPerCustomerSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> pricingSummary,
+    "q3_top_revenue_orders" -> topRevenueOrders,
+    "q5_region_nation_volume" -> regionNationVolume,
+    "j3_anti_join_no_orders" -> customersWithoutOrders,
+    "j_semi_join_urgent" -> customersWithUrgentOrders,
+    "t5_window_rank" -> topOrdersPerCustomer,
+    "t7_limit_offset" -> ordersPage,
+    "a4_dedup_last_wins" -> latestOrderPerCustomer
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> pricingSummarySql,
+    "q3_top_revenue_orders" -> topRevenueOrdersSql,
+    "q5_region_nation_volume" -> regionNationVolumeSql,
+    "j3_anti_join_no_orders" -> customersWithoutOrdersSql,
+    "j_semi_join_urgent" -> customersWithUrgentOrdersSql,
+    "t5_window_rank" -> topOrdersPerCustomerSql,
+    "t7_limit_offset" -> ordersPageSql,
+    "a4_dedup_last_wins" -> latestOrderPerCustomerSql
+  )
+}
