@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Merge, Quality, Relational, Similarity, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,11 @@ object SparkEntry {
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Relational.queries, Relational.oracles)
+      (Relational.queries, Relational.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (TextSearch.queries, TextSearch.oracles),
+      (Merge.queries, Merge.oracles),
+      (Quality.queries, Quality.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -41,9 +41,15 @@ object Tables {
       col("doc_id").as("universeId"),
       (col("doc_id") + lit(1000000L)).as("rootPlaceId"),
       array_join(slice(split(col("text"), " "), 1, 4), " ").as("name"),
+      // tri-state (reference: src/lib/commands/downloadDescriptions.ts:13-18):
+      //   %17 → never fetched (null + descriptionFetched=false)
+      //   %19 → fetched, known-blank (null + descriptionFetched=true)
+      //   %23 → fetched, empty string (refetch candidate)
       when(col("doc_id") % 17 === 0, lit(null))
+        .when(col("doc_id") % 19 === 0, lit(null))
         .when(col("doc_id") % 23 === 0, lit(""))
         .otherwise(col("text")).as("description"),
+      (col("doc_id") % 17 =!= 0).as("descriptionFetched"),
       when(col("doc_id") % 3 === 0, lit(null))
         .otherwise(concat(lit("**Gameplay Summary**: "), col("text"))).as("gameplayDescription"),
       when(col("doc_id") % 13 === 0, lit(null))
@@ -67,8 +73,10 @@ object OracleViews {
       |         doc_id + 1000000 AS rootPlaceId,
       |         array_to_string((string_split(text, ' '))[1:4], ' ') AS name,
       |         CASE WHEN doc_id % 17 = 0 THEN NULL
+      |              WHEN doc_id % 19 = 0 THEN NULL
       |              WHEN doc_id % 23 = 0 THEN ''
       |              ELSE text END AS description,
+      |         doc_id % 17 <> 0 AS descriptionFetched,
       |         CASE WHEN doc_id % 3 = 0 THEN NULL
       |              ELSE '**Gameplay Summary**: ' || text END AS gameplayDescription,
       |         CASE WHEN doc_id % 13 = 0 THEN NULL ELSE n_chars END AS playerCount

@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.{OracleViews, Tables}
+import graft.functions.VectorFunctions._
+
+/** Vector similarity search (SURVEY §2.10): the reference's
+  * `/similar-search/:universeId` and `/vector-search` endpoints re-expressed
+  * as Spark plans.
+  *
+  * Scale design: the QUERY side (one target vector, or a small batch of
+  * query vectors) is broadcast; the EMBEDDING side streams through executors
+  * partition-by-partition. Cosine runs inside WholeStageCodegen via
+  * higher-order functions, and top-k is orderBy+limit which Catalyst plans
+  * as TakeOrderedAndProject — per-partition heaps merged on the driver, so
+  * there is no global sort and no shuffle of the scored set. At 100 TB of
+  * embeddings this is an embarrassingly parallel scan, unlike the
+  * reference's single-threaded O(N·d) loop
+  * (reference: src/endpoints/similarSearch.get.ts:126-142).
+  */
+object Similarity {
+
+  private val TargetId = 42L
+
+  /** `/similar-search/42`: cosine vs all other games × popularity factor,
+    * top-10, decorated via inner join (drops orphan embeddings natively —
+    * the reference instead crashes on them, similarSearch.get.ts:133). */
+  def similarSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.gameEmbeddings(spark, dir)
+    val games = Tables.games(spark, dir)
+    val target = emb.filter(col("universeId") === TargetId)
+      .select(col("embedding").as("target_embedding"))
+    emb.filter(col("universeId") =!= TargetId)
+      .crossJoin(broadcast(target))
+      .join(games, Seq("universeId"))
+      .withColumn("sim",
+        cosineSimilarity(col("embedding"), col("target_embedding")) *
+          popularityFactor(col("playerCount")))
+      .orderBy(desc("sim"), col("universeId"))
+      .limit(10)
+      .select(col("universeId"), col("rootPlaceId"), col("name"),
+        round(col("sim"), 2).as("similarity"))
+  }
+
+  val similarSearchSql: String = OracleViews.withGamesAndEmbeddings(
+    """, target AS (SELECT embedding::DOUBLE[] AS tv FROM game_embeddings WHERE universeId = 42),
+      |scored AS (
+      |  SELECT e.universeId, g.rootPlaceId, g.name,
+      |         list_dot_product(e.embedding::DOUBLE[], t.tv)
+      |           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |              * sqrt(list_dot_product(t.tv, t.tv)))
+      |           * (least(0.2, coalesce(g.playerCount, 0) / 500.0) + 0.8) AS sim
+      |  FROM game_embeddings e
+      |  CROSS JOIN target t
+      |  JOIN games g ON g.universeId = e.universeId
+      |  WHERE e.universeId <> 42)
+      |SELECT universeId, rootPlaceId, name, round(sim, 2) AS similarity
+      |FROM scored
+      |ORDER BY sim DESC, universeId
+      |LIMIT 10""".stripMargin)
+
+  /** Deterministic synthetic query vector standing in for the embedding-API
+    * call (reference: vectorSearch.get.ts:105-121 embeds the query string;
+    * integer arithmetic keeps Spark and DuckDB bit-identical). */
+  private def queryVector = transform(sequence(lit(0), lit(63)),
+    i => ((i * lit(37)) % 101 - 50).cast("double") / 100.0)
+
+  /** `/vector-search?q=...`: cosine of a query vector vs ALL games (no
+    * self-exclusion — reference: vectorSearch.get.ts:137-147). */
+  def vectorSearch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.gameEmbeddings(spark, dir)
+    val games = Tables.games(spark, dir)
+    emb.join(games, Seq("universeId"))
+      .withColumn("sim",
+        cosineSimilarity(col("embedding"), queryVector) *
+          popularityFactor(col("playerCount")))
+      .orderBy(desc("sim"), col("universeId"))
+      .limit(10)
+      .select(col("universeId"), col("rootPlaceId"), col("name"),
+        round(col("sim"), 2).as("similarity"))
+  }
+
+  val vectorSearchSql: String = OracleViews.withGamesAndEmbeddings(
+    """, qv AS (SELECT list_transform(generate_series(0, 63),
+      |                i -> ((i * 37) % 101 - 50)::DOUBLE / 100.0) AS v),
+      |scored AS (
+      |  SELECT e.universeId, g.rootPlaceId, g.name,
+      |         list_dot_product(e.embedding::DOUBLE[], qv.v)
+      |           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |              * sqrt(list_dot_product(qv.v, qv.v)))
+      |           * (least(0.2, coalesce(g.playerCount, 0) / 500.0) + 0.8) AS sim
+      |  FROM game_embeddings e
+      |  CROSS JOIN qv
+      |  JOIN games g ON g.universeId = e.universeId)
+      |SELECT universeId, rootPlaceId, name, round(sim, 2) AS similarity
+      |FROM scored
+      |ORDER BY sim DESC, universeId
+      |LIMIT 10""".stripMargin)
+
+  /** Batched brute-force k-NN (the ANN baseline of the training-data
+    * pipeline): top-5 cosine neighbors for each of 5 query vectors in ONE
+    * pass — broadcast the query batch, stream the candidates, rank per
+    * query with a window. Plain cosine, no popularity (pipeline op, not a
+    * reference endpoint). */
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+    val candidates = emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
+    candidates.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineSimilarity(col("embedding"), col("query_embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annBruteForceSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id AS neighbor_id,
+      |         list_dot_product(e.embedding::DOUBLE[], q.qe)
+      |           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+      |              * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |         row_number() OVER (PARTITION BY query_id
+      |                            ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+      |FROM ranked WHERE rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s_similar_search" -> similarSearch,
+    "s_vector_search" -> vectorSearch,
+    "ann_brute_force_topk" -> annBruteForce
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s_similar_search" -> similarSearchSql,
+    "s_vector_search" -> vectorSearchSql,
+    "ann_brute_force_topk" -> annBruteForceSql
+  )
+}

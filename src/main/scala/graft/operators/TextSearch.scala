@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{OracleViews, Tables}
+import graft.functions.VectorFunctions.popularityFactor
+
+/** The reference's text search (`GET /search?q=` — reference:
+  * src/endpoints/search.get.ts:113-188) as ONE declarative select:
+  *
+  *   - first-match-wins cascade title → description → gameplayDescription
+  *     (a game gets exactly one matchType) via a `when/otherwise` chain;
+  *   - title band 100 (+50 exact / +25 prefix), description 50 + 20·frac,
+  *     gameplay 25 + 15·frac, all × popularity factor;
+  *   - frac = fraction of query words that appear as a SUBSTRING of some
+  *     text word (reference: search.get.ts:147-152), via higher-order
+  *     `filter`/`exists` — fully codegen'd, no UDF;
+  *   - the description/gameplay branches fire only when the WHOLE query is
+  *     a substring of the field (search.get.ts:138-143).
+  *
+  * Everything is a single projection over one scan, so at scale this is a
+  * map-only job: no shuffle at all until the final top-k merge.
+  */
+object TextSearch {
+
+  /** Builds the scored search DataFrame for an already-normalized query. */
+  def search(games: DataFrame, normalizedQuery: String, limit: Int = 10): DataFrame = {
+    val nq = normalizedQuery.toLowerCase.trim
+    val qWords: Seq[String] = nq.split("\\s+").toSeq
+
+    def wordFrac(textLower: Column): Column = {
+      val words = split(textLower, "\\s+")
+      val qw = array(qWords.map(lit): _*)
+      size(filter(qw, q => exists(words, w => w.contains(q)))).cast("double") /
+        lit(qWords.length.toDouble)
+    }
+
+    val pop = popularityFactor(col("playerCount"))
+    val nameL = lower(col("name"))
+    val descL = lower(coalesce(col("description"), lit("")))
+    val gpL = lower(coalesce(col("gameplayDescription"), lit("")))
+
+    val titleCond = nameL.contains(nq)
+    // '' is falsy in JS: blank fields never match (contains('') is excluded
+    // by construction since nq is non-empty).
+    val descCond = descL.contains(nq)
+    val gpCond = gpL.contains(nq)
+
+    val titleScore =
+      (lit(100.0) +
+        when(nameL === nq, 50.0)
+          .when(nameL.startsWith(nq), 25.0)
+          .otherwise(0.0)) * pop
+    val descScore = (lit(50.0) + wordFrac(descL) * 20.0) * pop
+    val gpScore = (lit(25.0) + wordFrac(gpL) * 15.0) * pop
+
+    games
+      .withColumn("matchType",
+        when(titleCond, "title")
+          .when(descCond, "description")
+          .when(gpCond, "gameplayDescription"))
+      .withColumn("score",
+        when(titleCond, titleScore)
+          .when(descCond, descScore)
+          .when(gpCond, gpScore))
+      .filter(col("matchType").isNotNull)
+      .orderBy(desc("score"), col("universeId"))
+      .limit(limit)
+      .select(col("universeId"), col("rootPlaceId"), col("name"),
+        col("matchType"), round(col("score"), 2).as("relevanceScore"))
+  }
+
+  private def oracleFor(nq: String, limit: Int): String = {
+    val frac = (field: String) =>
+      s"""(len(list_filter(string_split_regex('$nq', '\\s+'),
+         |      q -> len(list_filter(string_split_regex($field, '\\s+'),
+         |               w -> contains(w, q))) > 0))::DOUBLE
+         |   / len(string_split_regex('$nq', '\\s+')))""".stripMargin
+    OracleViews.withGames(
+      s""", prepped AS (
+         |  SELECT universeId, rootPlaceId, name,
+         |         lower(name) AS nl,
+         |         lower(coalesce(description, '')) AS dl,
+         |         lower(coalesce(gameplayDescription, '')) AS gl,
+         |         least(0.2, coalesce(playerCount, 0) / 500.0) + 0.8 AS pop
+         |  FROM games),
+         |scored AS (
+         |  SELECT universeId, rootPlaceId, name,
+         |    CASE WHEN contains(nl, '$nq') THEN 'title'
+         |         WHEN contains(dl, '$nq') THEN 'description'
+         |         WHEN contains(gl, '$nq') THEN 'gameplayDescription' END AS matchType,
+         |    CASE WHEN contains(nl, '$nq') THEN
+         |           (100.0 + CASE WHEN nl = '$nq' THEN 50.0
+         |                         WHEN starts_with(nl, '$nq') THEN 25.0
+         |                         ELSE 0.0 END) * pop
+         |         WHEN contains(dl, '$nq') THEN (50.0 + ${frac("dl")} * 20.0) * pop
+         |         WHEN contains(gl, '$nq') THEN (25.0 + ${frac("gl")} * 15.0) * pop
+         |    END AS score
+         |  FROM prepped)
+         |SELECT universeId, rootPlaceId, name, matchType, round(score, 2) AS relevanceScore
+         |FROM scored WHERE matchType IS NOT NULL
+         |ORDER BY score DESC, universeId
+         |LIMIT $limit""".stripMargin)
+  }
+
+  /** Single-word query: broad match, exercises the full cascade. */
+  def searchSingleWord(spark: SparkSession, dir: String): DataFrame =
+    search(Tables.games(spark, dir), "merge", 10)
+
+  /** Multi-word query: whole-phrase gate + per-word fraction scoring. */
+  def searchPhrase(spark: SparkSession, dir: String): DataFrame =
+    search(Tables.games(spark, dir), "table value", 10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f6_text_search_word" -> searchSingleWord,
+    "f6_text_search_phrase" -> searchPhrase
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f6_text_search_word" -> oracleFor("merge", 10),
+    "f6_text_search_phrase" -> oracleFor("table value", 10)
+  )
+}
