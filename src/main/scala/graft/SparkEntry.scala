@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Merge, Quality, Relational, Similarity, TextSearch}
+import graft.operators.{Dedup, Merge, Quality, Relational, Similarity, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,9 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (TextSearch.queries, TextSearch.oracles),
       (Merge.queries, Merge.oracles),
-      (Quality.queries, Quality.oracles)
+      (Quality.queries, Quality.oracles),
+      (Dedup.queries, Dedup.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -26,11 +26,22 @@ object OracleParity {
   def exactAvg(c: Column, scale: Int = 6): Column =
     round(sum(c.cast("decimal(30,6)")).cast("double") / count(c), scale).cast("double")
 
+  /** Portable float rounding: floor(x·10ⁿ + 0.5)/10ⁿ — plain f64 ops that
+    * both engines evaluate bit-identically. Spark's `round(double, n)`
+    * rounds the SHORTEST DECIMAL REPR half-up (BigDecimal.valueOf) while
+    * DuckDB rounds the scaled binary value, so values like 1/32 = 0.03125
+    * round differently under native `round`; this form never diverges.
+    * Mirror in SQL as `floor(x * 10^n + 0.5) / 10^n.0`. */
+  def pround(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * p + 0.5) / lit(p)
+  }
+
   /** Round a float score for output per the reference's API rounding
     * (2 dp — reference: src/endpoints/search.get.ts:202). */
-  def score2(c: Column): Column = round(c, 2)
+  def score2(c: Column): Column = pround(c, 2)
 
   /** 4 dp — the reference's CLI display rounding
     * (src/lib/commands/findSimilarGames.ts:65). */
-  def score4(c: Column): Column = round(c, 4)
+  def score4(c: Column): Column = pround(c, 4)
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.{OracleViews, Tables}
 import graft.functions.VectorFunctions._
+import graft.functions.OracleParity.pround
 
 /** Vector similarity search (SURVEY §2.10): the reference's
   * `/similar-search/:universeId` and `/vector-search` endpoints re-expressed
@@ -42,7 +43,7 @@ object Similarity {
       .orderBy(desc("sim"), col("universeId"))
       .limit(10)
       .select(col("universeId"), col("rootPlaceId"), col("name"),
-        round(col("sim"), 2).as("similarity"))
+        pround(col("sim"), 2).as("similarity"))
   }
 
   val similarSearchSql: String = OracleViews.withGamesAndEmbeddings(
@@ -57,7 +58,7 @@ object Similarity {
       |  CROSS JOIN target t
       |  JOIN games g ON g.universeId = e.universeId
       |  WHERE e.universeId <> 42)
-      |SELECT universeId, rootPlaceId, name, round(sim, 2) AS similarity
+      |SELECT universeId, rootPlaceId, name, floor(sim * 100 + 0.5) / 100.0 AS similarity
       |FROM scored
       |ORDER BY sim DESC, universeId
       |LIMIT 10""".stripMargin)
@@ -80,7 +81,7 @@ object Similarity {
       .orderBy(desc("sim"), col("universeId"))
       .limit(10)
       .select(col("universeId"), col("rootPlaceId"), col("name"),
-        round(col("sim"), 2).as("similarity"))
+        pround(col("sim"), 2).as("similarity"))
   }
 
   val vectorSearchSql: String = OracleViews.withGamesAndEmbeddings(
@@ -95,7 +96,7 @@ object Similarity {
       |  FROM game_embeddings e
       |  CROSS JOIN qv
       |  JOIN games g ON g.universeId = e.universeId)
-      |SELECT universeId, rootPlaceId, name, round(sim, 2) AS similarity
+      |SELECT universeId, rootPlaceId, name, floor(sim * 100 + 0.5) / 100.0 AS similarity
       |FROM scored
       |ORDER BY sim DESC, universeId
       |LIMIT 10""".stripMargin)
@@ -117,7 +118,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("cos"), 4).as("cosine"))
+        pround(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -136,7 +137,7 @@ object Similarity {
       |         row_number() OVER (PARTITION BY query_id
       |                            ORDER BY cos DESC, neighbor_id) AS rank
       |  FROM scored)
-      |SELECT query_id, neighbor_id, rank, round(cos, 4) AS cosine
+      |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 

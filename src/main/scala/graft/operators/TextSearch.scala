@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.{OracleViews, Tables}
 import graft.functions.VectorFunctions.popularityFactor
+import graft.functions.OracleParity.pround
 
 /** The reference's text search (`GET /search?q=` — reference:
   * src/endpoints/search.get.ts:113-188) as ONE declarative select:
@@ -68,7 +69,7 @@ object TextSearch {
       .orderBy(desc("score"), col("universeId"))
       .limit(limit)
       .select(col("universeId"), col("rootPlaceId"), col("name"),
-        col("matchType"), round(col("score"), 2).as("relevanceScore"))
+        col("matchType"), pround(col("score"), 2).as("relevanceScore"))
   }
 
   private def oracleFor(nq: String, limit: Int): String = {
@@ -98,7 +99,7 @@ object TextSearch {
          |         WHEN contains(gl, '$nq') THEN (25.0 + ${frac("gl")} * 15.0) * pop
          |    END AS score
          |  FROM prepped)
-         |SELECT universeId, rootPlaceId, name, matchType, round(score, 2) AS relevanceScore
+         |SELECT universeId, rootPlaceId, name, matchType, floor(score * 100 + 0.5) / 100.0 AS relevanceScore
          |FROM scored WHERE matchType IS NOT NULL
          |ORDER BY score DESC, universeId
          |LIMIT $limit""".stripMargin)
