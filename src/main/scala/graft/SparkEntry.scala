@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Merge, Quality, Relational, Similarity, TextAnalysis, TextSearch}
+import graft.operators.{Dedup, Enrich, Events, Merge, Multimodal, Quality, Relational, Similarity, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,10 @@ object SparkEntry {
       (Merge.queries, Merge.oracles),
       (Quality.queries, Quality.oracles),
       (Dedup.queries, Dedup.oracles),
-      (TextAnalysis.queries, TextAnalysis.oracles)
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Events.queries, Events.oracles),
+      (Enrich.queries, Enrich.oracles),
+      (Multimodal.queries, Multimodal.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */
