@@ -27,12 +27,16 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** cos(a,b) = dot / (||a|| * ||b||); NaN when either norm is 0
-    * (reference: src/lib/tools.ts:19 divides unguarded). */
+  /** cos(a,b) = dot / (||a|| * ||b||); NaN when either norm is 0, matching
+    * the reference's unguarded JS division (src/lib/tools.ts:19 — a zero
+    * vector gives 0/0 = NaN there). Spark 4 runs ANSI mode by default where
+    * double division by literal zero THROWS, so the zero case is guarded
+    * explicitly and still yields NaN. */
   def cosineSimilarity(a: Column, b: Column): Column = {
     val ad = asDouble(a)
     val bd = asDouble(b)
-    dot(ad, bd) / (norm(ad) * norm(bd))
+    val denom = norm(ad) * norm(bd)
+    when(denom === 0.0, lit(Double.NaN)).otherwise(dot(ad, bd) / denom)
   }
 
   /** Popularity factor min(0.2, playerCount/500) + 0.8 ∈ [0.8, 1.0], null

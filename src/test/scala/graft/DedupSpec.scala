@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.enrich.Retry
+import graft.enrich.Retry.{BadBatch, RateLimited}
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("exact dedup finds exactly the planted re-crawl copies") {
+    val out = Dedup.dedupExact(spark, SparkTestSession.Sf0001).collect()
+    // every 4th doc (0,4,...,496) is duplicated once → 125 groups of 2
+    assert(out.length === 125)
+    assert(out.forall(_.getLong(1) === 2L))
+    // kept id is the original (min), never the +100000 copy
+    assert(out.forall(_.getLong(2) < 100000L))
+  }
+
+  test("minhash LSH recovers exact duplicates with jaccard 1.0") {
+    val out = Dedup.dedupMinhashLsh(spark, SparkTestSession.Sf0001).collect()
+    // (orig, orig+100000) re-crawl pairs; docs divisible by 20 ALSO pair
+    // their +100000 and +200000 copies at the same id distance, so filter
+    // to pairs whose left side is an original
+    val exactPairs = out.filter(r =>
+      r.getLong(0) < 100000L && r.getLong(1) - r.getLong(0) === 100000L)
+    assert(exactPairs.length === 125)
+    assert(exactPairs.forall(_.getDouble(2) === 1.0))
+    // near-dup tails rank high but below 1.0
+    val nearPairs = out.filter(r =>
+      r.getLong(0) < 100000L && r.getLong(1) - r.getLong(0) === 200000L)
+    assert(nearPairs.nonEmpty)
+    assert(nearPairs.forall(r => r.getDouble(2) >= 0.5 && r.getDouble(2) < 1.0))
+  }
+
+  test("simhash: exact duplicates at hamming 0") {
+    val out = Dedup.dedupSimhash(spark, SparkTestSession.Sf0001).collect()
+    val exact = out.filter(r =>
+      r.getLong(0) < 100000L && r.getLong(1) - r.getLong(0) === 100000L)
+    assert(exact.length === 125)
+    assert(exact.forall(_.getInt(2) === 0))
+  }
+
+  test("429 retry: succeeds after rate-limited attempts without sleeping") {
+    var calls = 0
+    var slept = 0L
+    val r = Retry.withRateLimitRetry(maxRetries = 5, backoffMs = 30000L,
+      sleep = ms => slept += ms) { () =>
+      calls += 1
+      if (calls < 3) throw RateLimited() else "ok"
+    }
+    assert(r === "ok")
+    assert(calls === 3)
+    assert(slept === 60000L)
+  }
+
+  test("400 bisect isolates the poison element and keeps the rest") {
+    val poison = 13
+    def call(batch: Seq[Int]): Seq[Int] =
+      if (batch.contains(poison)) throw BadBatch() else batch.map(_ * 2)
+    val out = Retry.withBisect((1 to 20).toSeq, call,
+      (i: Int) => if (i == poison) None else Some(i * 2))
+    assert(out === (1 to 20).filter(_ != poison).map(_ * 2))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine(v, v) == 1 and symmetry") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+      (Array(0.5f, -0.5f, 2.0f), Array(-1.0f, 4.0f, 0.25f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      cosineSimilarity(col("a"), col("a")).as("aa"),
+      cosineSimilarity(col("a"), col("b")).as("ab"),
+      cosineSimilarity(col("b"), col("a")).as("ba")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+      assert(r.getDouble(1) === r.getDouble(2)) // exact: same fold both ways
+    }
+  }
+
+  test("zero vector yields NaN, matching the reference's unguarded division") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val v = df.select(cosineSimilarity(col("a"), col("b"))).head().getDouble(0)
+    assert(v.isNaN)
+  }
+
+  test("popularity factor is bounded in [0.8, 1.0] and null-safe") {
+    val df = Seq(Some(0L), Some(50L), Some(100L), Some(500L), Some(100000L), None)
+      .toDF("playerCount")
+    val vals = df.select(popularityFactor(col("playerCount"))).collect().map(_.getDouble(0))
+    assert(vals.forall(v => v >= 0.8 && v <= 1.0))
+    assert(vals(0) === 0.8)  // pc=0
+    assert(vals(1) === 0.9)  // 50/500 = 0.1
+    assert(vals(3) === 1.0)  // capped
+    assert(vals(5) === 0.8)  // null → 0
+  }
+
+  test("similar search: excludes target, returns k rows, scores descending") {
+    val out = graft.operators.Similarity.similarSearch(spark, SparkTestSession.Sf0001).collect()
+    assert(out.length === 10)
+    assert(!out.exists(_.getLong(0) == 42L))
+    val sims = out.map(_.getDouble(3))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextSearch
+
+class TextSearchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def games = Seq(
+    // (universeId, rootPlaceId, name, description, gameplayDescription, playerCount)
+    (1L, 11L, "mega obby tower", Some("a hard obby"), Some("gp"), Some(0L)),  // title contains (not prefix)
+    (2L, 12L, "racing fun", Some("obby racing mix"), Some("gp"), Some(0L)),   // desc contains
+    (3L, 13L, "pets", Some("cats"), Some("an obby adventure"), Some(0L)),     // gameplay only
+    (4L, 14L, "obby", Some("x"), None, Some(0L)),                             // exact title
+    (5L, 15L, "obby world", None, None, Some(0L)),                            // prefix title
+    (6L, 16L, "nothing", Some(""), Some(""), Some(0L)),                       // blank fields
+    (7L, 17L, "misc", Some("superobbyx inside"), None, Some(0L))              // substring-of-word
+  ).toDF("universeId", "rootPlaceId", "name", "description", "gameplayDescription", "playerCount")
+
+  test("first-match-wins cascade assigns exactly one matchType per game") {
+    val out = TextSearch.search(games, "obby", 100).collect()
+      .map(r => r.getLong(0) -> (r.getString(3), r.getDouble(4))).toMap
+    assert(out(1)._1 === "title")
+    assert(out(2)._1 === "description")
+    assert(out(3)._1 === "gameplayDescription")
+    assert(!out.contains(6L)) // blank never matches
+  }
+
+  test("title band with exact and prefix bonuses (pc=0 → factor 0.8)") {
+    val out = TextSearch.search(games, "obby", 100).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(4) === 120.0) // (100+50)*0.8 exact
+    assert(out(5) === 100.0) // (100+25)*0.8 prefix
+    assert(out(1) === 80.0)  // 100*0.8 plain containment
+  }
+
+  test("word-match counts substrings of words (reference semantics)") {
+    // doc 7: description "superobbyx inside" — whole-query 'obby' IS a
+    // substring, word-frac = 1 → (50 + 20*1) * 0.8 = 56
+    val out = TextSearch.search(games, "obby", 100).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out(7) === 56.0)
+  }
+
+  test("results ordered by score desc with universeId tiebreak") {
+    val out = TextSearch.search(games, "obby", 100).collect()
+    val scores = out.map(_.getDouble(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+}
