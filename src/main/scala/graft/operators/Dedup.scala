@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{ArrayExpressions, VectorFunctions}
 import graft.functions.OracleParity.pround
 
 /** Large-scale training-data deduplication operators — the pipeline ops a
@@ -87,31 +87,33 @@ object Dedup {
   private val seeds: Seq[(Long, Long)] =
     (0 until NumHashes).map(j => (2L * j + 3L, 1000003L * j))
 
-  /** doc_id + distinct 3-word shingle set. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(col("text")), "\\s+")
+  /** doc_id + sorted distinct md5-hashed 3-word shingle set, built by the
+    * fused [[graft.functions.HashedWordNGrams]] kernel — one primitive pass
+    * per document instead of five interpreted array transforms, and an
+    * 8-byte hash per shingle on the wire instead of a ~20-byte string. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir).select(
       col("doc_id"),
-      array_distinct(transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-        .as("shingles"))
-  }
+      ArrayExpressions.hashedWordNGrams(split(lower(col("text")), "\\s+"), 3).as("hs"))
 
   private val shingledSql: String =
     """sh AS (
       |  SELECT doc_id,
-      |         list_distinct(list_transform(generate_series(1, len(toks) - 2),
-      |           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      |         list_distinct(list_transform(
+      |           list_transform(generate_series(1, len(toks) - 2),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+      |           s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT))) AS hs
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM corpus)
       |)""".stripMargin
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // shingles arrive pre-hashed; all 16 affine minhashes come from a
+    // single codegen'd pass over the hash array
     val sh = shingled(spark, dir)
-    val mhCols = seeds.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(col("shingles"),
-        s => (lit(a) * h32(s) + lit(b)) % MinhashPrime)).as(s"mh_$j")
-    }
-    val withMh = sh.select(col("doc_id") +: col("shingles") +: mhCols: _*)
+      .withColumn("mharr", ArrayExpressions.affineMinHash(
+        col("hs"), seeds.map(_._1), seeds.map(_._2), MinhashPrime))
+    val mhCols = seeds.indices.map(j => element_at(col("mharr"), j + 1).as(s"mh_$j"))
+    val withMh = sh.select(col("doc_id") +: col("hs") +: mhCols: _*)
     val bandStructs = (0 until NumBands).map { k =>
       val sig = md5(concat_ws(",",
         (0 until RowsPerBand).map(i => col(s"mh_${k * RowsPerBand + i}").cast("string")): _*))
@@ -126,12 +128,12 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    val sa = sh.select(col("doc_id").as("a_id"), col("shingles").as("sa"))
-    val sb = sh.select(col("doc_id").as("b_id"), col("shingles").as("sb"))
+    val sa = sh.select(col("doc_id").as("a_id"), col("hs").as("sa"))
+    val sb = sh.select(col("doc_id").as("b_id"), col("hs").as("sb"))
     cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("inter", ArrayExpressions.sortedLongIntersectCount(col("sa"), col("sb")))
       .withColumn("jacc",
-        size(array_intersect(col("sa"), col("sb"))).cast("double") /
-          size(array_union(col("sa"), col("sb"))))
+        col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jacc") >= 0.5)
       .select(col("a_id"), col("b_id"), pround(col("jacc"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
@@ -139,8 +141,7 @@ object Dedup {
 
   val dedupMinhashLshSql: String = {
     val mhExprs = seeds.zipWithIndex.map { case ((a, b), j) =>
-      s"""list_min(list_transform(shingles,
-         |  s -> ($a * CAST('0x' || substring(md5(s), 1, 8) AS BIGINT) + $b) % $MinhashPrime)) AS mh_$j""".stripMargin
+      s"list_min(list_transform(hs, h -> ($a * h + $b) % $MinhashPrime)) AS mh_$j"
     }.mkString(",\n")
     val bandSelects = (0 until NumBands).map { k =>
       val cols = (0 until RowsPerBand).map(i => s"mh_${k * RowsPerBand + i}").mkString(", ")
@@ -148,7 +149,7 @@ object Dedup {
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH $corpusSql,
        |$shingledSql,
-       |mh AS (SELECT doc_id, shingles,
+       |mh AS (SELECT doc_id,
        |$mhExprs
        |FROM sh),
        |banded AS (
@@ -160,13 +161,16 @@ object Dedup {
        |  JOIN banded y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
        |)
        |SELECT a_id, b_id,
-       |  floor(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-       |        / len(list_distinct(sa.shingles || sb.shingles)) * 10000 + 0.5) / 10000.0 AS jaccard
-       |FROM cand
-       |JOIN sh sa ON sa.doc_id = a_id
-       |JOIN sh sb ON sb.doc_id = b_id
-       |WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-       |      / len(list_distinct(sa.shingles || sb.shingles)) >= 0.5
+       |  floor(jacc * 10000 + 0.5) / 10000.0 AS jaccard
+       |FROM (
+       |  SELECT a_id, b_id,
+       |         len(list_intersect(sa.hs, sb.hs))::DOUBLE
+       |           / (len(sa.hs) + len(sb.hs)
+       |              - len(list_intersect(sa.hs, sb.hs))) AS jacc
+       |  FROM cand
+       |  JOIN sh sa ON sa.doc_id = a_id
+       |  JOIN sh sb ON sb.doc_id = b_id)
+       |WHERE jacc >= 0.5
        |ORDER BY a_id, b_id""".stripMargin
   }
 
@@ -178,19 +182,12 @@ object Dedup {
   private val HammingMax = 8
 
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = corpus(spark, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("w"))
-      .withColumn("h", conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long"))
-    val bits = tok
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"))
-      .withColumn("delta", when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(col("delta")).as("s"))
-    val sims = bits
-      .withColumn("contrib",
-        when(col("s") > 0, expr("shiftleft(cast(1 as bigint), bit)")).otherwise(lit(0L)))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("contrib")).as("simhash"))
+    // one codegen'd pass per document over its token-hash array — replaces
+    // a 60-way explode (56M intermediate rows at sf0.1) plus two shuffles
+    val sims = corpus(spark, dir)
+      .select(col("doc_id"),
+        ArrayExpressions.simHash60(
+          ArrayExpressions.hashedWords60(split(lower(col("text")), "\\s+"))).as("simhash"))
     val chunks = sims
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(NumChunks - 1))).as("k"))
       .withColumn("chunk", expr(s"shiftright(simhash, $ChunkBits * k) & ${(1 << ChunkBits) - 1}"))
@@ -240,18 +237,16 @@ object Dedup {
   // ------------------------------------------------------- n-gram jaccard
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val toks = split(lower(col("text")), "\\s+")
     val grams = corpus(spark, dir).select(
       col("doc_id"), col("lang"), col("source"),
-      array_distinct(transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))).as("grams"))
+      ArrayExpressions.hashedWordNGrams(split(lower(col("text")), "\\s+"), 2).as("grams"))
     val x = grams.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("grams").as("ga"))
     val y = grams.select(col("doc_id").as("b_id"), col("lang"), col("source"), col("grams").as("gb"))
     x.join(y, Seq("lang", "source"))
       .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", ArrayExpressions.sortedLongIntersectCount(col("ga"), col("gb")))
       .withColumn("jacc",
-        size(array_intersect(col("ga"), col("gb"))).cast("double") /
-          size(array_union(col("ga"), col("gb"))))
+        col("inter").cast("double") / (size(col("ga")) + size(col("gb")) - col("inter")))
       .filter(col("jacc") >= 0.3)
       .select(col("a_id"), col("b_id"), pround(col("jacc"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
@@ -261,17 +256,21 @@ object Dedup {
     s"""WITH $corpusSql,
        |grams AS (
        |  SELECT doc_id, lang, source,
-       |         list_distinct(list_transform(generate_series(1, len(toks) - 1),
-       |           i -> toks[i] || ' ' || toks[i+1])) AS grams
+       |         list_distinct(list_transform(
+       |           list_transform(generate_series(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1]),
+       |           s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT))) AS grams
        |  FROM (SELECT doc_id, lang, source,
        |               string_split_regex(lower(text), '\\s+') AS toks FROM corpus))
-       |SELECT x.doc_id AS a_id, y.doc_id AS b_id,
-       |  floor(len(list_intersect(x.grams, y.grams))::DOUBLE
-       |        / len(list_distinct(x.grams || y.grams)) * 10000 + 0.5) / 10000.0 AS jaccard
-       |FROM grams x
-       |JOIN grams y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id
-       |WHERE len(list_intersect(x.grams, y.grams))::DOUBLE
-       |      / len(list_distinct(x.grams || y.grams)) >= 0.3
+       |SELECT a_id, b_id, floor(jacc * 10000 + 0.5) / 10000.0 AS jaccard
+       |FROM (
+       |  SELECT x.doc_id AS a_id, y.doc_id AS b_id,
+       |         len(list_intersect(x.grams, y.grams))::DOUBLE
+       |           / (len(x.grams) + len(y.grams)
+       |              - len(list_intersect(x.grams, y.grams))) AS jacc
+       |  FROM grams x
+       |  JOIN grams y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id)
+       |WHERE jacc >= 0.3
        |ORDER BY a_id, b_id""".stripMargin
 
   // ------------------------------------------- embedding cosine near-dup

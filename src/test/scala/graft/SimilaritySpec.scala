@@ -41,6 +41,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(vals(5) === 0.8)  // null → 0
   }
 
+  test("codegen cosine expression is bit-identical to the built-in fold") {
+    val emb = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001).limit(200)
+    val pairs = emb.select(col("vec_id").as("a_id"), col("embedding").as("a"))
+      .crossJoin(emb.select(col("vec_id").as("b_id"), col("embedding").as("b")))
+      .filter(col("a_id") < col("b_id")).limit(5000)
+    val mismatches = pairs.select(
+      cosineSimilarity(col("a"), col("b")).as("fast"),
+      foldCosineSimilarity(col("a"), col("b")).as("fold"))
+      .filter(col("fast") =!= col("fold")).count()
+    assert(mismatches === 0L)
+  }
+
   test("similar search: excludes target, returns k rows, scores descending") {
     val out = graft.operators.Similarity.similarSearch(spark, SparkTestSession.Sf0001).collect()
     assert(out.length === 10)
