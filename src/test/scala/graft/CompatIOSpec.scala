@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.io.CompatIO
+import graft.pipeline.Commands
+
+class CompatIOSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val gamesJson =
+    """[
+      |  {"universeId": 1, "rootPlaceId": 10, "name": "alpha", "description": "a game", "playerCount": 5},
+      |  {"universeId": 2, "rootPlaceId": 20, "name": "beta", "description": null},
+      |  {"universeId": 3, "rootPlaceId": 30, "name": "gamma", "gameplayDescription": "gp"}
+      |]""".stripMargin
+
+  test("games.json multiLine array reads with declared schema and tri-state nulls") {
+    val dir = Files.createTempDirectory("graft-compat").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/games.json"), gamesJson)
+    val df = CompatIO.readGamesJson(spark, s"$dir/games.json")
+    val rows = df.orderBy("universeId").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getAs[String]("description") === "a game")
+    assert(rows(1).isNullAt(rows(1).fieldIndex("description"))) // explicit null
+    assert(rows(2).isNullAt(rows(2).fieldIndex("description"))) // absent key
+    assert(rows(2).getAs[String]("gameplayDescription") === "gp")
+  }
+
+  test("embeddings.json object map explodes to (universeId, embedding) rows") {
+    val dir = Files.createTempDirectory("graft-compat").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/embeddings.json"),
+      """{"1": [0.1, 0.2], "2": [0.3, 0.4]}""")
+    val df = CompatIO.readEmbeddingsJson(spark, s"$dir/embeddings.json")
+    val rows = df.orderBy("universeId").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows(0).getSeq[Double](1) === Seq(0.1, 0.2))
+  }
+
+  test("embeddings round-trip: write one JSON object, read it back") {
+    val dir = Files.createTempDirectory("graft-compat").toString
+    val src = Seq((7L, Seq(1.0, 2.0)), (8L, Seq(3.0, 4.0))).toDF("universeId", "embedding")
+    CompatIO.writeEmbeddingsJson(src, s"$dir/emb_out")
+    val file = new java.io.File(s"$dir/emb_out").listFiles()
+      .filter(_.getName.endsWith(".txt")).head
+    val back = CompatIO.readEmbeddingsJson(spark, file.getAbsolutePath)
+    assert(back.orderBy("universeId").collect().map(_.getLong(0)).toSeq === Seq(7L, 8L))
+  }
+
+  test("clearGameplayDescriptions nulls the column (P15)") {
+    val g = Seq((1L, 10L, "a", Some("d"), Some("gp"), Some(1L)))
+      .toDF("universeId", "rootPlaceId", "name", "description", "gameplayDescription", "playerCount")
+    val out = Commands.clearGameplayDescriptions(g).head()
+    assert(out.isNullAt(out.fieldIndex("gameplayDescription")))
+    assert(out.getAs[String]("description") === "d")
+  }
+}
