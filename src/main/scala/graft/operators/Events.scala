@@ -100,15 +100,42 @@ object Events {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Rolling-frame window aggregate: 4-event moving average per user.
+    * The frame sum routes through DECIMAL because engines disagree on
+    * sliding-window float summation internals (DuckDB uses segment trees);
+    * decimal makes the frame sum exact and association-free. */
+  def rollingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("sum_d", sum(col("value").cast("decimal(30,6)")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"),
+        graft.functions.OracleParity.pround(
+          col("sum_d").cast("double") / col("cnt"), 4).as("moving_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  val rollingAvgSql: String =
+    """SELECT event_id, user_id,
+      |  floor(CAST(sum(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE)
+      |        / (count(*) OVER w) * 10000 + 0.5) / 10000.0 AS moving_avg
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> windowAgg,
     "st_sessionize" -> sessionize,
-    "f16_json_extract" -> jsonExtract
+    "f16_json_extract" -> jsonExtract,
+    "t_rolling_avg" -> rollingAvg
   )
 
   val oracles: Map[String, String] = Map(
     "st_window_agg" -> windowAggSql,
     "st_sessionize" -> sessionizeSql,
-    "f16_json_extract" -> jsonExtractSql
+    "f16_json_extract" -> jsonExtractSql,
+    "t_rolling_avg" -> rollingAvgSql
   )
 }

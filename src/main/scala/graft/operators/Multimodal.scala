@@ -69,11 +69,32 @@ object Multimodal {
       |FROM h
       |ORDER BY doc_id""".stripMargin
 
+  /** F14 — base64 data-URI composition, the vision-input encoding the
+    * reference builds for LLM image input
+    * (generateGameplayDescriptions.ts:81,97). */
+  def dataUri(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        concat(lit("data:image/png;base64,"),
+          // Spark's base64 is the MIME variant (CRLF-wrapped every 76
+          // chars); strip the wraps for a standard single-line data URI
+          regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", ""))
+          .as("data_uri"))
+      .orderBy(col("doc_id"))
+
+  val dataUriSql: String =
+    """SELECT doc_id,
+      |  'data:image/png;base64,' || to_base64(encode(text)) AS data_uri
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_decode_stub" -> decodeStub
+    "mm_decode_stub" -> decodeStub,
+    "f14_data_uri" -> dataUri
   )
 
   val oracles: Map[String, String] = Map(
-    "mm_decode_stub" -> decodeStubSql
+    "mm_decode_stub" -> decodeStubSql,
+    "f14_data_uri" -> dataUriSql
   )
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -141,15 +141,83 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------- random-projection LSH buckets
+
+  private val NumPlanes = 8
+
+  /** Deterministic hyperplane j: element i = ((i·53 + j·97) mod 101 − 50)/100. */
+  private def planeDot(v: Column, j: Int): Column =
+    aggregate(
+      zip_with(v,
+        transform(sequence(lit(0), lit(63)),
+          i => ((i * 53 + lit(j * 97)) % 101 - 50).cast("double") / 100.0),
+        (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ANN scale path #2: sign-of-projection LSH. Each vector gets an 8-bit
+    * bucket from the signs of 8 hyperplane projections; search only scans
+    * the query's bucket (expected 1/256 of the corpus), then exact cosine
+    * top-k. Approximate by construction — recall trades against the scan
+    * fraction via NumPlanes — but fully deterministic, so oracle-checkable. */
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val bucket = (0 until NumPlanes)
+      .map(j => when(planeDot(col("v"), j) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val b = e.withColumn("bucket", bucket)
+    val q = b.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
+    val c = b.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineSimilarity(col("nv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        pround(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annLshBucketsSql: String = {
+    val planeOf = (j: Int) =>
+      s"list_transform(generate_series(0, 63), i -> ((i * 53 + ${j * 97}) % 101 - 50)::DOUBLE / 100.0)"
+    val bucketExpr = (0 until NumPlanes)
+      .map(j => s"(CASE WHEN list_dot_product(v, ${planeOf(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString("\n         + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v,
+       |         $bucketExpr AS bucket
+       |      FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id AS neighbor_id,
+       |         list_dot_product(c.v, q.qv)
+       |           / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |  FROM b c JOIN q ON c.bucket = q.bucket
+       |  WHERE c.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_similar_search" -> similarSearch,
     "s_vector_search" -> vectorSearch,
-    "ann_brute_force_topk" -> annBruteForce
+    "ann_brute_force_topk" -> annBruteForce,
+    "ann_lsh_buckets" -> annLshBuckets
   )
 
   val oracles: Map[String, String] = Map(
     "s_similar_search" -> similarSearchSql,
     "s_vector_search" -> vectorSearchSql,
-    "ann_brute_force_topk" -> annBruteForceSql
+    "ann_brute_force_topk" -> annBruteForceSql,
+    "ann_lsh_buckets" -> annLshBucketsSql
   )
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.io.{OracleViews, Tables}
 import graft.functions.VectorFunctions.popularityFactor
 import graft.functions.OracleParity.pround
+import graft.model.Constants
 
 /** The reference's text search (`GET /search?q=` — reference:
   * src/endpoints/search.get.ts:113-188) as ONE declarative select:
@@ -25,8 +26,12 @@ import graft.functions.OracleParity.pround
   */
 object TextSearch {
 
+  /** T8 — limit clamp to [1, 100] (reference: src/lib/commands/search.ts:
+    * 14-25; same clamp in the API endpoints). */
+  def clampLimit(n: Int): Int = math.max(1, math.min(n, Constants.MaxLimit))
+
   /** Builds the scored search DataFrame for an already-normalized query. */
-  def search(games: DataFrame, normalizedQuery: String, limit: Int = 10): DataFrame = {
+  def search(games: DataFrame, normalizedQuery: String, limit: Int = Constants.DefaultLimit): DataFrame = {
     val nq = normalizedQuery.toLowerCase.trim
     val qWords: Seq[String] = nq.split("\\s+").toSeq
 
@@ -67,7 +72,7 @@ object TextSearch {
           .when(gpCond, gpScore))
       .filter(col("matchType").isNotNull)
       .orderBy(desc("score"), col("universeId"))
-      .limit(limit)
+      .limit(clampLimit(limit))
       .select(col("universeId"), col("rootPlaceId"), col("name"),
         col("matchType"), pround(col("score"), 2).as("relevanceScore"))
   }

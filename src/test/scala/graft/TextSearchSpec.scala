@@ -44,6 +44,13 @@ class TextSearchSpec extends AnyFunSuite {
     assert(out(7) === 56.0)
   }
 
+  test("T8: limit clamps to [1, 100]") {
+    assert(TextSearch.clampLimit(0) === 1)
+    assert(TextSearch.clampLimit(-5) === 1)
+    assert(TextSearch.clampLimit(50) === 50)
+    assert(TextSearch.clampLimit(1000) === 100)
+  }
+
   test("results ordered by score desc with universeId tiebreak") {
     val out = TextSearch.search(games, "obby", 100).collect()
     val scores = out.map(_.getDouble(4))
