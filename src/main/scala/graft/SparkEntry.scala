@@ -13,9 +13,11 @@ import graft.operators.{Dedup, Enrich, Events, Merge, Multimodal, Quality, Relat
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The SURVEY §7.2 minimum end-to-end slice: embeddings scan → cosine ×
+    * popularity → top-k → broadcast join decoration. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.pricingSummary(spark, "/root/testdata/sf0.001")
+    Similarity.similarSearch(spark, "/root/testdata/sf0.001")
 
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(

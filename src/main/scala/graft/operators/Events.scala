@@ -125,17 +125,47 @@ object Events {
       |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** A3 — job-stats aggregation (reference: src/lib/jobManager.ts:218-243,
+    * `GROUP BY status, COUNT(*)` plus a total row). The jobs fixture is
+    * derived from events by mapping event types onto job statuses —
+    * the reference's SQLite job table is a tiny single-node concern
+    * (SURVEY §1.4), so only its QUERY shape is rebuilt. */
+  def jobStats(spark: SparkSession, dir: String): DataFrame = {
+    val status = when(col("event_type") === "click", "completed")
+      .when(col("event_type") === "error", "failed")
+      .when(col("event_type") === "view", "running")
+      .otherwise("pending")
+    val jobs = Tables.events(spark, dir).withColumn("status", status)
+    jobs.groupBy(col("status")).agg(count(lit(1)).as("n"))
+      .unionByName(jobs.agg(count(lit(1)).as("n")).select(lit("total").as("status"), col("n")))
+      .orderBy(col("status"))
+  }
+
+  val jobStatsSql: String =
+    """WITH jobs AS (
+      |  SELECT CASE WHEN event_type = 'click' THEN 'completed'
+      |              WHEN event_type = 'error' THEN 'failed'
+      |              WHEN event_type = 'view' THEN 'running'
+      |              ELSE 'pending' END AS status
+      |  FROM events)
+      |SELECT status, count(*) AS n FROM jobs GROUP BY status
+      |UNION ALL
+      |SELECT 'total' AS status, count(*) AS n FROM jobs
+      |ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> windowAgg,
     "st_sessionize" -> sessionize,
     "f16_json_extract" -> jsonExtract,
-    "t_rolling_avg" -> rollingAvg
+    "t_rolling_avg" -> rollingAvg,
+    "a3_job_stats" -> jobStats
   )
 
   val oracles: Map[String, String] = Map(
     "st_window_agg" -> windowAggSql,
     "st_sessionize" -> sessionizeSql,
     "f16_json_extract" -> jsonExtractSql,
-    "t_rolling_avg" -> rollingAvgSql
+    "t_rolling_avg" -> rollingAvgSql,
+    "a3_job_stats" -> jobStatsSql
   )
 }

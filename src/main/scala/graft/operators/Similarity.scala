@@ -141,6 +141,32 @@ object Similarity {
       |FROM ranked WHERE rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** P13 — dimension-mismatch guard: the CLI search drops wrong-dimension
+    * vectors before scoring (reference: src/lib/commands/search.ts:74-76;
+    * deliberately absent from the API endpoints — this query is the CLI
+    * behavior). A corrupted 32-dim copy of every 50th vector is unioned in
+    * and must be excluded by `size(embedding) = 64`. */
+  def dimGuard(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val corrupted = e.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 500000L).as("vec_id"),
+        slice(col("embedding"), 1, 32).as("embedding"))
+    e.unionByName(corrupted)
+      .agg(
+        count(when(size(col("embedding")) === 64, 1)).as("valid_dim"),
+        count(when(size(col("embedding")) =!= 64, 1)).as("dropped_dim"))
+  }
+
+  val dimGuardSql: String =
+    """WITH all_vecs AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 500000, embedding[1:32] FROM embeddings WHERE vec_id % 50 = 0)
+      |SELECT
+      |  count(CASE WHEN len(embedding) = 64 THEN 1 END) AS valid_dim,
+      |  count(CASE WHEN len(embedding) <> 64 THEN 1 END) AS dropped_dim
+      |FROM all_vecs""".stripMargin
+
   // ---------------------------------------- random-projection LSH buckets
 
   private val NumPlanes = 8
@@ -211,13 +237,15 @@ object Similarity {
     "s_similar_search" -> similarSearch,
     "s_vector_search" -> vectorSearch,
     "ann_brute_force_topk" -> annBruteForce,
-    "ann_lsh_buckets" -> annLshBuckets
+    "ann_lsh_buckets" -> annLshBuckets,
+    "p13_dim_guard" -> dimGuard
   )
 
   val oracles: Map[String, String] = Map(
     "s_similar_search" -> similarSearchSql,
     "s_vector_search" -> vectorSearchSql,
     "ann_brute_force_topk" -> annBruteForceSql,
-    "ann_lsh_buckets" -> annLshBucketsSql
+    "ann_lsh_buckets" -> annLshBucketsSql,
+    "p13_dim_guard" -> dimGuardSql
   )
 }
