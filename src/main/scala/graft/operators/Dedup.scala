@@ -330,7 +330,8 @@ object Dedup {
       .withColumn("cos", VectorFunctions.cosineSimilarity(col("ne"), col("qe")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), pround(col("cos"), 4).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        pround(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
 

@@ -50,7 +50,7 @@ object Enrich {
       .select(col("vec_id").as("doc_id"))
     generateEmbeddings(spark, docs, existing, new StubEnrichmentClient(8))
       .select(col("doc_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .select(col("doc_id"), (col("pos") + 1).as("dim_idx"), col("v"))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("dim_idx"), col("v"))
       .orderBy(col("doc_id"), col("dim_idx"))
   }
 

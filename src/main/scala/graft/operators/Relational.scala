@@ -137,7 +137,7 @@ object Relational {
       .orderBy(desc("o_totalprice"), col("o_orderkey"))
     o.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
-      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn").cast("long").as("rn"))
       .orderBy(col("o_custkey"), col("rn"))
   }
 

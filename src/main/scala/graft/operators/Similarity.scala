@@ -117,7 +117,7 @@ object Similarity {
       .withColumn("cos", cosineSimilarity(col("embedding"), col("query_embedding")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         pround(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }
@@ -201,7 +201,7 @@ object Similarity {
       .withColumn("cos", cosineSimilarity(col("nv"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         pround(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
   }

@@ -119,9 +119,9 @@ object TextAnalysis {
     val d = Tables.documents(spark, dir)
     d.select(
         col("doc_id"),
-        size(toks(col("text"))).as("ws_tokens"),
+        size(toks(col("text"))).cast("long").as("ws_tokens"),
         size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
-          .as("bpe_pieces"))
+          .cast("long").as("bpe_pieces"))
       .orderBy(col("doc_id"))
   }
 

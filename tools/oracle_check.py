@@ -50,6 +50,11 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         if got_cols != exp_cols:
             print(f"FAIL {name}: cols {got_cols} != {exp_cols}"); n_fail += 1; continue
+        gt = dict(zip(got.columns, [str(t) for t in got.types]))
+        et = dict(zip(exp.columns, [str(t) for t in exp.types]))
+        tdiff = {c: (gt[c], et[c]) for c in gt if gt[c] != et[c]}
+        if tdiff:
+            print(f"WARN {name}: type mismatch {tdiff}")
         if len(got_rows) != len(exp_rows):
             print(f"FAIL {name}: rows {len(got_rows)} != {len(exp_rows)}"); n_fail += 1; continue
         if got_rows != exp_rows:
