@@ -169,12 +169,30 @@ object Quality {
       |FROM games
       |ORDER BY universeId""".stripMargin)
 
+  /** T2 variant — case-insensitive name sort, the portable approximation
+    * of the reference's localeCompare ordering (games.get.ts:63): order by
+    * lower(name) with binary tiebreaks. True ICU collation (Spark 4
+    * COLLATE UNICODE_CI) differs between engines, so the engine offers
+    * both and the oracle checks the portable one. */
+  def gamesListCi(spark: SparkSession, dir: String): DataFrame =
+    Tables.games(spark, dir)
+      .orderBy(lower(col("name")), col("name"), col("universeId"))
+      .limit(50)
+      .select(col("universeId"), col("name"))
+
+  val gamesListCiSql: String = OracleViews.withGames(
+    """SELECT universeId, name
+      |FROM games
+      |ORDER BY lower(name), name, universeId
+      |LIMIT 50""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_count_games" -> countGames,
     "a2_stats" -> stats,
     "p12_prune_cascade" -> pruneCascade,
     "p4_tristate_predicates" -> tristatePredicates,
     "t2_games_list" -> gamesList,
+    "t2_games_list_ci" -> gamesListCi,
     "f10_format_links" -> formatLinks
   )
 
@@ -184,6 +202,7 @@ object Quality {
     "p12_prune_cascade" -> pruneCascadeSql,
     "p4_tristate_predicates" -> tristatePredicatesSql,
     "t2_games_list" -> gamesListSql,
+    "t2_games_list_ci" -> gamesListCiSql,
     "f10_format_links" -> formatLinksSql
   )
 }

@@ -187,6 +187,46 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY o_custkey""".stripMargin
 
+  /** Rollup aggregation (beyond the reference's flat GROUP BYs): revenue
+    * subtotals at (flag, status), (flag), and grand-total levels in one
+    * pass — Spark computes the hierarchy with a single shuffle via
+    * Expand. Null ordering pinned to NULLS LAST to match DuckDB. */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_last, col("l_linestatus").asc_nulls_last)
+  }
+
+  val revenueRollupSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,6))), 2) AS DOUBLE) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS LAST, l_linestatus ASC NULLS LAST""".stripMargin
+
+  /** Exact distinct-count aggregation: suppliers and parts per return
+    * flag (Catalyst plans distinct aggs with a two-stage expand). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val distinctCountsSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> pricingSummary,
     "q3_top_revenue_orders" -> topRevenueOrders,
@@ -195,7 +235,9 @@ object Relational {
     "j_semi_join_urgent" -> customersWithUrgentOrders,
     "t5_window_rank" -> topOrdersPerCustomer,
     "t7_limit_offset" -> ordersPage,
-    "a4_dedup_last_wins" -> latestOrderPerCustomer
+    "a4_dedup_last_wins" -> latestOrderPerCustomer,
+    "q_rollup_revenue" -> revenueRollup,
+    "q_distinct_counts" -> distinctCounts
   )
 
   val oracles: Map[String, String] = Map(
@@ -206,6 +248,8 @@ object Relational {
     "j_semi_join_urgent" -> customersWithUrgentOrdersSql,
     "t5_window_rank" -> topOrdersPerCustomerSql,
     "t7_limit_offset" -> ordersPageSql,
-    "a4_dedup_last_wins" -> latestOrderPerCustomerSql
+    "a4_dedup_last_wins" -> latestOrderPerCustomerSql,
+    "q_rollup_revenue" -> revenueRollupSql,
+    "q_distinct_counts" -> distinctCountsSql
   )
 }
