@@ -39,6 +39,33 @@ object ArrayExpressions {
   def hashedWords60(tokens: Column): Column =
     ColumnBridge.column(HashedWords60(ColumnBridge.expression(tokens)))
 
+  /** Skew-hardened all-pairs join inside blocks. Oversized blocks are the
+    * dedup failure mode at scale (one boilerplate cluster → one straggler
+    * task); salting bounds per-task work: the LEFT side gets salt
+    * h(id) mod k, the RIGHT side is replicated to every salt, so the result
+    * is EXACTLY the unsalted pair set but split across k tasks per block.
+    * Cost: k× replication of one side — the standard trade.
+    */
+  def saltedBlockPairJoin(
+      df: org.apache.spark.sql.DataFrame,
+      blockCols: Seq[String],
+      idCol: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val payload = df.columns.filterNot(c => blockCols.contains(c) || c == idCol).toSeq
+    def side(tag: String, salted: Boolean) = {
+      val renamed = df.columns.foldLeft(df) { (d, c) =>
+        if (blockCols.contains(c)) d else d.withColumnRenamed(c, s"${tag}_$c")
+      }
+      if (salted) renamed.withColumn("salt", pmod(hash(col(s"${tag}_$idCol")), lit(k)))
+      else renamed.withColumn("salt", explode(sequence(lit(0), lit(k - 1))))
+    }
+    side("a", salted = true)
+      .join(side("b", salted = false), blockCols :+ "salt")
+      .filter(col(s"a_$idCol") < col(s"b_$idCol"))
+      .drop("salt")
+  }
+
   def affineMinHash(hashes: Column, as: Seq[Long], bs: Seq[Long], prime: Long): Column =
     ColumnBridge.column(AffineMinHash(ColumnBridge.expression(hashes), as, bs, prime))
 
