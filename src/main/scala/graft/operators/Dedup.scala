@@ -108,8 +108,11 @@ object Dedup {
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // shingles arrive pre-hashed; all 16 affine minhashes come from a
-    // single codegen'd pass over the hash array
+    // single codegen'd pass over the hash array. The signature set feeds
+    // three plan branches (banding + both verify sides): persist it — the
+    // at-scale form is a materialized signatures table (see NOTES.md).
     val sh = shingled(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .withColumn("mharr", ArrayExpressions.affineMinHash(
         col("hs"), seeds.map(_._1), seeds.map(_._2), MinhashPrime))
     val mhCols = seeds.indices.map(j => element_at(col("mharr"), j + 1).as(s"mh_$j"))
@@ -237,9 +240,12 @@ object Dedup {
   // ------------------------------------------------------- n-gram jaccard
 
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // both self-join sides consume the same hashed-gram projection; persist
+    // rather than recompute the corpus scan + kernel twice
     val grams = corpus(spark, dir).select(
       col("doc_id"), col("lang"), col("source"),
       ArrayExpressions.hashedWordNGrams(split(lower(col("text")), "\\s+"), 2).as("grams"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val x = grams.select(col("doc_id").as("a_id"), col("lang"), col("source"), col("grams").as("ga"))
     val y = grams.select(col("doc_id").as("b_id"), col("lang"), col("source"), col("grams").as("gb"))
     x.join(y, Seq("lang", "source"))
