@@ -34,7 +34,10 @@ object OracleParity {
     * Mirror in SQL as `floor(x * 10^n + 0.5) / 10^n.0`. */
   def pround(c: Column, n: Int): Column = {
     val p = math.pow(10, n)
-    floor(c * p + 0.5) / lit(p)
+    // NaN guard: Spark's floor(double) returns LONG, so floor(NaN) would
+    // collapse to 0 while DuckDB's floor keeps NaN — preserve NaN (the
+    // reference's zero-vector cosine) explicitly.
+    when(isnan(c), c).otherwise(floor(c * p + 0.5) / lit(p))
   }
 
   /** Round a float score for output per the reference's API rounding

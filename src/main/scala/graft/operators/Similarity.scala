@@ -29,22 +29,27 @@ object Similarity {
   /** `/similar-search/42`: cosine vs all other games × popularity factor,
     * top-10, decorated via inner join (drops orphan embeddings natively —
     * the reference instead crashes on them, similarSearch.get.ts:133). */
-  def similarSearch(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.gameEmbeddings(spark, dir)
-    val games = Tables.games(spark, dir)
-    val target = emb.filter(col("universeId") === TargetId)
+  /** Table-injected form — also the entry point for data loaded through
+    * CompatIO (the reference's own JSON files). NaN similarities (zero
+    * vectors) sort FIRST under desc — Spark treats NaN as the largest
+    * double, where the reference's JS comparator is unspecified on NaN. */
+  def similarSearchOn(games: DataFrame, embeddings: DataFrame, targetId: Long, k: Int): DataFrame = {
+    val target = embeddings.filter(col("universeId") === targetId)
       .select(col("embedding").as("target_embedding"))
-    emb.filter(col("universeId") =!= TargetId)
+    embeddings.filter(col("universeId") =!= targetId)
       .crossJoin(broadcast(target))
       .join(games, Seq("universeId"))
       .withColumn("sim",
         cosineSimilarity(col("embedding"), col("target_embedding")) *
           popularityFactor(col("playerCount")))
       .orderBy(desc("sim"), col("universeId"))
-      .limit(10)
+      .limit(k)
       .select(col("universeId"), col("rootPlaceId"), col("name"),
         pround(col("sim"), 2).as("similarity"))
   }
+
+  def similarSearch(spark: SparkSession, dir: String): DataFrame =
+    similarSearchOn(Tables.games(spark, dir), Tables.gameEmbeddings(spark, dir), TargetId, 10)
 
   val similarSearchSql: String = OracleViews.withGamesAndEmbeddings(
     """, target AS (SELECT embedding::DOUBLE[] AS tv FROM game_embeddings WHERE universeId = 42),
