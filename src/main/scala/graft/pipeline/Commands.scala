@@ -60,6 +60,54 @@ object Commands {
   def clearGameplayDescriptions(games: DataFrame): DataFrame =
     games.withColumn("gameplayDescription", lit(null).cast("string"))
 
+  /** downloadDescriptions (S8/J3/P5-P7 — reference:
+    * src/lib/commands/downloadDescriptions.ts:28-77): batch-fetch details
+    * for the work set (needsDescription ∨ needsPlayerCount), then merge:
+    *
+    *   - returned rows overwrite description (blank → null, the
+    *     known-blank tri-state) and playerCount (missing `playing` → 0);
+    *   - requested-but-MISSING ids (the J3 anti-join set) get
+    *     description := null only if they needed one — marking them
+    *     known-blank so re-runs skip them; playerCount untouched;
+    *   - rows outside the work set pass through unchanged.
+    *
+    * Expects the games DataFrame to carry `descriptionFetched` (the
+    * tri-state flag — SURVEY §1.2). The fetch itself is a partition-batched
+    * client call, so API fan-out scales with executors. */
+  def downloadDescriptions(
+      spark: SparkSession,
+      games: DataFrame,
+      client: EnrichmentClient,
+      batchSize: Int = graft.model.Constants.RobloxBatchSize): DataFrame = {
+    import spark.implicits._
+    val needsDesc = !col("descriptionFetched") ||
+      (col("description").isNotNull && trim(col("description")) === "")
+    val inWorkset = needsDesc || col("playerCount").isNull
+    val details = games.filter(inWorkset).select(col("universeId")).as[Long]
+      .mapPartitions(it => it.grouped(batchSize).flatMap(b => client.gameDetails(b)))
+      .map(d => (d.id, d.description, d.playing))
+      .toDF("universeId", "d_desc", "d_playing")
+      .withColumn("d_returned", lit(1))
+    val returned = col("d_returned").isNotNull
+    games.join(details, Seq("universeId"), "left")
+      .select(
+        col("universeId"), col("rootPlaceId"), col("name"),
+        when(!inWorkset, col("description"))
+          .when(returned,
+            when(col("d_desc").isNotNull && trim(col("d_desc")) =!= "", col("d_desc")))
+          .otherwise(when(needsDesc, lit(null)).otherwise(col("description")))
+          .as("description"),
+        when(!inWorkset, col("descriptionFetched"))
+          .when(returned, lit(true))
+          .otherwise(needsDesc || col("descriptionFetched"))
+          .as("descriptionFetched"),
+        col("gameplayDescription"),
+        when(!inWorkset, col("playerCount"))
+          .when(returned, coalesce(col("d_playing"), lit(0L)))
+          .otherwise(col("playerCount"))
+          .as("playerCount"))
+  }
+
   /** generateEmbeddings (E2) over the anti-join work set. */
   def generateEmbeddings(spark: SparkSession, docs: DataFrame, existingIds: DataFrame,
       client: EnrichmentClient): DataFrame =
