@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.functions.VectorFunctions
+import graft.functions.OracleParity.pround
+
+/** IVF with a REAL coarse quantizer: deterministic Lloyd k-means (k=8,
+  * fixed init = the first k vectors, exactly 2 iterations, L2 metric with
+  * explicit tie-breaking) trained fully inside the dataframe plan — no
+  * MLlib randomness, so the DuckDB oracle replays training bit-for-bit.
+  *
+  * Determinism engineering:
+  *   - distances use the dot-product identity ‖a−c‖² = a·a − 2a·c + c·c
+  *     with the SAME expression order in both engines (the fold dot product
+  *     is bit-identical to DuckDB's list_dot_product);
+  *   - centroid updates average per position through DECIMAL(30,12) sums —
+  *     exact, so centroids don't depend on partitioning;
+  *   - argmin ties break on cluster id.
+  *
+  * Scale shape: assignment is a broadcast cross join against k centroids
+  * (k rows!) + per-row argmin; the update is one shuffle keyed by
+  * (cluster, position). Search then scans ONLY the query's cell. Lloyd
+  * iterations at 100 TB are the standard sample-train/full-assign split —
+  * here the full set is small enough to train on directly.
+  */
+object IvfKMeans {
+
+  private val K = 8
+  private val Dim = 64
+  private val Iterations = 2
+
+  private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
+
+  /** ‖a−c‖² in the fixed evaluation order (aa − 2ac) + cc. */
+  private def dist2(v: Column, cv: Column): Column =
+    dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+
+  /** Assign each vector to its nearest centroid (ties → lowest cluster). */
+  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cluster"))
+    e.crossJoin(broadcast(centroids))
+      .withColumn("d2", dist2(col("v"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cluster"))
+  }
+
+  /** Exact per-position mean of each cluster's vectors → new centroids. */
+  private def update(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "value")))
+      .groupBy(col("cluster"), col("pos"))
+      .agg((sum(col("value").cast("decimal(30,12)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("cv"))
+
+  /** Train (fixed init, `Iterations` Lloyd steps) and return the final
+    * assignment (vec_id, v, cluster). */
+  def trainedAssignment(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    var centroids = e.filter(col("vec_id") < K)
+      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
+    for (_ <- 0 until Iterations)
+      centroids = update(assign(e, centroids))
+    assign(e, centroids)
+  }
+
+  /** Cell occupancy after training — verifies the k-means itself. */
+  def kmeansCells(spark: SparkSession, dir: String): DataFrame =
+    trainedAssignment(spark, dir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster"))
+
+  /** IVF search: exact cosine top-3 inside the query's trained cell only. */
+  def kmeansSearch(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = trainedAssignment(spark, dir)
+    val q = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cluster"))
+    val c = assigned.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cluster"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
+    c.join(broadcast(q), Seq("cluster"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSimilarity(col("nv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        pround(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def assignSql(eRel: String, cRel: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, v, cluster FROM (
+       |    SELECT e.vec_id, e.v, c.cluster,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             (list_dot_product(e.v, e.v) - 2.0 * list_dot_product(e.v, c.cv)
+       |              + list_dot_product(c.cv, c.cv)), c.cluster) AS rn
+       |    FROM $eRel e CROSS JOIN $cRel c)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def updateSql(aRel: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT cluster, p.pos AS pos,
+       |         CAST(sum(CAST(v[p.pos] AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS m
+       |  FROM $aRel CROSS JOIN (SELECT unnest(generate_series(1, $Dim)) AS pos) p
+       |  GROUP BY cluster, p.pos),
+       |$out AS (
+       |  SELECT cluster, array_agg(m ORDER BY pos) AS cv
+       |  FROM ${out}_m GROUP BY cluster)""".stripMargin
+
+  private val trainingSql: String = {
+    val steps = (1 to Iterations).map { i =>
+      val prevC = if (i == 1) "c0" else s"c${i - 1}"
+      assignSql("e", prevC, s"a$i") + ",\n" + updateSql(s"a$i", s"c$i")
+    }.mkString(",\n")
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv FROM e WHERE vec_id < $K),
+       |$steps,
+       |${assignSql("e", s"c$Iterations", "afinal")}""".stripMargin
+  }
+
+  val kmeansCellsSql: String =
+    s"""WITH $trainingSql
+       |SELECT cluster, count(*) AS n_members
+       |FROM afinal GROUP BY cluster
+       |ORDER BY cluster""".stripMargin
+
+  val kmeansSearchSql: String =
+    s"""WITH $trainingSql,
+       |q AS (SELECT vec_id AS query_id, v AS qv, cluster FROM afinal WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id,
+       |         list_dot_product(a.v, q.qv)
+       |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+       |  FROM afinal a JOIN q ON a.cluster = q.cluster
+       |  WHERE a.vec_id <> q.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_ivf_kmeans_cells" -> kmeansCells,
+    "ann_ivf_kmeans_search" -> kmeansSearch
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_ivf_kmeans_cells" -> kmeansCellsSql,
+    "ann_ivf_kmeans_search" -> kmeansSearchSql
+  )
+}
