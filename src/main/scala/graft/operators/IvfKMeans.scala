@@ -64,13 +64,24 @@ object IvfKMeans {
         s => s.getField("m")).as("cv"))
 
   /** Train (fixed init, `Iterations` Lloyd steps) and return the final
-    * assignment (vec_id, v, cluster). */
+    * assignment (vec_id, v, cluster).
+    *
+    * Centroids are collected to the driver after every update — k·dim
+    * doubles, the one legitimately driver-sized object in Lloyd's
+    * algorithm (MLlib does the same reduce-to-driver). Re-creating the
+    * centroid DataFrame from the collected rows cuts the lazy lineage so
+    * each iteration runs ONE pass over the vectors instead of recomputing
+    * all previous iterations. */
   def trainedAssignment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val e = vectors(spark, dir)
     var centroids = e.filter(col("vec_id") < K)
       .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
-    for (_ <- 0 until Iterations)
-      centroids = update(assign(e, centroids))
+    for (_ <- 0 until Iterations) {
+      val collected = update(assign(e, centroids)).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      centroids = collected.toSeq.toDF("cluster", "cv")
+    }
     assign(e, centroids)
   }
 
