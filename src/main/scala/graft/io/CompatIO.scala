@@ -27,14 +27,22 @@ object CompatIO {
   def readGamesJson(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(Schemas.game).option("multiLine", true).json(path)
 
-  /** S3 — write a games DataFrame as one canonical games.json: sorted by
-    * universeId ascending (T1), single file. coalesce(1) is intentional —
-    * the output format is a single JSON document by definition. */
-  def writeGamesJson(games: DataFrame, path: String): Unit =
+  /** S3 — write a games DataFrame as one canonical games.json: a single
+    * JSON ARRAY document sorted by universeId ascending (T1). Spark's
+    * `write.json` emits JSON Lines (one object per line — NOT the
+    * reference's array format and unreadable by [[readGamesJson]]), so the
+    * array document is assembled explicitly. coalesce(1) is intentional —
+    * the format is one document by definition; null fields are omitted
+    * like JS undefined (tri-state loss documented in SURVEY §1.2). */
+  def writeGamesJson(games: DataFrame, path: String): Unit = {
+    val spark = games.sparkSession
+    import spark.implicits._
     games.orderBy(col("universeId"))
       .coalesce(1)
-      .write.mode(SaveMode.Overwrite)
-      .json(path)
+      .toJSON
+      .mapPartitions(rows => Iterator.single(rows.mkString("[\n", ",\n", "\n]")))
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
 
   /** S2 — read embeddings.json (one JSON object keyed by stringified id)
     * and explode to engine-native (universeId, embedding) rows. */

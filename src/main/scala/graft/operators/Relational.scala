@@ -227,6 +227,19 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** HLL++ sketch aggregation — the at-scale substitute for exact distinct
+    * counts (fixed-size mergeable state instead of a distinct shuffle).
+    * No DuckDB oracle: its HLL implementation differs, so the driver
+    * records the weaker rows-only check; the unit test bounds the sketch
+    * against the exact count instead. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> pricingSummary,
     "q3_top_revenue_orders" -> topRevenueOrders,
@@ -237,7 +250,8 @@ object Relational {
     "t7_limit_offset" -> ordersPage,
     "a4_dedup_last_wins" -> latestOrderPerCustomer,
     "q_rollup_revenue" -> revenueRollup,
-    "q_distinct_counts" -> distinctCounts
+    "q_distinct_counts" -> distinctCounts,
+    "q_approx_distinct" -> approxDistinct
   )
 
   val oracles: Map[String, String] = Map(
