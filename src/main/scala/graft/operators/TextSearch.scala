@@ -110,6 +110,97 @@ object TextSearch {
          |LIMIT $limit""".stripMargin)
   }
 
+  /** Batched search: score MANY queries against the corpus in ONE scan —
+    * the shape a pipeline runs at scale (the per-query form would rescan
+    * 100 TB per query; this is games × queries with the cascade fully
+    * column-driven, then a per-query top-k window). */
+  def searchMany(games: DataFrame, queriesIn: Seq[String], limitPerQuery: Int): DataFrame = {
+    val qs = queriesIn.map(_.toLowerCase.trim)
+    val pop = popularityFactor(col("playerCount"))
+    val nameL = lower(col("name"))
+    val descL = lower(coalesce(col("description"), lit("")))
+    val gpL = lower(coalesce(col("gameplayDescription"), lit("")))
+    val qWords = split(col("query"), "\\s+")
+
+    def wordFrac(textLower: Column): Column = {
+      val words = split(textLower, "\\s+")
+      size(filter(qWords, q => exists(words, w => w.contains(q)))).cast("double") /
+        size(qWords).cast("double")
+    }
+
+    val titleCond = nameL.contains(col("query"))
+    val descCond = descL.contains(col("query"))
+    val gpCond = gpL.contains(col("query"))
+    val titleScore = (lit(100.0) +
+      when(nameL === col("query"), 50.0)
+        .when(nameL.startsWith(col("query")), 25.0)
+        .otherwise(0.0)) * pop
+    val descScore = (lit(50.0) + wordFrac(descL) * 20.0) * pop
+    val gpScore = (lit(25.0) + wordFrac(gpL) * 15.0) * pop
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query")).orderBy(desc("score"), col("universeId"))
+    val session = games.sparkSession
+    import session.implicits._
+    games
+      .crossJoin(broadcast(qs.toDF("query")))
+      .withColumn("matchType",
+        when(titleCond, "title").when(descCond, "description")
+          .when(gpCond, "gameplayDescription"))
+      .withColumn("score",
+        when(titleCond, titleScore).when(descCond, descScore).when(gpCond, gpScore))
+      .filter(col("matchType").isNotNull)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= clampLimit(limitPerQuery))
+      .select(col("query"), col("universeId"), col("matchType"),
+        col("rank").cast("long").as("rank"), pround(col("score"), 2).as("relevanceScore"))
+      .orderBy(col("query"), col("rank"))
+  }
+
+  private def batchOracle(qs: Seq[String], limit: Int): String = {
+    val values = qs.map(q => s"('${q.toLowerCase.trim}')").mkString(", ")
+    val frac = (field: String) =>
+      s"""(len(list_filter(string_split_regex(query, '\\s+'),
+         |      q -> len(list_filter(string_split_regex($field, '\\s+'),
+         |               w -> contains(w, q))) > 0))::DOUBLE
+         |   / len(string_split_regex(query, '\\s+'))::DOUBLE)""".stripMargin
+    OracleViews.withGames(
+      s""", prepped AS (
+         |  SELECT g.universeId, q.query,
+         |         lower(g.name) AS nl,
+         |         lower(coalesce(g.description, '')) AS dl,
+         |         lower(coalesce(g.gameplayDescription, '')) AS gl,
+         |         least(0.2, coalesce(g.playerCount, 0) / 500.0) + 0.8 AS pop
+         |  FROM games g CROSS JOIN (VALUES $values) q(query)),
+         |scored AS (
+         |  SELECT query, universeId,
+         |    CASE WHEN contains(nl, query) THEN 'title'
+         |         WHEN contains(dl, query) THEN 'description'
+         |         WHEN contains(gl, query) THEN 'gameplayDescription' END AS matchType,
+         |    CASE WHEN contains(nl, query) THEN
+         |           (100.0 + CASE WHEN nl = query THEN 50.0
+         |                         WHEN starts_with(nl, query) THEN 25.0
+         |                         ELSE 0.0 END) * pop
+         |         WHEN contains(dl, query) THEN (50.0 + ${frac("dl")} * 20.0) * pop
+         |         WHEN contains(gl, query) THEN (25.0 + ${frac("gl")} * 15.0) * pop
+         |    END AS score
+         |  FROM prepped),
+         |ranked AS (
+         |  SELECT query, universeId, matchType, score,
+         |         row_number() OVER (PARTITION BY query
+         |                            ORDER BY score DESC, universeId) AS rank
+         |  FROM scored WHERE matchType IS NOT NULL)
+         |SELECT query, universeId, matchType, rank,
+         |       floor(score * 100 + 0.5) / 100.0 AS relevanceScore
+         |FROM ranked WHERE rank <= $limit
+         |ORDER BY query, rank""".stripMargin)
+  }
+
+  private val BatchQueries = Seq("merge", "table value", "spark", "the line")
+
+  def searchBatch(spark: SparkSession, dir: String): DataFrame =
+    searchMany(Tables.games(spark, dir), BatchQueries, 5)
+
   /** Single-word query: broad match, exercises the full cascade. */
   def searchSingleWord(spark: SparkSession, dir: String): DataFrame =
     search(Tables.games(spark, dir), "merge", 10)
@@ -120,11 +211,13 @@ object TextSearch {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f6_text_search_word" -> searchSingleWord,
-    "f6_text_search_phrase" -> searchPhrase
+    "f6_text_search_phrase" -> searchPhrase,
+    "f6_text_search_batch" -> searchBatch
   )
 
   val oracles: Map[String, String] = Map(
     "f6_text_search_word" -> oracleFor("merge", 10),
-    "f6_text_search_phrase" -> oracleFor("table value", 10)
+    "f6_text_search_phrase" -> oracleFor("table value", 10),
+    "f6_text_search_batch" -> batchOracle(BatchQueries, 5)
   )
 }
