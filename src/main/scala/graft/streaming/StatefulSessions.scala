@@ -28,6 +28,7 @@ object StatefulSessions {
       session_start: Timestamp, session_end: Timestamp)
 
   private val GapSec = 30L * 60
+  private val GapMs = GapSec * 1000L
 
   /** Gap rule matches the SQL twin exactly: unix_timestamp() truncates to
     * whole seconds BEFORE differencing, so the comparison is on
@@ -68,5 +69,46 @@ object StatefulSessions {
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(sessionFunc)
+  }
+
+  /** STREAMING variant of the state function: closed sessions are emitted
+    * as soon as a later event closes them; the OPEN session is flushed by
+    * an event-time timeout once the watermark passes last + gap — the
+    * standard streaming-sessionization contract (a session still open when
+    * the watermark hasn't caught up is withheld, not guessed at). */
+  def sessionFuncStreaming(uid: Long, events: Iterator[Ev], state: GroupState[OpenSession]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val open = state.get
+      state.remove()
+      Iterator.single(SessionOut(uid, open.sessionId, open.n, open.start, open.last))
+    } else {
+      val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+      val out = Seq.newBuilder[SessionOut]
+      var open = state.getOption.orNull
+      for (e <- sorted) {
+        if (open == null) {
+          open = OpenSession(1L, e.ts, e.ts, 1L)
+        } else if (newSession(open.last, e.ts)) {
+          out += SessionOut(uid, open.sessionId, open.n, open.start, open.last)
+          open = OpenSession(open.sessionId + 1, e.ts, e.ts, 1L)
+        } else {
+          open = open.copy(last = e.ts, n = open.n + 1)
+        }
+      }
+      if (open != null) {
+        state.update(open)
+        state.setTimeoutTimestamp(open.last.getTime + GapMs)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Streaming entry over a file-source of event drops. */
+  def sessionizeStream(spark: SparkSession, eventsStream: Dataset[Ev]): Dataset[SessionOut] = {
+    import spark.implicits._
+    eventsStream
+      .withWatermark("ts", "1 minute")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(sessionFuncStreaming)
   }
 }
