@@ -9,6 +9,15 @@ import org.apache.spark.sql.SparkSession
   * count() lets Catalyst prune projected columns (a cosine top-k would
   * benchmark as a row-count scan), while noop computes every output column
   * exactly like a real write, minus the disk.
+  *
+  * Reporting contract (round-2 fix): sbt interleaves [info]/WARN noise with
+  * stdout, which broke the driver's JSON parse (BENCH_r01 `parsed: null`).
+  * The metric line is therefore (a) written verbatim to a file —
+  * `$BENCH_JSON_OUT`, default `BENCH_RESULT.json` in the working dir — and
+  * (b) printed as the very last stdout line, after `spark.stop()`, so no
+  * executor-shutdown logging can trail it. A query that throws records the
+  * sentinel `-1` as its seconds and lands in an `"errors"` object, so the
+  * single line is self-describing even on partial failure.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,15 +35,32 @@ object Bench {
     // JVM/codegen warmup so the first measured query isn't paying JIT cost
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => errors(name) = e.toString.take(200); false }
+      graft.tools.CacheRegistry.release()
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("BENCH_JSON_OUT", "BENCH_RESULT.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
+    // last clean stdout line — nothing may print after this
+    println(line)
   }
 }

@@ -52,7 +52,6 @@ object ArrayExpressions {
       idCol: String,
       k: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val payload = df.columns.filterNot(c => blockCols.contains(c) || c == idCol).toSeq
     def side(tag: String, salted: Boolean) = {
       val renamed = df.columns.foldLeft(df) { (d, c) =>
         if (blockCols.contains(c)) d else d.withColumnRenamed(c, s"${tag}_$c")

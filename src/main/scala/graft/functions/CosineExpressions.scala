@@ -15,12 +15,19 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * bench hotspot. This expression compiles to a tight primitive loop over
   * `ArrayData.getDouble`, one pass computing dot product and both norms.
   *
-  * Float semantics are IDENTICAL to the reference's JS
-  * (src/lib/tools.ts:15-20) and to the previous fold-based implementation:
-  * strict left-to-right f64 accumulation of x·y, x², y², then
-  * dot / (√na · √nb). Java double division never throws, so a zero vector
-  * yields 0/0 = NaN exactly like the unguarded reference (and unlike
-  * Spark's ANSI `/` operator, which errors).
+  * Float semantics match the reference's JS (src/lib/tools.ts:15-20) and
+  * the previous fold-based implementation on equal-length inputs: strict
+  * left-to-right f64 accumulation of x·y, x², y², then dot / (√na · √nb).
+  * Java double division never throws, so a zero vector yields 0/0 = NaN
+  * exactly like the unguarded reference (and unlike Spark's ANSI `/`
+  * operator, which errors).
+  *
+  * Mismatched lengths return NaN. The reference's `a.reduce` yields
+  * `val * undefined = NaN` whenever b is shorter than a; when b is LONGER
+  * the reference computes a partial dot over a's length but ‖b‖ over all of
+  * b — an asymmetry we deliberately do not copy (documented divergence;
+  * the P13 guard drops mismatched vectors before scoring in every shipped
+  * query path anyway).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,7 +37,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return Double.NaN
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -56,18 +64,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |double $na = 0.0;
-         |double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $x.getDouble($i);
-         |  double $yi = $y.getDouble($i);
-         |  $dot += $xi * $yi;
-         |  $na += $xi * $xi;
-         |  $nb += $yi * $yi;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.value} = Double.NaN;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $x.getDouble($i);
+         |    double $yi = $y.getDouble($i);
+         |    $dot += $xi * $yi;
+         |    $na += $xi * $xi;
+         |    $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

@@ -64,4 +64,32 @@ object VectorFunctions {
     val bd = asDouble(b)
     sqrt(aggregate(zip_with(ad, bd, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v))
   }
+
+  // ------------------------- deterministic random-projection LSH planes
+  // Shared by ann_lsh_buckets and the embedding near-dup candidate
+  // generator. Integer arithmetic only, so Spark and DuckDB build
+  // bit-identical hyperplanes.
+
+  /** Hyperplane j over 64-dim vectors: element i = ((i·53 + j·97) mod 101 − 50)/100. */
+  def hyperplane(j: Int): Column =
+    transform(sequence(lit(0), lit(63)),
+      i => ((i * 53 + lit(j * 97)) % 101 - 50).cast("double") / 100.0)
+
+  /** Sign-of-projection bucket: bit j set iff v·plane_j > 0 — 2^numPlanes
+    * buckets, so an equality join on `bucket` scans an expected
+    * 1/2^numPlanes of the corpus per probe. */
+  def hyperplaneBucket(v: Column, numPlanes: Int): Column =
+    (0 until numPlanes)
+      .map(j => when(dot(v, hyperplane(j)) > 0, lit(1 << j)).otherwise(lit(0)))
+      .reduce(_ + _)
+
+  /** DuckDB mirror of [[hyperplane]]. */
+  def hyperplaneSql(j: Int): String =
+    s"list_transform(generate_series(0, 63), i -> ((i * 53 + ${j * 97}) % 101 - 50)::DOUBLE / 100.0)"
+
+  /** DuckDB mirror of [[hyperplaneBucket]]. */
+  def hyperplaneBucketSql(vExpr: String, numPlanes: Int): String =
+    (0 until numPlanes)
+      .map(j => s"(CASE WHEN list_dot_product($vExpr, ${hyperplaneSql(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString("\n         + ")
 }

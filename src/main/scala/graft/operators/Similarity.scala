@@ -176,27 +176,17 @@ object Similarity {
 
   private val NumPlanes = 8
 
-  /** Deterministic hyperplane j: element i = ((i·53 + j·97) mod 101 − 50)/100. */
-  private def planeDot(v: Column, j: Int): Column =
-    aggregate(
-      zip_with(v,
-        transform(sequence(lit(0), lit(63)),
-          i => ((i * 53 + lit(j * 97)) % 101 - 50).cast("double") / 100.0),
-        (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
-
   /** ANN scale path #2: sign-of-projection LSH. Each vector gets an 8-bit
-    * bucket from the signs of 8 hyperplane projections; search only scans
-    * the query's bucket (expected 1/256 of the corpus), then exact cosine
-    * top-k. Approximate by construction — recall trades against the scan
-    * fraction via NumPlanes — but fully deterministic, so oracle-checkable. */
+    * bucket from the signs of 8 hyperplane projections
+    * ([[graft.functions.VectorFunctions.hyperplaneBucket]] — shared with the
+    * embedding near-dup candidate generator); search only scans the query's
+    * bucket (expected 1/256 of the corpus), then exact cosine top-k.
+    * Approximate by construction — recall trades against the scan fraction
+    * via NumPlanes — but fully deterministic, so oracle-checkable. */
   def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val bucket = (0 until NumPlanes)
-      .map(j => when(planeDot(col("v"), j) > 0, lit(1 << j)).otherwise(lit(0)))
-      .reduce(_ + _)
-    val b = e.withColumn("bucket", bucket)
+    val b = e.withColumn("bucket", hyperplaneBucket(col("v"), NumPlanes))
     val q = b.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
     val c = b.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("bucket"))
@@ -212,11 +202,7 @@ object Similarity {
   }
 
   val annLshBucketsSql: String = {
-    val planeOf = (j: Int) =>
-      s"list_transform(generate_series(0, 63), i -> ((i * 53 + ${j * 97}) % 101 - 50)::DOUBLE / 100.0)"
-    val bucketExpr = (0 until NumPlanes)
-      .map(j => s"(CASE WHEN list_dot_product(v, ${planeOf(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
-      .mkString("\n         + ")
+    val bucketExpr = hyperplaneBucketSql("v", NumPlanes)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT vec_id, v,
        |         $bucketExpr AS bucket

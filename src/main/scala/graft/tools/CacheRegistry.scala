@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Tracks DataFrames persisted inside lazily-built query plans so the
+  * harness (Bench / Verify / tests) can unpersist them once the query's
+  * action has run.
+  *
+  * Query builders like `Dedup.dedupMinhashLsh` persist a shared subplan
+  * (the signature set feeds banding plus both verify sides) but return a
+  * lazy DataFrame — they cannot unpersist before the caller's action, and
+  * leaving blocks cached leaks executor memory across a 50-query suite
+  * (round-1 bench logged "Block rdd_x already exists" on re-execution).
+  * Builders register what they persist; runners call [[release]] after
+  * each action completes.
+  */
+object CacheRegistry {
+  private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+
+  /** Persist `df` at MEMORY_AND_DISK and register it for later release. */
+  def persistTracked(df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    tracked.add(df)
+    df
+  }
+
+  /** Unpersist (non-blocking) everything registered since the last call. */
+  def release(): Unit = {
+    var d = tracked.poll()
+    while (d != null) {
+      try d.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      d = tracked.poll()
+    }
+  }
+}

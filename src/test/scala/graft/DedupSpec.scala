@@ -42,6 +42,45 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.forall(_.getInt(2) === 0))
   }
 
+  test("ngram jaccard (banded candidates) recovers planted exact + near dups") {
+    val out = Dedup.dedupNgramJaccard(spark, SparkTestSession.Sf0001).collect()
+    val exactPairs = out.filter(r =>
+      r.getLong(0) < 100000L && r.getLong(1) - r.getLong(0) === 100000L)
+    assert(exactPairs.length === 125)
+    assert(exactPairs.forall(_.getDouble(2) === 1.0))
+    // near-dup tail (3 appended tokens) keeps bigram jaccard high enough
+    // that all 4 bands of its minhash signature still collide
+    val nearPairs = out.filter(r =>
+      r.getLong(0) < 100000L && r.getLong(1) - r.getLong(0) === 200000L)
+    assert(nearPairs.length === 100)
+    assert(nearPairs.forall(r => r.getDouble(2) >= 0.3 && r.getDouble(2) < 1.0))
+  }
+
+  test("embedding cosine near-dup (hyperplane buckets) recovers perturbed vectors") {
+    val out = Dedup.dedupEmbeddingCosine(spark, SparkTestSession.Sf0001).collect()
+    // every 10th vector has a tiny-perturbation copy at +100000; the
+    // perturbation moves each projection by ≪ plane-margin for almost all
+    // vectors, so the pair shares a bucket and verifies at cos ≥ 0.99
+    val planted = out.filter(r => r.getLong(1) - r.getLong(0) === 100000L)
+    assert(planted.nonEmpty)
+    assert(planted.forall(_.getDouble(2) >= 0.99))
+  }
+
+  test("salted skew pair join equals the unsalted block join exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.ArrayExpressions
+    val grams = Dedup.corpus(spark, SparkTestSession.Sf0001).select(
+      col("doc_id"), col("lang"),
+      ArrayExpressions.hashedWordNGrams(split(lower(col("text")), "\\s+"), 2).as("grams"))
+    val salted = ArrayExpressions.saltedBlockPairJoin(grams, Seq("lang"), "doc_id", 8)
+      .select(col("a_doc_id"), col("b_doc_id"))
+    val x = grams.select(col("lang"), col("doc_id").as("a_doc_id"))
+    val y = grams.select(col("lang"), col("doc_id").as("b_doc_id"))
+    val plain = x.join(y, Seq("lang")).filter(col("a_doc_id") < col("b_doc_id"))
+      .select(col("a_doc_id"), col("b_doc_id"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
   test("429 retry: succeeds after rate-limited attempts without sleeping") {
     var calls = 0
     var slept = 0L
