@@ -34,7 +34,8 @@ import graft.tools.CacheRegistry
   *     semantic blocks with skewed occupancy), `saltedBlockPairJoin`
   *     splits each block across k tasks so one hot block cannot become a
   *     straggler — demonstrated by `dedup_salted_skew` on the corpus's
-  *     skewed `lang` key (en ≈ 40% of documents).
+  *     skew-occupied `(lang, source)` key (en blocks up to 16× the rare
+  *     ones).
   *
   * All hashing is md5-derived so the DuckDB oracle can reproduce it
   * bit-for-bit; at production scale you'd swap in xxhash64 via the same
@@ -325,19 +326,23 @@ object Dedup {
   // ------------------------------------------- salted skewed block join
 
   /** Skew-hardening demo: the SAME verified bigram-Jaccard computation, but
-    * with candidates from a semantic block key (`lang`) that is heavily
-    * skewed in the fixture (en ≈ 40% of documents — a miniature of the
-    * common-crawl-English problem). The block join runs through
-    * [[graft.functions.ArrayExpressions.saltedBlockPairJoin]]: the left
-    * side gets salt h(id) mod 8, the right side replicates to all 8 salts,
-    * so each (lang, salt) task holds |block|/8 left rows — the en straggler
-    * splits across 8 tasks while the result is EXACTLY the unsalted pair
-    * set, which is what the (unsalted) oracle verifies. */
+    * with candidates from a bounded semantic block key — (lang, source) —
+    * whose OCCUPANCY is heavily skewed in the fixture (en blocks hold up
+    * to 16× the rows of the rare fr/de blocks; a miniature of the
+    * common-crawl-English problem). This is the case salting is for:
+    * blocks that are legitimate (a bounded key set), just unevenly filled.
+    * [[graft.functions.ArrayExpressions.saltedBlockPairJoin]] gives the
+    * left side salt h(id) mod 8 and replicates the right side to all 8
+    * salts, so each (block, salt) task holds |block|/8 left rows — the hot
+    * block splits across 8 tasks while the result is EXACTLY the unsalted
+    * pair set, which is what the (unsalted) oracle verifies. For UNBOUNDED
+    * block keys, salting is not enough — use banded-minhash candidates
+    * ([[dedupNgramJaccard]]) instead. */
   def dedupSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
     val grams = corpus(spark, dir).select(
-      col("doc_id"), col("lang"),
+      col("doc_id"), col("lang"), col("source"),
       ArrayExpressions.hashedWordNGrams(split(lower(col("text")), "\\s+"), 2).as("grams"))
-    ArrayExpressions.saltedBlockPairJoin(grams, Seq("lang"), "doc_id", 8)
+    ArrayExpressions.saltedBlockPairJoin(grams, Seq("lang", "source"), "doc_id", 8)
       .withColumn("inter", ArrayExpressions.sortedLongIntersectCount(col("a_grams"), col("b_grams")))
       .withColumn("jacc",
         col("inter").cast("double") / (size(col("a_grams")) + size(col("b_grams")) - col("inter")))
@@ -352,19 +357,19 @@ object Dedup {
   val dedupSaltedSkewSql: String =
     s"""WITH $corpusSql,
        |g AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang, source,
        |         list_distinct(list_transform(
        |           list_transform(generate_series(1, len(toks) - 1),
        |             i -> toks[i] || ' ' || toks[i+1]),
        |           s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT))) AS grams
-       |  FROM (SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS toks FROM corpus)),
+       |  FROM (SELECT doc_id, lang, source, string_split_regex(lower(text), '\\s+') AS toks FROM corpus)),
        |p AS (
        |  SELECT x.lang AS lang,
        |         len(list_intersect(x.grams, y.grams))::DOUBLE
        |           / (len(x.grams) + len(y.grams)
        |              - len(list_intersect(x.grams, y.grams))) AS jacc
        |  FROM g x
-       |  JOIN g y ON x.lang = y.lang AND x.doc_id < y.doc_id)
+       |  JOIN g y ON x.lang = y.lang AND x.source = y.source AND x.doc_id < y.doc_id)
        |SELECT lang, count(*) AS n_pairs,
        |       floor(min(jacc) * 10000 + 0.5) / 10000.0 AS min_jaccard,
        |       floor(max(jacc) * 10000 + 0.5) / 10000.0 AS max_jaccard

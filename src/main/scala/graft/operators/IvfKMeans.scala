@@ -21,11 +21,16 @@ import graft.functions.OracleParity.pround
   *     exact, so centroids don't depend on partitioning;
   *   - argmin ties break on cluster id.
   *
-  * Scale shape: assignment is a broadcast cross join against k centroids
-  * (k rows!) + per-row argmin; the update is one shuffle keyed by
-  * (cluster, position). Search then scans ONLY the query's cell. Lloyd
-  * iterations at 100 TB are the standard sample-train/full-assign split —
-  * here the full set is small enough to train on directly.
+  * Scale shape (round-2 flattening): assignment is a PURE MAP — the k
+  * centroids ride into the plan as array literals and the argmin is
+  * `array_min` over k (d2, cluster) structs, so there is no cross join, no
+  * window, and no shuffle of N·K scored rows (round 1 shuffled N·K rows
+  * per Lloyd iteration through a row_number window). The update is one
+  * partial-aggregating shuffle of K×dim DECIMAL sums (64 `sum(element_at)`
+  * aggregates — map-side combine, no posexplode of N·dim rows). Search
+  * then scans ONLY the query's cell. Lloyd iterations at 100 TB are the
+  * standard sample-train/full-assign split — here the full set is small
+  * enough to train on directly.
   */
 object IvfKMeans {
 
@@ -35,53 +40,51 @@ object IvfKMeans {
 
   private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
 
-  /** ‖a−c‖² in the fixed evaluation order (aa − 2ac) + cc. */
-  private def dist2(v: Column, cv: Column): Column =
-    dot(v, v) - lit(2.0) * dot(v, cv) + dot(cv, cv)
-
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
 
-  /** Assign each vector to its nearest centroid (ties → lowest cluster). */
-  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cluster"))
-    e.crossJoin(broadcast(centroids))
-      .withColumn("d2", dist2(col("v"), col("cv")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cluster"))
+  /** Assign each vector to its nearest centroid (ties → lowest cluster) in
+    * ONE map-side projection — no cross join, no window, no shuffle. The
+    * argmin runs in the codegen'd
+    * [[graft.functions.NearestCentroid]] kernel with the centroid matrix
+    * attached as a reference object; float order matches the oracle's
+    * (v·v − 2·v·c) + ‖c‖² replay exactly (see the kernel's scaladoc). */
+  private def assign(e: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame =
+    e.select(col("vec_id"), col("v"),
+      graft.functions.NearestCentroid.column(col("v"), centroids).as("cluster"))
+
+  /** Exact per-position mean of each cluster's vectors → new centroids,
+    * collected to the driver (k·dim doubles — the one legitimately
+    * driver-sized object in Lloyd's algorithm; MLlib does the same
+    * reduce-to-driver, and materializing centroids per iteration also cuts
+    * the lazy lineage so each iteration is ONE pass over the vectors).
+    * 64 decimal `sum(element_at)` aggregates replace round 1's
+    * posexplode → (cluster, pos) shuffle of N·dim rows: partial aggregation
+    * happens map-side and the shuffle carries K rows of 64 decimals.
+    * DECIMAL sums are exact, so centroids are partition-independent;
+    * BigDecimal.doubleValue is the same correctly-rounded conversion as
+    * Spark's and DuckDB's decimal→double casts. */
+  private def updateCollect(assigned: DataFrame): Seq[(Int, Array[Double])] = {
+    val sums = (0 until Dim).map(p => sum(element_at(col("v"), p + 1).cast("decimal(30,12)")).as(s"s_$p"))
+    assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        (r.getInt(0), Array.tabulate(Dim)(p => r.getDecimal(p + 2).doubleValue() / n))
+      }.toSeq
   }
 
-  /** Exact per-position mean of each cluster's vectors → new centroids. */
-  private def update(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "value")))
-      .groupBy(col("cluster"), col("pos"))
-      .agg((sum(col("value").cast("decimal(30,12)")).cast("double") / count(lit(1))).as("m"))
-      .groupBy(col("cluster"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("cv"))
-
   /** Train (fixed init, `Iterations` Lloyd steps) and return the final
-    * assignment (vec_id, v, cluster).
-    *
-    * Centroids are collected to the driver after every update — k·dim
-    * doubles, the one legitimately driver-sized object in Lloyd's
-    * algorithm (MLlib does the same reduce-to-driver). Re-creating the
-    * centroid DataFrame from the collected rows cuts the lazy lineage so
-    * each iteration runs ONE pass over the vectors instead of recomputing
-    * all previous iterations. */
+    * assignment (vec_id, v, cluster). */
   def trainedAssignment(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = vectors(spark, dir)
-    var centroids = e.filter(col("vec_id") < K)
-      .select(col("vec_id").cast("int").as("cluster"), col("v").as("cv"))
-    for (_ <- 0 until Iterations) {
-      val collected = update(assign(e, centroids)).collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      centroids = collected.toSeq.toDF("cluster", "cv")
-    }
+    var centroids: Seq[(Int, Array[Double])] =
+      e.filter(col("vec_id") < K).orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    for (_ <- 0 until Iterations)
+      centroids = updateCollect(assign(e, centroids))
     assign(e, centroids)
   }
 
