@@ -33,7 +33,9 @@ object Similarity {
     * CompatIO (the reference's own JSON files). NaN similarities (zero
     * vectors) sort FIRST under desc — Spark treats NaN as the largest
     * double, where the reference's JS comparator is unspecified on NaN. */
-  def similarSearchOn(games: DataFrame, embeddings: DataFrame, targetId: Long, k: Int): DataFrame = {
+  /** Scored frame (all game columns + `sim`) — shared by the oracle query
+    * and the API endpoint's richer projection. */
+  def similarScored(games: DataFrame, embeddings: DataFrame, targetId: Long): DataFrame = {
     val target = embeddings.filter(col("universeId") === targetId)
       .select(col("embedding").as("target_embedding"))
     embeddings.filter(col("universeId") =!= targetId)
@@ -42,11 +44,14 @@ object Similarity {
       .withColumn("sim",
         cosineSimilarity(col("embedding"), col("target_embedding")) *
           popularityFactor(col("playerCount")))
+  }
+
+  def similarSearchOn(games: DataFrame, embeddings: DataFrame, targetId: Long, k: Int): DataFrame =
+    similarScored(games, embeddings, targetId)
       .orderBy(desc("sim"), col("universeId"))
       .limit(k)
       .select(col("universeId"), col("rootPlaceId"), col("name"),
         pround(col("sim"), 2).as("similarity"))
-  }
 
   def similarSearch(spark: SparkSession, dir: String): DataFrame =
     similarSearchOn(Tables.games(spark, dir), Tables.gameEmbeddings(spark, dir), TargetId, 10)
@@ -74,20 +79,21 @@ object Similarity {
   private def queryVector = transform(sequence(lit(0), lit(63)),
     i => ((i * lit(37)) % 101 - 50).cast("double") / 100.0)
 
-  /** `/vector-search?q=...`: cosine of a query vector vs ALL games (no
-    * self-exclusion — reference: vectorSearch.get.ts:137-147). */
-  def vectorSearch(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.gameEmbeddings(spark, dir)
-    val games = Tables.games(spark, dir)
-    emb.join(games, Seq("universeId"))
+  /** Scored frame for an arbitrary query vector (no self-exclusion —
+    * reference: vectorSearch.get.ts:137-147). */
+  def vectorScored(games: DataFrame, embeddings: DataFrame, queryVec: Column): DataFrame =
+    embeddings.join(games, Seq("universeId"))
       .withColumn("sim",
-        cosineSimilarity(col("embedding"), queryVector) *
+        cosineSimilarity(col("embedding"), queryVec) *
           popularityFactor(col("playerCount")))
+
+  /** `/vector-search?q=...`: cosine of a query vector vs ALL games. */
+  def vectorSearch(spark: SparkSession, dir: String): DataFrame =
+    vectorScored(Tables.games(spark, dir), Tables.gameEmbeddings(spark, dir), queryVector)
       .orderBy(desc("sim"), col("universeId"))
       .limit(10)
       .select(col("universeId"), col("rootPlaceId"), col("name"),
         pround(col("sim"), 2).as("similarity"))
-  }
 
   val vectorSearchSql: String = OracleViews.withGamesAndEmbeddings(
     """, qv AS (SELECT list_transform(generate_series(0, 63),

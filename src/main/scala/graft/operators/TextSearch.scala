@@ -30,8 +30,10 @@ object TextSearch {
     * 14-25; same clamp in the API endpoints). */
   def clampLimit(n: Int): Int = math.max(1, math.min(n, Constants.MaxLimit))
 
-  /** Builds the scored search DataFrame for an already-normalized query. */
-  def search(games: DataFrame, normalizedQuery: String, limit: Int = Constants.DefaultLimit): DataFrame = {
+  /** The scored cascade WITHOUT final projection — all game columns plus
+    * (matchType, score). Shared by the oracle query below and the API
+    * endpoint (which projects the reference's 7-column response). */
+  def scoredSearch(games: DataFrame, normalizedQuery: String): DataFrame = {
     val nq = normalizedQuery.toLowerCase.trim
     val qWords: Seq[String] = nq.split("\\s+").toSeq
 
@@ -71,11 +73,15 @@ object TextSearch {
           .when(descCond, descScore)
           .when(gpCond, gpScore))
       .filter(col("matchType").isNotNull)
+  }
+
+  /** Builds the scored search DataFrame for an already-normalized query. */
+  def search(games: DataFrame, normalizedQuery: String, limit: Int = Constants.DefaultLimit): DataFrame =
+    scoredSearch(games, normalizedQuery)
       .orderBy(desc("score"), col("universeId"))
       .limit(clampLimit(limit))
       .select(col("universeId"), col("rootPlaceId"), col("name"),
         col("matchType"), pround(col("score"), 2).as("relevanceScore"))
-  }
 
   private def oracleFor(nq: String, limit: Int): String = {
     val frac = (field: String) =>
