@@ -44,6 +44,39 @@ object CompatIO {
       .write.mode(SaveMode.Overwrite).text(path)
   }
 
+  /** S3 round 2 — write the array document as a file LITERALLY named
+    * `path` (e.g. `/data/games/games.json`), the artifact the reference's
+    * own tooling opens (gatherGames.ts:93 writes one file, not a
+    * directory). Spark sinks write directories, so this writes to a temp
+    * dir and renames the single part file through the Hadoop FileSystem
+    * API — portable to HDFS/object stores, no local-FS assumptions.
+    * Formatting is a compact array (one row per line); the reference
+    * pretty-prints with indent 4, a whitespace-only divergence its
+    * JSON.parse loader does not observe. */
+  def writeGamesJsonFile(games: DataFrame, path: String): Unit = {
+    writeGamesJson(games, path + ".tmpdir")
+    promoteSingleFile(games.sparkSession, path + ".tmpdir", path)
+  }
+
+  /** S4 round 2 — single-file embeddings.json, same mechanism. */
+  def writeEmbeddingsJsonFile(embeddings: DataFrame, path: String): Unit = {
+    writeEmbeddingsJson(embeddings, path + ".tmpdir")
+    promoteSingleFile(embeddings.sparkSession, path + ".tmpdir", path)
+  }
+
+  private def promoteSingleFile(spark: SparkSession, tmpDir: String, target: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val tmp = new Path(tmpDir)
+    val fs = tmp.getFileSystem(conf)
+    val parts = fs.globStatus(new Path(tmp, "part-*"))
+    require(parts.length == 1, s"expected one part file in $tmpDir, found ${parts.length}")
+    val dest = new Path(target)
+    if (fs.exists(dest)) fs.delete(dest, false)
+    require(fs.rename(parts(0).getPath, dest), s"rename to $target failed")
+    fs.delete(tmp, true)
+  }
+
   /** S2 — read embeddings.json (one JSON object keyed by stringified id)
     * and explode to engine-native (universeId, embedding) rows. */
   def readEmbeddingsJson(spark: SparkSession, path: String): DataFrame = {

@@ -50,6 +50,52 @@ class CompatIOSpec extends AnyFunSuite {
     assert(back.orderBy("universeId").collect().map(_.getLong(0)).toSeq === Seq(7L, 8L))
   }
 
+  test("writeGamesJsonFile emits a file literally named games.json; byte-stable round-trip") {
+    val dir = Files.createTempDirectory("graft-compat").toString
+    // the reference's own pretty-printed array format (indent 4) parses
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ref_games.json"),
+      """[
+        |    {
+        |        "universeId": 2,
+        |        "rootPlaceId": 20,
+        |        "name": "beta",
+        |        "description": null
+        |    },
+        |    {
+        |        "universeId": 1,
+        |        "rootPlaceId": 10,
+        |        "name": "alpha",
+        |        "description": "a game",
+        |        "playerCount": 5
+        |    }
+        |]""".stripMargin)
+    val parsed = CompatIO.readGamesJson(spark, s"$dir/ref_games.json")
+    assert(parsed.count() === 2)
+
+    val out1 = s"$dir/games.json"
+    CompatIO.writeGamesJsonFile(parsed, out1)
+    val f = new java.io.File(out1)
+    assert(f.isFile, "games.json must be a FILE, not a directory")
+    // readable again, canonical universeId-ascending order applied
+    val back = CompatIO.readGamesJson(spark, out1)
+    assert(back.orderBy("universeId").collect().map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    // byte-diff round-trip: write the re-read table → identical bytes
+    val out2 = s"$dir/games2.json"
+    CompatIO.writeGamesJsonFile(back, out2)
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(java.nio.file.Paths.get(out1)),
+      Files.readAllBytes(java.nio.file.Paths.get(out2))))
+  }
+
+  test("writeEmbeddingsJsonFile single file round-trips") {
+    val dir = Files.createTempDirectory("graft-compat").toString
+    val src = Seq((7L, Seq(1.0, 2.0)), (8L, Seq(3.0, 4.0))).toDF("universeId", "embedding")
+    CompatIO.writeEmbeddingsJsonFile(src, s"$dir/embeddings.json")
+    assert(new java.io.File(s"$dir/embeddings.json").isFile)
+    val back = CompatIO.readEmbeddingsJson(spark, s"$dir/embeddings.json")
+    assert(back.orderBy("universeId").collect().map(_.getLong(0)).toSeq === Seq(7L, 8L))
+  }
+
   test("clearGameplayDescriptions nulls the column (P15)") {
     val g = Seq((1L, 10L, "a", Some("d"), Some("gp"), Some(1L)))
       .toDF("universeId", "rootPlaceId", "name", "description", "gameplayDescription", "playerCount")
