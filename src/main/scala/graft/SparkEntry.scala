@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Enrich, Events, IvfKMeans, Jobs, Merge, Multimodal, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
+import graft.operators.{AnnRecall, Dedup, Enrich, Events, IvfKMeans, Jobs, Merge, Multimodal, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,7 +33,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Sources.queries, Sources.oracles),
       (Jobs.queries, Jobs.oracles),
-      (IvfKMeans.queries, IvfKMeans.oracles)
+      (IvfKMeans.queries, IvfKMeans.oracles),
+      (AnnRecall.queries, AnnRecall.oracles)
     )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -133,7 +133,7 @@ object IvfKMeans {
        |  SELECT cluster, array_agg(m ORDER BY pos) AS cv
        |  FROM ${out}_m GROUP BY cluster)""".stripMargin
 
-  private val trainingSql: String = {
+  private[operators] val trainingSql: String = {
     val steps = (1 to Iterations).map { i =>
       val prevC = if (i == 1) "c0" else s"c${i - 1}"
       assignSql("e", prevC, s"a$i") + ",\n" + updateSql(s"a$i", s"c$i")

@@ -186,6 +186,18 @@ object Quality {
       |ORDER BY lower(name), name, universeId
       |LIMIT 50""".stripMargin)
 
+  /** T2 variant #3 — true ICU collation via Spark 4 `COLLATE UNICODE_CI`,
+    * the closest engine-native match to the reference's localeCompare
+    * (games.get.ts:63). NOT oracle-checked: DuckDB's ICU build orders some
+    * accent/case pairs differently, so this query gets a rows-only check
+    * and a unit test (QualitySpec) documents exactly where UNICODE_CI,
+    * binary, and lower()-CI orderings diverge on accent/case fixtures. */
+  def gamesListIcu(spark: SparkSession, dir: String): DataFrame =
+    Tables.games(spark, dir)
+      .orderBy(collate(col("name"), "UNICODE_CI"), col("universeId"))
+      .limit(50)
+      .select(col("universeId"), col("name"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_count_games" -> countGames,
     "a2_stats" -> stats,
@@ -193,6 +205,7 @@ object Quality {
     "p4_tristate_predicates" -> tristatePredicates,
     "t2_games_list" -> gamesList,
     "t2_games_list_ci" -> gamesListCi,
+    "t2_games_list_icu" -> gamesListIcu,
     "f10_format_links" -> formatLinks
   )
 

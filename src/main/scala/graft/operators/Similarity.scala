@@ -117,7 +117,10 @@ object Similarity {
     * pass — broadcast the query batch, stream the candidates, rank per
     * query with a window. Plain cosine, no popularity (pipeline op, not a
     * reference endpoint). */
-  def annBruteForce(spark: SparkSession, dir: String): DataFrame = {
+  def annBruteForce(spark: SparkSession, dir: String): DataFrame =
+    annBruteForceK(spark, dir, 5)
+
+  private[operators] def annBruteForceK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
@@ -127,7 +130,7 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos", cosineSimilarity(col("embedding"), col("query_embedding")))
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 5)
+      .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         pround(col("cos"), 4).as("cosine"))
       .orderBy(col("query_id"), col("rank"))
