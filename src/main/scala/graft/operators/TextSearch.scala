@@ -37,12 +37,16 @@ object TextSearch {
     val nq = normalizedQuery.toLowerCase.trim
     val qWords: Seq[String] = nq.split("\\s+").toSeq
 
-    def wordFrac(textLower: Column): Column = {
-      val words = split(textLower, "\\s+")
-      val qw = array(qWords.map(lit): _*)
-      size(filter(qw, q => exists(words, w => w.contains(q)))).cast("double") /
-        lit(qWords.length.toDouble)
-    }
+    // "some TOKEN of text contains q" ≡ "text contains q" whenever q has no
+    // whitespace (an occurrence of a whitespace-free q cannot span a token
+    // boundary) — and q comes from splitting the query on \s+, so it never
+    // does. That turns the reference's descWords.some(w => w.includes(q))
+    // (search.get.ts:147-152) into a per-word contains() on the unsplit
+    // text: no doc-side split, no interpreted exists() lambda, pure
+    // whole-stage codegen. Unrolled over the static query words.
+    def wordFrac(textLower: Column): Column =
+      qWords.map(q => when(textLower.contains(q), 1.0).otherwise(0.0))
+        .reduce(_ + _) / lit(qWords.length.toDouble)
 
     val pop = popularityFactor(col("playerCount"))
     val nameL = lower(col("name"))
@@ -128,11 +132,13 @@ object TextSearch {
     val gpL = lower(coalesce(col("gameplayDescription"), lit("")))
     val qWords = split(col("query"), "\\s+")
 
-    def wordFrac(textLower: Column): Column = {
-      val words = split(textLower, "\\s+")
-      size(filter(qWords, q => exists(words, w => w.contains(q)))).cast("double") /
+    // same token-contains ≡ text-contains equivalence as in scoredSearch;
+    // here the query is a COLUMN, so the (tiny) query-word array keeps a
+    // higher-order filter but the DOC side needs no split at all — the
+    // doc-length-proportional work is codegen'd Contains.
+    def wordFrac(textLower: Column): Column =
+      size(filter(qWords, q => textLower.contains(q))).cast("double") /
         size(qWords).cast("double")
-    }
 
     val titleCond = nameL.contains(col("query"))
     val descCond = descL.contains(col("query"))
