@@ -31,6 +31,9 @@ object AnnRecall {
         .unionByName(
           Similarity.annLshBuckets(spark, dir)
             .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id")))
+        .unionByName(
+          Similarity.annLshMultiprobe(spark, dir)
+            .select(lit("lsh_multiprobe").as("method"), col("query_id"), col("neighbor_id")))
     approx
       .join(truth, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("method"), col("query_id"))
@@ -68,6 +71,20 @@ object AnnRecall {
        |  SELECT query_id, neighbor_id,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM lscored),
+       |mq AS (SELECT vec_id AS query_id, v AS qv,
+       |              unnest([bucket, ${(0 until 8).map(j => s"xor(bucket, ${1 << j})").mkString(", ")}]) AS bucket
+       |       FROM lb WHERE vec_id < 5),
+       |mcand AS (
+       |  SELECT DISTINCT mq.query_id, c.vec_id AS neighbor_id, c.v AS nv, mq.qv
+       |  FROM lb c JOIN mq ON c.bucket = mq.bucket
+       |  WHERE c.vec_id <> mq.query_id),
+       |mscored AS (
+       |  SELECT query_id, neighbor_id, ${cos("nv", "qv")} AS cos
+       |  FROM mcand),
+       |mranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM mscored),
        |iq AS (SELECT vec_id AS query_id, v AS qv, cluster FROM afinal WHERE vec_id < 5),
        |iscored AS (
        |  SELECT iq.query_id, a.vec_id AS neighbor_id, ${cos("a.v", "iq.qv")} AS cos
@@ -80,7 +97,9 @@ object AnnRecall {
        |approx AS (
        |  SELECT 'ivf_kmeans' AS method, query_id, neighbor_id FROM iranked WHERE rank <= $K
        |  UNION ALL
-       |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lranked WHERE rank <= $K)
+       |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lranked WHERE rank <= $K
+       |  UNION ALL
+       |  SELECT 'lsh_multiprobe' AS method, query_id, neighbor_id FROM mranked WHERE rank <= $K)
        |SELECT a.method AS method, a.query_id AS query_id,
        |       count(t.neighbor_id) AS hits,
        |       floor(count(t.neighbor_id)::DOUBLE / ${K}.0 * 10000 + 0.5) / 10000.0 AS recall
