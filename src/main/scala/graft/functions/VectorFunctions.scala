@@ -71,25 +71,42 @@ object VectorFunctions {
   // bit-identical hyperplanes.
 
   /** Hyperplane j over 64-dim vectors: element i = ((i·53 + j·97) mod 101 − 50)/100. */
-  def hyperplane(j: Int): Column =
+  def hyperplane(j: Int): Column = hyperplaneT(53, j)
+
+  /** Hyperplane family parameterized by multiplier — each multiplier gives
+    * an independent table of planes for multi-table LSH: element i =
+    * ((i·mult + j·97) mod 101 − 50)/100. [[hyperplane]] is the mult=53
+    * family used by the single-table queries. */
+  def hyperplaneT(mult: Int, j: Int): Column =
     transform(sequence(lit(0), lit(63)),
-      i => ((i * 53 + lit(j * 97)) % 101 - 50).cast("double") / 100.0)
+      i => ((i * mult + lit(j * 97)) % 101 - 50).cast("double") / 100.0)
 
   /** Sign-of-projection bucket: bit j set iff v·plane_j > 0 — 2^numPlanes
     * buckets, so an equality join on `bucket` scans an expected
     * 1/2^numPlanes of the corpus per probe. */
   def hyperplaneBucket(v: Column, numPlanes: Int): Column =
+    hyperplaneBucketT(v, 53, numPlanes)
+
+  /** Per-table sign-of-projection bucket over the [[hyperplaneT]] family. */
+  def hyperplaneBucketT(v: Column, mult: Int, numPlanes: Int): Column =
     (0 until numPlanes)
-      .map(j => when(dot(v, hyperplane(j)) > 0, lit(1 << j)).otherwise(lit(0)))
+      .map(j => when(dot(v, hyperplaneT(mult, j)) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)
 
   /** DuckDB mirror of [[hyperplane]]. */
-  def hyperplaneSql(j: Int): String =
-    s"list_transform(generate_series(0, 63), i -> ((i * 53 + ${j * 97}) % 101 - 50)::DOUBLE / 100.0)"
+  def hyperplaneSql(j: Int): String = hyperplaneTSql(53, j)
+
+  /** DuckDB mirror of [[hyperplaneT]]. */
+  def hyperplaneTSql(mult: Int, j: Int): String =
+    s"list_transform(generate_series(0, 63), i -> ((i * $mult + ${j * 97}) % 101 - 50)::DOUBLE / 100.0)"
 
   /** DuckDB mirror of [[hyperplaneBucket]]. */
   def hyperplaneBucketSql(vExpr: String, numPlanes: Int): String =
+    hyperplaneBucketTSql(vExpr, 53, numPlanes)
+
+  /** DuckDB mirror of [[hyperplaneBucketT]]. */
+  def hyperplaneBucketTSql(vExpr: String, mult: Int, numPlanes: Int): String =
     (0 until numPlanes)
-      .map(j => s"(CASE WHEN list_dot_product($vExpr, ${hyperplaneSql(j)}) > 0 THEN ${1 << j} ELSE 0 END)")
+      .map(j => s"(CASE WHEN list_dot_product($vExpr, ${hyperplaneTSql(mult, j)}) > 0 THEN ${1 << j} ELSE 0 END)")
       .mkString("\n         + ")
 }
