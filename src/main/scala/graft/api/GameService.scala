@@ -129,12 +129,17 @@ final class GameService(
     val withEmb = withImgs.join(
       gameEmbeddings.select(col("universeId"), lit(1).as("has_emb")),
       Seq("universeId"), "left")
+    // The reference's two lacking-text predicates differ (stats.get.ts:74-84):
+    // description tests exactly undefined | '' | null — a whitespace-only
+    // description counts as PRESENT — while gameplayDescription is falsy-or-
+    // blank-after-trim.
+    val noDescription = (c: Column) => c.isNull || c === ""
     val blank = (c: Column) => c.isNull || trim(c) === ""
     val row = withEmb.agg(
       count(lit(1)).as("totalGames"),
       count(when(col("has_icon").isNull, 1)).as("gamesLackingIcons"),
       count(when(col("has_thumbnail").isNull, 1)).as("gamesLackingThumbnails"),
-      count(when(blank(col("description")), 1)).as("gamesLackingDescriptions"),
+      count(when(noDescription(col("description")), 1)).as("gamesLackingDescriptions"),
       count(when(blank(col("gameplayDescription")), 1)).as("gamesLackingGameplayDescriptions"),
       count(when(col("has_emb").isNull, 1)).as("gamesLackingEmbeddings"))
     ok(rowToJson(row.collect()(0)))

@@ -43,7 +43,10 @@ object Quality {
   private val embSubsetSql =
     "emb AS (SELECT vec_id AS universeId FROM embeddings WHERE vec_id % 7 <> 3)"
 
-  /** A2 — stats endpoint: one row of table-health counters. */
+  /** A2 — stats endpoint: one row of table-health counters. The reference's
+    * description counter tests exactly undefined | '' | null — NO trim, a
+    * whitespace-only description is "present" (stats.get.ts:74-80) — while
+    * gameplayDescription is falsy-or-blank-after-trim (:82-84). */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     val games = Tables.games(spark, dir)
     val emb = embSubset(spark, dir)
@@ -51,7 +54,8 @@ object Quality {
       Seq("universeId"), "left")
     val main = g.agg(
       count(lit(1)).as("total_games"),
-      count(when(blank(col("description")), 1)).as("lacking_description"),
+      count(when(col("description").isNull || col("description") === "", 1))
+        .as("lacking_description"),
       count(when(blank(col("gameplayDescription")), 1)).as("lacking_gameplay"),
       count(when(col("has_emb").isNull, 1)).as("lacking_embedding"))
     val orphans = emb.join(games, Seq("universeId"), "left_anti")
@@ -63,7 +67,7 @@ object Quality {
     s""", $embSubsetSql
        |SELECT
        |  (SELECT count(*) FROM games) AS total_games,
-       |  (SELECT count(*) FROM games WHERE description IS NULL OR trim(description) = '') AS lacking_description,
+       |  (SELECT count(*) FROM games WHERE description IS NULL OR description = '') AS lacking_description,
        |  (SELECT count(*) FROM games WHERE gameplayDescription IS NULL OR trim(gameplayDescription) = '') AS lacking_gameplay,
        |  (SELECT count(*) FROM games g WHERE NOT EXISTS
        |     (SELECT 1 FROM emb e WHERE e.universeId = g.universeId)) AS lacking_embedding,

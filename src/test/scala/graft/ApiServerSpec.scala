@@ -128,6 +128,30 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       statusWins.contains(""""jobs":[]"""))
   }
 
+  test("GET /jobs?command= (empty value) falls through to pagination like the reference") {
+    // jobsList.get.ts:109-120 — `else if (command)` treats '' as falsy, so an
+    // empty command param must behave exactly like no command param at all
+    assert(get("/jobs?command=")._2 === get("/jobs")._2)
+  }
+
+  test("stats counts a whitespace-only description as present (stats.get.ts:74-84)") {
+    import spark.implicits._
+    // reference: description tests exactly undefined | '' | null (no trim);
+    // gameplayDescription is falsy-or-blank-after-trim
+    val games = Seq(
+      (1L, 1L, "a", "   ", "   "), // ws-only: description present, gameplay lacking
+      (2L, 2L, "b", "", "x"),      // empty-string description lacking
+      (3L, 3L, "c", null, null)    // null lacking on both
+    ).toDF("universeId", "rootPlaceId", "name", "description", "gameplayDescription")
+    val emb = Seq((1L, Array(0.1f))).toDF("universeId", "embedding")
+    val svc = new graft.api.GameService(spark, () => games, () => emb)
+    try {
+      val out = svc.stats()
+      assert(out.contains(""""gamesLackingDescriptions":2"""))
+      assert(out.contains(""""gamesLackingGameplayDescriptions":2"""))
+    } finally svc.release()
+  }
+
   test("GET /jobs/:id for unknown id is the reference's failure envelope") {
     assert(get("/jobs/xyz")._2 === """{"success":false,"message":"Job not found: xyz"}""")
   }
