@@ -19,11 +19,18 @@ import graft.functions.OracleParity.pround
   * Shape: ground truth and both approximations are per-query top-k
   * DataFrames; recall = |approx ∩ truth| / k via a left join on
   * (query_id, neighbor_id) and a count of hits — no collect, scales with
-  * the query batch.
+  * the query batch. The per-group counts are then right-joined onto the
+  * full method × query grid so a (method, query) pair with ZERO candidates
+  * scores recall 0 instead of silently dropping out — without the grid a
+  * sparse method (single-table LSH misses buckets entirely at fixture
+  * scale) would have its mean recall biased upward.
   */
 object AnnRecall {
 
   private val K = 3
+
+  private val Methods =
+    Seq("ivf_kmeans", "ivf_nprobe", "lsh", "lsh_multiprobe", "lsh_multitable")
 
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = Similarity.annBruteForceK(spark, dir, K)
@@ -46,10 +53,17 @@ object AnnRecall {
         .unionByName(
           Similarity.annLshMultitable(spark, dir)
             .select(lit("lsh_multitable").as("method"), col("query_id"), col("neighbor_id")))
-    approx
+    val perGroup = approx
       .join(truth, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("method"), col("query_id"))
       .agg(count(col("hit")).as("hits"))
+    // full grid: every method must report every query, recall 0 when the
+    // method produced no candidates at all for that query
+    import spark.implicits._
+    val grid = truth.select(col("query_id")).distinct()
+      .crossJoin(Methods.toDF("method"))
+    grid.join(perGroup, Seq("method", "query_id"), "left")
+      .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .withColumn("recall", pround(col("hits").cast("double") / lit(K.toDouble), 4))
       .orderBy(col("method"), col("query_id"))
   }
@@ -139,13 +153,21 @@ object AnnRecall {
        |  UNION ALL
        |  SELECT 'lsh_multiprobe' AS method, query_id, neighbor_id FROM mranked WHERE rank <= $K
        |  UNION ALL
-       |  SELECT 'lsh_multitable' AS method, query_id, neighbor_id FROM mtranked WHERE rank <= $K)
-       |SELECT a.method AS method, a.query_id AS query_id,
-       |       count(t.neighbor_id) AS hits,
-       |       floor(count(t.neighbor_id)::DOUBLE / ${K}.0 * 10000 + 0.5) / 10000.0 AS recall
-       |FROM approx a
-       |LEFT JOIN truth t ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
-       |GROUP BY a.method, a.query_id
+       |  SELECT 'lsh_multitable' AS method, query_id, neighbor_id FROM mtranked WHERE rank <= $K),
+       |hits AS (
+       |  SELECT a.method, a.query_id, count(t.neighbor_id) AS hits
+       |  FROM approx a
+       |  LEFT JOIN truth t ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+       |  GROUP BY a.method, a.query_id),
+       |grid AS (
+       |  SELECT m.method, q.query_id
+       |  FROM (SELECT DISTINCT query_id FROM truth) q
+       |  CROSS JOIN (VALUES ${Methods.map(m => s"('$m')").mkString(", ")}) m(method))
+       |SELECT g.method AS method, g.query_id AS query_id,
+       |       coalesce(h.hits, 0) AS hits,
+       |       floor(coalesce(h.hits, 0)::DOUBLE / ${K}.0 * 10000 + 0.5) / 10000.0 AS recall
+       |FROM grid g
+       |LEFT JOIN hits h ON g.method = h.method AND g.query_id = h.query_id
        |ORDER BY method, query_id""".stripMargin
   }
 

@@ -244,11 +244,13 @@ object Similarity {
     * for a large recall gain, deterministic and oracle-checked like
     * everything else.
     *
-    * Shuffle discipline (round-3 fix): candidate pairs collide in several
-    * probe buckets, so they are dedup'd — on the 16-byte
-    * (query_id, neighbor_id) pair ONLY. The vectors are joined back AFTER
-    * the distinct (query side broadcast, neighbor side a hash join on id),
-    * so the dedup exchange never carries the ~1 KB vector payload. */
+    * Shuffle discipline (round-3 fix, order corrected round 4): candidate
+    * pairs collide in several probe buckets, so they are dedup'd — on the
+    * 16-byte (query_id, neighbor_id) pair ONLY. The vectors join back
+    * AFTER the distinct, neighbor side FIRST: the neighbor-id join's
+    * exchanges carry either bare id pairs or one corpus row per vector —
+    * never a per-candidate vector payload — and the 5-row query-vector
+    * side is broadcast LAST, so no exchange ever carries qv. */
   def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -265,8 +267,8 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
     pairs
-      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"))), Seq("query_id"))
       .withColumn("cos", cosineSimilarity(col("nv"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
@@ -344,8 +346,8 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
     pairs
-      .join(broadcast(qv), Seq("query_id"))
       .join(e.select(col("vec_id").as("neighbor_id"), col("v").as("nv")), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
       .withColumn("cos", cosineSimilarity(col("nv"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)

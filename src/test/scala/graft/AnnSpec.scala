@@ -48,13 +48,44 @@ class AnnSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length === 15)
   }
 
-  test("multi-probe dedup exchange carries id pairs only, not vectors (round-3 fix)") {
-    val plan = graft.operators.Similarity.annLshMultiprobe(spark, SparkTestSession.Sf0001)
-      .queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.nonEmpty)
-    val vectorCarrying = exchanges.filter(l => l.contains("nv#") || l.contains("qv#"))
-    assert(vectorCarrying.isEmpty,
-      s"exchange still carries vector columns:\n${vectorCarrying.mkString("\n")}")
+  test("no exchange carries per-candidate vector payloads (multiprobe + multitable)") {
+    // Structural check of the at-scale shuffle claim: with auto-broadcast
+    // off (forcing the neighbor-id join to shuffle) and AQE off (so the
+    // final plan tree is inspectable), every ShuffleExchangeExec output
+    // that contains an array column must be a corpus-side exchange (one
+    // row per vector, no query_id) — a per-candidate exchange (query_id
+    // present) must be ids/scalars only. The old plan shape (qv broadcast
+    // joined BEFORE the neighbor shuffle) fails this: its neighbor-join
+    // exchange output is (query_id, neighbor_id, qv).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (method <- Seq(
+          graft.operators.Similarity.annLshMultiprobe _,
+          graft.operators.Similarity.annLshMultitable _)) {
+        val plan = method(spark, SparkTestSession.Sf0001).queryExecution.executedPlan
+        val exchanges = plan.collect { case s: ShuffleExchangeExec => s }
+        assert(exchanges.nonEmpty, "expected at least one shuffle with broadcast off")
+        val offenders = exchanges.filter { ex =>
+          val attrs = ex.output
+          attrs.exists(_.dataType.isInstanceOf[ArrayType]) &&
+            attrs.exists(_.name == "query_id")
+        }
+        assert(offenders.isEmpty,
+          s"per-candidate exchange carries vectors:\n${offenders.map(_.output.mkString(", ")).mkString("\n")}")
+        // the dedup distinct must exchange the bare id pair
+        assert(exchanges.exists(ex =>
+          ex.output.map(_.name).toSet == Set("query_id", "neighbor_id")),
+          "expected an ids-only dedup exchange")
+      }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 }
