@@ -14,6 +14,10 @@ run / fork := true
 // Forked run output goes straight to stdout without sbt's [info] prefix so
 // the bench's single metric JSON line stays machine-parseable.
 run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's own "[success] Total time: ..." trailer would otherwise be
+// the last stdout line, breaking last-line JSON parsing (BENCH_r04).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

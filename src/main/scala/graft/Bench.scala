@@ -44,7 +44,7 @@ object Bench {
       // stop the clock before cache-release housekeeping — unpersist cost
       // belongs to the harness, not the measured query
       val elapsed = (System.nanoTime() - t0) / 1e9
-      graft.tools.CacheRegistry.release()
+      graft.tools.CacheRegistry.release(blocking = true)
       name -> (if (ok) elapsed else -1.0)
     }
     def jstr(s: String): String =

@@ -87,13 +87,21 @@ object Similarity {
         cosineSimilarity(col("embedding"), queryVec) *
           popularityFactor(col("playerCount")))
 
-  /** `/vector-search?q=...`: cosine of a query vector vs ALL games. */
-  def vectorSearch(spark: SparkSession, dir: String): DataFrame =
-    vectorScored(Tables.games(spark, dir), Tables.gameEmbeddings(spark, dir), queryVector)
+  /** Parameterized top-k over [[vectorScored]] — shared by the fixed
+    * oracle query and the `vector_search(k)` SQL table function. */
+  def vectorSearchOn(games: DataFrame, embeddings: DataFrame, queryVec: Column, k: Int): DataFrame =
+    vectorScored(games, embeddings, queryVec)
       .orderBy(desc("sim"), col("universeId"))
-      .limit(10)
+      .limit(k)
       .select(col("universeId"), col("rootPlaceId"), col("name"),
         pround(col("sim"), 2).as("similarity"))
+
+  /** The deterministic stand-in query vector, exposed for the SQL surface. */
+  def defaultQueryVector: Column = queryVector
+
+  /** `/vector-search?q=...`: cosine of a query vector vs ALL games. */
+  def vectorSearch(spark: SparkSession, dir: String): DataFrame =
+    vectorSearchOn(Tables.games(spark, dir), Tables.gameEmbeddings(spark, dir), queryVector, 10)
 
   val vectorSearchSql: String = OracleViews.withGamesAndEmbeddings(
     """, qv AS (SELECT list_transform(generate_series(0, 63),

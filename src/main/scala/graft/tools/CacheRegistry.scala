@@ -24,11 +24,14 @@ object CacheRegistry {
     df
   }
 
-  /** Unpersist (non-blocking) everything registered since the last call. */
-  def release(): Unit = {
+  /** Unpersist everything registered since the last call. Bench passes
+    * `blocking = true` so a query never competes for storage memory with
+    * the previous query's still-draining cached blocks — eviction noise
+    * showed up as a 10× outlier on one BENCH_r04 query. */
+  def release(blocking: Boolean = false): Unit = {
     var d = tracked.poll()
     while (d != null) {
-      try d.unpersist(blocking = false)
+      try d.unpersist(blocking)
       catch { case _: Throwable => () }
       d = tracked.poll()
     }
