@@ -28,12 +28,18 @@ import graft.io.Tables
   * `res.json`), 404 for unknown routes, and 500
   * `{success:false, message}` when a handler throws (api.ts:42-47).
   */
-final class ApiServer(spark: SparkSession, dataDir: String, port: Int = 0) {
+final class ApiServer(spark: SparkSession, dataDir: String, port: Int = 0,
+    jobsDb: Option[String] = None) {
 
   import JsonEnvelope._
 
   val service: GameService = GameService.forDir(spark, dataDir)
+  // A reference-produced jobs.db seeds the store: its jobs serve through
+  // GET /jobs and /jobs/:id with the same filter quirks, alongside any
+  // jobs POSTed to this process — one store, like the reference's single
+  // SQLite-backed jobManager.
   val jobStore = new JobStore
+  jobsDb.foreach(jobStore.loadSqlite)
   // HTTP exchanges and async job bodies get SEPARATE pools: a job body runs
   // a blocking Spark action, and four of those on a shared pool would starve
   // every endpoint — including the GET /jobs polling meant to observe them.
@@ -62,7 +68,11 @@ final class ApiServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     val query = parseQuery(Option(exchange.getRequestURI.getRawQuery))
     val (status, body) =
       try route(method, path, query) match {
-        case Some(json) => (200, json)
+        case Some(json) =>
+          // zod-at-the-boundary (api.ts:33-41): a handler result that does
+          // not match its endpoint's response schema becomes a 500.
+          if (EnvelopeValidator.valid(method, path, json)) (200, json)
+          else (500, fail("Invalid response format"))
         case None => (404, fail(s"Cannot $method $path"))
       } catch {
         case e: Throwable => (500, fail(Option(e.getMessage).getOrElse("Unknown error")))
@@ -183,18 +193,20 @@ final class ApiServer(spark: SparkSession, dataDir: String, port: Int = 0) {
     }
 }
 
-/** `runMain graft.api.ApiServer <dataDir> [port]` — serve until killed. */
+/** `runMain graft.api.ApiServer <dataDir> [port] [jobs.db]` — serve until
+  * killed; an optional reference-produced jobs.db seeds the job store. */
 object ApiServer {
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val port = args.lift(1).flatMap(_.toIntOption).getOrElse(3705)
+    val jobsDb = args.lift(2)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = new ApiServer(spark, dataDir, port)
+    val s = new ApiServer(spark, dataDir, port, jobsDb)
     val bound = s.start()
     println(s"API server running on port $bound")
     Thread.currentThread().join()

@@ -46,6 +46,42 @@ final class JobStore {
     .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     .withZone(ZoneOffset.UTC)
 
+  /** Seed the store from a reference-produced SQLite `jobs.db` (the
+    * reference's own persistence, jobManager.ts:46-60), decoded by the
+    * pure-Scala [[graft.io.SqliteReader]] — no Spark needed: the job queue
+    * is kilobytes of single-node bookkeeping. Mirrors mapRowToJob
+    * (jobManager.ts:270-290): `result` text is parsed as JSON, timestamps
+    * are UTC `datetime('now')` strings. Returns the number of jobs loaded.
+    */
+  def loadSqlite(path: String): Int = {
+    val (cols, rows) = graft.io.SqliteReader.readTable(path, "jobs")
+    val expected = Seq("id", "command", "status", "progress_current",
+      "progress_total", "progress_message", "result", "error",
+      "created_at", "started_at", "completed_at")
+    require(cols == expected, s"unexpected jobs.db columns: $cols")
+    def str(v: Any): Option[String] = Option(v).map(_.asInstanceOf[String])
+    def num(v: Any): Option[Int] = Option(v).map(_.asInstanceOf[Long].toInt)
+    def ts(v: Any): Option[Instant] = str(v).map(s =>
+      java.time.LocalDateTime.parse(s.replace(' ', 'T')).toInstant(ZoneOffset.UTC))
+    rows.foreach { r =>
+      val id = r(0).asInstanceOf[String]
+      jobs(id) = JobRecord(
+        id = id,
+        command = r(1).asInstanceOf[String],
+        status = r(2).asInstanceOf[String],
+        progressCurrent = num(r(3)),
+        progressTotal = num(r(4)),
+        progressMessage = str(r(5)),
+        result = str(r(6)).map(org.json4s.jackson.JsonMethods.parse(_)),
+        error = str(r(7)),
+        createdAt = ts(r(8)).getOrElse(Instant.EPOCH),
+        startedAt = ts(r(9)),
+        completedAt = ts(r(10)),
+        seq = seqCounter.incrementAndGet())
+    }
+    rows.length
+  }
+
   def createJob(command: String): String = {
     val id = java.util.UUID.randomUUID().toString
     jobs(id) = JobRecord(id, command, "pending", None, None, None, None, None,

@@ -164,4 +164,56 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(svc.gamesList(Some("3")) === get("/games?limit=3")._2)
     } finally svc.release()
   }
+
+  test("a reference-produced jobs.db serves through /jobs with the filter quirks intact") {
+    val db = new ApiServer(spark, SparkTestSession.Sf0001, port = 0,
+      jobsDb = Some("src/test/resources/jobs_fixture.db"))
+    val port = db.start()
+    val dbBase = s"http://localhost:$port"
+    def getDb(path: String): String = client.send(
+      HttpRequest.newBuilder(URI.create(dbBase + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    try {
+      // all 61 fixture jobs behind the paginated default (limit 100)
+      val all = getDb("/jobs")
+      assert(all.contains(""""total":61"""))
+      assert("\"id\":".r.findAllIn(all).length === 61)
+      // newest-first ordering: job-big (created 2026-08-30) leads
+      assert(all.indexOf(""""id":"job-big"""") >= 0)
+      assert(all.indexOf(""""id":"job-big"""") === all.indexOf(""""id":"""))
+      // the >1-page overflow result JSON is served parsed (reference:
+      // jobManager.ts:278 JSON.parse), not as the raw TEXT column
+      assert(getDb("/jobs/job-big").contains(""""result":{"message":"big""""))
+      // valid status wins over command and pagination (jobsList quirk)
+      // 15 seeded failed jobs, unpaginated despite limit=2
+      val failed = getDb("/jobs?status=failed&command=gatherGames&limit=2")
+      assert("\"status\":\"failed\"".r.findAllIn(failed).length === 15)
+      // invalid status falls through to the command branch
+      val byCmd = getDb("/jobs?status=bogus&command=generateEmbeddings")
+      assert("\"command\":\"generateEmbeddings\"".r.findAllIn(byCmd).length === 13)
+      // pagination applies only on the unfiltered branch
+      val paged = getDb("/jobs?limit=10&offset=5")
+      assert("\"id\":".r.findAllIn(paged).length === 10)
+    } finally db.stop()
+  }
+
+  test("envelope validation: every live endpoint passes, malformed payloads 500") {
+    import graft.api.EnvelopeValidator
+    // the running endpoints all pass the boundary check (they returned 200 above);
+    // malformed payloads are rejected exactly like api.ts:33-41
+    assert(!EnvelopeValidator.valid("GET", "/stats",
+      """{"success":true,"data":{"totalGames":"not-a-number"}}"""))
+    assert(!EnvelopeValidator.valid("GET", "/games",
+      """{"success":true,"data":[{"universeId":1}]}"""))
+    assert(!EnvelopeValidator.valid("GET", "/jobs",
+      """{"success":true,"data":{"jobs":[{"id":1}],"stats":{}}}"""))
+    assert(!EnvelopeValidator.valid("GET", "/games", """{"success":true}"""))
+    assert(!EnvelopeValidator.valid("GET", "/games", "not json"))
+    // failure envelopes are part of every endpoint's schema (apiResponse union)
+    assert(EnvelopeValidator.valid("GET", "/stats",
+      """{"success":false,"message":"boom"}"""))
+    // a well-formed success payload passes
+    assert(EnvelopeValidator.valid("GET", "/games",
+      """{"success":true,"data":[{"universeId":1,"rootPlaceId":2,"name":"g","description":null,"gameplayDescription":"x"}]}"""))
+  }
 }
