@@ -101,7 +101,7 @@ object GraftExtensions {
   }
 
   private def tvfInfo(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(GraftExtensions.getClass.getName, name)
+    new ExpressionInfo(GraftExtensions.getClass.getName, null, name, usage, "")
 
   /** Whole-operator SQL table functions. Arguments must be literals (they
     * parameterize the plan the builder constructs — same contract as

@@ -14,6 +14,14 @@ import org.json4s.jackson.JsonMethods
   * under `src/endpoints`. Like `apiResponse` (apiResponseSchema.ts:15-30),
   * every endpoint also accepts the failure envelope
   * `{success:false, message}` — handlers return failures in-band.
+  *
+  * Documented divergence: the reference responds with `parseResult.data`
+  * (api.ts:34-36), so zod STRIPS keys not in the schema before sending;
+  * this validator passes the handler's original body through unchanged on
+  * success. Observable only for a payload carrying extra keys — our
+  * handlers construct exact payloads, so no live endpoint differs — and
+  * kept this way so validation stays a read-only check rather than a
+  * rewrite of the rendered bytes.
   */
 object EnvelopeValidator {
 

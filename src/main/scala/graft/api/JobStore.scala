@@ -9,6 +9,8 @@ import scala.concurrent.{ExecutionContext, Future}
 
 import org.json4s._
 
+import graft.io.SqliteTimestamps
+
 /** In-memory job queue with the reference jobManager's semantics
   * (reference: src/lib/jobManager.ts:70-268): create → pending,
   * run → running + started_at, body result → completed + result JSON,
@@ -61,8 +63,11 @@ final class JobStore {
     require(cols == expected, s"unexpected jobs.db columns: $cols")
     def str(v: Any): Option[String] = Option(v).map(_.asInstanceOf[String])
     def num(v: Any): Option[Int] = Option(v).map(_.asInstanceOf[Long].toInt)
-    def ts(v: Any): Option[Instant] = str(v).map(s =>
-      java.time.LocalDateTime.parse(s.replace(' ', 'T')).toInstant(ZoneOffset.UTC))
+    // Two timestamp formats coexist in a real jobs.db: created_at comes from
+    // SQLite's datetime('now') DEFAULT ("YYYY-MM-DD HH:MM:SS", jobManager.ts:51),
+    // while started_at/completed_at are written via Date.toISOString()
+    // ("...T...Z" with milliseconds, jobManager.ts:168,173).
+    def ts(v: Any): Option[Instant] = str(v).map(SqliteTimestamps.parse)
     rows.foreach { r =>
       val id = r(0).asInstanceOf[String]
       jobs(id) = JobRecord(
@@ -72,7 +77,14 @@ final class JobStore {
         progressCurrent = num(r(3)),
         progressTotal = num(r(4)),
         progressMessage = str(r(5)),
-        result = str(r(6)).map(org.json4s.jackson.JsonMethods.parse(_)),
+        // Per-row parse with a raw-string fallback: the reference stores
+        // string results unquoted (jobManager.ts:157) and only JSON.parses
+        // at read time per job touched (jobManager.ts:278) — one malformed
+        // result cell must not abort the whole seed.
+        result = str(r(6)).map { raw =>
+          try org.json4s.jackson.JsonMethods.parse(raw)
+          catch { case _: Throwable => JString(raw) }
+        },
         error = str(r(7)),
         createdAt = ts(r(8)).getOrElse(Instant.EPOCH),
         startedAt = ts(r(9)),
@@ -114,6 +126,20 @@ final class JobStore {
             completedAt = Some(Instant.now())))
       }
     }
+
+  /** DELETE FROM jobs WHERE id = ? (jobManager.ts:203-207); true iff a row
+    * was deleted, like the reference's `result.changes > 0`. */
+  def deleteJob(id: String): Boolean = jobs.remove(id).isDefined
+
+  /** Retention sweep — DELETE WHERE created_at < datetime('now', '-N days')
+    * (jobManager.ts:209-216, default 30). Returns the number deleted, like
+    * the reference's `result.changes`. `now` is injectable for tests; the
+    * cutoff comparison is strict-less-than, matching SQLite's `<`. */
+  def deleteOld(olderThanDays: Int = 30, now: Instant = Instant.now()): Int = {
+    val cutoff = now.minus(java.time.Duration.ofDays(olderThanDays.toLong))
+    val old = jobs.values.collect { case j if j.createdAt.isBefore(cutoff) => j.id }.toSeq
+    old.count(id => jobs.remove(id).isDefined)
+  }
 
   private def ordered: Seq[JobRecord] =
     jobs.values.toSeq.sortBy(j => (-j.createdAt.toEpochMilli, -j.seq))

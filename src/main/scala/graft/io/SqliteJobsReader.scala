@@ -219,13 +219,11 @@ object SqliteJobsReader {
     StructField("started_at", TimestampType),
     StructField("completed_at", TimestampType)))
 
-  /** SQLite datetime('now') text ("YYYY-MM-DD HH:MM:SS", UTC) → Timestamp. */
+  /** datetime('now') or Date.toISOString() text → Timestamp (both formats
+    * appear in one reference-produced row — see [[SqliteTimestamps]]). */
   private def ts(v: Any): java.sql.Timestamp = v match {
     case null => null
-    case s: String =>
-      java.sql.Timestamp.from(java.time.LocalDateTime
-        .parse(s.replace(' ', 'T'))
-        .toInstant(java.time.ZoneOffset.UTC))
+    case s: String => java.sql.Timestamp.from(SqliteTimestamps.parse(s))
     case other => throw new IllegalArgumentException(s"bad datetime $other")
   }
 

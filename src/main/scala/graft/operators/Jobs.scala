@@ -106,15 +106,45 @@ object Jobs {
        |ORDER BY created_at DESC, id
        |LIMIT 50 OFFSET 10""".stripMargin
 
+  /** Spark-side retention analog of the reference's 30-day sweep
+    * (jobManager.ts:209-216: DELETE WHERE created_at <
+    * datetime('now', '-N days')): keep rows at or after the cutoff. A pure
+    * row-local filter — at table scale it reaches the parquet scan as a
+    * pushed predicate, so a partition-pruned layout (e.g. files laid out by
+    * created_at date) never reads the expired data at all. */
+  def retainRecent(jobsDf: DataFrame, olderThanDays: Int, now: java.time.Instant): DataFrame =
+    jobsDf.filter(col("created_at") >= lit(cutoffTs(olderThanDays, now)))
+
+  private def cutoffTs(olderThanDays: Int, now: java.time.Instant): java.sql.Timestamp =
+    java.sql.Timestamp.from(now.minus(java.time.Duration.ofDays(olderThanDays.toLong)))
+
+  /** Fixed-clock retention sweep over the derived jobs table: how many rows
+    * a 15-day sweep at now = 2024-01-31T00:00Z would delete vs retain
+    * (events span 2024-01-01..30, so both sides are non-empty). */
+  def retentionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = cutoffTs(15, java.time.Instant.parse("2024-01-31T00:00:00Z"))
+    jobs(spark, dir).agg(
+      count(when(col("created_at") < lit(cutoff), 1)).as("deleted_jobs"),
+      count(when(col("created_at") >= lit(cutoff), 1)).as("retained_jobs"))
+  }
+
+  val retentionSweepSql: String =
+    s"""WITH $jobsSqlView
+       |SELECT count(CASE WHEN created_at < TIMESTAMP '2024-01-16 00:00:00' THEN 1 END) AS deleted_jobs,
+       |       count(CASE WHEN created_at >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 END) AS retained_jobs
+       |FROM jobs""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "jobs_list_status_wins" -> listStatusWins,
     "jobs_list_command_fallthrough" -> listCommandFallthrough,
-    "jobs_list_paged" -> listPaged
+    "jobs_list_paged" -> listPaged,
+    "jobs_retention_sweep" -> retentionSweep
   )
 
   val oracles: Map[String, String] = Map(
     "jobs_list_status_wins" -> listStatusWinsSql,
     "jobs_list_command_fallthrough" -> listCommandFallthroughSql,
-    "jobs_list_paged" -> listPagedSql
+    "jobs_list_paged" -> listPagedSql,
+    "jobs_retention_sweep" -> retentionSweepSql
   )
 }

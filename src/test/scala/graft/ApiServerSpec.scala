@@ -197,6 +197,40 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally db.stop()
   }
 
+  test("seeding accepts Date.toISOString() timestamps and raw string results") {
+    // jobs_iso_fixture.db mixes datetime('now') created_at with
+    // Date.toISOString() started_at/completed_at (jobManager.ts:51 vs
+    // 168,173) and stores one string result RAW (jobManager.ts:157) — a
+    // real reference-produced db, where seeding previously threw.
+    val store = new graft.api.JobStore
+    assert(store.loadSqlite("src/test/resources/jobs_iso_fixture.db") === 4)
+    val iso = store.get("job-iso").get
+    assert(iso.createdAt === java.time.Instant.parse("2026-08-01T10:00:00Z"))
+    assert(iso.startedAt === Some(java.time.Instant.parse("2026-08-01T10:00:01.123Z")))
+    assert(iso.completedAt === Some(java.time.Instant.parse("2026-08-01T10:00:05.456Z")))
+    // a malformed/raw result cell degrades to a JSON string, not a crash
+    assert(store.get("job-rawstr").get.result ===
+      Some(org.json4s.JString("plain text result, not JSON")))
+    // the Spark-facing reader accepts the same mixed formats
+    val df = graft.io.SqliteJobsReader.read(spark, "src/test/resources/jobs_iso_fixture.db")
+    val started = df.filter(org.apache.spark.sql.functions.col("id") === "job-iso")
+      .select("started_at").collect().head.getTimestamp(0)
+    assert(started.toInstant === java.time.Instant.parse("2026-08-01T10:00:01.123Z"))
+  }
+
+  test("30-day retention purges a 31-day-old job and keeps a 29-day-old one") {
+    val store = new graft.api.JobStore
+    store.loadSqlite("src/test/resources/jobs_iso_fixture.db")
+    val now = java.time.Instant.parse("2026-08-31T00:00:00Z")
+    assert(store.deleteOld(olderThanDays = 30, now = now) === 1)
+    assert(store.get("job-31d").isEmpty)     // 31 days old — purged
+    assert(store.get("job-29d").isDefined)   // 29 days old — kept
+    assert(store.get("job-iso").isDefined)
+    // deleteJob mirrors result.changes > 0
+    assert(store.deleteJob("job-29d"))
+    assert(!store.deleteJob("job-29d"))
+  }
+
   test("envelope validation: every live endpoint passes, malformed payloads 500") {
     import graft.api.EnvelopeValidator
     // the running endpoints all pass the boundary check (they returned 200 above);
