@@ -47,15 +47,86 @@ object CompatIO {
   /** S3 round 2 — write the array document as a file LITERALLY named
     * `path` (e.g. `/data/games/games.json`), the artifact the reference's
     * own tooling opens (gatherGames.ts:93 writes one file, not a
-    * directory). Spark sinks write directories, so this writes to a temp
-    * dir and renames the single part file through the Hadoop FileSystem
-    * API — portable to HDFS/object stores, no local-FS assumptions.
-    * Formatting is a compact array (one row per line); the reference
-    * pretty-prints with indent 4, a whitespace-only divergence its
-    * JSON.parse loader does not observe. */
+    * directory), with byte-identical `JSON.stringify(games, null, 4)`
+    * formatting: 4-space indent, keys in Game declaration order
+    * (types.d.ts:59-66), no trailing newline (fs.writeFileSync writes the
+    * bare string). Null columns are omitted like JS `undefined`; when the
+    * frame carries the engine's `descriptionFetched` tri-state flag, a
+    * fetched-and-blank description renders the reference's explicit
+    * `"description": null` (downloadDescriptions.ts:13-18) and the flag
+    * itself — engine metadata, not a Game field — is not emitted.
+    *
+    * Spark text sinks write directories AND append a trailing row
+    * newline, so the single-document bytes are written executor-side
+    * through the Hadoop FileSystem API (tmp file + rename) — collect-free
+    * and portable to HDFS/object stores. */
   def writeGamesJsonFile(games: DataFrame, path: String): Unit = {
-    writeGamesJson(games, path + ".tmpdir")
-    promoteSingleFile(games.sparkSession, path + ".tmpdir", path)
+    val spark = games.sparkSession
+    import spark.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val schema = games.schema
+    games.orderBy(col("universeId"))
+      .coalesce(1)
+      .mapPartitions { rows =>
+        val objs = rows.map(r => renderGamePretty(r, schema))
+        Iterator.single(
+          if (objs.isEmpty) "[]" else objs.mkString("[\n", ",\n", "\n]"))
+      }
+      .foreachPartition { (docs: Iterator[String]) =>
+        docs.foreach { doc =>
+          import org.apache.hadoop.fs.Path
+          val target = new Path(path)
+          val fs = target.getFileSystem(serConf.value)
+          val tmp = new Path(path + ".inprogress")
+          val os = fs.create(tmp, true)
+          try os.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally os.close()
+          if (fs.exists(target)) fs.delete(target, false)
+          require(fs.rename(tmp, target), s"rename to $path failed")
+        }
+      }
+  }
+
+  /** One Game as `JSON.stringify(game, null, 4)` renders it at array depth
+    * 1: keys in [[Schemas.game]] order, 8-space field indent, string
+    * escaping per the JSON spec exactly as V8 emits it (`"`, `\`, and the
+    * named control escapes; other control chars as `\u00xx`; non-ASCII
+    * verbatim — the file is UTF-8). */
+  private def renderGamePretty(row: org.apache.spark.sql.Row, schema: StructType): String = {
+    val fetchedIdx = schema.fieldNames.indexOf("descriptionFetched")
+    def esc(s: String): String = {
+      val b = new StringBuilder
+      s.foreach {
+        case '"' => b.append("\\\"")
+        case '\\' => b.append("\\\\")
+        case '\b' => b.append("\\b")
+        case '\f' => b.append("\\f")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+        case c => b.append(c)
+      }
+      b.toString
+    }
+    val fields = Schemas.game.fieldNames.iterator.flatMap { name =>
+      val i = schema.fieldNames.indexOf(name)
+      if (i < 0) None
+      else if (row.isNullAt(i)) {
+        // tri-state: fetched-and-blank keeps the explicit null byte
+        if (name == "description" && fetchedIdx >= 0 &&
+            !row.isNullAt(fetchedIdx) && row.getBoolean(fetchedIdx))
+          Some(s""""$name": null""")
+        else None // JS undefined — key omitted
+      } else schema(i).dataType match {
+        case LongType => Some(s""""$name": ${row.getLong(i)}""")
+        case StringType => Some(s""""$name": "${esc(row.getString(i))}"""")
+        case other => throw new IllegalArgumentException(
+          s"unexpected games.json column type $other for $name")
+      }
+    }.toSeq
+    fields.map("        " + _).mkString("    {\n", ",\n", "\n    }")
   }
 
   /** S4 round 2 — single-file embeddings.json, same mechanism. */

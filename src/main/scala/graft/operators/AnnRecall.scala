@@ -29,30 +29,43 @@ object AnnRecall {
 
   private val K = 3
 
-  private val Methods =
-    Seq("ivf_kmeans", "ivf_nprobe", "lsh", "lsh_multiprobe", "lsh_multitable")
+  /** Everything an approximate method's frame builder may need; one shared
+    * k-means training feeds both IVF rows (the harness compares search
+    * policies, not training runs). */
+  private final case class MethodInputs(
+      spark: SparkSession, dir: String,
+      e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])])
+
+  /** One approximate ANN method under test: its display name, its Spark
+    * candidate frame, and the name of its ranked CTE inside
+    * [[annRecallSql]]. SINGLE SOURCE OF TRUTH — the Spark union, the
+    * method × query grid, and the oracle's UNION ALL + VALUES clauses are
+    * all derived from this list, so a method added here appears in every
+    * derived place and a method added anywhere else cannot exist
+    * (the desync AnnSpec pins down). */
+  private final case class Method(
+      name: String,
+      frame: MethodInputs => DataFrame,
+      rankedCte: String)
+
+  private val MethodSpecs: Seq[Method] = Seq(
+    Method("ivf_kmeans", in => IvfKMeans.kmeansSearchOn(in.assigned), "iranked"),
+    Method("ivf_nprobe",
+      in => IvfKMeans.kmeansNprobeSearchOn(in.e, in.assigned, in.centroids), "npranked"),
+    Method("lsh", in => Similarity.annLshBuckets(in.spark, in.dir), "lranked"),
+    Method("lsh_multiprobe", in => Similarity.annLshMultiprobe(in.spark, in.dir), "mranked"),
+    Method("lsh_multitable", in => Similarity.annLshMultitable(in.spark, in.dir), "mtranked"))
+
+  private[graft] def methodNames: Seq[String] = MethodSpecs.map(_.name)
 
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val truth = Similarity.annBruteForceK(spark, dir, K)
       .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-    // One k-means training shared by the single-cell and nprobe rows —
-    // the harness compares search policies, not training runs.
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
-    val approx =
-      IvfKMeans.kmeansSearchOn(assigned)
-        .select(lit("ivf_kmeans").as("method"), col("query_id"), col("neighbor_id"))
-        .unionByName(
-          IvfKMeans.kmeansNprobeSearchOn(e, assigned, centroids)
-            .select(lit("ivf_nprobe").as("method"), col("query_id"), col("neighbor_id")))
-        .unionByName(
-          Similarity.annLshBuckets(spark, dir)
-            .select(lit("lsh").as("method"), col("query_id"), col("neighbor_id")))
-        .unionByName(
-          Similarity.annLshMultiprobe(spark, dir)
-            .select(lit("lsh_multiprobe").as("method"), col("query_id"), col("neighbor_id")))
-        .unionByName(
-          Similarity.annLshMultitable(spark, dir)
-            .select(lit("lsh_multitable").as("method"), col("query_id"), col("neighbor_id")))
+    val in = MethodInputs(spark, dir, e, assigned, centroids)
+    val approx = MethodSpecs.map { m =>
+      m.frame(in).select(lit(m.name).as("method"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
     val perGroup = approx
       .join(truth, Seq("query_id", "neighbor_id"), "left")
       .groupBy(col("method"), col("query_id"))
@@ -61,7 +74,7 @@ object AnnRecall {
     // method produced no candidates at all for that query
     import spark.implicits._
     val grid = truth.select(col("query_id")).distinct()
-      .crossJoin(Methods.toDF("method"))
+      .crossJoin(methodNames.toDF("method"))
     grid.join(perGroup, Seq("method", "query_id"), "left")
       .withColumn("hits", coalesce(col("hits"), lit(0L)))
       .withColumn("recall", pround(col("hits").cast("double") / lit(K.toDouble), 4))
@@ -145,15 +158,9 @@ object AnnRecall {
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM mtscored),
        |approx AS (
-       |  SELECT 'ivf_kmeans' AS method, query_id, neighbor_id FROM iranked WHERE rank <= $K
-       |  UNION ALL
-       |  SELECT 'ivf_nprobe' AS method, query_id, neighbor_id FROM npranked WHERE rank <= $K
-       |  UNION ALL
-       |  SELECT 'lsh' AS method, query_id, neighbor_id FROM lranked WHERE rank <= $K
-       |  UNION ALL
-       |  SELECT 'lsh_multiprobe' AS method, query_id, neighbor_id FROM mranked WHERE rank <= $K
-       |  UNION ALL
-       |  SELECT 'lsh_multitable' AS method, query_id, neighbor_id FROM mtranked WHERE rank <= $K),
+       |${MethodSpecs.map(m =>
+            s"  SELECT '${m.name}' AS method, query_id, neighbor_id FROM ${m.rankedCte} WHERE rank <= $K")
+          .mkString("\n  UNION ALL\n")}),
        |hits AS (
        |  SELECT a.method, a.query_id, count(t.neighbor_id) AS hits
        |  FROM approx a
@@ -162,7 +169,7 @@ object AnnRecall {
        |grid AS (
        |  SELECT m.method, q.query_id
        |  FROM (SELECT DISTINCT query_id FROM truth) q
-       |  CROSS JOIN (VALUES ${Methods.map(m => s"('$m')").mkString(", ")}) m(method))
+       |  CROSS JOIN (VALUES ${MethodSpecs.map(m => s"('${m.name}')").mkString(", ")}) m(method))
        |SELECT g.method AS method, g.query_id AS query_id,
        |       coalesce(h.hits, 0) AS hits,
        |       floor(coalesce(h.hits, 0)::DOUBLE / ${K}.0 * 10000 + 0.5) / 10000.0 AS recall

@@ -30,6 +30,26 @@ class AnnSpec extends AnyFunSuite {
     assert(r("lsh_multitable") >= 0.4)
   }
 
+  test("recall harness is single-sourced: union, grid, and oracle all derive from MethodSpecs") {
+    import graft.operators.AnnRecall
+    // The Spark union and the method × query grid are built from the same
+    // MethodSpecs list, so the output's method set must equal it exactly —
+    // a frame mislabeled or silently dropped by the grid join shows up here.
+    val out = AnnRecall.annRecall(spark, SparkTestSession.Sf0001)
+    val methodsInOutput = out.select("method").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(methodsInOutput === AnnRecall.methodNames.toSet)
+    // The DuckDB oracle's UNION ALL branches and VALUES grid are generated
+    // from MethodSpecs too: every method appears exactly once in each.
+    val sql = AnnRecall.annRecallSql
+    AnnRecall.methodNames.foreach { m =>
+      assert(s"'$m' AS method".r.findAllIn(sql).length === 1,
+        s"oracle UNION ALL branch for $m")
+      assert(s"\\('$m'\\)".r.findAllIn(sql).length === 1,
+        s"oracle VALUES grid entry for $m")
+    }
+  }
+
   test("approximate results are true subsets of each query's scored space") {
     val out = graft.operators.IvfKMeans.kmeansNprobeSearch(spark, SparkTestSession.Sf0001).collect()
     assert(out.length === 15) // 5 queries × top-3

@@ -87,6 +87,53 @@ class CompatIOSpec extends AnyFunSuite {
       Files.readAllBytes(java.nio.file.Paths.get(out2))))
   }
 
+  test("writeGamesJsonFile bytes are identical to JSON.stringify(x, null, 4)") {
+    val dir = Files.createTempDirectory("graft-compat").toString
+    val df = Seq(
+      (1L, 10L, "alpha \"quoted\" → ünïcode", Some("line1\nline2"),
+        None: Option[String], Some(5L)),
+      (2L, 20L, "beta", None: Option[String], None: Option[String], None: Option[Long])
+    ).toDF("universeId", "rootPlaceId", "name", "description",
+      "gameplayDescription", "playerCount")
+    val out = s"$dir/games.json"
+    CompatIO.writeGamesJsonFile(df, out)
+    // exactly what fs.writeFileSync(path, JSON.stringify(games, null, 4))
+    // produces (gatherGames.ts:93): indent 4, declaration key order, JSON
+    // escapes, non-ASCII verbatim, NO trailing newline
+    val expected =
+      "[\n" +
+        "    {\n" +
+        "        \"universeId\": 1,\n" +
+        "        \"rootPlaceId\": 10,\n" +
+        "        \"name\": \"alpha \\\"quoted\\\" → ünïcode\",\n" +
+        "        \"description\": \"line1\\nline2\",\n" +
+        "        \"playerCount\": 5\n" +
+        "    },\n" +
+        "    {\n" +
+        "        \"universeId\": 2,\n" +
+        "        \"rootPlaceId\": 20,\n" +
+        "        \"name\": \"beta\"\n" +
+        "    }\n" +
+        "]"
+    assert(new String(Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8") === expected)
+  }
+
+  test("writeGamesJsonFile keeps the explicit-null byte for fetched-and-blank descriptions") {
+    val dir = Files.createTempDirectory("graft-compat").toString
+    val df = Seq(
+      (1L, 10L, "a", None: Option[String], true),   // fetched, known-blank
+      (2L, 20L, "b", None: Option[String], false)   // never fetched
+    ).toDF("universeId", "rootPlaceId", "name", "description", "descriptionFetched")
+    val out = s"$dir/games.json"
+    CompatIO.writeGamesJsonFile(df, out)
+    val text = new String(Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8")
+    // tri-state survives: JS null is written, JS undefined is omitted, and
+    // the engine-side flag itself is not a Game field
+    assert(text.contains("\"description\": null"))
+    assert("\"description\"".r.findAllIn(text).length === 1)
+    assert(!text.contains("descriptionFetched"))
+  }
+
   test("writeEmbeddingsJsonFile single file round-trips") {
     val dir = Files.createTempDirectory("graft-compat").toString
     val src = Seq((7L, Seq(1.0, 2.0)), (8L, Seq(3.0, 4.0))).toDF("universeId", "embedding")
