@@ -85,6 +85,20 @@ object Dedup {
        |HAVING count(*) > 1
        |ORDER BY text_hash""".stripMargin
 
+  /** Tokenized corpus shared ACROSS the dedup family: minhash, n-gram
+    * Jaccard, salted-skew and simhash all start from
+    * `split(lower(text), "\s+")` over the same corpus, and in a suite run
+    * each used to re-scan and re-tokenize it per query. One
+    * [[CacheRegistry.sharedTracked]] cache (keyed by data dir) makes the
+    * scan + regex tokenization a once-per-suite cost — the at-scale analog
+    * is a materialized `corpus_tokens` table feeding every dedup stage. */
+  private def corpusTokens(spark: SparkSession, dir: String): DataFrame =
+    CacheRegistry.sharedTracked(s"dedup-tokens:$dir") {
+      corpus(spark, dir).select(
+        col("doc_id"), col("lang"), col("source"),
+        split(lower(col("text")), "\\s+").as("toks"))
+    }
+
   // --------------------------------------- banded-minhash candidate engine
 
   private val NumHashes = 16
@@ -159,9 +173,9 @@ object Dedup {
     * per document instead of five interpreted array transforms, and an
     * 8-byte hash per shingle on the wire instead of a ~20-byte string. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir).select(
+    corpusTokens(spark, dir).select(
       col("doc_id"),
-      ArrayExpressions.hashedWordNGrams(split(lower(col("text")), "\\s+"), 3).as("hs"))
+      ArrayExpressions.hashedWordNGrams(col("toks"), 3).as("hs"))
 
   private val shingledSql: String =
     """sh AS (
@@ -219,10 +233,10 @@ object Dedup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     // one codegen'd pass per document over its token-hash array — replaces
     // a 60-way explode (56M intermediate rows at sf0.1) plus two shuffles
-    val sims = corpus(spark, dir)
+    val sims = corpusTokens(spark, dir)
       .select(col("doc_id"),
         ArrayExpressions.simHash60(
-          ArrayExpressions.hashedWords60(split(lower(col("text")), "\\s+"))).as("simhash"))
+          ArrayExpressions.hashedWords60(col("toks"))).as("simhash"))
     val chunks = sims
       .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(NumChunks - 1))).as("k"))
       .withColumn("chunk", expr(s"shiftright(simhash, $ChunkBits * k) & ${(1 << ChunkBits) - 1}"))
@@ -286,9 +300,9 @@ object Dedup {
     // projection; persist (tracked — see dedupMinhashLsh) rather than
     // recompute the corpus scan + kernel three times
     val grams = CacheRegistry.persistTracked(
-      corpus(spark, dir).select(
+      corpusTokens(spark, dir).select(
         col("doc_id"),
-        ArrayExpressions.hashedWordNGrams(split(lower(col("text")), "\\s+"), 2).as("hs")))
+        ArrayExpressions.hashedWordNGrams(col("toks"), 2).as("hs")))
     val cand = bandedCandidates(grams)
     val ga = grams.select(col("doc_id").as("a_id"), col("hs").as("ga"))
     val gb = grams.select(col("doc_id").as("b_id"), col("hs").as("gb"))
@@ -339,9 +353,9 @@ object Dedup {
     * block keys, salting is not enough — use banded-minhash candidates
     * ([[dedupNgramJaccard]]) instead. */
   def dedupSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
-    val grams = corpus(spark, dir).select(
+    val grams = corpusTokens(spark, dir).select(
       col("doc_id"), col("lang"), col("source"),
-      ArrayExpressions.hashedWordNGrams(split(lower(col("text")), "\\s+"), 2).as("grams"))
+      ArrayExpressions.hashedWordNGrams(col("toks"), 2).as("grams"))
     ArrayExpressions.saltedBlockPairJoin(grams, Seq("lang", "source"), "doc_id", 8)
       .withColumn("inter", ArrayExpressions.sortedLongIntersectCount(col("a_grams"), col("b_grams")))
       .withColumn("jacc",

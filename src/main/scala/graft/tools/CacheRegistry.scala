@@ -16,6 +16,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object CacheRegistry {
   private val tracked = new java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]()
+  private val shared = scala.collection.concurrent.TrieMap.empty[String, Dataset[_]]
 
   /** Persist `df` at MEMORY_AND_DISK and register it for later release. */
   def persistTracked(df: DataFrame): DataFrame = {
@@ -23,6 +24,28 @@ object CacheRegistry {
     tracked.add(df)
     df
   }
+
+  /** A cache shared ACROSS queries in one suite run, keyed by the caller
+    * (e.g. the tokenized dedup corpus per data dir): built and persisted on
+    * first use, reused by every later query, untouched by the per-query
+    * [[release]], freed only by [[releaseShared]] (or process exit). The
+    * at-scale form is a materialized intermediate table that several
+    * pipeline stages read. */
+  def sharedTracked(key: String)(build: => DataFrame): DataFrame =
+    shared.getOrElseUpdate(key, {
+      val df = build
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df
+    }).asInstanceOf[DataFrame]
+
+  /** Unpersist and forget every [[sharedTracked]] entry. */
+  def releaseShared(blocking: Boolean = false): Unit =
+    shared.keys.foreach { k =>
+      shared.remove(k).foreach { d =>
+        try d.unpersist(blocking)
+        catch { case _: Throwable => () }
+      }
+    }
 
   /** Unpersist everything registered since the last call. Bench passes
     * `blocking = true` so a query never competes for storage memory with
