@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.json4s.JArray
 
 import graft.enrich.StubEnrichmentClient
 import graft.functions.OracleParity.pround
@@ -94,21 +95,30 @@ final class GameService(
   /** GET /similar-search/:universeId?limit — target lookup, cosine ×
     * popularity vs all others, top-k; inner join drops orphan embeddings
     * (documented fix of the reference's crash path —
-    * similarSearch.get.ts:133). */
+    * similarSearch.get.ts:133).
+    *
+    * The target-existence check is folded into the SAME plan rather than
+    * run as a separate `isEmpty` action: an all-null sentinel row is
+    * unioned in iff the target embedding exists (a data row always
+    * carries a universeId, so the sentinel is unambiguous), making each
+    * request exactly one Spark job. Data rows arrive before the sentinel
+    * (UnionExec concatenates children in order) and the top-k side is
+    * already sorted, so no driver-side re-sort is needed. */
   def similarSearch(universeId: String, limit: Option[String]): String =
     universeId.toLongOption match {
       case None => fail("Invalid universe ID")
       case Some(id) =>
-        if (gameEmbeddings.filter(col("universeId") === id).isEmpty)
-          fail(s"No embeddings found for game with universeId $id")
-        else {
-          val k = parseLimitedLimit(limit, default = 10, max = 100)
-          val out = Similarity.similarScored(games, gameEmbeddings, id)
-            .orderBy(desc("sim"), col("universeId"))
-            .limit(k)
-            .select(blankToNullProjection :+ pround(col("sim"), 2).as("similarity"): _*)
-          ok(dataFrameToJson(out))
-        }
+        val k = parseLimitedLimit(limit, default = 10, max = 100)
+        val out = Similarity.similarScored(games, gameEmbeddings, id)
+          .orderBy(desc("sim"), col("universeId"))
+          .limit(k)
+          .select(blankToNullProjection :+ pround(col("sim"), 2).as("similarity"): _*)
+        val sentinel = gameEmbeddings.filter(col("universeId") === id)
+          .select(out.schema.map(f => lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+        val rows = out.unionByName(sentinel).collect()
+        val (marks, data) = rows.partition(_.isNullAt(0))
+        if (marks.isEmpty) fail(s"No embeddings found for game with universeId $id")
+        else ok(JArray(data.toList.map(rowToJson)))
     }
 
   /** GET /stats — A2 completeness counters with the reference's exact keys

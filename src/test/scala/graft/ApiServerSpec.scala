@@ -76,6 +76,30 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertGolden("/stats", "stats")
   }
 
+  test("similar-search runs one collect action per request (no separate existence job)") {
+    // The existence check is folded into the main plan via the sentinel
+    // union, so a request is ONE action. Under AQE that one collect still
+    // decomposes into at most 3 scheduler jobs (broadcast build, stage
+    // materialization, final stage) — the bound that matters is that the
+    // old separate `isEmpty` action (1-2 extra jobs per request) is gone.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // hit path and miss path: both must stay within the one-action budget
+      assert(get("/similar-search/42?limit=2")._1 === 200)
+      assert(get("/similar-search/999999123")._1 === 200)
+      // listener events are async: give them a beat to all surface
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs < 2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      Thread.sleep(250)
+      assert(jobs <= 6, s"expected <= 3 scheduler jobs per request, saw $jobs for 2 requests")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("failure envelopes match the reference messages") {
     assert(get("/search")._2 === golden("search_missing_q"))
     assert(get("/similar-search/abc")._2 === golden("similar_search_bad_id"))
