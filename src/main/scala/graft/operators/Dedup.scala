@@ -403,7 +403,16 @@ object Dedup {
     * land in the same bucket unless a projection sits within the
     * perturbation of zero — the standard LSH recall trade, mirrored by the
     * oracle. */
-  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    dedupEmbeddingCosinePlanes(spark, dir, NearDupPlanes)
+
+  /** Plane count is THE scale dial: 2^planes buckets, so occupancy — and
+    * with it within-bucket candidate pairs — grows linearly in corpus size
+    * when planes is fixed. Production sizing is
+    * planes ≈ log2(n / target_occupancy): the SfScale 100× run shows the
+    * fixed-8-plane query going super-linear (bucket saturation) and this
+    * dial restoring ~linear cost at the same recall trade (SCALING.md). */
+  def dedupEmbeddingCosinePlanes(spark: SparkSession, dir: String, planes: Int): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
     val pert = e.filter(col("vec_id") % 10 === 0)
@@ -411,7 +420,7 @@ object Dedup {
         transform(sequence(lit(1), lit(64)),
           i => element_at(col("v"), i) + lit(0.0078125) * (i % 3 - 1).cast("double")).as("v"))
     val all = e.unionByName(pert)
-      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("v"), NearDupPlanes))
+      .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("v"), planes))
     val x = all.select(col("vec_id").as("a_id"), col("v").as("va"), col("bucket"))
     val y = all.select(col("vec_id").as("b_id"), col("v").as("vb"), col("bucket"))
     x.join(y, Seq("bucket"))
