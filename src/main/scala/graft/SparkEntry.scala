@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnRecall, Dedup, Enrich, Events, IvfKMeans, Jobs, Merge, Multimodal, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
+import graft.operators.{AnnRecall, Dedup, Enrich, Events, IvfKMeans, Jobs, Merge, Multimodal, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,7 @@ object SparkEntry {
       (Sources.queries, Sources.oracles),
       (Jobs.queries, Jobs.oracles),
       (IvfKMeans.queries, IvfKMeans.oracles),
+      (Pq.queries, Pq.oracles),
       (AnnRecall.queries, AnnRecall.oracles)
     )
 

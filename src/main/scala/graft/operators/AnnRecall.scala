@@ -54,7 +54,8 @@ object AnnRecall {
       in => IvfKMeans.kmeansNprobeSearchOn(in.e, in.assigned, in.centroids), "npranked"),
     Method("lsh", in => Similarity.annLshBuckets(in.spark, in.dir), "lranked"),
     Method("lsh_multiprobe", in => Similarity.annLshMultiprobe(in.spark, in.dir), "mranked"),
-    Method("lsh_multitable", in => Similarity.annLshMultitable(in.spark, in.dir), "mtranked"))
+    Method("lsh_multitable", in => Similarity.annLshMultitable(in.spark, in.dir), "mtranked"),
+    Method("pq_adc", in => Pq.pqSearch(in.spark, in.dir), "pqranked"))
 
   private[graft] def methodNames: Seq[String] = MethodSpecs.map(_.name)
 
@@ -142,6 +143,7 @@ object AnnRecall {
        |  SELECT query_id, neighbor_id,
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM npscored),
+       |${Pq.recallCtes},
        |${Similarity.multitableBucketsSql("e", "mtb")},
        |mtq AS (SELECT vec_id AS query_id, t, bucket FROM mtb WHERE vec_id < 5),
        |mtpairs AS (

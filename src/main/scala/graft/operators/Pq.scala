@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.functions.VectorFunctions
+import graft.functions.OracleParity.pround
+
+/** Product quantization ANN (the PQ/ADC construction of Jégou, Douze,
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+  * split each 64-dim vector into M=4 subspaces of 16 dims, train a K=16
+  * codebook per subspace (deterministic Lloyd — fixed init = the first K
+  * vectors' subvectors, one refinement iteration, the same DECIMAL-mean /
+  * L2-identity / tie-break engineering as [[IvfKMeans]]), and store each
+  * vector as 4 one-byte codes. Search is ASYMMETRIC distance computation:
+  * the exact query subvectors are dotted against each codebook once
+  * (M·K = 64 lookup rows per query), and every corpus vector's approximate
+  * cosine is a sum of 4 table lookups — no per-vector float work at all.
+  *
+  * Scale shape: codes are 4 ints per vector (a 16× compression of the
+  * 64-float payload); the scoring join shuffles only
+  * (vec_id, query_id, scalar) rows — no vectors in any exchange — and the
+  * per-query top-k is a window over the scored set. At 100 TB the codes
+  * table IS the index: a full ADC scan reads 4 bytes a vector, and the
+  * codebooks (M·K·16 doubles) broadcast anywhere.
+  *
+  * Determinism: training replays bit-for-bit in DuckDB (same init, same
+  * decimal means, same (v·v − 2v·c) + c·c distance order, ties → lowest
+  * code), the ADC sum adds the 4 subspace terms in fixed order in both
+  * engines, so `ann_pq_adc` is fully hash-checked — recall measured
+  * against the brute-force truth lands in `ann_recall` like every other
+  * approximate path.
+  */
+object Pq {
+
+  private val M = 4
+  private val SubDim = 16
+  private val Codes = 16
+  private val Iterations = 1
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+
+  private def sub(v: Column, m: Int): Column = slice(v, m * SubDim + 1, SubDim)
+
+  /** Exact per-position DECIMAL mean of each code's member subvectors —
+    * the [[IvfKMeans.updateCollect]] shape at SubDim positions. */
+  private def updateCollect(assigned: DataFrame): Seq[(Int, Array[Double])] = {
+    val sums = (0 until SubDim).map(p =>
+      sum(element_at(col("sv"), p + 1).cast("decimal(30,12)")).as(s"s_$p"))
+    assigned.groupBy(col("code"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        (r.getInt(0), Array.tabulate(SubDim)(p => r.getDecimal(p + 2).doubleValue() / n))
+      }.toSeq
+  }
+
+  /** Train subspace m's codebook: init = subvectors of the first `Codes`
+    * vectors, then `Iterations` Lloyd refinements. Codes·SubDim doubles on
+    * the driver — the same legitimate driver boundary as k-means centroids. */
+  private def trainCodebook(e: DataFrame, m: Int): Seq[(Int, Array[Double])] = {
+    val se = e.select(col("vec_id"), sub(col("v"), m).as("sv"))
+    var cb: Seq[(Int, Array[Double])] =
+      se.filter(col("vec_id") < Codes).orderBy(col("vec_id")).collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
+    for (_ <- 0 until Iterations)
+      cb = updateCollect(se.select(col("vec_id"), col("sv"),
+        graft.functions.NearestCentroid.column(col("sv"), cb).as("code")))
+    cb
+  }
+
+  /** Top-3 per query by ADC-approximated cosine:
+    * cos(q, v̂) = Σ_m q_m·c_m[code_m] / (‖q‖ · sqrt(Σ_m ‖c_m[code_m]‖²)). */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val codebooks = (0 until M).map(m => trainCodebook(e, m))
+    // one map-side pass encodes every vector: M codegen'd argmin kernels
+    val codes = e.select(col("vec_id") +: (0 until M).map(m =>
+      graft.functions.NearestCentroid.column(sub(col("v"), m), codebooks(m)).as(s"code_$m")): _*)
+    val codeRows = codes.select(col("vec_id"),
+      explode(array((0 until M).map(m =>
+        struct(lit(m).as("m"), col(s"code_$m").as("code"))): _*)).as("mc"))
+      .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
+    // the ADC lookup table: M·K rows of (m, code, q·c, ‖c‖²) per query
+    val lut = codebooks.zipWithIndex.flatMap { case (cb, m) =>
+      cb.map { case (code, arr) => (m, code, arr.toSeq) }
+    }.toDF("m", "code", "cvec")
+      .withColumn("cnorm2", VectorFunctions.dot(col("cvec"), col("cvec")))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        sqrt(VectorFunctions.dot(col("v"), col("v"))).as("qnorm"))
+    val qlut = q.crossJoin(lut)
+      .withColumn("qdot", VectorFunctions.dot(
+        slice(col("qv"), col("m") * SubDim + 1, lit(SubDim)), col("cvec")))
+      .select(col("query_id"), col("qnorm"), col("m"), col("code"),
+        col("qdot"), col("cnorm2"))
+    val terms = codeRows.join(broadcast(qlut), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+    // pivot the M terms to columns and add in FIXED order — a plain sum()
+    // over doubles would be partition-order-dependent
+    val pivots =
+      (0 until M).map(m => max(when(col("m") === m, col("qdot"))).as(s"qd_$m")) ++
+        (0 until M).map(m => max(when(col("m") === m, col("cnorm2"))).as(s"cn_$m"))
+    val g = terms.groupBy(col("query_id"), col("vec_id"), col("qnorm"))
+      .agg(pivots.head, pivots.tail: _*)
+    val qdSum = (0 until M).map(m => col(s"qd_$m")).reduce(_ + _)
+    val cnSum = (0 until M).map(m => col(s"cn_$m")).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
+    g.withColumn("cos", qdSum / (col("qnorm") * sqrt(cnSum)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), pround(col("cos"), 4).as("approx_cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private def assignSql(eRel: String, cRel: String, out: String): String =
+    s"""$out AS (
+       |  SELECT vec_id, sv, code FROM (
+       |    SELECT e.vec_id, e.sv, c.code,
+       |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |             (list_dot_product(e.sv, e.sv) - 2.0 * list_dot_product(e.sv, c.cv)
+       |              + list_dot_product(c.cv, c.cv)), c.code) AS rn
+       |    FROM $eRel e CROSS JOIN $cRel c)
+       |  WHERE rn = 1)""".stripMargin
+
+  private def updateSql(aRel: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT code, p.pos AS pos,
+       |         CAST(sum(CAST(sv[p.pos] AS DECIMAL(30,12))) AS DOUBLE) / count(*) AS mu
+       |  FROM $aRel CROSS JOIN (SELECT unnest(generate_series(1, $SubDim)) AS pos) p
+       |  GROUP BY code, p.pos),
+       |$out AS (
+       |  SELECT code, array_agg(mu ORDER BY pos) AS cv
+       |  FROM ${out}_m GROUP BY code)""".stripMargin
+
+  /** CTE block (no WITH): subspace training, codes, lookup table, ADC
+    * scoring → `pqranked`. Assumes `e(vec_id, v)` is in scope — shared
+    * with the recall harness's oracle, all names pq-prefixed. */
+  private[operators] val recallCtes: String = {
+    val perSub = (0 until M).map { m =>
+      val lo = m * SubDim + 1; val hi = (m + 1) * SubDim
+      val steps = (1 to Iterations).map { i =>
+        val prevC = if (i == 1) s"pc${m}_0" else s"pc${m}_${i - 1}"
+        assignSql(s"ps$m", prevC, s"pa${m}_$i") + ",\n" + updateSql(s"pa${m}_$i", s"pc${m}_$i")
+      }.mkString(",\n")
+      s"""ps$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
+         |pc${m}_0 AS (SELECT CAST(vec_id AS INTEGER) AS code, sv AS cv
+         |             FROM ps$m WHERE vec_id < $Codes),
+         |$steps,
+         |${assignSql(s"ps$m", s"pc${m}_$Iterations", s"pf$m")}""".stripMargin
+    }.mkString(",\n")
+    val codesUnion = (0 until M)
+      .map(m => s"SELECT vec_id, $m AS m, code FROM pf$m").mkString("\n  UNION ALL\n  ")
+    val lutUnion = (0 until M)
+      .map(m => s"SELECT $m AS m, code, cv FROM pc${m}_$Iterations").mkString("\n  UNION ALL\n  ")
+    val qd = (0 until M).map(m => s"max(CASE WHEN ql.m = $m THEN qdot END) AS qd_$m").mkString(",\n         ")
+    val cn = (0 until M).map(m => s"max(CASE WHEN ql.m = $m THEN cnorm2 END) AS cn_$m").mkString(",\n         ")
+    val qdSum = (0 until M).map(m => s"qd_$m").mkString(" + ")
+    val cnSum = (0 until M).map(m => s"cn_$m").mkString(" + ")
+    s"""$perSub,
+       |pqcodes AS (
+       |  $codesUnion),
+       |pqlut AS (
+       |  SELECT m, code, cv, list_dot_product(cv, cv) AS cnorm2 FROM (
+       |  $lutUnion)),
+       |pqq AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qnorm
+       |        FROM e WHERE vec_id < 5),
+       |pqqlut AS (
+       |  SELECT q.query_id, q.qnorm, l.m, l.code,
+       |         list_dot_product(q.qv[(l.m * $SubDim + 1):((l.m + 1) * $SubDim)], l.cv) AS qdot,
+       |         l.cnorm2
+       |  FROM pqq q CROSS JOIN pqlut l),
+       |pqg AS (
+       |  SELECT ql.query_id, c.vec_id AS neighbor_id, ql.qnorm,
+       |         $qd,
+       |         $cn
+       |  FROM pqcodes c JOIN pqqlut ql ON c.m = ql.m AND c.code = ql.code
+       |  WHERE c.vec_id <> ql.query_id
+       |  GROUP BY ql.query_id, c.vec_id, ql.qnorm),
+       |pqscored AS (
+       |  SELECT query_id, neighbor_id,
+       |         ($qdSum) / (qnorm * sqrt($cnSum)) AS cos
+       |  FROM pqg),
+       |pqranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM pqscored)""".stripMargin
+  }
+
+  val pqSearchSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$recallCtes
+       |SELECT query_id, neighbor_id, rank,
+       |       floor(cos * 10000 + 0.5) / 10000.0 AS approx_cosine
+       |FROM pqranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ann_pq_adc" -> pqSearch
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ann_pq_adc" -> pqSearchSql
+  )
+}
