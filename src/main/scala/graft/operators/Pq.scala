@@ -46,32 +46,38 @@ object Pq {
 
   private def sub(v: Column, m: Int): Column = slice(v, m * SubDim + 1, SubDim)
 
-  /** Exact per-position DECIMAL mean of each code's member subvectors —
-    * the [[IvfKMeans.updateCollect]] shape at SubDim positions. */
-  private def updateCollect(assigned: DataFrame): Seq[(Int, Array[Double])] = {
-    val sums = (0 until SubDim).map(p =>
-      sum(element_at(col("sv"), p + 1).cast("decimal(30,12)")).as(s"s_$p"))
-    assigned.groupBy(col("code"))
-      .agg(count(lit(1)).as("n"), sums: _*)
-      .collect()
-      .map { r =>
-        val n = r.getLong(1)
-        (r.getInt(0), Array.tabulate(SubDim)(p => r.getDecimal(p + 2).doubleValue() / n))
-      }.toSeq
-  }
-
-  /** Train subspace m's codebook: init = subvectors of the first `Codes`
-    * vectors, then `Iterations` Lloyd refinements. Codes·SubDim doubles on
-    * the driver — the same legitimate driver boundary as k-means centroids. */
-  private def trainCodebook(e: DataFrame, m: Int): Seq[(Int, Array[Double])] = {
-    val se = e.select(col("vec_id"), sub(col("v"), m).as("sv"))
-    var cb: Seq[(Int, Array[Double])] =
-      se.filter(col("vec_id") < Codes).orderBy(col("vec_id")).collect()
-        .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
-    for (_ <- 0 until Iterations)
-      cb = updateCollect(se.select(col("vec_id"), col("sv"),
-        graft.functions.NearestCentroid.column(col("sv"), cb).as("code")))
-    cb
+  /** Train ALL M codebooks together: init is one collect of the first
+    * `Codes` vectors (sliced driver-side), and each Lloyd step is ONE pass
+    * over the corpus — M codegen'd argmin kernels in one projection,
+    * exploded to (m, code, sv) and updated by a single (m, code) grouped
+    * DECIMAL-mean aggregation. Per-subspace sequential training would run
+    * ~3 driver-synchronized jobs per subspace; this shape runs 1 + 1 per
+    * iteration total, and the means are the same numbers the oracle's
+    * per-subspace groupings produce (identical rows, identical decimal
+    * sums). M·Codes·SubDim doubles on the driver — the same legitimate
+    * boundary as k-means centroids. */
+  private def trainCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
+    val init = e.filter(col("vec_id") < Codes).orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
+    var cbs: Seq[Seq[(Int, Array[Double])]] = (0 until M).map(m =>
+      init.map { case (id, arr) => (id, arr.slice(m * SubDim, (m + 1) * SubDim)) }.toSeq)
+    for (_ <- 0 until Iterations) {
+      val assigned = e.select(explode(array((0 until M).map(m =>
+          struct(lit(m).as("m"),
+            graft.functions.NearestCentroid.column(sub(col("v"), m), cbs(m)).as("code"),
+            sub(col("v"), m).as("sv"))): _*)).as("a"))
+        .select(col("a.m").as("m"), col("a.code").as("code"), col("a.sv").as("sv"))
+      val sums = (0 until SubDim).map(p =>
+        sum(element_at(col("sv"), p + 1).cast("decimal(30,12)")).as(s"s_$p"))
+      val rows = assigned.groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .collect()
+      cbs = (0 until M).map(m => rows.filter(_.getInt(0) == m).map { r =>
+        val n = r.getLong(2)
+        (r.getInt(1), Array.tabulate(SubDim)(p => r.getDecimal(p + 3).doubleValue() / n))
+      }.toSeq)
+    }
+    cbs
   }
 
   /** Top-3 per query by ADC-approximated cosine:
@@ -79,7 +85,7 @@ object Pq {
   def pqSearch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
-    val codebooks = (0 until M).map(m => trainCodebook(e, m))
+    val codebooks = trainCodebooks(e)
     // one map-side pass encodes every vector: M codegen'd argmin kernels
     val codes = e.select(col("vec_id") +: (0 until M).map(m =>
       graft.functions.NearestCentroid.column(sub(col("v"), m), codebooks(m)).as(s"code_$m")): _*)
