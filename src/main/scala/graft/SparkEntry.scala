@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnRecall, Dedup, Enrich, Events, IvfKMeans, Jobs, Merge, Multimodal, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
+import graft.operators.{AnnRecall, Dedup, Enrich, Events, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -35,6 +35,7 @@ object SparkEntry {
       (Jobs.queries, Jobs.oracles),
       (IvfKMeans.queries, IvfKMeans.oracles),
       (Pq.queries, Pq.oracles),
+      (Ivfpq.queries, Ivfpq.oracles),
       (AnnRecall.queries, AnnRecall.oracles)
     )
 

@@ -55,7 +55,8 @@ object AnnRecall {
     Method("lsh", in => Similarity.annLshBuckets(in.spark, in.dir), "lranked"),
     Method("lsh_multiprobe", in => Similarity.annLshMultiprobe(in.spark, in.dir), "mranked"),
     Method("lsh_multitable", in => Similarity.annLshMultitable(in.spark, in.dir), "mtranked"),
-    Method("pq_adc", in => Pq.pqSearch(in.spark, in.dir), "pqranked"))
+    Method("pq_adc", in => Pq.pqSearch(in.spark, in.dir), "pqranked"),
+    Method("ivfpq", in => Ivfpq.searchOn(in.e, in.assigned, in.centroids), "ipranked"))
 
   private[graft] def methodNames: Seq[String] = MethodSpecs.map(_.name)
 
@@ -144,6 +145,7 @@ object AnnRecall {
        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
        |  FROM npscored),
        |${Pq.recallCtes},
+       |${Ivfpq.recallCtes("npq")},
        |${Similarity.multitableBucketsSql("e", "mtb")},
        |mtq AS (SELECT vec_id AS query_id, t, bucket FROM mtb WHERE vec_id < 5),
        |mtpairs AS (

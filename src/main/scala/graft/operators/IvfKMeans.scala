@@ -145,18 +145,26 @@ object IvfKMeans {
     kmeansNprobeSearchOn(e, assigned, centroids)
   }
 
-  private[operators] def kmeansNprobeSearchOn(
-      e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+  /** (query_id, qv, cluster) — each query's NProbe nearest trained cells,
+    * selected by a pure map (centroids ride in as literals; sort_array
+    * over k (d2, cluster) structs). Shared with the IVFPQ composition. */
+  private[operators] def nprobeCells(
+      e: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
     val dists = array(centroids.sortBy(_._1).map { case (cid, arr) =>
       val c = typedLit(arr.toSeq)
       struct((dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), c) + dot(c, c)).as("d2"),
         lit(cid).as("cluster"))
     }: _*)
-    val qProbe = e.filter(col("vec_id") < 5)
+    e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .select(col("query_id"), col("qv"),
         explode(slice(sort_array(dists), 1, NProbe)).as("dc"))
       .select(col("query_id"), col("qv"), col("dc.cluster").as("cluster"))
+  }
+
+  private[operators] def kmeansNprobeSearchOn(
+      e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val qProbe = nprobeCells(e, centroids)
     val c = assigned.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cluster"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
     c.join(broadcast(qProbe), Seq("cluster"))

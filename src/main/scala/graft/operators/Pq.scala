@@ -56,7 +56,7 @@ object Pq {
     * per-subspace groupings produce (identical rows, identical decimal
     * sums). M·Codes·SubDim doubles on the driver — the same legitimate
     * boundary as k-means centroids. */
-  private def trainCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
+  private[operators] def trainCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
     val init = e.filter(col("vec_id") < Codes).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
     var cbs: Seq[Seq[(Int, Array[Double])]] = (0 until M).map(m =>
@@ -80,36 +80,41 @@ object Pq {
     cbs
   }
 
-  /** Top-3 per query by ADC-approximated cosine:
-    * cos(q, v̂) = Σ_m q_m·c_m[code_m] / (‖q‖ · sqrt(Σ_m ‖c_m[code_m]‖²)). */
-  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val e = vectors(spark, dir)
-    val codebooks = trainCodebooks(e)
-    // one map-side pass encodes every vector: M codegen'd argmin kernels
-    val codes = e.select(col("vec_id") +: (0 until M).map(m =>
-      graft.functions.NearestCentroid.column(sub(col("v"), m), codebooks(m)).as(s"code_$m")): _*)
-    val codeRows = codes.select(col("vec_id"),
+  /** Add the M code columns to any frame carrying `v` — one map-side pass,
+    * M codegen'd argmin kernels. */
+  private[operators] def withCodes(df: DataFrame, cbs: Seq[Seq[(Int, Array[Double])]]): DataFrame =
+    df.select(df.columns.map(col) ++ (0 until M).map(m =>
+      graft.functions.NearestCentroid.column(sub(col("v"), m), cbs(m)).as(s"code_$m")): _*)
+
+  private[operators] def explodeCodes(df: DataFrame, keep: Seq[String]): DataFrame =
+    df.select(keep.map(col) :+
       explode(array((0 until M).map(m =>
-        struct(lit(m).as("m"), col(s"code_$m").as("code"))): _*)).as("mc"))
-      .select(col("vec_id"), col("mc.m").as("m"), col("mc.code").as("code"))
-    // the ADC lookup table: M·K rows of (m, code, q·c, ‖c‖²) per query
-    val lut = codebooks.zipWithIndex.flatMap { case (cb, m) =>
+        struct(lit(m).as("m"), col(s"code_$m").as("code"))): _*)).as("mc"): _*)
+      .select(keep.map(col) :+ col("mc.m").as("m") :+ col("mc.code").as("code"): _*)
+
+  /** The ADC lookup table: M·K rows of (query_id, m, code, q·c, ‖c‖², ‖q‖)
+    * — tiny, broadcast at every use site. */
+  private[operators] def qlutFor(e: DataFrame, cbs: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val lut = cbs.zipWithIndex.flatMap { case (cb, m) =>
       cb.map { case (code, arr) => (m, code, arr.toSeq) }
     }.toDF("m", "code", "cvec")
       .withColumn("cnorm2", VectorFunctions.dot(col("cvec"), col("cvec")))
-    val q = e.filter(col("vec_id") < 5)
+    e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         sqrt(VectorFunctions.dot(col("v"), col("v"))).as("qnorm"))
-    val qlut = q.crossJoin(lut)
+      .crossJoin(lut)
       .withColumn("qdot", VectorFunctions.dot(
         slice(col("qv"), col("m") * SubDim + 1, lit(SubDim)), col("cvec")))
       .select(col("query_id"), col("qnorm"), col("m"), col("code"),
         col("qdot"), col("cnorm2"))
-    val terms = codeRows.join(broadcast(qlut), Seq("m", "code"))
-      .filter(col("vec_id") =!= col("query_id"))
-    // pivot the M terms to columns and add in FIXED order — a plain sum()
-    // over doubles would be partition-order-dependent
+  }
+
+  /** Pivot a (query_id, vec_id, qnorm, m, qdot, cnorm2) term set to the M
+    * subspace columns, add in FIXED order (a plain sum() over doubles would
+    * be partition-order-dependent), score, and rank top-3 per query. */
+  private[operators] def adcRank(terms: DataFrame): DataFrame = {
     val pivots =
       (0 until M).map(m => max(when(col("m") === m, col("qdot"))).as(s"qd_$m")) ++
         (0 until M).map(m => max(when(col("m") === m, col("cnorm2"))).as(s"cn_$m"))
@@ -124,6 +129,17 @@ object Pq {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), pround(col("cos"), 4).as("approx_cosine"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Top-3 per query by ADC-approximated cosine over the FULL corpus:
+    * cos(q, v̂) = Σ_m q_m·c_m[code_m] / (‖q‖ · sqrt(Σ_m ‖c_m[code_m]‖²)). */
+  def pqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val codebooks = trainCodebooks(e)
+    val codeRows = explodeCodes(withCodes(e, codebooks).drop("v"), Seq("vec_id"))
+    val terms = codeRows.join(broadcast(qlutFor(e, codebooks)), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+    adcRank(terms)
   }
 
   // ------------------------------------------------------------- oracle SQL
