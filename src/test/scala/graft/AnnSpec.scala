@@ -77,7 +77,7 @@ class AnnSpec extends AnyFunSuite {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).distinct.length === 15)
   }
 
-  test("no exchange carries per-candidate vector payloads (multiprobe + multitable)") {
+  test("no exchange carries per-candidate vector payloads (multiprobe, multitable, pq, ivfpq)") {
     // Structural check of the at-scale shuffle claim: with auto-broadcast
     // off (forcing the neighbor-id join to shuffle) and AQE off (so the
     // final plan tree is inspectable), every ShuffleExchangeExec output
@@ -94,9 +94,13 @@ class AnnSpec extends AnyFunSuite {
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (method <- Seq(
-          graft.operators.Similarity.annLshMultiprobe _,
-          graft.operators.Similarity.annLshMultitable _)) {
+      for ((method, needsIdDedup) <- Seq(
+          (graft.operators.Similarity.annLshMultiprobe _, true),
+          (graft.operators.Similarity.annLshMultitable _, true),
+          // PQ paths: codes are ints, the lookup table broadcasts — no
+          // exchange anywhere may carry a vector column
+          (graft.operators.Pq.pqSearch _, false),
+          (graft.operators.Ivfpq.ivfpqSearch _, false))) {
         val plan = method(spark, SparkTestSession.Sf0001).queryExecution.executedPlan
         val exchanges = plan.collect { case s: ShuffleExchangeExec => s }
         assert(exchanges.nonEmpty, "expected at least one shuffle with broadcast off")
@@ -107,10 +111,11 @@ class AnnSpec extends AnyFunSuite {
         }
         assert(offenders.isEmpty,
           s"per-candidate exchange carries vectors:\n${offenders.map(_.output.mkString(", ")).mkString("\n")}")
-        // the dedup distinct must exchange the bare id pair
-        assert(exchanges.exists(ex =>
-          ex.output.map(_.name).toSet == Set("query_id", "neighbor_id")),
-          "expected an ids-only dedup exchange")
+        if (needsIdDedup)
+          // the dedup distinct must exchange the bare id pair
+          assert(exchanges.exists(ex =>
+            ex.output.map(_.name).toSet == Set("query_id", "neighbor_id")),
+            "expected an ids-only dedup exchange")
       }
     } finally {
       conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
