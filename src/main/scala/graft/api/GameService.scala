@@ -168,9 +168,14 @@ final class GameService(
 }
 
 object GameService {
-  /** Service over the engine's parquet-derived games/embeddings views. */
-  def forDir(spark: SparkSession, dir: String): GameService =
+  /** Service over the engine's parquet-derived games/embeddings views.
+    * `imagesDir`, when given, wires /stats' icon/thumbnail counters to a
+    * real `binaryFile` listing of the blob store
+    * ([[graft.pipeline.Images.listBlobs]]). */
+  def forDir(spark: SparkSession, dir: String,
+      imagesDir: Option[String] = None): GameService =
     new GameService(spark,
       () => Tables.games(spark, dir),
-      () => Tables.gameEmbeddings(spark, dir))
+      () => Tables.gameEmbeddings(spark, dir),
+      imagesDir.map(d => graft.pipeline.Images.listBlobs(spark, d)))
 }

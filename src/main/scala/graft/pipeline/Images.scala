@@ -25,6 +25,27 @@ object Images {
 
   val Kinds: Seq[String] = Seq("icon", "thumbnail")
 
+  /** Listing of the blob store as a REAL distributed scan: Spark's
+    * `binaryFile` source over the reference's `<dir>/<universeId>/<kind>.png`
+    * layout (downloadImages.ts:15-46) → (universeId, kind) rows, the input
+    * to [[missingImages]] and the /stats anti-joins. Only `path` is
+    * projected, so the format's column pruning skips reading any blob
+    * bytes. At scale the same scan points at an object-store prefix (or
+    * its inventory table). */
+  def listBlobs(spark: SparkSession, dir: String): DataFrame = {
+    val pat = "/(\\d+)/(icon|thumbnail)\\.png$"
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"))
+      .select(
+        regexp_extract(col("path"), pat, 1).as("id_str"),
+        regexp_extract(col("path"), pat, 2).as("kind"))
+      .filter(col("id_str") =!= "" && col("kind") =!= "")
+      .select(col("id_str").cast("long").as("universeId"), col("kind"))
+  }
+
   /** P8 — (universeId, kind) pairs whose blob is absent from the listing.
     * `listing` has columns (universeId, kind). */
   def missingImages(games: DataFrame, listing: DataFrame): DataFrame =
