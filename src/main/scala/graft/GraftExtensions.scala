@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{CosineSimilarity, HashedWordNGrams, HashedWords60, SimHash60, SortedLongIntersectCount}
 import graft.io.Tables
-import graft.operators.{Dedup, Quality, Similarity, TextSearch}
+import graft.operators.{AnnRecall, Dedup, Ivfpq, Pq, Quality, Similarity, TextSearch}
 
 /** SQL surface for the engine: custom Catalyst expressions
   * (`SELECT cosine_similarity(a, b) ...`) AND whole operators as table
@@ -162,6 +162,24 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         arity(es, "dedup_simhash", 0, 0)
         plan(Dedup.dedupSimhash)
+      }),
+    ("pq_search",
+      tvfInfo("pq_search", "pq_search() - top-3 neighbors per query by product-quantized ADC cosine"),
+      (es: Seq[Expression]) => {
+        arity(es, "pq_search", 0, 0)
+        plan(Pq.pqSearch)
+      }),
+    ("ivfpq_search",
+      tvfInfo("ivfpq_search", "ivfpq_search() - top-3 neighbors per query from probed IVF cells scored by PQ codes"),
+      (es: Seq[Expression]) => {
+        arity(es, "ivfpq_search", 0, 0)
+        plan(Ivfpq.ivfpqSearch)
+      }),
+    ("ann_recall",
+      tvfInfo("ann_recall", "ann_recall() - recall@3 of every approximate ANN method vs brute-force truth"),
+      (es: Seq[Expression]) => {
+        arity(es, "ann_recall", 0, 0)
+        plan(AnnRecall.annRecall)
       })
   )
 

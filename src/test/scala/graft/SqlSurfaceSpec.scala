@@ -70,6 +70,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     graft.tools.CacheRegistry.release()
   }
 
+  test("ANN TVFs match the DataFrame API") {
+    install()
+    sameRows("SELECT * FROM pq_search()", graft.operators.Pq.pqSearch(spark, dir))
+    sameRows("SELECT * FROM ivfpq_search()", graft.operators.Ivfpq.ivfpqSearch(spark, dir))
+    // the whole recall harness as one SQL table
+    sameRows("SELECT * FROM ann_recall()", graft.operators.AnnRecall.annRecall(spark, dir))
+  }
+
   test("TVFs compose with ordinary SQL around them") {
     install()
     val n = spark.sql(
