@@ -30,11 +30,14 @@ object AnnRecall {
   private val K = 3
 
   /** Everything an approximate method's frame builder may need; one shared
-    * k-means training feeds both IVF rows (the harness compares search
-    * policies, not training runs). */
+    * k-means training feeds both IVF rows and one shared PQ training feeds
+    * both PQ rows (the harness compares search policies, not training
+    * runs). PQ codebooks are lazy — trained only if a PQ method is listed. */
   private final case class MethodInputs(
       spark: SparkSession, dir: String,
-      e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])])
+      e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])]) {
+    lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] = Pq.trainCodebooks(e)
+  }
 
   /** One approximate ANN method under test: its display name, its Spark
     * candidate frame, and the name of its ranked CTE inside
@@ -55,8 +58,9 @@ object AnnRecall {
     Method("lsh", in => Similarity.annLshBuckets(in.spark, in.dir), "lranked"),
     Method("lsh_multiprobe", in => Similarity.annLshMultiprobe(in.spark, in.dir), "mranked"),
     Method("lsh_multitable", in => Similarity.annLshMultitable(in.spark, in.dir), "mtranked"),
-    Method("pq_adc", in => Pq.pqSearch(in.spark, in.dir), "pqranked"),
-    Method("ivfpq", in => Ivfpq.searchOn(in.e, in.assigned, in.centroids), "ipranked"))
+    Method("pq_adc", in => Pq.searchOn(in.e, in.pqCodebooks), "pqranked"),
+    Method("ivfpq",
+      in => Ivfpq.searchOn(in.e, in.assigned, in.centroids, in.pqCodebooks), "ipranked"))
 
   private[graft] def methodNames: Seq[String] = MethodSpecs.map(_.name)
 

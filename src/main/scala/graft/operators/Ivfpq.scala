@@ -21,12 +21,12 @@ object Ivfpq {
 
   def ivfpqSearch(spark: SparkSession, dir: String): DataFrame = {
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
-    searchOn(e, assigned, centroids)
+    searchOn(e, assigned, centroids, Pq.trainCodebooks(e))
   }
 
   private[operators] def searchOn(
-      e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
-    val cbs = Pq.trainCodebooks(e)
+      e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
+      cbs: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
     // one map-side pass: cluster is already on `assigned`; add the M codes
     val enc = Pq.withCodes(assigned, cbs).drop("v")
     val probes = IvfKMeans.nprobeCells(e, centroids).select(col("query_id"), col("cluster"))

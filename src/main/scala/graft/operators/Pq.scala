@@ -135,7 +135,14 @@ object Pq {
     * cos(q, v̂) = Σ_m q_m·c_m[code_m] / (‖q‖ · sqrt(Σ_m ‖c_m[code_m]‖²)). */
   def pqSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
-    val codebooks = trainCodebooks(e)
+    searchOn(e, trainCodebooks(e))
+  }
+
+  /** Table-injected form — shared with the recall harness so the codebooks
+    * train once per plan, like the IVF training (the harness compares
+    * search policies, not training runs). */
+  private[operators] def searchOn(
+      e: DataFrame, codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
     val codeRows = explodeCodes(withCodes(e, codebooks).drop("v"), Seq("vec_id"))
     val terms = codeRows.join(broadcast(qlutFor(e, codebooks)), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
