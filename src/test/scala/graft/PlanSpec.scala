@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions the scale story depends on: filters must reach
+  * the parquet scans as pushed filters and projections must prune the read
+  * schema — at 100 TB the scan is the dominant cost, and a plan that reads
+  * unused columns or filters after the scan has silently lost the battle
+  * regardless of what the operators above it do. AQE is disabled while
+  * collecting so the physical tree is inspectable (same pattern as the
+  * AnnSpec exchange checks).
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.Sf0001
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] = {
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try df.queryExecution.executedPlan.collect { case s: FileSourceScanExec => s }
+    finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("games listing prunes unused document columns at the scan") {
+    val ss = scans(graft.operators.Quality.gamesList(spark, dir))
+    assert(ss.nonEmpty)
+    val read = ss.flatMap(_.requiredSchema.fieldNames).toSet
+    // the games view derives from doc_id/text/n_chars only — lang and
+    // source must never be read for a listing
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"listing reads unused columns: $read")
+  }
+
+  test("query-side vec_id filter is pushed into the embeddings scan") {
+    val ss = scans(SparkEntry.queries("ann_brute_force_topk")(spark, dir))
+    val pushed = ss.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    assert(pushed.contains("LessThan(vec_id,5)"),
+      s"expected the query-batch filter in PushedFilters, got: $pushed")
+  }
+
+  test("retention cutoff is pushed into the events scan") {
+    val ss = scans(graft.operators.Jobs.retentionSweep(spark, dir))
+    assert(ss.nonEmpty)
+    // ts arrives as LONG nanos only under the Verify/Bench legacy flag; in
+    // either representation the cutoff comparison must reach the scan
+    val pushed = ss.map(_.metadata.getOrElse("PushedFilters", "")).mkString(";")
+    val read = ss.flatMap(_.requiredSchema.fieldNames).toSet
+    // the sweep needs only event timestamps — no props/value payloads
+    assert(!read.contains("props") && !read.contains("value"),
+      s"retention sweep reads unused columns: $read")
+    assert(pushed.nonEmpty)
+  }
+
+  test("similarity top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = graft.operators.Similarity.similarSearch(spark, dir)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$s")
+    assert(!s.contains("SortExec") || s.contains("TakeOrderedAndProject"))
+  }
+}
