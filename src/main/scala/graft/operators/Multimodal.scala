@@ -88,13 +88,66 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Frame-sample + resize plumbing for video-shaped blobs: each blob's
+    * stub-decoded frame count is sampled at stride 2 (EXPLODE — one output
+    * row per kept frame, so frame work distributes like any other row),
+    * every kept frame gets a deterministic fingerprint (stand-in for a
+    * pHash/embedding the real codec would emit), and a resize-to-224 step
+    * records its scale factors. The codec is the only fake: the schema,
+    * the explode shape, and the per-frame parallelism are exactly what a
+    * real video pipeline runs, and the whole thing replays in DuckDB. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OracleParity.pround
+    Tables.documents(spark, dir)
+      .withColumn("hv", expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+      .withColumn("n_frames", expr("cast(hv % 7 + 1 as int)"))
+      .withColumn("width", expr("cast(hv % 640 + 16 as int)"))
+      .withColumn("height", expr("cast((hv div 7) % 480 + 16 as int)"))
+      .select(col("doc_id"), col("text"), col("width"), col("height"),
+        explode(expr("sequence(0, n_frames - 1, 2)")).as("frame_idx"))
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("int").as("frame_idx"),
+        expr("cast(conv(substring(md5(concat(text, ':', cast(frame_idx as string))), 1, 8), 16, 10) as bigint)")
+          .as("frame_fp"),
+        lit(224).as("resized_w"), lit(224).as("resized_h"),
+        pround(lit(224.0) / col("width"), 4).as("scale_x"),
+        pround(lit(224.0) / col("height"), 4).as("scale_y"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val frameSampleSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |         CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS hv
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, text,
+      |         CAST(hv % 7 + 1 AS INTEGER) AS n_frames,
+      |         CAST(hv % 640 + 16 AS INTEGER) AS width,
+      |         CAST((hv // 7) % 480 + 16 AS INTEGER) AS height
+      |  FROM h),
+      |f AS (
+      |  SELECT doc_id, text, width, height,
+      |         unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx
+      |  FROM d)
+      |SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+      |       CAST('0x' || substring(md5(text || ':' || CAST(frame_idx AS VARCHAR)), 1, 8) AS BIGINT) AS frame_fp,
+      |       224 AS resized_w, 224 AS resized_h,
+      |       floor(224.0 / width * 10000 + 0.5) / 10000.0 AS scale_x,
+      |       floor(224.0 / height * 10000 + 0.5) / 10000.0 AS scale_y
+      |FROM f
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> decodeStub,
+    "mm_frame_sample" -> frameSample,
     "f14_data_uri" -> dataUri
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode_stub" -> decodeStubSql,
+    "mm_frame_sample" -> frameSampleSql,
     "f14_data_uri" -> dataUriSql
   )
 }
