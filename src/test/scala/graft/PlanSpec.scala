@@ -54,6 +54,32 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.nonEmpty)
   }
 
+  test("date-partitioned layout prunes partitions: one day's filter reads one day's files") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.io.Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(tmp)
+    val oneDay = spark.read.parquet(tmp)
+      .filter(col("day") === "2024-01-03")
+      .groupBy(col("event_type")).count()
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      oneDay.collect()
+      val scan = oneDay.queryExecution.executedPlan
+        .collect { case s: FileSourceScanExec => s }.head
+      assert(scan.partitionFilters.mkString(";").contains("day"),
+        "expected the day predicate as a partition filter")
+      val daysOnDisk = new java.io.File(tmp).listFiles().count(_.getName.startsWith("day="))
+      val filesRead = scan.metrics("numFiles").value
+      assert(daysOnDisk > 10, s"fixture spans a month, found $daysOnDisk day partitions")
+      assert(filesRead < daysOnDisk,
+        s"partition pruning must skip most of $daysOnDisk day dirs, read $filesRead files")
+    } finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("similarity top-k plans as TakeOrderedAndProject, not a global sort") {
     val plan = graft.operators.Similarity.similarSearch(spark, dir)
       .queryExecution.executedPlan
