@@ -86,6 +86,16 @@ object CompatIO {
           require(fs.rename(tmp, target), s"rename to $path failed")
         }
       }
+    // an EMPTY frame can arrive with zero partitions, so no executor ever
+    // writes; the reference still writes "[]" (JSON.stringify of an empty
+    // list) — cover that case driver-side
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(serConf.value)
+    if (!fs.exists(target)) {
+      val os = fs.create(target, true)
+      try os.write("[]".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+    }
   }
 
   /** One Game as `JSON.stringify(game, null, 4)` renders it at array depth

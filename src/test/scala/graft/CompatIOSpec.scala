@@ -118,6 +118,14 @@ class CompatIOSpec extends AnyFunSuite {
     assert(new String(Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8") === expected)
   }
 
+  test("writeGamesJsonFile writes [] for an empty frame like JSON.stringify([])") {
+    val dir = Files.createTempDirectory("graft-compat").toString
+    val empty = Seq.empty[(Long, Long, String)].toDF("universeId", "rootPlaceId", "name")
+    val out = s"$dir/games.json"
+    CompatIO.writeGamesJsonFile(empty, out)
+    assert(new String(Files.readAllBytes(java.nio.file.Paths.get(out)), "UTF-8") === "[]")
+  }
+
   test("writeGamesJsonFile keeps the explicit-null byte for fetched-and-blank descriptions") {
     val dir = Files.createTempDirectory("graft-compat").toString
     val df = Seq(
