@@ -29,11 +29,11 @@ import graft.io.Tables
   * `{success:false, message}` when a handler throws (api.ts:42-47).
   */
 final class ApiServer(spark: SparkSession, dataDir: String, port: Int = 0,
-    jobsDb: Option[String] = None) {
+    jobsDb: Option[String] = None, imagesDir: Option[String] = None) {
 
   import JsonEnvelope._
 
-  val service: GameService = GameService.forDir(spark, dataDir)
+  val service: GameService = GameService.forDir(spark, dataDir, imagesDir)
   // A reference-produced jobs.db seeds the store: its jobs serve through
   // GET /jobs and /jobs/:id with the same filter quirks, alongside any
   // jobs POSTed to this process — one store, like the reference's single
@@ -193,20 +193,23 @@ final class ApiServer(spark: SparkSession, dataDir: String, port: Int = 0,
     }
 }
 
-/** `runMain graft.api.ApiServer <dataDir> [port] [jobs.db]` — serve until
-  * killed; an optional reference-produced jobs.db seeds the job store. */
+/** `runMain graft.api.ApiServer <dataDir> [port] [jobs.db] [imagesDir]` —
+  * serve until killed; an optional reference-produced jobs.db seeds the
+  * job store, an optional blob dir wires /stats' image counters to a real
+  * binaryFile listing. */
 object ApiServer {
   def main(args: Array[String]): Unit = {
     val dataDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val port = args.lift(1).flatMap(_.toIntOption).getOrElse(3705)
     val jobsDb = args.lift(2)
+    val imagesDir = args.lift(3)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val s = new ApiServer(spark, dataDir, port, jobsDb)
+    val s = new ApiServer(spark, dataDir, port, jobsDb, imagesDir)
     val bound = s.start()
     println(s"API server running on port $bound")
     Thread.currentThread().join()
