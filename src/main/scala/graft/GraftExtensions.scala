@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{CosineSimilarity, HashedWordNGrams, HashedWords60, SimHash60, SortedLongIntersectCount}
 import graft.io.Tables
-import graft.operators.{AnnRecall, Dedup, Ivfpq, Pq, Quality, Similarity, TextSearch}
+import graft.operators.{AnnRecall, Dedup, Ivfpq, Nsw, Pq, Quality, Similarity, TextSearch}
 
 /** SQL surface for the engine: custom Catalyst expressions
   * (`SELECT cosine_similarity(a, b) ...`) AND whole operators as table
@@ -174,6 +174,12 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         arity(es, "ivfpq_search", 0, 0)
         plan(Ivfpq.ivfpqSearch)
+      }),
+    ("nsw_search",
+      tvfInfo("nsw_search", "nsw_search() - top-3 neighbors per query by NSW graph beam search"),
+      (es: Seq[Expression]) => {
+        arity(es, "nsw_search", 0, 0)
+        plan(Nsw.nswSearch)
       }),
     ("ann_recall",
       tvfInfo("ann_recall", "ann_recall() - recall@3 of every approximate ANN method vs brute-force truth"),

@@ -87,8 +87,21 @@ object VectorFunctions {
   def hyperplaneBucket(v: Column, numPlanes: Int): Column =
     hyperplaneBucketT(v, 53, numPlanes)
 
-  /** Per-table sign-of-projection bucket over the [[hyperplaneT]] family. */
+  /** Per-table sign-of-projection bucket over the [[hyperplaneT]] family.
+    * Delegates to the codegen'd [[HyperplaneBuckets]] kernel — identical
+    * buckets to [[foldHyperplaneBucketT]], a primitive loop instead of
+    * numPlanes interpreted folds. */
   def hyperplaneBucketT(v: Column, mult: Int, numPlanes: Int): Column =
+    element_at(HyperplaneBuckets.column(asDouble(v), Seq(mult), numPlanes), 1)
+
+  /** ALL per-table buckets in one kernel pass — element t is the
+    * [[hyperplaneBucketT]] bucket for `mults(t)`. */
+  def hyperplaneBucketsT(v: Column, mults: Seq[Int], numPlanes: Int): Column =
+    HyperplaneBuckets.column(asDouble(v), mults, numPlanes)
+
+  /** The composed-from-built-ins bucket (per-plane `dot` folds), kept as
+    * the reference implementation the kernel is tested against. */
+  def foldHyperplaneBucketT(v: Column, mult: Int, numPlanes: Int): Column =
     (0 until numPlanes)
       .map(j => when(dot(v, hyperplaneT(mult, j)) > 0, lit(1 << j)).otherwise(lit(0)))
       .reduce(_ + _)

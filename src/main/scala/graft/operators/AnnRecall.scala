@@ -9,8 +9,8 @@ import graft.functions.OracleParity.pround
 /** Recall harness for the approximate ANN paths — the number a user needs
   * before trusting an approximate search over the exact scan: recall@3 of
   * each method (single-cell IVF, nprobe=2 IVF, single-table LSH, Hamming-1
-  * multi-probe LSH, 4-table LSH) against `ann_brute_force_topk` on the
-  * same query set. Fully deterministic (all approximate methods and the
+  * multi-probe LSH, 4-table LSH, PQ/ADC, IVFPQ, NSW graph search) against
+  * `ann_brute_force_topk` on the same query set. Fully deterministic (all approximate methods and the
   * ground truth are), so the whole comparison is oracle-checkable in
   * DuckDB, training replay included. Round-3 measurement: ivf_nprobe and
   * lsh_multitable both land at recall@3 = 0.93 on the sf0.01 fixture
@@ -60,7 +60,8 @@ object AnnRecall {
     Method("lsh_multitable", in => Similarity.annLshMultitable(in.spark, in.dir), "mtranked"),
     Method("pq_adc", in => Pq.searchOn(in.e, in.pqCodebooks), "pqranked"),
     Method("ivfpq",
-      in => Ivfpq.searchOn(in.e, in.assigned, in.centroids, in.pqCodebooks), "ipranked"))
+      in => Ivfpq.searchOn(in.e, in.assigned, in.centroids, in.pqCodebooks), "ipranked"),
+    Method("nsw", in => Nsw.searchOn(in.spark, in.dir), "nswranked"))
 
   private[graft] def methodNames: Seq[String] = MethodSpecs.map(_.name)
 
@@ -151,6 +152,7 @@ object AnnRecall {
        |${Pq.recallCtes},
        |${Ivfpq.recallCtes("npq")},
        |${Similarity.multitableBucketsSql("e", "mtb")},
+       |${Nsw.searchCtes("mtb")},
        |mtq AS (SELECT vec_id AS query_id, t, bucket FROM mtb WHERE vec_id < 5),
        |mtpairs AS (
        |  SELECT DISTINCT mtq.query_id, c.vec_id AS neighbor_id

@@ -39,6 +39,67 @@ class AnnSpec extends AnyFunSuite {
     assert(r("pq_adc") >= 0.2, s"pq_adc recall ${r("pq_adc")}")
   }
 
+  test("NSW graph search: symmetric edge table, self-excluded full top-3, recall above multiprobe") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val edges = graft.operators.Nsw.edgesOn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // an NSW graph is undirected: every edge must carry its reverse, and
+    // greedy routing breaks on self-loops
+    val edgeSet = edges.toSet
+    assert(edges.forall { case (s, d) => s != d }, "self-loop in edge table")
+    assert(edges.forall { case (s, d) => edgeSet.contains((d, s)) }, "asymmetric edge")
+    val out = graft.operators.Nsw.nswSearch(spark, SparkTestSession.Sf0001).collect()
+    assert(out.length === 15) // 5 queries × top-3
+    out.foreach(r => assert(r.getLong(1) !== r.getLong(0), "query returned itself"))
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L))
+      val cosines = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    // beam search visits ~half the 50-vector fixture graph: it must beat
+    // the 9-bucket multiprobe and clear a floor (0.47 measured; SCALING.md)
+    val r = recallByMethod
+    assert(r("nsw") > r("lsh_multiprobe"), s"nsw ${r("nsw")} vs multiprobe ${r("lsh_multiprobe")}")
+    assert(r("nsw") >= 0.3, s"nsw recall ${r("nsw")}")
+  }
+
+  test("NSW edge build: pair-grade exchanges carry ids + one scalar, never vectors") {
+    // The bucket join may exchange corpus rows WITH their vector (L rows
+    // per vector — bounded by the corpus, not the pair count); once rows
+    // become (src, dst, ...) pairs, no exchange may carry an array column.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.ArrayType
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // a prior test's persisted edge frame would otherwise replace this
+      // plan's exchanges with an InMemoryTableScan
+      spark.catalog.clearCache()
+      val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val plan = graft.operators.Nsw.edgesOn(e).queryExecution.executedPlan
+      val exchanges = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(exchanges.nonEmpty)
+      val offenders = exchanges.filter { ex =>
+        val names = ex.output.map(_.name).toSet
+        ex.output.exists(_.dataType.isInstanceOf[ArrayType]) &&
+          names.contains("src") && names.contains("dst")
+      }
+      assert(offenders.isEmpty,
+        s"pair-grade exchange carries vectors:\n${offenders.map(_.output.mkString(", ")).mkString("\n")}")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("recall harness is single-sourced: union, grid, and oracle all derive from MethodSpecs") {
     import graft.operators.AnnRecall
     // The Spark union and the method × query grid are built from the same

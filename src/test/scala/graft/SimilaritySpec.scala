@@ -53,6 +53,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(mismatches === 0L)
   }
 
+  test("codegen hyperplane-bucket kernel is identical to the built-in fold, every table family") {
+    val emb = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // single-table family (mult=53, 8 planes) and every multitable family
+    for ((mult, planes) <- Seq((53, 8)) ++ Seq(29, 37, 59, 73).map((_, 4))) {
+      val mismatches = emb.select(
+        hyperplaneBucketT(col("v"), mult, planes).as("fast"),
+        foldHyperplaneBucketT(col("v"), mult, planes).as("fold"))
+        .filter(col("fast") =!= col("fold")).count()
+      assert(mismatches === 0L, s"bucket kernel diverges for mult=$mult planes=$planes")
+    }
+    // the multi-table single-pass form agrees with the per-table kernel
+    val multi = emb.select(
+      hyperplaneBucketsT(col("v"), Seq(29, 37, 59, 73), 4).as("all"),
+      array(Seq(29, 37, 59, 73).map(m => hyperplaneBucketT(col("v"), m, 4)): _*).as("each"))
+      .filter(col("all") =!= col("each")).count()
+    assert(multi === 0L)
+  }
+
   test("similar search: excludes target, returns k rows, scores descending") {
     val out = graft.operators.Similarity.similarSearch(spark, SparkTestSession.Sf0001).collect()
     assert(out.length === 10)
