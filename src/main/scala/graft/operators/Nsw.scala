@@ -57,8 +57,21 @@ object Nsw {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
 
+  /** Deterministic long-range links per node (formula, no data): on a
+    * strongly clustered corpus every node's nearest neighbors are
+    * same-cluster, so a PURE k-NN graph is disconnected and the beam can
+    * never leave the entry clusters (AnnSpec's clustered-corpus test
+    * demonstrates this: recall 0.0 without these links). NSW gets its long
+    * links from insertion order; the declarative equivalent is Kleinberg's
+    * small-world augmentation — [[LongLinkParams]].length pseudo-random
+    * links `src → (src·mult + off) mod N`, identical integer arithmetic in
+    * both engines. Links whose target id doesn't exist simply don't join —
+    * dense ids are not assumed. */
+  private[operators] val LongLinkParams: Seq[(Long, Long)] = Seq((48271L, 11L), (69621L, 29L))
+
   /** The symmetrized k-NN edge table: multitable-LSH candidate pairs,
-    * top-[[Degree]] per source by exact cosine, plus every reverse edge.
+    * top-[[Degree]] per source by exact cosine, plus every reverse edge,
+    * plus the [[LongLinkParams]] small-world links (also symmetrized).
     * Self-contained per call; persisted by the caller (it feeds one join
     * per search hop). */
   private[graft] def edgesOn(e: DataFrame): DataFrame = {
@@ -90,7 +103,20 @@ object Nsw {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Degree)
       .select(col("src"), col("dst"))
-    knn.unionByName(knn.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    // n is a driver scalar like the k-means K — the long-link modulus
+    val n = e.count()
+    val long = LongLinkParams.map { case (mult, off) =>
+      e.select(col("vec_id").as("src"),
+        ((col("vec_id") * mult + off) % n).as("dst"))
+    }.reduce(_ unionByName _)
+      .filter(col("src") =!= col("dst"))
+      // only keep links whose target exists (ids need not be dense)
+      .join(e.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+    val directed = knn.unionByName(long)
+    directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
   }
 
   /** Fixed-hop beam search over the graph — see the object scaladoc. The
@@ -223,10 +249,20 @@ object Nsw {
        |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
        |    FROM nwgs)
        |  WHERE rn <= $Degree),
-       |nwedges AS (
+       |nwlong AS (
+       |  SELECT src, dst FROM (
+       |${LongLinkParams.map { case (mult, off) =>
+           s"    SELECT vec_id AS src, (vec_id * $mult + $off) % (SELECT count(*) FROM e) AS dst FROM e"
+         }.mkString("\n    UNION ALL\n")})
+       |  WHERE src <> dst AND dst IN (SELECT vec_id FROM e)),
+       |nwdirected AS (
        |  SELECT src, dst FROM nwknn
+       |  UNION ALL
+       |  SELECT src, dst FROM nwlong),
+       |nwedges AS (
+       |  SELECT src, dst FROM nwdirected
        |  UNION
-       |  SELECT dst AS src, src AS dst FROM nwknn),
+       |  SELECT dst AS src, src AS dst FROM nwdirected),
        |nwq AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 5),
        |nwids0 AS (
        |  SELECT q.query_id, ent.vec_id AS node_id
