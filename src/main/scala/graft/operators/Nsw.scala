@@ -74,10 +74,20 @@ object Nsw {
     * plus the [[LongLinkParams]] small-world links (also symmetrized).
     * Self-contained per call; persisted by the caller (it feeds one join
     * per search hop). */
-  private[graft] def edgesOn(e: DataFrame): DataFrame = {
+  private[graft] def edgesOn(e: DataFrame): DataFrame =
+    edgesOn(e, Similarity.TablePlanes)
+
+  /** Planes-per-table is THE scale dial for the graph build, exactly as in
+    * [[Dedup.dedupEmbeddingCosinePlanes]]: with planes fixed, bucket
+    * occupancy — and with it candidate pairs — grows linearly in corpus
+    * size, making the build O(N²·L/2^planes). Production sizing is
+    * planes ≈ log2(N·L / target_candidates_per_node); the SfScale ×10 run
+    * measures both the fixture-pinned dial and this resized one
+    * (SCALING.md). The oracle-checked query pins planes=[[Similarity.TablePlanes]]. */
+  private[graft] def edgesOn(e: DataFrame, planes: Int): DataFrame = {
     // all 4 tables' buckets in one codegen kernel pass per vector
     val tb = graft.functions.VectorFunctions.hyperplaneBucketsT(
-      col("v"), Similarity.TableMults, Similarity.TablePlanes)
+      col("v"), Similarity.TableMults, planes)
     val b = e.select(col("vec_id"), col("v"), posexplode(tb).as(Seq("t", "bucket")))
     // score DURING the bucket join (vectors ride the corpus-side exchange,
     // L rows per vector), then immediately drop to (src, dst, cos) — every
@@ -194,6 +204,14 @@ object Nsw {
 
   def nswSearch(spark: SparkSession, dir: String): DataFrame =
     searchOn(spark, dir)
+
+  /** Production-dial variant for scale measurement: identical search over
+    * a graph whose candidate buckets use `planes` planes per table. */
+  def nswSearchPlanes(spark: SparkSession, dir: String, planes: Int): DataFrame = {
+    val e = vectors(spark, dir)
+    searchWithEdges(e,
+      CacheRegistry.sharedTracked(s"nsw-edges:$dir:p$planes")(edgesOn(e, planes)))
+  }
 
   // ------------------------------------------------------------- oracle SQL
 

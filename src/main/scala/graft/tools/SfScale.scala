@@ -111,6 +111,26 @@ object SfScale {
       val tScaled = runPlanes(out, planes)
       println(f"SCALE ${s"dedup_embedding_cosine/p$planes"}%-26s $tBase%8.2f $tScaled%8.2f ${tScaled / tBase}%7.2f")
     }
+    // Same dial, same story for the NSW graph build: the oracle-pinned
+    // query buckets with 4 planes per table, so its candidate pairs grow
+    // ~linearly in occupancy; the production sizing resizes planes to hold
+    // per-bucket occupancy at the fixture's level.
+    if (only.forall(_.contains("ann_nsw_search")) && factor > 1) {
+      val planes = 4 + math.ceil(math.log(factor.toDouble) / math.log(2.0)).toInt
+      def runNsw(dir: String, p: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Nsw.nswSearchPlanes(spark, dir, p)
+          .write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        CacheRegistry.release(blocking = true)
+        CacheRegistry.releaseShared(blocking = true)
+        s
+      }
+      runNsw(base, 4)
+      val tBase = runNsw(base, 4)
+      val tScaled = runNsw(out, planes)
+      println(f"SCALE ${s"ann_nsw_search/p$planes"}%-26s $tBase%8.2f $tScaled%8.2f ${tScaled / tBase}%7.2f")
+    }
     spark.stop()
   }
 }
