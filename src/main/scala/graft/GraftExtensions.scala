@@ -181,6 +181,12 @@ object GraftExtensions {
         arity(es, "nsw_search", 0, 0)
         plan(Nsw.nswSearch)
       }),
+    ("hnsw_search",
+      tvfInfo("hnsw_search", "hnsw_search() - top-3 neighbors per query by 2-layer HNSW-style search"),
+      (es: Seq[Expression]) => {
+        arity(es, "hnsw_search", 0, 0)
+        plan(Nsw.hnswSearch)
+      }),
     ("ann_recall",
       tvfInfo("ann_recall", "ann_recall() - recall@3 of every approximate ANN method vs brute-force truth"),
       (es: Seq[Expression]) => {

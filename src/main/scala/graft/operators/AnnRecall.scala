@@ -61,7 +61,8 @@ object AnnRecall {
     Method("pq_adc", in => Pq.searchOn(in.e, in.pqCodebooks), "pqranked"),
     Method("ivfpq",
       in => Ivfpq.searchOn(in.e, in.assigned, in.centroids, in.pqCodebooks), "ipranked"),
-    Method("nsw", in => Nsw.searchOn(in.spark, in.dir), "nswranked"))
+    Method("nsw", in => Nsw.searchOn(in.spark, in.dir), "nswranked"),
+    Method("hnsw", in => Nsw.hnswSearchOn(in.spark, in.dir), "hnswranked"))
 
   private[graft] def methodNames: Seq[String] = MethodSpecs.map(_.name)
 
@@ -153,6 +154,7 @@ object AnnRecall {
        |${Ivfpq.recallCtes("npq")},
        |${Similarity.multitableBucketsSql("e", "mtb")},
        |${Nsw.searchCtes("mtb")},
+       |${Nsw.hnswCtes("mtb", "nwedges")},
        |mtq AS (SELECT vec_id AS query_id, t, bucket FROM mtb WHERE vec_id < 5),
        |mtpairs AS (
        |  SELECT DISTINCT mtq.query_id, c.vec_id AS neighbor_id

@@ -158,11 +158,28 @@ object Nsw {
   private[graft] def searchWithEdges(e: DataFrame, edges: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val q = queryFrame(e)
     // one tiny job: the data-derived query and entry id sets (both < 5)
     val qIds = q.select(col("query_id")).as[Long].collect().sorted.toSeq
     val entryIds = qIds.filter(_ < Entries)
+    val seeds = for (qid <- qIds; ent <- entryIds if ent != qid) yield (qid, ent)
+    rankTopK(spark, beamLoop(e, q, edges, seeds, Hops, Beam))
+  }
+
+  private def queryFrame(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+  /** The deterministic beam expansion both layers share: score the seed
+    * (query, node) pairs, then `hops` rounds of expand-top-`beam`-frontier /
+    * anti-join-visited / score-fresh. Returns every visited (query, node)
+    * with its exact distributed-computed cosine. */
+  private def beamLoop(
+      e: DataFrame, q: DataFrame, edges: DataFrame,
+      seeds: Seq[(Long, Long)], hops: Int, beam: Int)
+      : scala.collection.mutable.Map[(Long, Long), Double] = {
+    val spark = e.sparkSession
+    import spark.implicits._
     // (query, node) → cos, exact doubles as computed distributed
     def score(ids: Seq[(Long, Long)]): Seq[((Long, Long), Double)] = {
       val idsDf = ids.toDF("query_id", "node_id")
@@ -174,15 +191,9 @@ object Nsw {
         .as[(Long, Long, Double)].collect()
         .map { case (qid, nid, cos) => ((qid, nid), cos) }.toSeq
     }
-    val ids0 = for (qid <- qIds; ent <- entryIds if ent != qid) yield (qid, ent)
-    val visited = scala.collection.mutable.Map.from(score(ids0))
-    def topByQuery(k: Int): Seq[(Long, Long, Double)] = visited.toSeq
-      .map { case ((qid, nid), cos) => (qid, nid, cos) }
-      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
-        rs.sortBy { case (_, nid, cos) => (-cos, nid) }.take(k)
-      }
-    for (_ <- 1 to Hops) {
-      val frontier = topByQuery(Beam).map { case (qid, nid, _) => (qid, nid) }
+    val visited = scala.collection.mutable.Map.from(score(seeds))
+    for (_ <- 1 to hops) {
+      val frontier = topByQuery(visited, beam).map { case (qid, nid, _) => (qid, nid) }
       // one job: frontier ids broadcast against the distributed edge table
       val expanded = edges
         .join(broadcast(frontier.toDF("query_id", "node_id")),
@@ -193,7 +204,22 @@ object Nsw {
         .filter { case (qid, nid) => qid != nid && !visited.contains((qid, nid)) }
       if (fresh.nonEmpty) visited ++= score(fresh.toSeq)
     }
-    val ranked = topByQuery(K).groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+    visited
+  }
+
+  private def topByQuery(
+      visited: scala.collection.Map[(Long, Long), Double], k: Int): Seq[(Long, Long, Double)] =
+    visited.toSeq
+      .map { case ((qid, nid), cos) => (qid, nid, cos) }
+      .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy { case (_, nid, cos) => (-cos, nid) }.take(k)
+      }
+
+  private def rankTopK(
+      spark: SparkSession,
+      visited: scala.collection.Map[(Long, Long), Double]): DataFrame = {
+    import spark.implicits._
+    val ranked = topByQuery(visited, K).groupBy(_._1).toSeq.flatMap { case (_, rs) =>
       rs.zipWithIndex.map { case ((qid, nid, cos), i) => (qid, nid, (i + 1).toLong, cos) }
     }
     ranked.toDF("query_id", "node_id", "rank", "cos")
@@ -213,87 +239,169 @@ object Nsw {
       CacheRegistry.sharedTracked(s"nsw-edges:$dir:p$planes")(edgesOn(e, planes)))
   }
 
+  // ------------------------------------------------- HNSW-style hierarchy
+
+  private[graft] val SampleMod = 8
+  private[operators] val HopsL1 = 2
+  private[operators] val BeamL1 = 4
+
+  /** Two-layer HNSW-shaped search (Malkov & Yashunin, TPAMI 2018, with the
+    * layer count fixed at 2 and the layer membership DETERMINISTIC instead
+    * of geometric-random — `vec_id % SampleMod == 0` — so both engines
+    * build the identical hierarchy): a coarse ROUTING graph over the 1/8
+    * sample replaces the fixed entry points — each query beam-searches the
+    * small layer-1 graph first ([[HopsL1]] hops, beam [[BeamL1]]) and its
+    * top-[[Entries]] layer-1 results seed the layer-0 beam. Layer 0 IS the
+    * `ann_nsw_search` graph (shared cache — built once for both queries).
+    * At scale this is the part of HNSW that matters: entry points land
+    * near the query's neighborhood after touching O(N/SampleMod) routing
+    * nodes, instead of the fixed-entry beam spending its first hops
+    * escaping wherever entry 0..3 happen to live. */
+  private[operators] def hnswSearchOn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = vectors(spark, dir)
+    val e1 = e.filter(col("vec_id") % SampleMod === 0)
+    val edges1 = CacheRegistry.sharedTracked(s"hnsw-l1:$dir")(edgesOn(e1))
+    val edges0 = CacheRegistry.sharedTracked(s"nsw-edges:$dir")(edgesOn(e))
+    val q = queryFrame(e)
+    val qIds = q.select(col("query_id")).as[Long].collect().sorted.toSeq
+    // layer-1 entries: the sample members among the first Entries·SampleMod ids
+    val entry1 = e1.filter(col("vec_id") < Entries * SampleMod)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
+    val seeds1 = for (qid <- qIds; ent <- entry1 if ent != qid) yield (qid, ent)
+    val visited1 = beamLoop(e, q, edges1, seeds1, HopsL1, BeamL1)
+    val seeds0 = topByQuery(visited1, Entries).map { case (qid, nid, _) => (qid, nid) }
+    rankTopK(spark, beamLoop(e, q, edges0, seeds0, Hops, Beam))
+  }
+
+  def hnswSearch(spark: SparkSession, dir: String): DataFrame =
+    hnswSearchOn(spark, dir)
+
   // ------------------------------------------------------------- oracle SQL
 
-  /** CTE block (no WITH): graph build + unrolled beam search → `nswranked`.
-    * Assumes `e(vec_id, v)` and a per-table bucket relation
-    * `bRel(vec_id, t, bucket)` ([[Similarity.multitableBucketsSql]]) are in
-    * scope — the recall harness shares its `mtb` buckets. All names
-    * nw-prefixed. */
-  private[operators] def searchCtes(bRel: String): String = {
-    val cos = (a: String, b: String) =>
-      s"""list_dot_product($a, $b)
-         |           / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
-    def scoreSql(idsRel: String, out: String): String =
-      s"""$out AS (
-         |  SELECT i.query_id, i.node_id, ${cos("n.v", "qv.v")} AS cos
-         |  FROM $idsRel i
-         |  JOIN e n ON n.vec_id = i.node_id
-         |  JOIN e qv ON qv.vec_id = i.query_id)""".stripMargin
-    val hops = (1 to Hops).map { h =>
-      s"""nwf$h AS (
-         |  SELECT query_id, node_id FROM (
-         |    SELECT query_id, node_id,
-         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id) AS rn
-         |    FROM nws${h - 1})
-         |  WHERE rn <= $Beam),
-         |nwx$h AS (
-         |  SELECT DISTINCT f.query_id, ed.dst AS node_id
-         |  FROM nwf$h f JOIN nwedges ed ON f.node_id = ed.src
-         |  WHERE ed.dst <> f.query_id),
-         |nwn$h AS (
-         |  SELECT x.query_id, x.node_id
-         |  FROM nwx$h x LEFT JOIN nws${h - 1} s
-         |    ON s.query_id = x.query_id AND s.node_id = x.node_id
-         |  WHERE s.node_id IS NULL),
-         |${scoreSql(s"nwn$h", s"nwh$h")},
-         |nws$h AS (
-         |  SELECT query_id, node_id, cos FROM nws${h - 1}
-         |  UNION ALL
-         |  SELECT query_id, node_id, cos FROM nwh$h)""".stripMargin
-    }.mkString(",\n")
-    s"""nwpairs AS (
+  private val cosSql = (a: String, b: String) =>
+    s"""list_dot_product($a, $b)
+       |           / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))""".stripMargin
+
+  /** Score a (query_id, node_id) relation against `e` (node + query
+    * vectors both live in the full corpus). */
+  private def scoreSql(idsRel: String, out: String): String =
+    s"""$out AS (
+       |  SELECT i.query_id, i.node_id, ${cosSql("n.v", "qv.v")} AS cos
+       |  FROM $idsRel i
+       |  JOIN e n ON n.vec_id = i.node_id
+       |  JOIN e qv ON qv.vec_id = i.query_id)""".stripMargin
+
+  /** CTE block (no WITH): the symmetrized k-NN + long-link graph over
+    * `eRel(vec_id, v)` with buckets `bRel(vec_id, t, bucket)` → `${p}edges`.
+    * All names `$p`-prefixed. */
+  private def graphCtes(p: String, eRel: String, bRel: String): String =
+    s"""${p}pairs AS (
        |  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
        |  FROM $bRel a JOIN $bRel c ON a.t = c.t AND a.bucket = c.bucket
        |  WHERE a.vec_id <> c.vec_id),
-       |nwgs AS (
-       |  SELECT p.src, p.dst, ${cos("s.v", "d.v")} AS cos
-       |  FROM nwpairs p
-       |  JOIN e s ON s.vec_id = p.src
-       |  JOIN e d ON d.vec_id = p.dst),
-       |nwknn AS (
+       |${p}gs AS (
+       |  SELECT p.src, p.dst, ${cosSql("s.v", "d.v")} AS cos
+       |  FROM ${p}pairs p
+       |  JOIN $eRel s ON s.vec_id = p.src
+       |  JOIN $eRel d ON d.vec_id = p.dst),
+       |${p}knn AS (
        |  SELECT src, dst FROM (
        |    SELECT src, dst,
        |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
-       |    FROM nwgs)
+       |    FROM ${p}gs)
        |  WHERE rn <= $Degree),
-       |nwlong AS (
+       |${p}long AS (
        |  SELECT src, dst FROM (
        |${LongLinkParams.map { case (mult, off) =>
-           s"    SELECT vec_id AS src, (vec_id * $mult + $off) % (SELECT count(*) FROM e) AS dst FROM e"
+           s"    SELECT vec_id AS src, (vec_id * $mult + $off) % (SELECT count(*) FROM $eRel) AS dst FROM $eRel"
          }.mkString("\n    UNION ALL\n")})
-       |  WHERE src <> dst AND dst IN (SELECT vec_id FROM e)),
-       |nwdirected AS (
-       |  SELECT src, dst FROM nwknn
+       |  WHERE src <> dst AND dst IN (SELECT vec_id FROM $eRel)),
+       |${p}directed AS (
+       |  SELECT src, dst FROM ${p}knn
        |  UNION ALL
-       |  SELECT src, dst FROM nwlong),
-       |nwedges AS (
-       |  SELECT src, dst FROM nwdirected
+       |  SELECT src, dst FROM ${p}long),
+       |${p}edges AS (
+       |  SELECT src, dst FROM ${p}directed
        |  UNION
-       |  SELECT dst AS src, src AS dst FROM nwdirected),
+       |  SELECT dst AS src, src AS dst FROM ${p}directed)""".stripMargin
+
+  /** CTE block (no WITH): `hops` unrolled beam rounds over `edgesRel` from
+    * scored-seed relation `${p}s0` (callers emit `${p}s0` via [[scoreSql]])
+    * → visited set `${p}s$hops`. */
+  private def beamCtes(p: String, edgesRel: String, hops: Int, beam: Int): String =
+    (1 to hops).map { h =>
+      s"""${p}f$h AS (
+         |  SELECT query_id, node_id FROM (
+         |    SELECT query_id, node_id,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id) AS rn
+         |    FROM ${p}s${h - 1})
+         |  WHERE rn <= $beam),
+         |${p}x$h AS (
+         |  SELECT DISTINCT f.query_id, ed.dst AS node_id
+         |  FROM ${p}f$h f JOIN $edgesRel ed ON f.node_id = ed.src
+         |  WHERE ed.dst <> f.query_id),
+         |${p}n$h AS (
+         |  SELECT x.query_id, x.node_id
+         |  FROM ${p}x$h x LEFT JOIN ${p}s${h - 1} s
+         |    ON s.query_id = x.query_id AND s.node_id = x.node_id
+         |  WHERE s.node_id IS NULL),
+         |${scoreSql(s"${p}n$h", s"${p}h$h")},
+         |${p}s$h AS (
+         |  SELECT query_id, node_id, cos FROM ${p}s${h - 1}
+         |  UNION ALL
+         |  SELECT query_id, node_id, cos FROM ${p}h$h)""".stripMargin
+    }.mkString(",\n")
+
+  /** CTE block (no WITH): flat NSW — graph build + beam from the fixed
+    * entries → `nswranked`. Assumes `e(vec_id, v)` and buckets
+    * `bRel(vec_id, t, bucket)` in scope — the recall harness shares its
+    * `mtb` buckets. All names nw-prefixed. */
+  private[operators] def searchCtes(bRel: String): String =
+    s"""${graphCtes("nw", "e", bRel)},
        |nwq AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 5),
        |nwids0 AS (
        |  SELECT q.query_id, ent.vec_id AS node_id
        |  FROM nwq q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < $Entries) ent
        |  WHERE ent.vec_id <> q.query_id),
        |${scoreSql("nwids0", "nws0")},
-       |$hops,
+       |${beamCtes("nw", "nwedges", Hops, Beam)},
        |nswranked AS (
        |  SELECT query_id, node_id AS neighbor_id, cos,
        |         row_number() OVER (PARTITION BY query_id
        |                            ORDER BY cos DESC, node_id) AS rank
        |  FROM nws$Hops)""".stripMargin
-  }
+
+  /** CTE block (no WITH): the 2-layer hierarchy → `hnswranked`. Assumes
+    * `e`, full-corpus buckets `bRel`, and the layer-0 edge table
+    * `l0EdgesRel` (= `nwedges` — layer 0 IS the flat graph) in scope.
+    * Layer-1 buckets are a FILTER of the full bucket relation (a bucket
+    * depends only on the vector, so bucketing the sample equals sampling
+    * the buckets). */
+  private[operators] def hnswCtes(bRel: String, l0EdgesRel: String): String =
+    s"""he1 AS (SELECT vec_id, v FROM e WHERE vec_id % $SampleMod = 0),
+       |h1b AS (SELECT vec_id, t, bucket FROM $bRel WHERE vec_id % $SampleMod = 0),
+       |${graphCtes("h1", "he1", "h1b")},
+       |hq AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 5),
+       |h1ids0 AS (
+       |  SELECT q.query_id, ent.vec_id AS node_id
+       |  FROM hq q CROSS JOIN (SELECT vec_id FROM he1
+       |                        WHERE vec_id < ${Entries * SampleMod}) ent
+       |  WHERE ent.vec_id <> q.query_id),
+       |${scoreSql("h1ids0", "h1s0")},
+       |${beamCtes("h1", "h1edges", HopsL1, BeamL1)},
+       |h0s0 AS (
+       |  SELECT query_id, node_id, cos FROM (
+       |    SELECT query_id, node_id, cos,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, node_id) AS rn
+       |    FROM h1s$HopsL1)
+       |  WHERE rn <= $Entries),
+       |${beamCtes("h0", l0EdgesRel, Hops, Beam)},
+       |hnswranked AS (
+       |  SELECT query_id, node_id AS neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, node_id) AS rank
+       |  FROM h0s$Hops)""".stripMargin
 
   val nswSearchSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -303,11 +411,22 @@ object Nsw {
        |FROM nswranked WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  val hnswSearchSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${Similarity.multitableBucketsSql("e", "nwb")},
+       |${searchCtes("nwb")},
+       |${hnswCtes("nwb", "nwedges")}
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
+       |FROM hnswranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ann_nsw_search" -> nswSearch
+    "ann_nsw_search" -> nswSearch,
+    "ann_hnsw_search" -> hnswSearch
   )
 
   val oracles: Map[String, String] = Map(
-    "ann_nsw_search" -> nswSearchSql
+    "ann_nsw_search" -> nswSearchSql,
+    "ann_hnsw_search" -> hnswSearchSql
   )
 }

@@ -105,6 +105,31 @@ class AnnSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"clustered-corpus NSW recall $recall (uniform fixture: 0.60)")
   }
 
+  test("HNSW hierarchy: full ranked top-3, self-excluded, layer-1 routing stays on the sample") {
+    val out = graft.operators.Nsw.hnswSearch(spark, SparkTestSession.Sf0001).collect()
+    assert(out.length === 15) // 5 queries × top-3
+    out.foreach(r => assert(r.getLong(1) !== r.getLong(0), "query returned itself"))
+    val byQuery = out.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L))
+      val cosines = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    // the routing layer is the deterministic 1-in-SampleMod sample: its
+    // edge table must only ever touch sample members
+    import org.apache.spark.sql.functions.col
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val e1 = e.filter(col("vec_id") % graft.operators.Nsw.SampleMod === 0)
+    val l1edges = graft.operators.Nsw.edgesOn(e1).collect()
+    val mod = graft.operators.Nsw.SampleMod
+    assert(l1edges.nonEmpty)
+    l1edges.foreach { r =>
+      assert(r.getLong(0) % mod === 0L && r.getLong(1) % mod === 0L,
+        s"layer-1 edge off the sample: ${r.getLong(0)} -> ${r.getLong(1)}")
+    }
+  }
+
   test("NSW edge build: pair-grade exchanges carry ids + one scalar, never vectors") {
     // The bucket join may exchange corpus rows WITH their vector (L rows
     // per vector — bounded by the corpus, not the pair count); once rows
