@@ -53,9 +53,15 @@ object Nsw {
   private[operators] val Entries = 4
   private val K = 3
 
+  /** Corpus vectors, cached per dir: beamLoop scans this frame once per
+    * hop (seeds + Hops score jobs per search, twice that for the
+    * hierarchy), so re-reading parquet + re-casting each time would be
+    * (hops+1) redundant corpus scans per query. */
   private def vectors(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    CacheRegistry.sharedTracked(s"nsw-vectors:$dir") {
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    }
 
   /** Deterministic long-range links per node (formula, no data): on a
     * strongly clustered corpus every node's nearest neighbors are
@@ -64,9 +70,15 @@ object Nsw {
     * demonstrates this: recall 0.0 without these links). NSW gets its long
     * links from insertion order; the declarative equivalent is Kleinberg's
     * small-world augmentation — [[LongLinkParams]].length pseudo-random
-    * links `src → (src·mult + off) mod N`, identical integer arithmetic in
-    * both engines. Links whose target id doesn't exist simply don't join —
-    * dense ids are not assumed. */
+    * links `src → (src/idStep · mult + off) mod N · idStep`, identical
+    * integer arithmetic in both engines. `idStep` maps the formula onto
+    * the id lattice of the node set — 1 for the full corpus, [[SampleMod]]
+    * for the layer-1 sample (whose ids are all multiples of SampleMod:
+    * without the step, ~(step−1)/step of the generated targets would not
+    * exist and be dropped, quietly reverting the routing layer to the
+    * disconnected pure-k-NN graph these links exist to fix). Links whose
+    * target still doesn't exist simply don't join — dense ids are not
+    * assumed, they just maximize surviving links. */
   private[operators] val LongLinkParams: Seq[(Long, Long)] = Seq((48271L, 11L), (69621L, 29L))
 
   /** The symmetrized k-NN edge table: multitable-LSH candidate pairs,
@@ -75,7 +87,7 @@ object Nsw {
     * Self-contained per call; persisted by the caller (it feeds one join
     * per search hop). */
   private[graft] def edgesOn(e: DataFrame): DataFrame =
-    edgesOn(e, Similarity.TablePlanes)
+    edgesOn(e, Similarity.TablePlanes, 1)
 
   /** Planes-per-table is THE scale dial for the graph build, exactly as in
     * [[Dedup.dedupEmbeddingCosinePlanes]]: with planes fixed, bucket
@@ -84,7 +96,7 @@ object Nsw {
     * planes ≈ log2(N·L / target_candidates_per_node); the SfScale ×10 run
     * measures both the fixture-pinned dial and this resized one
     * (SCALING.md). The oracle-checked query pins planes=[[Similarity.TablePlanes]]. */
-  private[graft] def edgesOn(e: DataFrame, planes: Int): DataFrame = {
+  private[graft] def edgesOn(e: DataFrame, planes: Int, idStep: Int = 1): DataFrame = {
     // all 4 tables' buckets in one codegen kernel pass per vector
     val tb = graft.functions.VectorFunctions.hyperplaneBucketsT(
       col("v"), Similarity.TableMults, planes)
@@ -117,7 +129,7 @@ object Nsw {
     val n = e.count()
     val long = LongLinkParams.map { case (mult, off) =>
       e.select(col("vec_id").as("src"),
-        ((col("vec_id") * mult + off) % n).as("dst"))
+        ((expr(s"vec_id div $idStep") * mult + off) % n * idStep).as("dst"))
     }.reduce(_ unionByName _)
       .filter(col("src") =!= col("dst"))
       // only keep links whose target exists (ids need not be dense)
@@ -207,12 +219,31 @@ object Nsw {
     visited
   }
 
+  /** SQL `ORDER BY cos DESC, node_id` semantics, exactly: NaN sorts as the
+    * GREATEST double (both Spark and DuckDB rank a NaN cosine first under
+    * DESC — the engine keeps NaN cosines for zero vectors by design) and
+    * +0.0 equals -0.0 (so the node_id tiebreak decides, as in SQL). A
+    * plain `sortBy(-cos)` would order NaN last and split the signed
+    * zeros — a silent engine-vs-oracle divergence on exactly the inputs
+    * the NaN semantics exist for. */
+  private val beamOrdering: Ordering[(Long, Long, Double)] =
+    (x: (Long, Long, Double), y: (Long, Long, Double)) => {
+      val (a, b) = (x._3, y._3)
+      val byCos =
+        if (a.isNaN && b.isNaN) 0
+        else if (a.isNaN) -1 // NaN greatest → first under DESC
+        else if (b.isNaN) 1
+        else if (a == b) 0 // primitive ==: +0.0 equals -0.0
+        else java.lang.Double.compare(b, a)
+      if (byCos != 0) byCos else java.lang.Long.compare(x._2, y._2)
+    }
+
   private def topByQuery(
       visited: scala.collection.Map[(Long, Long), Double], k: Int): Seq[(Long, Long, Double)] =
     visited.toSeq
       .map { case ((qid, nid), cos) => (qid, nid, cos) }
       .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
-        rs.sortBy { case (_, nid, cos) => (-cos, nid) }.take(k)
+        rs.sorted(beamOrdering).take(k)
       }
 
   private def rankTopK(
@@ -261,7 +292,8 @@ object Nsw {
     import spark.implicits._
     val e = vectors(spark, dir)
     val e1 = e.filter(col("vec_id") % SampleMod === 0)
-    val edges1 = CacheRegistry.sharedTracked(s"hnsw-l1:$dir")(edgesOn(e1))
+    val edges1 = CacheRegistry.sharedTracked(s"hnsw-l1:$dir")(
+      edgesOn(e1, Similarity.TablePlanes, SampleMod))
     val edges0 = CacheRegistry.sharedTracked(s"nsw-edges:$dir")(edgesOn(e))
     val q = queryFrame(e)
     val qIds = q.select(col("query_id")).as[Long].collect().sorted.toSeq
@@ -294,8 +326,9 @@ object Nsw {
 
   /** CTE block (no WITH): the symmetrized k-NN + long-link graph over
     * `eRel(vec_id, v)` with buckets `bRel(vec_id, t, bucket)` → `${p}edges`.
-    * All names `$p`-prefixed. */
-  private def graphCtes(p: String, eRel: String, bRel: String): String =
+    * `idStep` is the node set's id lattice (see [[LongLinkParams]]). All
+    * names `$p`-prefixed. */
+  private def graphCtes(p: String, eRel: String, bRel: String, idStep: Int = 1): String =
     s"""${p}pairs AS (
        |  SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
        |  FROM $bRel a JOIN $bRel c ON a.t = c.t AND a.bucket = c.bucket
@@ -314,7 +347,7 @@ object Nsw {
        |${p}long AS (
        |  SELECT src, dst FROM (
        |${LongLinkParams.map { case (mult, off) =>
-           s"    SELECT vec_id AS src, (vec_id * $mult + $off) % (SELECT count(*) FROM $eRel) AS dst FROM $eRel"
+           s"    SELECT vec_id AS src, (vec_id // $idStep * $mult + $off) % (SELECT count(*) FROM $eRel) * $idStep AS dst FROM $eRel"
          }.mkString("\n    UNION ALL\n")})
        |  WHERE src <> dst AND dst IN (SELECT vec_id FROM $eRel)),
        |${p}directed AS (
@@ -381,7 +414,7 @@ object Nsw {
   private[operators] def hnswCtes(bRel: String, l0EdgesRel: String): String =
     s"""he1 AS (SELECT vec_id, v FROM e WHERE vec_id % $SampleMod = 0),
        |h1b AS (SELECT vec_id, t, bucket FROM $bRel WHERE vec_id % $SampleMod = 0),
-       |${graphCtes("h1", "he1", "h1b")},
+       |${graphCtes("h1", "he1", "h1b", SampleMod)},
        |hq AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 5),
        |h1ids0 AS (
        |  SELECT q.query_id, ent.vec_id AS node_id

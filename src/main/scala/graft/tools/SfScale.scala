@@ -43,9 +43,16 @@ object SfScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def replicated(df: DataFrame, idCol: String): DataFrame =
+    // Replica ids offset by max(id)+1, NOT a fixed huge constant: the NSW
+    // long links are generated on the id lattice, and a sparse id space
+    // (ids clustered at k·10^7) would silently drop most of them — the
+    // scaled graph would not be the structure the base measurement ran on.
+    // With dense base ids (embeddings are 0..N-1) this keeps replicas dense.
+    def replicated(df: DataFrame, idCol: String): DataFrame = {
+      val offset = df.agg(max(col(idCol))).head().getLong(0) + 1L
       df.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
-        .withColumn(idCol, col(idCol) + col("rep") * 10000000L)
+        .withColumn(idCol, col(idCol) + col("rep") * offset)
+    }
 
     // documents: per-replica token suffix => replicas are unrelated texts
     val docs = spark.read.parquet(s"$base/documents.parquet")

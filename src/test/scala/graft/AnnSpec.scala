@@ -103,6 +103,18 @@ class AnnSpec extends AnyFunSuite {
     val hits = out.count(r => truth(r.getLong(0)).contains(r.getLong(1)))
     val recall = hits.toDouble / 15
     assert(recall >= 0.8, s"clustered-corpus NSW recall $recall (uniform fixture: 0.60)")
+    // The layer-1 ROUTING graph must survive the same clustering: its node
+    // ids live on the SampleMod lattice, so long links generated on raw
+    // ids would mostly target nonexistent nodes and be dropped — quietly
+    // reverting the routing layer to the disconnected pure-k-NN graph.
+    // The idStep parameter exists for this; pin that the sample graph
+    // keeps at least one long-range link per LongLinkParams entry.
+    val mod = graft.operators.Nsw.SampleMod
+    val c1 = corpus.filter(col("vec_id") % mod === 0)
+    val knnOnly = graft.operators.Nsw.edgesOn(c1, 4, 1).count()
+    val withStep = graft.operators.Nsw.edgesOn(c1, 4, mod).count()
+    assert(withStep > knnOnly,
+      s"idStep=$mod added no surviving layer-1 long links ($withStep vs $knnOnly)")
   }
 
   test("HNSW hierarchy: full ranked top-3, self-excluded, layer-1 routing stays on the sample") {

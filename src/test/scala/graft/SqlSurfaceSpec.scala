@@ -75,6 +75,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     sameRows("SELECT * FROM pq_search()", graft.operators.Pq.pqSearch(spark, dir))
     sameRows("SELECT * FROM ivfpq_search()", graft.operators.Ivfpq.ivfpqSearch(spark, dir))
     sameRows("SELECT * FROM nsw_search()", graft.operators.Nsw.nswSearch(spark, dir))
+    sameRows("SELECT * FROM hnsw_search()", graft.operators.Nsw.hnswSearch(spark, dir))
     // the whole recall harness as one SQL table
     sameRows("SELECT * FROM ann_recall()", graft.operators.AnnRecall.annRecall(spark, dir))
   }
