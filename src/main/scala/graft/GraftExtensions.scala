@@ -187,6 +187,12 @@ object GraftExtensions {
         arity(es, "hnsw_search", 0, 0)
         plan(Nsw.hnswSearch)
       }),
+    ("nsw_nnd_search",
+      tvfInfo("nsw_nnd_search", "nsw_nnd_search() - top-3 neighbors per query by beam search over the NN-descent-built graph"),
+      (es: Seq[Expression]) => {
+        arity(es, "nsw_nnd_search", 0, 0)
+        plan(Nsw.nndSearch)
+      }),
     ("ann_recall",
       tvfInfo("ann_recall", "ann_recall() - recall@3 of every approximate ANN method vs brute-force truth"),
       (es: Seq[Expression]) => {

@@ -62,7 +62,8 @@ object AnnRecall {
     Method("ivfpq",
       in => Ivfpq.searchOn(in.e, in.assigned, in.centroids, in.pqCodebooks), "ipranked"),
     Method("nsw", in => Nsw.searchOn(in.spark, in.dir), "nswranked"),
-    Method("hnsw", in => Nsw.hnswSearchOn(in.spark, in.dir), "hnswranked"))
+    Method("hnsw", in => Nsw.hnswSearchOn(in.spark, in.dir), "hnswranked"),
+    Method("nsw_nnd", in => Nsw.nndSearchOn(in.spark, in.dir), "ndranked"))
 
   private[graft] def methodNames: Seq[String] = MethodSpecs.map(_.name)
 
@@ -155,6 +156,7 @@ object AnnRecall {
        |${Similarity.multitableBucketsSql("e", "mtb")},
        |${Nsw.searchCtes("mtb")},
        |${Nsw.hnswCtes("mtb", "nwedges")},
+       |${Nsw.nndCtes},
        |mtq AS (SELECT vec_id AS query_id, t, bucket FROM mtb WHERE vec_id < 5),
        |mtpairs AS (
        |  SELECT DISTINCT mtq.query_id, c.vec_id AS neighbor_id

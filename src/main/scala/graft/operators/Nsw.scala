@@ -47,7 +47,7 @@ import graft.tools.CacheRegistry
   */
 object Nsw {
 
-  private[operators] val Degree = 6
+  private[graft] val Degree = 6
   private[operators] val Beam = 8
   private[operators] val Hops = 3
   private[operators] val Entries = 4
@@ -125,9 +125,18 @@ object Nsw {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Degree)
       .select(col("src"), col("dst"))
-    // n is a driver scalar like the k-means K — the long-link modulus
+    symmetrizeWithLongLinks(e, knn, idStep)
+  }
+
+  /** Affine-formula links `src → (src/idStep · mult + off) mod N · idStep`
+    * for each (mult, off) — the deterministic stand-in for randomness both
+    * the long links and the NN-descent init graph use (identical integer
+    * arithmetic in both engines). Targets that don't exist simply don't
+    * join (dense ids are not assumed). */
+  private def affineLinks(e: DataFrame, params: Seq[(Long, Long)], idStep: Int): DataFrame = {
+    // n is a driver scalar like the k-means K — the link modulus
     val n = e.count()
-    val long = LongLinkParams.map { case (mult, off) =>
+    params.map { case (mult, off) =>
       e.select(col("vec_id").as("src"),
         ((expr(s"vec_id div $idStep") * mult + off) % n * idStep).as("dst"))
     }.reduce(_ unionByName _)
@@ -135,7 +144,13 @@ object Nsw {
       // only keep links whose target exists (ids need not be dense)
       .join(e.select(col("vec_id").as("dst")), Seq("dst"), "left_semi")
       .select(col("src"), col("dst"))
-    val directed = knn.unionByName(long)
+  }
+
+  /** The shared graph-finishing step: add the [[LongLinkParams]]
+    * small-world links, then symmetrize (every edge carries its reverse). */
+  private[operators] def symmetrizeWithLongLinks(
+      e: DataFrame, knn: DataFrame, idStep: Int): DataFrame = {
+    val directed = knn.unionByName(affineLinks(e, LongLinkParams, idStep))
     directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -270,6 +285,90 @@ object Nsw {
       CacheRegistry.sharedTracked(s"nsw-edges:$dir:p$planes")(edgesOn(e, planes)))
   }
 
+  // ------------------------------------------------------------ NN-descent
+
+  private[operators] val NndIters = 5
+
+  /** Working degree during NN-descent rounds. Wider than the final
+    * [[Degree]]: on low-signal corpora a 2-hop candidate pool drawn from
+    * only the best 6 neighbors collapses into local cliques before the
+    * true neighbors are found; keeping 2× the edges through the rounds
+    * preserves exploration diversity, and only the final kept graph is
+    * truncated to [[Degree]]. Candidates stay bounded at (2·BuildDegree)²
+    * per node. */
+  private[operators] val NndBuildDegree = 2 * Degree
+
+  /** Deterministic init links for NN-descent — [[Degree]] affine formulas
+    * (the same shape as [[LongLinkParams]]) give every node up to Degree
+    * pseudo-random starting neighbors. */
+  private[operators] val InitLinkParams: Seq[(Long, Long)] = Seq(
+    (16807L, 3L), (48271L, 11L), (69621L, 29L),
+    (40692L, 7L), (40014L, 17L), (21870L, 5L))
+
+  /** NN-descent k-NN graph build (Dong, Charikar & Li, WWW 2011): start
+    * from the deterministic pseudo-random [[InitLinkParams]] graph, then
+    * [[NndIters]] rounds of "a neighbor of my neighbor is probably my
+    * neighbor" — candidates are the 2-hop pairs of the UNDIRECTED current
+    * graph, scored by exact cosine, top-[[Degree]] kept per node. No LSH
+    * anywhere: the build needs only the graph itself plus id-joins back to
+    * the corpus.
+    *
+    * Scale shape: each round's candidate generation is the edge table
+    * self-joined on the shared middle node — at most (2·Degree)² candidate
+    * pairs per node, INDEPENDENT of corpus size (vs the LSH build's
+    * occupancy-driven O(N²·L/2^planes), which needs the planes dial re-sized
+    * as N grows — [[edgesOn]]). Pair-grade traffic is ids only; vectors
+    * enter once per round via two id-equi-joins for scoring. Each round's
+    * kept graph (N·Degree 16-byte rows) is locally checkpointed — it
+    * appears 6× in the next round's plan, so truncating lineage keeps
+    * analyzer cost linear in rounds instead of exponential (persist alone
+    * does not; see CacheRegistry.checkpointTracked).
+    *
+    * Fixed iteration count (not convergence-tested) keeps the whole build
+    * replayable as [[NndIters]] unrolled SQL CTEs in DuckDB. */
+  private[graft] def nnDescentKnn(e: DataFrame, iters: Int = NndIters): DataFrame = {
+    def topDegree(cand: DataFrame, degree: Int): DataFrame = {
+      val scored = cand
+        .join(e.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
+        .join(e.select(col("vec_id").as("dst"), col("v").as("dv")), Seq("dst"))
+        .select(col("src"), col("dst"),
+          cosineSimilarity(col("sv"), col("dv")).as("cos"))
+      val w = Window.partitionBy(col("src")).orderBy(desc("cos"), col("dst"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= degree)
+        .select(col("src"), col("dst"))
+    }
+    var knn = topDegree(affineLinks(e, InitLinkParams, 1).distinct(), NndBuildDegree)
+    for (i <- 1 to iters) {
+      // checkpoint, not just persist: round i's graph appears 6× in round
+      // i+1's plan, so without plan truncation analyzer cost is
+      // exponential in rounds (see CacheRegistry.checkpointTracked)
+      val k = CacheRegistry.checkpointTracked(knn)
+      val u = CacheRegistry.persistTracked(
+        k.unionByName(k.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct())
+      val cand = u.as("a").join(u.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionByName(u)
+        .distinct()
+      knn = topDegree(cand, if (i == iters) Degree else NndBuildDegree)
+    }
+    knn
+  }
+
+  /** Same beam search as `ann_nsw_search`, over the NN-descent graph
+    * (plus the same long links + symmetrization — navigability is a
+    * property of the finishing step, not the candidate source). */
+  private[operators] def nndSearchOn(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    searchWithEdges(e, CacheRegistry.sharedTracked(s"nnd-edges:$dir")(
+      symmetrizeWithLongLinks(e, nnDescentKnn(e), 1)))
+  }
+
+  def nndSearch(spark: SparkSession, dir: String): DataFrame =
+    nndSearchOn(spark, dir)
+
   // ------------------------------------------------- HNSW-style hierarchy
 
   private[graft] val SampleMod = 8
@@ -310,6 +409,14 @@ object Nsw {
     hnswSearchOn(spark, dir)
 
   // ------------------------------------------------------------- oracle SQL
+  //
+  // Multiply-referenced CTEs (each hop's visited set, each NN-descent
+  // round's kept graph, the finished edge table) are AS MATERIALIZED:
+  // DuckDB inlines plain CTEs per reference, so without it the unrolled
+  // iteration nests multiply out exponentially — the 3-round NN-descent
+  // oracle alone exceeded the process fd limit re-opening the parquet
+  // scan thousands of times. Materialization evaluates each round once,
+  // mirroring the Spark side's per-round persist.
 
   private val cosSql = (a: String, b: String) =>
     s"""list_dot_product($a, $b)
@@ -344,20 +451,72 @@ object Nsw {
        |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
        |    FROM ${p}gs)
        |  WHERE rn <= $Degree),
-       |${p}long AS (
+       |${finishCtes(p, eRel, s"${p}knn", idStep)}""".stripMargin
+
+  /** CTE block (no WITH): [[affineLinks]] as SQL — one UNION ALL arm per
+    * (mult, off) — filtered to existing targets, named `$out`. */
+  private def affineLinkSql(
+      out: String, eRel: String, params: Seq[(Long, Long)], idStep: Int): String =
+    s"""$out AS (
        |  SELECT src, dst FROM (
-       |${LongLinkParams.map { case (mult, off) =>
+       |${params.map { case (mult, off) =>
            s"    SELECT vec_id AS src, (vec_id // $idStep * $mult + $off) % (SELECT count(*) FROM $eRel) * $idStep AS dst FROM $eRel"
          }.mkString("\n    UNION ALL\n")})
-       |  WHERE src <> dst AND dst IN (SELECT vec_id FROM $eRel)),
+       |  WHERE src <> dst AND dst IN (SELECT vec_id FROM $eRel))""".stripMargin
+
+  /** CTE block (no WITH): [[symmetrizeWithLongLinks]] as SQL — long links
+    * over `eRel` + every reverse edge of `knnRel ∪ long` → `${p}edges`. */
+  private def finishCtes(p: String, eRel: String, knnRel: String, idStep: Int): String =
+    s"""${affineLinkSql(s"${p}long", eRel, LongLinkParams, idStep)},
        |${p}directed AS (
-       |  SELECT src, dst FROM ${p}knn
+       |  SELECT src, dst FROM $knnRel
        |  UNION ALL
        |  SELECT src, dst FROM ${p}long),
-       |${p}edges AS (
+       |${p}edges AS MATERIALIZED (
        |  SELECT src, dst FROM ${p}directed
        |  UNION
        |  SELECT dst AS src, src AS dst FROM ${p}directed)""".stripMargin
+
+  /** CTE block (no WITH): [[nnDescentKnn]] + finishing step as SQL over
+    * `eRel(vec_id, v)` → `${p}edges`. Iterations unrolled ([[NndIters]]),
+    * names `$p`-prefixed: `${p}k$i` is round i's kept graph. */
+  private def nnDescentGraphCtes(p: String, eRel: String): String = {
+    def topDegree(candRel: String, i: Int): String = {
+      val degree = if (i == NndIters) Degree else NndBuildDegree
+      s"""${p}s$i AS (
+         |  SELECT c.src, c.dst, ${cosSql("s.v", "d.v")} AS cos
+         |  FROM $candRel c
+         |  JOIN $eRel s ON s.vec_id = c.src
+         |  JOIN $eRel d ON d.vec_id = c.dst),
+         |${p}k$i AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+         |    FROM ${p}s$i)
+         |  WHERE rn <= $degree)""".stripMargin
+    }
+    val init =
+      s"""${affineLinkSql(s"${p}i", eRel, InitLinkParams, 1)},
+         |${p}i0 AS (SELECT DISTINCT src, dst FROM ${p}i),
+         |${topDegree(s"${p}i0", 0)}""".stripMargin
+    val rounds = (1 to NndIters).map { i =>
+      s"""${p}u$i AS MATERIALIZED (
+         |  SELECT src, dst FROM ${p}k${i - 1}
+         |  UNION
+         |  SELECT dst AS src, src AS dst FROM ${p}k${i - 1}),
+         |${p}c$i AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT a.src AS src, b.dst AS dst
+         |    FROM ${p}u$i a JOIN ${p}u$i b ON a.dst = b.src
+         |    WHERE a.src <> b.dst
+         |    UNION ALL
+         |    SELECT src, dst FROM ${p}u$i)),
+         |${topDegree(s"${p}c$i", i)}""".stripMargin
+    }.mkString(",\n")
+    s"""$init,
+       |$rounds,
+       |${finishCtes(p, eRel, s"${p}k$NndIters", 1)}""".stripMargin
+  }
 
   /** CTE block (no WITH): `hops` unrolled beam rounds over `edgesRel` from
     * scored-seed relation `${p}s0` (callers emit `${p}s0` via [[scoreSql]])
@@ -380,11 +539,27 @@ object Nsw {
          |    ON s.query_id = x.query_id AND s.node_id = x.node_id
          |  WHERE s.node_id IS NULL),
          |${scoreSql(s"${p}n$h", s"${p}h$h")},
-         |${p}s$h AS (
+         |${p}s$h AS MATERIALIZED (
          |  SELECT query_id, node_id, cos FROM ${p}s${h - 1}
          |  UNION ALL
          |  SELECT query_id, node_id, cos FROM ${p}h$h)""".stripMargin
     }.mkString(",\n")
+
+  /** CTE block (no WITH): fixed-entry beam search over `edgesRel` →
+    * `$rankedName`. All names `$p`-prefixed. */
+  private def entrySearchCtes(p: String, edgesRel: String, rankedName: String): String =
+    s"""${p}q AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 5),
+       |${p}ids0 AS (
+       |  SELECT q.query_id, ent.vec_id AS node_id
+       |  FROM ${p}q q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < $Entries) ent
+       |  WHERE ent.vec_id <> q.query_id),
+       |${scoreSql(s"${p}ids0", s"${p}s0")},
+       |${beamCtes(p, edgesRel, Hops, Beam)},
+       |$rankedName AS (
+       |  SELECT query_id, node_id AS neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, node_id) AS rank
+       |  FROM ${p}s$Hops)""".stripMargin
 
   /** CTE block (no WITH): flat NSW — graph build + beam from the fixed
     * entries → `nswranked`. Assumes `e(vec_id, v)` and buckets
@@ -392,18 +567,14 @@ object Nsw {
     * `mtb` buckets. All names nw-prefixed. */
   private[operators] def searchCtes(bRel: String): String =
     s"""${graphCtes("nw", "e", bRel)},
-       |nwq AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 5),
-       |nwids0 AS (
-       |  SELECT q.query_id, ent.vec_id AS node_id
-       |  FROM nwq q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < $Entries) ent
-       |  WHERE ent.vec_id <> q.query_id),
-       |${scoreSql("nwids0", "nws0")},
-       |${beamCtes("nw", "nwedges", Hops, Beam)},
-       |nswranked AS (
-       |  SELECT query_id, node_id AS neighbor_id, cos,
-       |         row_number() OVER (PARTITION BY query_id
-       |                            ORDER BY cos DESC, node_id) AS rank
-       |  FROM nws$Hops)""".stripMargin
+       |${entrySearchCtes("nw", "nwedges", "nswranked")}""".stripMargin
+
+  /** CTE block (no WITH): NN-descent graph build (`ng`-prefixed) + beam
+    * (`nd`-prefixed) → `ndranked`. Assumes only `e(vec_id, v)` in scope —
+    * no LSH buckets anywhere in this path. */
+  private[operators] def nndCtes: String =
+    s"""${nnDescentGraphCtes("ng", "e")},
+       |${entrySearchCtes("nd", "ngedges", "ndranked")}""".stripMargin
 
   /** CTE block (no WITH): the 2-layer hierarchy → `hnswranked`. Assumes
     * `e`, full-corpus buckets `bRel`, and the layer-0 edge table
@@ -453,13 +624,22 @@ object Nsw {
        |FROM hnswranked WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  val nndSearchSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$nndCtes
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
+       |FROM ndranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_search" -> nswSearch,
-    "ann_hnsw_search" -> hnswSearch
+    "ann_hnsw_search" -> hnswSearch,
+    "ann_nsw_nnd_search" -> nndSearch
   )
 
   val oracles: Map[String, String] = Map(
     "ann_nsw_search" -> nswSearchSql,
-    "ann_hnsw_search" -> hnswSearchSql
+    "ann_hnsw_search" -> hnswSearchSql,
+    "ann_nsw_nnd_search" -> nndSearchSql
   )
 }

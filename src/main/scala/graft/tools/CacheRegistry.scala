@@ -25,6 +25,21 @@ object CacheRegistry {
     df
   }
 
+  /** Eagerly localCheckpoint `df`, truncating lineage AND the analyzed
+    * plan. persist alone cuts re-execution but leaves the full logical
+    * subtree in every downstream plan, so an iterative builder that feeds
+    * round i's output into round i+1 multiple times (NN-descent references
+    * the kept graph 6× per round) pays analyzer cost exponential in the
+    * round count — 5 rounds was enough to wedge the driver. Checkpointed
+    * blocks live on the executors until the RDD is GC'd (ContextCleaner);
+    * the result is registered so [[release]] stays uniform for callers,
+    * though unpersist on it is a no-op. */
+  def checkpointTracked(df: DataFrame): DataFrame = {
+    val out = df.localCheckpoint(true)
+    tracked.add(out)
+    out
+  }
+
   /** A cache shared ACROSS queries in one suite run, keyed by the caller
     * (e.g. the tokenized dedup corpus per data dir): built and persisted on
     * first use, reused by every later query, untouched by the per-query

@@ -142,6 +142,55 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("NN-descent: rounds improve the k-NN graph over its random init, search clears the floor") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // brute-force truth: each node's true top-Degree cosine neighbors
+    val vecs = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val deg = graft.operators.Nsw.Degree
+    val truth = vecs.map { case (id, v) =>
+      id -> vecs.collect { case (o, w) if o != id => (o, cos(v, w)) }
+        .toSeq.sortBy { case (o, c) => (-c, o) }.take(deg).map(_._1).toSet
+    }
+    def hitRate(edges: Array[(Long, Long)]): Double = {
+      val hits = edges.count { case (s, d) => truth(s).contains(d) }
+      hits.toDouble / (truth.size * deg)
+    }
+    // "a neighbor of my neighbor is probably my neighbor" must actually
+    // buy something: the converged graph recovers a large share of the
+    // true k-NN edges the affine-formula init graph can only hit by luck
+    val init = graft.operators.Nsw.nnDescentKnn(e, 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val converged = graft.operators.Nsw.nnDescentKnn(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (h0, hN) = (hitRate(init), hitRate(converged))
+    assert(hN > h0 + 0.2, s"NN-descent no better than init: $h0 -> $hN")
+    assert(hN >= 0.5, s"converged k-NN graph hit rate $hN")
+    // search over the finished graph: full ranked top-3, self-excluded
+    val out = graft.operators.Nsw.nndSearch(spark, SparkTestSession.Sf0001).collect()
+    assert(out.length === 15) // 5 queries × top-3
+    out.foreach(r => assert(r.getLong(1) !== r.getLong(0), "query returned itself"))
+    out.groupBy(_.getLong(0)).values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L))
+      val cosines = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    // recall floor on the fixture (0.53 measured; SCALING.md) — the
+    // LSH-free build must land in the graph-method band, not the
+    // single-bucket band
+    val r = recallByMethod
+    assert(r("nsw_nnd") > r("lsh_multiprobe"),
+      s"nsw_nnd ${r("nsw_nnd")} vs multiprobe ${r("lsh_multiprobe")}")
+    assert(r("nsw_nnd") >= 0.4, s"nsw_nnd recall ${r("nsw_nnd")}")
+  }
+
   test("NSW edge build: pair-grade exchanges carry ids + one scalar, never vectors") {
     // The bucket join may exchange corpus rows WITH their vector (L rows
     // per vector — bounded by the corpus, not the pair count); once rows
