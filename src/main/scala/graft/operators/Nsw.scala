@@ -387,13 +387,19 @@ object Nsw {
     * near the query's neighborhood after touching O(N/SampleMod) routing
     * nodes, instead of the fixed-entry beam spending its first hops
     * escaping wherever entry 0..3 happen to live. */
-  private[operators] def hnswSearchOn(spark: SparkSession, dir: String): DataFrame = {
+  private[operators] def hnswSearchOn(spark: SparkSession, dir: String): DataFrame =
+    hnswImpl(spark, dir, Similarity.TablePlanes, keyTag = "")
+
+  private def hnswImpl(
+      spark: SparkSession, dir: String, planes: Int, keyTag: String): DataFrame = {
     import spark.implicits._
     val e = vectors(spark, dir)
     val e1 = e.filter(col("vec_id") % SampleMod === 0)
-    val edges1 = CacheRegistry.sharedTracked(s"hnsw-l1:$dir")(
-      edgesOn(e1, Similarity.TablePlanes, SampleMod))
-    val edges0 = CacheRegistry.sharedTracked(s"nsw-edges:$dir")(edgesOn(e))
+    val edges1 = CacheRegistry.sharedTracked(s"hnsw-l1:$dir$keyTag")(
+      edgesOn(e1, planes, SampleMod))
+    // keyTag="" shares the layer-0 graph with ann_nsw_search — built once
+    val edges0 = CacheRegistry.sharedTracked(s"nsw-edges:$dir$keyTag")(
+      edgesOn(e, planes))
     val q = queryFrame(e)
     val qIds = q.select(col("query_id")).as[Long].collect().sorted.toSeq
     // layer-1 entries: the sample members among the first Entries·SampleMod ids
@@ -407,6 +413,14 @@ object Nsw {
 
   def hnswSearch(spark: SparkSession, dir: String): DataFrame =
     hnswSearchOn(spark, dir)
+
+  /** Production-dial variant for scale measurement, as [[nswSearchPlanes]]:
+    * both layers' graph builds bucket with `planes` planes per table. The
+    * same delta holds both layers' bucket occupancy at the fixture's level
+    * — layer 1 is a fixed 1/[[SampleMod]] sample, so its occupancy grows by
+    * the same factor as layer 0's. */
+  def hnswSearchPlanes(spark: SparkSession, dir: String, planes: Int): DataFrame =
+    hnswImpl(spark, dir, planes, keyTag = s":p$planes")
 
   // ------------------------------------------------------------- oracle SQL
   //

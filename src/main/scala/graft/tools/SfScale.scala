@@ -138,6 +138,25 @@ object SfScale {
       val tScaled = runNsw(out, planes)
       println(f"SCALE ${s"ann_nsw_search/p$planes"}%-26s $tBase%8.2f $tScaled%8.2f ${tScaled / tBase}%7.2f")
     }
+    // The 2-layer hierarchy builds TWO pinned-planes graphs (layer 1 over
+    // the 1/8 sample, layer 0 = the NSW graph), so its pinned ratio compounds
+    // the same occupancy growth; the production dial resizes both layers.
+    if (only.forall(_.contains("ann_hnsw_search")) && factor > 1) {
+      val planes = 4 + math.ceil(math.log(factor.toDouble) / math.log(2.0)).toInt
+      def runHnsw(dir: String, p: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Nsw.hnswSearchPlanes(spark, dir, p)
+          .write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        CacheRegistry.release(blocking = true)
+        CacheRegistry.releaseShared(blocking = true)
+        s
+      }
+      runHnsw(base, 4)
+      val tBase = runHnsw(base, 4)
+      val tScaled = runHnsw(out, planes)
+      println(f"SCALE ${s"ann_hnsw_search/p$planes"}%-26s $tBase%8.2f $tScaled%8.2f ${tScaled / tBase}%7.2f")
+    }
     spark.stop()
   }
 }
