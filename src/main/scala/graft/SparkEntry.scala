@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnRecall, Dedup, Enrich, Events, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
+import graft.operators.{AnnRecall, Dedup, Enrich, Events, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -36,6 +36,7 @@ object SparkEntry {
       (IvfKMeans.queries, IvfKMeans.oracles),
       (Pq.queries, Pq.oracles),
       (Ivfpq.queries, Ivfpq.oracles),
+      (Ivfadc.queries, Ivfadc.oracles),
       (Nsw.queries, Nsw.oracles),
       (AnnRecall.queries, AnnRecall.oracles)
     )

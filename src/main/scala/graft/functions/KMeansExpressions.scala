@@ -1,11 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnBridge
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Nearest-centroid assignment — the k-means/IVF hot loop as ONE codegen'd
   * kernel: argmin over k centroids of ‖v−c_k‖², ties → lowest cluster id.
@@ -94,6 +94,74 @@ case class NearestCentroid(child: Expression, ids: Seq[Int], centroids: Seq[Seq[
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
     copy(child = newChild)
+}
+
+/** Coarse-quantizer residual `v − c[cluster]` as one codegen'd kernel —
+  * the IVFADC encode path (Jégou et al., TPAMI 2011 §IV.A quantizes the
+  * RESIDUAL, not the vector). Element-wise IEEE subtraction is exact and
+  * order-free, so the DuckDB replay
+  * (`list_transform(generate_series(1, dim), i -> v[i] - cv[i])`) is
+  * bit-identical by construction. The centroid matrix rides along as a
+  * reference object indexed by cluster id (ids may be sparse after Lloyd
+  * empties a cell, hence the id→row lookup rather than positional access).
+  */
+case class CentroidResidual(left: Expression, right: Expression,
+    ids: Seq[Int], centroids: Seq[Seq[Double]])
+    extends BinaryExpression {
+
+  require(ids.length == centroids.length && ids.nonEmpty)
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  /** id → centroid row; ids are small non-negative ints (≤ initial K). */
+  private lazy val lookup: Array[Array[Double]] = {
+    val t = new Array[Array[Double]](ids.max + 1)
+    ids.zip(centroids).foreach { case (id, c) => t(id) = c.toArray }
+    t
+  }
+
+  override def nullSafeEval(v0: Any, cl0: Any): Any = {
+    val v = v0.asInstanceOf[ArrayData]
+    val c = lookup(cl0.asInstanceOf[Int])
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = v.getDouble(i) - (if (i < c.length) c(i) else 0.0)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, cl) => {
+      val cRef = ctx.addReferenceObj("centroidLookup", lookup, "double[][]")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val c = ctx.freshName("c"); val out = ctx.freshName("out")
+      s"""
+         |int $n = $v.numElements();
+         |double[] $c = $cRef[$cl];
+         |double[] $out = new double[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = $v.getDouble($i) - ($i < $c.length ? $c[$i] : 0.0);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CentroidResidual =
+    copy(left = newLeft, right = newRight)
+}
+
+object CentroidResidual {
+  /** Column API: `v` ARRAY<DOUBLE>, `cluster` INT; pairs are (id, centroid). */
+  def column(v: Column, cluster: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    ColumnBridge.column(CentroidResidual(
+      ColumnBridge.expression(v), ColumnBridge.expression(cluster),
+      sorted.map(_._1), sorted.map(_._2.toSeq)))
+  }
 }
 
 object NearestCentroid {

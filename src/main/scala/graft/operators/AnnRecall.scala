@@ -37,6 +37,8 @@ object AnnRecall {
       spark: SparkSession, dir: String,
       e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])]) {
     lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] = Pq.trainCodebooks(e)
+    lazy val residualCodebooks: Seq[Seq[(Int, Array[Double])]] =
+      Ivfadc.residualCodebooks(assigned, centroids)
   }
 
   /** One approximate ANN method under test: its display name, its Spark
@@ -61,6 +63,8 @@ object AnnRecall {
     Method("pq_adc", in => Pq.searchOn(in.e, in.pqCodebooks), "pqranked"),
     Method("ivfpq",
       in => Ivfpq.searchOn(in.e, in.assigned, in.centroids, in.pqCodebooks), "ipranked"),
+    Method("ivfadc",
+      in => Ivfadc.searchOn(in.e, in.assigned, in.centroids, in.residualCodebooks), "adranked"),
     Method("nsw", in => Nsw.searchOn(in.spark, in.dir), "nswranked"),
     Method("hnsw", in => Nsw.hnswSearchOn(in.spark, in.dir), "hnswranked"),
     Method("nsw_nnd", in => Nsw.nndSearchOn(in.spark, in.dir), "ndranked"))
@@ -153,6 +157,7 @@ object AnnRecall {
        |  FROM npscored),
        |${Pq.recallCtes},
        |${Ivfpq.recallCtes("npq")},
+       |${Ivfadc.recallCtes("npq")},
        |${Similarity.multitableBucketsSql("e", "mtb")},
        |${Nsw.searchCtes("mtb")},
        |${Nsw.hnswCtes("mtb", "nwedges")},

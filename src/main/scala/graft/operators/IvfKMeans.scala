@@ -35,7 +35,7 @@ import graft.functions.OracleParity.pround
 object IvfKMeans {
 
   private val K = 8
-  private val Dim = 64
+  private[operators] val Dim = 64
   private val Iterations = 2
 
   private def dot(a: Column, b: Column): Column = VectorFunctions.dot(a, b)
@@ -95,6 +95,14 @@ object IvfKMeans {
     val e = vectors(spark, dir)
     val centroids = trainCentroids(e)
     (e, assign(e, centroids), centroids)
+  }
+
+  /** Same training over an arbitrary (vec_id, v) frame — lets specs run
+    * the IVF family on synthetic corpora (e.g. the clustered corpus that
+    * demonstrates residual encoding's advantage). */
+  private[graft] def trainedOn(e: DataFrame): (DataFrame, Seq[(Int, Array[Double])]) = {
+    val centroids = trainCentroids(e)
+    (assign(e, centroids), centroids)
   }
 
   /** Train and return the final assignment (vec_id, v, cluster). */
@@ -198,6 +206,10 @@ object IvfKMeans {
        |$out AS (
        |  SELECT cluster, array_agg(m ORDER BY pos) AS cv
        |  FROM ${out}_m GROUP BY cluster)""".stripMargin
+
+  /** Name of the final-centroid CTE inside [[trainingSql]] — composed
+    * operators (IVFADC's residual table, centroid dot terms) join it. */
+  private[operators] val finalCentroidsRel: String = s"c$Iterations"
 
   private[operators] val trainingSql: String = {
     val steps = (1 to Iterations).map { i =>

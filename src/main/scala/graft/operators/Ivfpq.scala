@@ -24,7 +24,7 @@ object Ivfpq {
     searchOn(e, assigned, centroids, Pq.trainCodebooks(e))
   }
 
-  private[operators] def searchOn(
+  private[graft] def searchOn(
       e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
       cbs: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
     // one map-side pass: cluster is already on `assigned`; add the M codes

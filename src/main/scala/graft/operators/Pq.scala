@@ -35,8 +35,8 @@ import graft.functions.OracleParity.pround
   */
 object Pq {
 
-  private val M = 4
-  private val SubDim = 16
+  private[operators] val M = 4
+  private[operators] val SubDim = 16
   private val Codes = 16
   private val Iterations = 1
 
@@ -56,7 +56,7 @@ object Pq {
     * per-subspace groupings produce (identical rows, identical decimal
     * sums). M·Codes·SubDim doubles on the driver — the same legitimate
     * boundary as k-means centroids. */
-  private[operators] def trainCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
+  private[graft] def trainCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
     val init = e.filter(col("vec_id") < Codes).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
     var cbs: Seq[Seq[(Int, Array[Double])]] = (0 until M).map(m =>
@@ -171,43 +171,57 @@ object Pq {
        |  SELECT code, array_agg(mu ORDER BY pos) AS cv
        |  FROM ${out}_m GROUP BY code)""".stripMargin
 
+  /** CTE block (no WITH): subspace training over `src(vec_id, v)`, code
+    * assignments, codebook lookup table, and the per-query ADC lookup
+    * table — the reusable scaffolding shared by plain PQ, IVFPQ, and the
+    * residual-encoded IVFADC. Training-step CTEs are prefixed `tp`; the
+    * four output CTEs are `${op}codes`, `${op}lut`, `${op}q`, `${op}qlut`.
+    * The query CTE always reads raw `e`: IVFADC scores the RAW query
+    * against centroid + residual codewords (q·v̂ = q·c + Σ q_m·r_m), so
+    * qdot uses raw query subvectors even when `src` is the residual
+    * table. */
+  private[operators] def lutCtes(src: String, tp: String, op: String): String = {
+    val perSub = (0 until M).map { m =>
+      val lo = m * SubDim + 1; val hi = (m + 1) * SubDim
+      val steps = (1 to Iterations).map { i =>
+        val prevC = if (i == 1) s"${tp}c${m}_0" else s"${tp}c${m}_${i - 1}"
+        assignSql(s"${tp}s$m", prevC, s"${tp}a${m}_$i") + ",\n" +
+          updateSql(s"${tp}a${m}_$i", s"${tp}c${m}_$i")
+      }.mkString(",\n")
+      s"""${tp}s$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM $src),
+         |${tp}c${m}_0 AS (SELECT CAST(vec_id AS INTEGER) AS code, sv AS cv
+         |             FROM ${tp}s$m WHERE vec_id < $Codes),
+         |$steps,
+         |${assignSql(s"${tp}s$m", s"${tp}c${m}_$Iterations", s"${tp}f$m")}""".stripMargin
+    }.mkString(",\n")
+    val codesUnion = (0 until M)
+      .map(m => s"SELECT vec_id, $m AS m, code FROM ${tp}f$m").mkString("\n  UNION ALL\n  ")
+    val lutUnion = (0 until M)
+      .map(m => s"SELECT $m AS m, code, cv FROM ${tp}c${m}_$Iterations").mkString("\n  UNION ALL\n  ")
+    s"""$perSub,
+       |${op}codes AS (
+       |  $codesUnion),
+       |${op}lut AS (
+       |  SELECT m, code, cv, list_dot_product(cv, cv) AS cnorm2 FROM (
+       |  $lutUnion)),
+       |${op}q AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qnorm
+       |        FROM e WHERE vec_id < 5),
+       |${op}qlut AS (
+       |  SELECT q.query_id, q.qnorm, l.m, l.code,
+       |         list_dot_product(q.qv[(l.m * $SubDim + 1):((l.m + 1) * $SubDim)], l.cv) AS qdot,
+       |         l.cnorm2
+       |  FROM ${op}q q CROSS JOIN ${op}lut l)""".stripMargin
+  }
+
   /** CTE block (no WITH): subspace training, codes, lookup table, ADC
     * scoring → `pqranked`. Assumes `e(vec_id, v)` is in scope — shared
     * with the recall harness's oracle, all names pq-prefixed. */
   private[operators] val recallCtes: String = {
-    val perSub = (0 until M).map { m =>
-      val lo = m * SubDim + 1; val hi = (m + 1) * SubDim
-      val steps = (1 to Iterations).map { i =>
-        val prevC = if (i == 1) s"pc${m}_0" else s"pc${m}_${i - 1}"
-        assignSql(s"ps$m", prevC, s"pa${m}_$i") + ",\n" + updateSql(s"pa${m}_$i", s"pc${m}_$i")
-      }.mkString(",\n")
-      s"""ps$m AS (SELECT vec_id, v[$lo:$hi] AS sv FROM e),
-         |pc${m}_0 AS (SELECT CAST(vec_id AS INTEGER) AS code, sv AS cv
-         |             FROM ps$m WHERE vec_id < $Codes),
-         |$steps,
-         |${assignSql(s"ps$m", s"pc${m}_$Iterations", s"pf$m")}""".stripMargin
-    }.mkString(",\n")
-    val codesUnion = (0 until M)
-      .map(m => s"SELECT vec_id, $m AS m, code FROM pf$m").mkString("\n  UNION ALL\n  ")
-    val lutUnion = (0 until M)
-      .map(m => s"SELECT $m AS m, code, cv FROM pc${m}_$Iterations").mkString("\n  UNION ALL\n  ")
     val qd = (0 until M).map(m => s"max(CASE WHEN ql.m = $m THEN qdot END) AS qd_$m").mkString(",\n         ")
     val cn = (0 until M).map(m => s"max(CASE WHEN ql.m = $m THEN cnorm2 END) AS cn_$m").mkString(",\n         ")
     val qdSum = (0 until M).map(m => s"qd_$m").mkString(" + ")
     val cnSum = (0 until M).map(m => s"cn_$m").mkString(" + ")
-    s"""$perSub,
-       |pqcodes AS (
-       |  $codesUnion),
-       |pqlut AS (
-       |  SELECT m, code, cv, list_dot_product(cv, cv) AS cnorm2 FROM (
-       |  $lutUnion)),
-       |pqq AS (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qnorm
-       |        FROM e WHERE vec_id < 5),
-       |pqqlut AS (
-       |  SELECT q.query_id, q.qnorm, l.m, l.code,
-       |         list_dot_product(q.qv[(l.m * $SubDim + 1):((l.m + 1) * $SubDim)], l.cv) AS qdot,
-       |         l.cnorm2
-       |  FROM pqq q CROSS JOIN pqlut l),
+    s"""${lutCtes("e", "p", "pq")},
        |pqg AS (
        |  SELECT ql.query_id, c.vec_id AS neighbor_id, ql.qnorm,
        |         $qd,
