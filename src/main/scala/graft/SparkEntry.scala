@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnRecall, Dedup, Enrich, Events, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
+import graft.operators.{AnnRecall, Components, Dedup, Enrich, Events, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,6 +27,7 @@ object SparkEntry {
       (Merge.queries, Merge.oracles),
       (Quality.queries, Quality.oracles),
       (Dedup.queries, Dedup.oracles),
+      (Components.queries, Components.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Events.queries, Events.oracles),
       (Enrich.queries, Enrich.oracles),

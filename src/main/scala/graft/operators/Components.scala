@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tools.CacheRegistry
+
+/** Duplicate-CLUSTER resolution — the step after pair generation that every
+  * production dedup pipeline needs and the reference (a per-row pipeline,
+  * no corpus-level dedup: see /root/reference/src/lib/commands/
+  * gatherGames.ts merge-by-id) never had to solve.
+  *
+  * Near-dup detectors emit PAIRS (a ~ b). Deduplication must act on
+  * CLUSTERS: if a~b and b~c, then {a,b,c} is one duplicate family and
+  * exactly one member survives. Pairs → clusters is connected components,
+  * and at 100 TB the component graph does not fit on any driver, so we use
+  * the alternating large-star/small-star algorithm (Kiveris, Lattanzi,
+  * Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+  * and Beyond", SoCC 2014): each round is two bounded shuffles over the
+  * edge set, the edge set only shrinks toward the star fixpoint, and the
+  * round count is O(log² n) worst-case (2–3 rounds on real dup families,
+  * whose diameters are tiny).
+  *
+  * Scale design notes:
+  *   - Per-node minima come from a window `min` partitioned by node — NOT
+  *     `collect_list` of neighbors, so a hub node costs a streaming min,
+  *     not a materialized adjacency array.
+  *   - Each round's output is `localCheckpoint`ed ([[CacheRegistry
+  *     .checkpointTracked]]): round i+1's plan references round i's result
+  *     twice (both star phases), so without truncation the analyzed plan
+  *     grows exponentially in the round count (the NN-descent lesson,
+  *     NOTES.md).
+  *   - Convergence is an exact fixpoint check (count equality + exceptAll
+  *     emptiness on the star edges) — two cheap actions per round on an
+  *     edge set that is already ≤ one row per non-root node by round 2.
+  *
+  * The labels are canonical (component id = min doc_id of the family)
+  * regardless of iteration order, which is what makes the result
+  * hash-checkable against a DuckDB recursive-CTE oracle that computes
+  * reachability a completely different way.
+  */
+object Components {
+
+  private val MaxRounds = 16
+
+  /** Resolve undirected `pairs(a_id, b_id)` into components. Returns one
+    * row per NON-ROOT member: `(u, v)` = (member doc_id, component id),
+    * where the component id is the smallest doc_id in the component. Roots
+    * (the minima themselves) and nodes absent from `pairs` have no row —
+    * callers attach the full population with a left join + coalesce.
+    *
+    * Alternating algorithm, both phases over canonical downward edges
+    * (u > v):
+    *   - large-star(u): link every neighbor LARGER than u to the minimum
+    *     of u's closed neighborhood;
+    *   - small-star(u): link u and every non-minimal smaller neighbor to
+    *     the minimum of u's smaller neighbors.
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val byU = Window.partitionBy("u")
+    var edges = CacheRegistry.checkpointTracked(
+      pairs
+        .select(greatest(col("a_id"), col("b_id")).as("u"),
+          least(col("a_id"), col("b_id")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+    var round = 0
+    var converged = false
+    while (!converged && round < MaxRounds) {
+      // large-star: m = min over the CLOSED neighborhood of u (both edge
+      // directions), every neighbor v > u re-links to m.
+      val bidir = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val ls = bidir
+        .withColumn("m", least(min(col("v")).over(byU), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: edges already point down, m = min of u's smaller
+      // neighbors; u and each non-minimal neighbor re-link to m.
+      val withM = ls.withColumn("m", min(col("v")).over(byU))
+      val ss = withM
+        .select(col("u"), col("m").as("v"))
+        .unionByName(withM
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .distinct()
+      val next = CacheRegistry.checkpointTracked(ss)
+      converged = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $MaxRounds rounds")
+    edges
+  }
+
+  /** Per-document duplicate-cluster membership over the dedup fixture
+    * corpus: `(doc_id, component, csize, keep)`. Edges are the verified
+    * MinHash+LSH near-dup pairs (Jaccard ≥ 0.5, [[Dedup.minhashPairs]]);
+    * `component` is the smallest doc_id reachable through them (the
+    * canonical survivor), `csize` the family size (1 = unique document),
+    * `keep` whether this row IS the survivor. Filtering `keep` yields the
+    * deduplicated corpus; the fixture's every-20th docs chain exact copy +
+    * near-dup into 3-member families, so transitivity is exercised, not
+    * just mirrored pairs.
+    *
+    * Shared across the components queries via [[CacheRegistry
+    * .sharedTracked]] — the at-scale form is one materialized membership
+    * table feeding both the keep-filter and the duplication dashboards. */
+  def membership(spark: SparkSession, dir: String): DataFrame =
+    CacheRegistry.sharedTracked(s"dedup-cc:$dir") {
+      val labels = connectedComponents(
+        Dedup.minhashPairs(spark, dir).select(col("a_id"), col("b_id")))
+        .select(col("u").as("doc_id"), col("v").as("component"))
+      Dedup.corpus(spark, dir)
+        .select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }
+
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame =
+    membership(spark, dir)
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("component")))
+      .withColumn("keep", col("doc_id") === col("component"))
+      .orderBy(col("doc_id"))
+
+  /** The duplication dashboard: how many families of each size — the
+    * number a 100 TB crawl's owners actually watch (csize 1 = unique,
+    * the tail is the crawl's duplication mass). */
+  def dedupComponentSizes(spark: SparkSession, dir: String): DataFrame =
+    membership(spark, dir)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy(col("csize"))
+
+  /** Oracle: reachability by recursive CTE over the same pairs —
+    * min(reachable id) must equal the star roots the alternating
+    * algorithm converges to. */
+  private val membershipCtes: String =
+    s"""${Dedup.minhashPairsCtes},
+       |edges AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION
+       |  SELECT b_id, a_id FROM pairs
+       |),
+       |walk(id, reach) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT w.id, e.v FROM walk w JOIN edges e ON e.u = w.reach
+       |),
+       |labels AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+       |member AS (
+       |  SELECT c.doc_id, coalesce(l.component, c.doc_id) AS component
+       |  FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id
+       |)""".stripMargin
+
+  val dedupComponentsSql: String =
+    s"""WITH RECURSIVE $membershipCtes
+       |SELECT doc_id, component,
+       |       count(*) OVER (PARTITION BY component) AS csize,
+       |       (doc_id = component) AS keep
+       |FROM member
+       |ORDER BY doc_id""".stripMargin
+
+  val dedupComponentSizesSql: String =
+    s"""WITH RECURSIVE $membershipCtes
+       |SELECT csize, count(*) AS n_components FROM (
+       |  SELECT component, count(*) AS csize FROM member GROUP BY component)
+       |GROUP BY csize
+       |ORDER BY csize""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_components" -> dedupComponents,
+    "dedup_component_sizes" -> dedupComponentSizes
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_components" -> dedupComponentsSql,
+    "dedup_component_sizes" -> dedupComponentSizesSql
+  )
+}

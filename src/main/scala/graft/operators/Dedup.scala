@@ -187,7 +187,12 @@ object Dedup {
       |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks FROM corpus)
       |)""".stripMargin
 
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** Verified near-dup pairs (a_id < b_id, Jaccard ≥ 0.5) — the composable
+    * core of `dedup_minhash_lsh`, also consumed by
+    * [[Components.dedupComponents]] as the edge set for duplicate-cluster
+    * resolution. Unordered and unrounded; finishers apply their own
+    * presentation. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
     // The signature set feeds three plan branches (banding + both verify
     // sides): persist it — tracked so the harness unpersists after the
     // action (ADVICE r1: the untracked persist leaked cached blocks across
@@ -202,25 +207,39 @@ object Dedup {
       .withColumn("jacc",
         col("inter").cast("double") / (size(col("sa")) + size(col("sb")) - col("inter")))
       .filter(col("jacc") >= 0.5)
-      .select(col("a_id"), col("b_id"), pround(col("jacc"), 4).as("jaccard"))
-      .orderBy(col("a_id"), col("b_id"))
+      .select(col("a_id"), col("b_id"), col("jacc"))
   }
 
-  val dedupMinhashLshSql: String =
-    s"""WITH $corpusSql,
+  /** DuckDB mirror of [[minhashPairs]]: the full CTE chain ending in
+    * `pairs(a_id, b_id, jacc)`. Shared between the minhash query's oracle
+    * and the connected-components oracle so both engines score the same
+    * edge set. */
+  val minhashPairsCtes: String =
+    s"""$corpusSql,
        |$shingledSql,
-       |${bandedCandidatesSql("sh")}
+       |${bandedCandidatesSql("sh")},
+       |pairs AS (
+       |  SELECT a_id, b_id, jacc FROM (
+       |    SELECT a_id, b_id,
+       |           len(list_intersect(sa.hs, sb.hs))::DOUBLE
+       |             / (len(sa.hs) + len(sb.hs)
+       |                - len(list_intersect(sa.hs, sb.hs))) AS jacc
+       |    FROM cand
+       |    JOIN sh sa ON sa.doc_id = a_id
+       |    JOIN sh sb ON sb.doc_id = b_id)
+       |  WHERE jacc >= 0.5
+       |)""".stripMargin
+
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(spark, dir)
+      .select(col("a_id"), col("b_id"), pround(col("jacc"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $minhashPairsCtes
        |SELECT a_id, b_id,
        |  floor(jacc * 10000 + 0.5) / 10000.0 AS jaccard
-       |FROM (
-       |  SELECT a_id, b_id,
-       |         len(list_intersect(sa.hs, sb.hs))::DOUBLE
-       |           / (len(sa.hs) + len(sb.hs)
-       |              - len(list_intersect(sa.hs, sb.hs))) AS jacc
-       |  FROM cand
-       |  JOIN sh sa ON sa.doc_id = a_id
-       |  JOIN sh sb ON sb.doc_id = b_id)
-       |WHERE jacc >= 0.5
+       |FROM pairs
        |ORDER BY a_id, b_id""".stripMargin
 
   // -------------------------------------------------------------- simhash

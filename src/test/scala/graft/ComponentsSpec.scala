@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Components
+
+/** Duplicate-cluster resolution (large-star/small-star connected
+  * components). The membership/keep semantics on the fixture corpus are
+  * hash-checked by the DuckDB oracle; these tests pin the graph algorithm
+  * itself on shapes the fixture doesn't produce. */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def labels(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Components
+      .connectedComponents(pairs.toDF("a_id", "b_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  /** Brute-force union-find for cross-checking. */
+  private def unionFind(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(x => x -> find(x)).filter(kv => kv._1 != kv._2).toMap
+  }
+
+  test("a path graph resolves transitively to the chain minimum") {
+    // 1-2-3-4-5 as consecutive pairs: one component rooted at 1
+    val got = labels(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert(got === Map(2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+  }
+
+  test("disjoint families stay disjoint; pair order and direction don't matter") {
+    val got = labels(Seq((9L, 7L), (7L, 8L), (20L, 21L), (31L, 30L)))
+    assert(got === Map(8L -> 7L, 9L -> 7L, 21L -> 20L, 31L -> 30L))
+  }
+
+  test("a 64-node path converges within the round budget") {
+    // worst diameter shape for label propagation; the alternating
+    // algorithm contracts it in O(log n) rounds or throws
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = labels(chain)
+    assert(got === (1L to 63L).map(_ -> 0L).toMap)
+  }
+
+  test("matches brute-force union-find on an adversarial random graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2)
+    assert(labels(pairs) === unionFind(pairs))
+  }
+
+  test("self-pairs and duplicate pairs are ignored, not components") {
+    val got = labels(Seq((5L, 5L), (2L, 6L), (6L, 2L), (2L, 6L)))
+    assert(got === Map(6L -> 2L))
+  }
+
+  test("membership keeps exactly one doc per family on the fixture") {
+    val rows = Components.dedupComponents(spark, SparkTestSession.Sf0001).collect()
+    val byComponent = rows.groupBy(_.getLong(1))
+    // every family keeps exactly its minimum member
+    byComponent.foreach { case (comp, members) =>
+      val kept = members.filter(_.getBoolean(3))
+      assert(kept.length === 1, s"component $comp")
+      assert(kept.head.getLong(0) === comp)
+      assert(members.map(_.getLong(0)).min === comp)
+      // csize is consistent across the family
+      assert(members.forall(_.getLong(2) === members.length.toLong))
+    }
+    // the fixture chains exact copy (+100000) and near-dup (+200000) of
+    // every 20th doc through the SAME original: a 3-member family —
+    // cluster resolution, not pair mirroring
+    val triples = byComponent.filter(_._2.length >= 3)
+    assert(triples.nonEmpty)
+    assert(triples.keys.forall(_ % 20 === 0))
+  }
+}
