@@ -75,7 +75,11 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
-    // last clean stdout line — nothing may print after this
+    // The full per-query line goes out first (and verbatim to
+    // BENCH_RESULT.json). The LAST stdout line is a short fixed-size
+    // summary: a tail capture that truncates the long line mid-string
+    // (r6's BENCH_r06.json "parsed": null) still gets valid JSON.
     println(line)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","query_count":${results.size},"error_count":${errors.size},"queries_file":"$outPath"}""")
   }
 }

@@ -101,9 +101,11 @@ final class GameService(
     * run as a separate `isEmpty` action: an all-null sentinel row is
     * unioned in iff the target embedding exists (a data row always
     * carries a universeId, so the sentinel is unambiguous), making each
-    * request exactly one Spark job. Data rows arrive before the sentinel
-    * (UnionExec concatenates children in order) and the top-k side is
-    * already sorted, so no driver-side re-sort is needed. */
+    * request exactly one Spark job. The top-k child computes the right
+    * ROWS; their arrival order through the union is a physical-plan detail
+    * (TakeOrderedAndProject + UnionExec child order) no contract
+    * guarantees, so the ≤100 collected data rows are re-sorted driver-side
+    * — negligible cost, robust to AQE re-planning. */
   def similarSearch(universeId: String, limit: Option[String]): String =
     universeId.toLongOption match {
       case None => fail("Invalid universe ID")
@@ -118,7 +120,12 @@ final class GameService(
         val rows = out.unionByName(sentinel).collect()
         val (marks, data) = rows.partition(_.isNullAt(0))
         if (marks.isEmpty) fail(s"No embeddings found for game with universeId $id")
-        else ok(JArray(data.toList.map(rowToJson)))
+        else {
+          val simIdx = out.schema.fieldIndex("similarity")
+          val idIdx = out.schema.fieldIndex("universeId")
+          val sorted = data.sortBy(r => (-r.getDouble(simIdx), r.getLong(idIdx)))
+          ok(JArray(sorted.toList.map(rowToJson)))
+        }
     }
 
   /** GET /stats — A2 completeness counters with the reference's exact keys

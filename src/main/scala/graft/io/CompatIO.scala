@@ -66,6 +66,7 @@ object CompatIO {
     val serConf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val schema = games.schema
+    val wrote = spark.sparkContext.longAccumulator("graft.gamesJsonWrites")
     games.orderBy(col("universeId"))
       .coalesce(1)
       .mapPartitions { rows =>
@@ -75,27 +76,37 @@ object CompatIO {
       }
       .foreachPartition { (docs: Iterator[String]) =>
         docs.foreach { doc =>
-          import org.apache.hadoop.fs.Path
-          val target = new Path(path)
-          val fs = target.getFileSystem(serConf.value)
-          val tmp = new Path(path + ".inprogress")
-          val os = fs.create(tmp, true)
-          try os.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally os.close()
-          if (fs.exists(target)) fs.delete(target, false)
-          require(fs.rename(tmp, target), s"rename to $path failed")
+          writeFileAtomic(serConf.value, path, doc)
+          wrote.add(1L)
         }
       }
-    // an EMPTY frame can arrive with zero partitions, so no executor ever
-    // writes; the reference still writes "[]" (JSON.stringify of an empty
-    // list) — cover that case driver-side
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(serConf.value)
-    if (!fs.exists(target)) {
-      val os = fs.create(target, true)
-      try os.write("[]".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally os.close()
-    }
+    // an EMPTY frame can arrive with ZERO partitions, so no executor ever
+    // runs; the reference's JSON.stringify write still replaces the target
+    // with "[]" — so overwrite unconditionally driver-side (not just when
+    // the target is missing: a stale previous games.json must not survive
+    // an empty write)
+    if (wrote.value == 0L)
+      writeFileAtomic(spark.sessionState.newHadoopConf(), path, "[]")
+  }
+
+  /** Single-file commit safe under task retry / speculation: the tmp name
+    * is unique per task attempt (two attempts never race on one file) and
+    * promotion is rename-with-overwrite (`FileContext` exposes the
+    * OVERWRITE flavor `FileSystem.rename` hides), so readers never observe
+    * the target missing between a delete and a rename. */
+  private def writeFileAtomic(conf: org.apache.hadoop.conf.Configuration,
+                              path: String, doc: String): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val fs = new Path(path).getFileSystem(conf)
+    val target = fs.makeQualified(new Path(path))
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(_.taskAttemptId).getOrElse(-1L)
+    val tmp = fs.makeQualified(new Path(s"$path.inprogress-$attempt"))
+    val os = fs.create(tmp, true)
+    try os.write(doc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    FileContext.getFileContext(target.toUri, conf)
+      .rename(tmp, target, Options.Rename.OVERWRITE)
   }
 
   /** One Game as `JSON.stringify(game, null, 4)` renders it at array depth

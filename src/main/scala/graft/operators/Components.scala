@@ -139,6 +139,21 @@ object Components {
       .agg(count(lit(1)).as("n_components"))
       .orderBy(col("csize"))
 
+  /** The deliverable of the dedup pipeline: the corpus with every
+    * non-survivor dropped — one row per duplicate family (its minimum
+    * doc_id), full document payload carried through. A left-semi join
+    * against the survivor ids (no payload duplication, no column
+    * collision), riding the same shared membership cache as the dashboard
+    * queries; at 100 TB this is corpus ⋉ membership[keep] — one shuffle
+    * on the 8-byte id, payload moved once. */
+  def dedupCorpusClean(spark: SparkSession, dir: String): DataFrame =
+    Dedup.corpus(spark, dir)
+      .join(
+        membership(spark, dir).filter(col("doc_id") === col("component"))
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .orderBy(col("doc_id"))
+
   /** Oracle: reachability by recursive CTE over the same pairs —
     * min(reachable id) must equal the star roots the alternating
     * algorithm converges to. */
@@ -175,13 +190,22 @@ object Components {
        |GROUP BY csize
        |ORDER BY csize""".stripMargin
 
+  val dedupCorpusCleanSql: String =
+    s"""WITH RECURSIVE $membershipCtes
+       |SELECT c.doc_id, c.text, c.lang, c.source
+       |FROM corpus c
+       |JOIN member m ON m.doc_id = c.doc_id AND m.doc_id = m.component
+       |ORDER BY c.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> dedupComponents,
-    "dedup_component_sizes" -> dedupComponentSizes
+    "dedup_component_sizes" -> dedupComponentSizes,
+    "dedup_corpus_clean" -> dedupCorpusClean
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
-    "dedup_component_sizes" -> dedupComponentSizesSql
+    "dedup_component_sizes" -> dedupComponentSizesSql,
+    "dedup_corpus_clean" -> dedupCorpusCleanSql
   )
 }

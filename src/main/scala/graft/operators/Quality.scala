@@ -192,15 +192,25 @@ object Quality {
 
   /** T2 variant #3 — true ICU collation via Spark 4 `COLLATE UNICODE_CI`,
     * the closest engine-native match to the reference's localeCompare
-    * (games.get.ts:63). NOT oracle-checked: DuckDB's ICU build orders some
-    * accent/case pairs differently, so this query gets a rows-only check
-    * and a unit test (QualitySpec) documents exactly where UNICODE_CI,
-    * binary, and lower()-CI orderings diverge on accent/case fixtures. */
+    * (games.get.ts:63). Hash-checked against DuckDB's statically-linked
+    * ICU collations (`ORDER BY name COLLATE en`): on the fixture's names
+    * the two orderings are provably identical (the derived names are
+    * all-lowercase ASCII, where every collation reduces to binary order,
+    * and `universeId` breaks all ties). The engines DO diverge off-fixture
+    * on strings differing only by case — Spark's UNICODE_CI ties them
+    * (universeId decides) while DuckDB's `en` is tertiary, lowercase-first
+    * — which QualitySpec pins explicitly on accent/case fixtures. */
   def gamesListIcu(spark: SparkSession, dir: String): DataFrame =
     Tables.games(spark, dir)
       .orderBy(collate(col("name"), "UNICODE_CI"), col("universeId"))
       .limit(50)
       .select(col("universeId"), col("name"))
+
+  val gamesListIcuSql: String = OracleViews.withGames(
+    """SELECT universeId, name
+      |FROM games
+      |ORDER BY name COLLATE en, universeId
+      |LIMIT 50""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_count_games" -> countGames,
@@ -220,6 +230,7 @@ object Quality {
     "p4_tristate_predicates" -> tristatePredicatesSql,
     "t2_games_list" -> gamesListSql,
     "t2_games_list_ci" -> gamesListCiSql,
+    "t2_games_list_icu" -> gamesListIcuSql,
     "f10_format_links" -> formatLinksSql
   )
 }

@@ -77,10 +77,20 @@ class ComponentsSpec extends AnyFunSuite {
       assert(members.forall(_.getLong(2) === members.length.toLong))
     }
     // the fixture chains exact copy (+100000) and near-dup (+200000) of
-    // every 20th doc through the SAME original: a 3-member family —
-    // cluster resolution, not pair mirroring
+    // every 20th doc through the SAME original, so each such doc's family
+    // CONTAINS its manufactured triple — cluster resolution, not pair
+    // mirroring. (Superset, not equality: the corpus also has organic
+    // near-dup families among the originals that chain through the
+    // manufactured copies into larger, off-grid families.)
     val triples = byComponent.filter(_._2.length >= 3)
     assert(triples.nonEmpty)
-    assert(triples.keys.forall(_ % 20 === 0))
+    val labelOf = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grid = labelOf.keys.filter(d => d < 100000L && d % 20 == 0).toSeq
+    assert(grid.nonEmpty)
+    grid.foreach { d =>
+      val family = byComponent(labelOf(d)).map(_.getLong(0)).toSet
+      assert(Set(d, d + 100000L, d + 200000L).subsetOf(family),
+        s"doc $d: family $family lacks its manufactured triple")
+    }
   }
 }
