@@ -211,16 +211,23 @@ object IvfKMeans {
     * operators (IVFADC's residual table, centroid dot terms) join it. */
   private[operators] val finalCentroidsRel: String = s"c$Iterations"
 
-  private[operators] val trainingSql: String = {
+  /** The plain-corpus `e` CTE every oracle shares; [[trainingSqlFrom]]
+    * lets the recall harness swap in a derived corpus (e.g. clustered). */
+  private[operators] val DefaultESql: String =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  private[operators] def trainingSqlFrom(eDef: String): String = {
     val steps = (1 to Iterations).map { i =>
       val prevC = if (i == 1) "c0" else s"c${i - 1}"
       assignSql("e", prevC, s"a$i") + ",\n" + updateSql(s"a$i", s"c$i")
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""$eDef,
        |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cluster, v AS cv FROM e WHERE vec_id < $K),
        |$steps,
        |${assignSql("e", s"c$Iterations", "afinal")}""".stripMargin
   }
+
+  private[operators] val trainingSql: String = trainingSqlFrom(DefaultESql)
 
   val kmeansCellsSql: String =
     s"""WITH $trainingSql

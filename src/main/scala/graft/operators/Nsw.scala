@@ -161,10 +161,14 @@ object Nsw {
     * build (keyed by data dir) serves the standalone query AND the recall
     * harness — the at-scale form is a materialized edge table every search
     * batch reads, exactly like the dedup family's shared token corpus. */
-  private[operators] def searchOn(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    searchWithEdges(e, CacheRegistry.sharedTracked(s"nsw-edges:$dir")(edgesOn(e)))
-  }
+  private[operators] def searchOn(spark: SparkSession, dir: String): DataFrame =
+    searchOnFrame(vectors(spark, dir), s"nsw-edges:$dir")
+
+  /** Same search over an arbitrary `(vec_id, v)` corpus; `cacheKey` names
+    * the shared edge-table build (pass the dir-keyed name to share with
+    * the standalone query, a distinct one for synthetic corpora). */
+  private[operators] def searchOnFrame(e: DataFrame, cacheKey: String): DataFrame =
+    searchWithEdges(e, CacheRegistry.sharedTracked(cacheKey)(edgesOn(e)))
 
   /** The beam state (visited scores + frontier) lives on the DRIVER: it is
     * Q · (Entries + Hops·Beam·degree) rows — bounded by the search dials,
@@ -180,7 +184,11 @@ object Nsw {
     * all near-empty-stage scheduling overhead; the driver loop runs the
     * same deterministic expansion in ~2 small jobs per hop. At 100 TB,
     * bucket the corpus by vec_id so each hop's candidate fetch prunes
-    * instead of scanning.
+    * instead of scanning. The 6.7 s figure is the Q=5 price of that
+    * formulation's fixed per-hop scheduling — which AMORTIZES over the
+    * query batch: for all-corpus batches the DataFrame-frontier variant
+    * [[bulkSearchWithEdges]] (`ann_nsw_bulk`) wins, and is the shape to
+    * reach for whenever Q is corpus-sized rather than request-sized.
     */
   private[graft] def searchWithEdges(e: DataFrame, edges: DataFrame): DataFrame = {
     val spark = e.sparkSession
@@ -277,6 +285,61 @@ object Nsw {
   def nswSearch(spark: SparkSession, dir: String): DataFrame =
     searchOn(spark, dir)
 
+  // --------------------------------------------------- bulk (all-corpus)
+
+  /** BULK beam search: every corpus node is a query — "top-k neighbors
+    * for the whole corpus", the shape a training-data pipeline actually
+    * runs (near-dup scoring, diversity sampling), where the per-batch
+    * loop's driver-held beam state (O(Q·beam·degree), fine at Q=5, wrong
+    * at Q=10⁵ — [[searchWithEdges]]) must not exist. Here the ENTIRE
+    * frontier state lives in a DataFrame keyed by query_id: each hop is
+    * (1) per-query top-[[Beam]] of the visited set (one window), (2) an
+    * id-equi-join against the edge table, (3) an anti-join against
+    * visited, (4) vector join-back scoring — all partitioned by query_id,
+    * none driver-held, so N queries cost the same number of JOBS as 5
+    * queries (per-hop scheduling amortizes across the whole batch — the
+    * crossover the round-6 measurement priced at 6.7 s of near-empty
+    * stages for Q=5 flips in bulk's favor as Q grows). Per-hop
+    * `localCheckpoint` keeps the unrolled plan linear in hops, as in the
+    * NN-descent build. Identical expansion/tie-break semantics to the
+    * per-batch loop, replayed in DuckDB by the same unrolled CTEs with the
+    * query set widened to the full corpus. */
+  private[graft] def bulkSearchWithEdges(e: DataFrame, edges: DataFrame): DataFrame = {
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def score(ids: DataFrame): DataFrame =
+      ids.join(e.select(col("vec_id").as("node_id"), col("v").as("nv")), Seq("node_id"))
+        .join(q, Seq("query_id"))
+        .select(col("query_id"), col("node_id"),
+          cosineSimilarity(col("nv"), col("qv")).as("cos"))
+    val seeds = q.select(col("query_id"))
+      .crossJoin(e.filter(col("vec_id") < Entries).select(col("vec_id").as("node_id")))
+      .filter(col("node_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("node_id"))
+    var visited = CacheRegistry.checkpointTracked(score(seeds))
+    for (_ <- 1 to Hops) {
+      val frontier = visited.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= Beam).select(col("query_id"), col("node_id"))
+      val fresh = frontier
+        .join(edges, col("node_id") === col("src"))
+        .filter(col("dst") =!= col("query_id"))
+        .select(col("query_id"), col("dst").as("node_id"))
+        .distinct()
+        .join(visited.select(col("query_id"), col("node_id")),
+          Seq("query_id", "node_id"), "left_anti")
+      visited = CacheRegistry.checkpointTracked(visited.unionByName(score(fresh)))
+    }
+    visited.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("node_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), pround(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  def bulkSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    bulkSearchWithEdges(e, CacheRegistry.sharedTracked(s"nsw-edges:$dir")(edgesOn(e)))
+  }
+
   /** Production-dial variant for scale measurement: identical search over
     * a graph whose candidate buckets use `planes` planes per table. */
   def nswSearchPlanes(spark: SparkSession, dir: String, planes: Int): DataFrame = {
@@ -360,11 +423,12 @@ object Nsw {
   /** Same beam search as `ann_nsw_search`, over the NN-descent graph
     * (plus the same long links + symmetrization — navigability is a
     * property of the finishing step, not the candidate source). */
-  private[operators] def nndSearchOn(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    searchWithEdges(e, CacheRegistry.sharedTracked(s"nnd-edges:$dir")(
+  private[operators] def nndSearchOn(spark: SparkSession, dir: String): DataFrame =
+    nndSearchOnFrame(vectors(spark, dir), s"nnd-edges:$dir")
+
+  private[operators] def nndSearchOnFrame(e: DataFrame, cacheKey: String): DataFrame =
+    searchWithEdges(e, CacheRegistry.sharedTracked(cacheKey)(
       symmetrizeWithLongLinks(e, nnDescentKnn(e), 1)))
-  }
 
   def nndSearch(spark: SparkSession, dir: String): DataFrame =
     nndSearchOn(spark, dir)
@@ -391,14 +455,21 @@ object Nsw {
     hnswImpl(spark, dir, Similarity.TablePlanes, keyTag = "")
 
   private def hnswImpl(
-      spark: SparkSession, dir: String, planes: Int, keyTag: String): DataFrame = {
+      spark: SparkSession, dir: String, planes: Int, keyTag: String): DataFrame =
+    hnswOnFrame(vectors(spark, dir), planes,
+      l1Key = s"hnsw-l1:$dir$keyTag", l0Key = s"nsw-edges:$dir$keyTag")
+
+  /** The 2-layer search over an arbitrary `(vec_id, v)` corpus; the cache
+    * keys name the two edge-table builds (layer 0's dir-keyed default is
+    * shared with `ann_nsw_search` — built once for both). */
+  private[operators] def hnswOnFrame(
+      e: DataFrame, planes: Int, l1Key: String, l0Key: String): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val e = vectors(spark, dir)
     val e1 = e.filter(col("vec_id") % SampleMod === 0)
-    val edges1 = CacheRegistry.sharedTracked(s"hnsw-l1:$dir$keyTag")(
+    val edges1 = CacheRegistry.sharedTracked(l1Key)(
       edgesOn(e1, planes, SampleMod))
-    // keyTag="" shares the layer-0 graph with ann_nsw_search — built once
-    val edges0 = CacheRegistry.sharedTracked(s"nsw-edges:$dir$keyTag")(
+    val edges0 = CacheRegistry.sharedTracked(l0Key)(
       edgesOn(e, planes))
     val q = queryFrame(e)
     val qIds = q.select(col("query_id")).as[Long].collect().sorted.toSeq
@@ -561,8 +632,9 @@ object Nsw {
 
   /** CTE block (no WITH): fixed-entry beam search over `edgesRel` →
     * `$rankedName`. All names `$p`-prefixed. */
-  private def entrySearchCtes(p: String, edgesRel: String, rankedName: String): String =
-    s"""${p}q AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 5),
+  private def entrySearchCtes(p: String, edgesRel: String, rankedName: String,
+                              queryPred: String = "vec_id < 5"): String =
+    s"""${p}q AS (SELECT vec_id AS query_id FROM e WHERE $queryPred),
        |${p}ids0 AS (
        |  SELECT q.query_id, ent.vec_id AS node_id
        |  FROM ${p}q q CROSS JOIN (SELECT vec_id FROM e WHERE vec_id < $Entries) ent
@@ -645,15 +717,29 @@ object Nsw {
        |FROM ndranked WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Bulk oracle: the SAME graph build and unrolled beam rounds, with the
+    * query set widened from `vec_id < 5` to the whole corpus — the CTE
+    * machinery is shared, only the predicate differs. */
+  val bulkSearchSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${Similarity.multitableBucketsSql("e", "nwb")},
+       |${graphCtes("nw", "e", "nwb")},
+       |${entrySearchCtes("bk", "nwedges", "bkranked", queryPred = "TRUE")}
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
+       |FROM bkranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_search" -> nswSearch,
     "ann_hnsw_search" -> hnswSearch,
-    "ann_nsw_nnd_search" -> nndSearch
+    "ann_nsw_nnd_search" -> nndSearch,
+    "ann_nsw_bulk" -> bulkSearch
   )
 
   val oracles: Map[String, String] = Map(
     "ann_nsw_search" -> nswSearchSql,
     "ann_hnsw_search" -> hnswSearchSql,
-    "ann_nsw_nnd_search" -> nndSearchSql
+    "ann_nsw_nnd_search" -> nndSearchSql,
+    "ann_nsw_bulk" -> bulkSearchSql
   )
 }

@@ -128,6 +128,23 @@ object Similarity {
   def annBruteForce(spark: SparkSession, dir: String): DataFrame =
     annBruteForceK(spark, dir, 5)
 
+  /** Exact ground truth over an arbitrary `(vec_id, v)` corpus — feeds the
+    * clustered-corpus recall harness. */
+  private[operators] def annBruteForceKOn(e: DataFrame, k: Int): DataFrame = {
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val candidates = e.select(col("vec_id").as("neighbor_id"), col("v").as("nv"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
+    candidates.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosineSimilarity(col("nv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
+        pround(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private[operators] def annBruteForceK(spark: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.filter(col("vec_id") < 5)
@@ -200,9 +217,13 @@ object Similarity {
     * bucket (expected 1/256 of the corpus), then exact cosine top-k.
     * Approximate by construction — recall trades against the scan fraction
     * via NumPlanes — but fully deterministic, so oracle-checkable. */
-  def annLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  def annLshBuckets(spark: SparkSession, dir: String): DataFrame =
+    annLshBucketsOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+
+  /** Same search over an arbitrary `(vec_id, v)` corpus — the recall
+    * harness runs it on the clustered demonstration corpus too. */
+  private[operators] def annLshBucketsOn(e: DataFrame): DataFrame = {
     val b = e.withColumn("bucket", hyperplaneBucket(col("v"), NumPlanes))
     val q = b.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("bucket"))
@@ -259,9 +280,11 @@ object Similarity {
     * exchanges carry either bare id pairs or one corpus row per vector —
     * never a per-candidate vector payload — and the 5-row query-vector
     * side is broadcast LAST, so no exchange ever carries qv. */
-  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    annLshMultiprobeOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+
+  private[operators] def annLshMultiprobeOn(e: DataFrame): DataFrame = {
     val b = e.withColumn("bucket", hyperplaneBucket(col("v"), NumPlanes))
     val probes = array(col("bucket") +:
       (0 until NumPlanes).map(j => col("bucket").bitwiseXOR(lit(1 << j))): _*)
@@ -335,9 +358,11 @@ object Similarity {
     * (documented in SCALING.md); on clustered real-world embeddings the
     * same construction concentrates much faster. All integer-arithmetic
     * planes, so the DuckDB oracle replays every table bit-for-bit. */
-  def annLshMultitable(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  def annLshMultitable(spark: SparkSession, dir: String): DataFrame =
+    annLshMultitableOn(Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")))
+
+  private[operators] def annLshMultitableOn(e: DataFrame): DataFrame = {
     val tb = array(TableMults.zipWithIndex.map { case (m, t) =>
       struct(lit(t).as("t"), hyperplaneBucketT(col("v"), m, TablePlanes).as("bucket"))
     }: _*)

@@ -275,6 +275,45 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered-corpus harness: the recall ordering flips with corpus geometry") {
+    import graft.operators.AnnRecall
+    // The oracle-checked form of the per-corpus claim (SCALING.md): on the
+    // derived clustered corpus residual encoding beats raw-PQ composition
+    // (centers carry the energy, so IVFADC's code budget quantizes the
+    // small residual ball finely while IVFPQ wastes it re-encoding
+    // centers), and graph search + trained IVF saturate.
+    val rows = AnnRecall.annRecallClustered(spark, SparkTestSession.Sf0001).collect()
+    val r = rows.groupBy(_.getString(0)).map { case (m, rs) =>
+      m -> rs.map(_.getDouble(3)).sum / rs.length
+    }
+    assert(r.keySet === AnnRecall.clusteredMethodNames.toSet)
+    assert(r("ivfadc") > r("ivfpq"),
+      s"ivfadc ${r("ivfadc")} should beat ivfpq ${r("ivfpq")} on the clustered corpus")
+    assert(r("nsw") >= 0.8, s"nsw clustered recall ${r("nsw")}")
+    assert(r("ivf_nprobe") >= 0.8, s"ivf_nprobe clustered recall ${r("ivf_nprobe")}")
+    // and the uniform fixture does NOT show the ivfadc advantage — the
+    // flip is real, not a harness artifact
+    assert(recallByMethod("ivfadc") <= recallByMethod("ivfpq"))
+  }
+
+  test("bulk all-corpus search agrees with the per-batch loop on the shared query set") {
+    import org.apache.spark.sql.functions.col
+    // Same graph, same entries, same expansion and tie-break semantics —
+    // only the frontier-state location differs (DataFrame keyed by
+    // query_id vs driver map). The first 5 queries must come out
+    // identical, and every corpus node must report a full ranked top-3.
+    val bulk = graft.operators.Nsw.bulkSearch(spark, SparkTestSession.Sf0001)
+    val sharedBulk = bulk.filter(col("query_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    val batch = graft.operators.Nsw.nswSearch(spark, SparkTestSession.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(sharedBulk === batch)
+    val all = bulk.collect()
+    val n = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001).count()
+    assert(all.length === 3 * n, "every corpus node reports a full top-3")
+    all.foreach(r => assert(r.getLong(1) !== r.getLong(0), "query returned itself"))
+  }
+
   test("recall harness is single-sourced: union, grid, and oracle all derive from MethodSpecs") {
     import graft.operators.AnnRecall
     // The Spark union and the method × query grid are built from the same
