@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 import graft.functions.{CosineSimilarity, HashedWordNGrams, HashedWords60, SimHash60, SortedLongIntersectCount}
 import graft.io.Tables
-import graft.operators.{AnnRecall, Dedup, Ivfpq, Nsw, Pq, Quality, Similarity, TextSearch}
+import graft.operators.{AnnRecall, Components, Dedup, Ivfpq, Nsw, Pq, Quality, Similarity, TextSearch}
 
 /** SQL surface for the engine: custom Catalyst expressions
   * (`SELECT cosine_similarity(a, b) ...`) AND whole operators as table
@@ -198,6 +198,24 @@ object GraftExtensions {
       (es: Seq[Expression]) => {
         arity(es, "ann_recall", 0, 0)
         plan(AnnRecall.annRecall)
+      }),
+    ("ann_recall_clustered",
+      tvfInfo("ann_recall_clustered", "ann_recall_clustered() - recall@3 on the derived clustered corpus (regime flip)"),
+      (es: Seq[Expression]) => {
+        arity(es, "ann_recall_clustered", 0, 0)
+        plan(AnnRecall.annRecallClustered)
+      }),
+    ("nsw_bulk_search",
+      tvfInfo("nsw_bulk_search", "nsw_bulk_search() - top-3 NSW neighbors for EVERY corpus node (DataFrame-frontier bulk search)"),
+      (es: Seq[Expression]) => {
+        arity(es, "nsw_bulk_search", 0, 0)
+        plan(Nsw.bulkSearch)
+      }),
+    ("dedup_corpus_clean",
+      tvfInfo("dedup_corpus_clean", "dedup_corpus_clean() - the deduplicated corpus: one surviving document per duplicate family"),
+      (es: Seq[Expression]) => {
+        arity(es, "dedup_corpus_clean", 0, 0)
+        plan(Components.dedupCorpusClean)
       })
   )
 

@@ -96,7 +96,16 @@ object Nsw {
     * planes ≈ log2(N·L / target_candidates_per_node); the SfScale ×10 run
     * measures both the fixture-pinned dial and this resized one
     * (SCALING.md). The oracle-checked query pins planes=[[Similarity.TablePlanes]]. */
-  private[graft] def edgesOn(e: DataFrame, planes: Int, idStep: Int = 1): DataFrame = {
+  private[graft] def edgesOn(e: DataFrame, planes: Int, idStep: Int = 1): DataFrame =
+    symmetrizeWithLongLinks(e, knnEdgesOn(e, planes), idStep)
+
+  private[graft] def knnEdgesOn(e: DataFrame): DataFrame =
+    knnEdgesOn(e, Similarity.TablePlanes)
+
+  /** The directed k-NN half of the build (before the finishing overlay) —
+    * also the state [[graft.streaming.StreamingNswIndex]] maintains
+    * incrementally. */
+  private[graft] def knnEdgesOn(e: DataFrame, planes: Int): DataFrame = {
     // all 4 tables' buckets in one codegen kernel pass per vector
     val tb = graft.functions.VectorFunctions.hyperplaneBucketsT(
       col("v"), Similarity.TableMults, planes)
@@ -118,14 +127,13 @@ object Nsw {
     // the top Degree distinct dsts — the tiny post-cut dedup + re-rank is
     // provably equivalent to the oracle's distinct-then-rank.
     val w = Window.partitionBy(col("src")).orderBy(desc("cos"), col("dst"))
-    val knn = scored.withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Degree * Similarity.TableMults.length)
       .select(col("src"), col("dst"), col("cos"))
       .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Degree)
       .select(col("src"), col("dst"))
-    symmetrizeWithLongLinks(e, knn, idStep)
   }
 
   /** Affine-formula links `src → (src/idStep · mult + off) mod N · idStep`
@@ -148,7 +156,7 @@ object Nsw {
 
   /** The shared graph-finishing step: add the [[LongLinkParams]]
     * small-world links, then symmetrize (every edge carries its reverse). */
-  private[operators] def symmetrizeWithLongLinks(
+  private[graft] def symmetrizeWithLongLinks(
       e: DataFrame, knn: DataFrame, idStep: Int): DataFrame = {
     val directed = knn.unionByName(affineLinks(e, LongLinkParams, idStep))
     directed
@@ -305,7 +313,23 @@ object Nsw {
     * per-batch loop, replayed in DuckDB by the same unrolled CTEs with the
     * query set widened to the full corpus. */
   private[graft] def bulkSearchWithEdges(e: DataFrame, edges: DataFrame): DataFrame = {
-    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val visited = bulkVisited(e, edges,
+      e.select(col("vec_id").as("query_id"), col("v").as("qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("node_id"))
+    visited.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("node_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), pround(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The DataFrame-frontier beam core: visited `(query_id, node_id, cos)`
+    * for an arbitrary query frame `q(query_id, qv)` — the query vectors
+    * need NOT be corpus members (streaming insertion searches the current
+    * graph for vectors that are about to join it). Seeds are the fixed
+    * entry nodes of `e`. */
+  private[graft] def bulkVisited(e: DataFrame, edges: DataFrame, q: DataFrame,
+      hops: Int = Hops, beam: Int = Beam): DataFrame = {
     def score(ids: DataFrame): DataFrame =
       ids.join(e.select(col("vec_id").as("node_id"), col("v").as("nv")), Seq("node_id"))
         .join(q, Seq("query_id"))
@@ -316,9 +340,9 @@ object Nsw {
       .filter(col("node_id") =!= col("query_id"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("node_id"))
     var visited = CacheRegistry.checkpointTracked(score(seeds))
-    for (_ <- 1 to Hops) {
+    for (_ <- 1 to hops) {
       val frontier = visited.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= Beam).select(col("query_id"), col("node_id"))
+        .filter(col("rn") <= beam).select(col("query_id"), col("node_id"))
       val fresh = frontier
         .join(edges, col("node_id") === col("src"))
         .filter(col("dst") =!= col("query_id"))
@@ -328,11 +352,42 @@ object Nsw {
           Seq("query_id", "node_id"), "left_anti")
       visited = CacheRegistry.checkpointTracked(visited.unionByName(score(fresh)))
     }
-    visited.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("node_id").as("neighbor_id"),
-        col("rank").cast("long").as("rank"), pround(col("cos"), 4).as("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    visited
+  }
+
+  /** NSW INSERTION (Malkov et al. 2014 §4: insert = search, then connect):
+    * find each incoming vector's top-[[Degree]] neighbors by beam-searching
+    * the CURRENT graph, and return the new directed k-NN edges. The
+    * serve-time [[symmetrizeWithLongLinks]] overlay supplies the reverse
+    * edges (old nodes gain links TO new ones) and re-derives the
+    * small-world links over the grown id range — so the maintained state
+    * is only the directed k-NN table, exactly the shape the batch build
+    * produces. Used by [[graft.streaming.StreamingNswIndex]]. */
+  /** Insertion searches WIDER than serving (the NSW paper's ef > k during
+    * construction): a node links permanently to what its insertion beam
+    * found, so under-searching at insert time bakes weak edges into the
+    * index, while serving can always re-search. */
+  private[operators] val InsertHops = Hops + 1
+  private[operators] val InsertBeam = Beam * 2
+
+  private[graft] def insertKnn(e: DataFrame, edges: DataFrame, batch: DataFrame): DataFrame = {
+    val visited = bulkVisited(e, edges,
+      batch.select(col("vec_id").as("query_id"), col("v").as("qv")),
+      hops = InsertHops, beam = InsertBeam)
+    // batch-INTERNAL candidates: two near-duplicates arriving in the same
+    // micro-batch cannot find each other by searching the pre-batch graph,
+    // so the batch also scores itself — bounded at batch² pairs (a
+    // micro-batch is small by construction; at larger batch sizes this
+    // becomes the LSH-bucketed candidate join of the batch build)
+    val self = batch.as("a")
+      .join(batch.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("node_id"),
+        cosineSimilarity(col("a.v"), col("b.v")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("node_id"))
+    visited.unionByName(self)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Degree)
+      .select(col("query_id").as("src"), col("node_id").as("dst"))
   }
 
   def bulkSearch(spark: SparkSession, dir: String): DataFrame = {
@@ -350,16 +405,27 @@ object Nsw {
 
   // ------------------------------------------------------------ NN-descent
 
-  private[operators] val NndIters = 5
+  /** Round count × working degree, picked by MEASUREMENT (the round-7
+    * NndKnee grid over {iters 0..5} × {degree 12, 16} at sf0.01 and
+    * sf0.1): 3 rounds at degree 16 reaches the same graph hit rate as the
+    * previous 5 rounds at degree 12 (0.96 vs 0.94 at sf0.01, 0.65 vs 0.69
+    * at sf0.1) and the same search recall within the harness's ±1-sample
+    * noise (0.47 vs 0.53 / 0.27 vs 0.20) at ONE-THIRD LESS build cost —
+    * convergence speed scales with the candidate pool (2·degree)² per
+    * round, so a wider working degree buys more per round than extra
+    * rounds do. Numbers in SCALING.md. */
+  private[operators] val NndIters = 3
 
   /** Working degree during NN-descent rounds. Wider than the final
     * [[Degree]]: on low-signal corpora a 2-hop candidate pool drawn from
     * only the best 6 neighbors collapses into local cliques before the
-    * true neighbors are found; keeping 2× the edges through the rounds
+    * true neighbors are found; keeping wider edges through the rounds
     * preserves exploration diversity, and only the final kept graph is
     * truncated to [[Degree]]. Candidates stay bounded at (2·BuildDegree)²
-    * per node. */
-  private[operators] val NndBuildDegree = 2 * Degree
+    * per node. Degree-6 rounds converge to 0.33 recall (AnnSpec's
+    * init-vs-converged test); 16 is the measured knee partner of
+    * [[NndIters]]=3. */
+  private[operators] val NndBuildDegree = 16
 
   /** Deterministic init links for NN-descent — [[Degree]] affine formulas
     * (the same shape as [[LongLinkParams]]) give every node up to Degree
@@ -389,7 +455,8 @@ object Nsw {
     *
     * Fixed iteration count (not convergence-tested) keeps the whole build
     * replayable as [[NndIters]] unrolled SQL CTEs in DuckDB. */
-  private[graft] def nnDescentKnn(e: DataFrame, iters: Int = NndIters): DataFrame = {
+  private[graft] def nnDescentKnn(e: DataFrame, iters: Int = NndIters,
+      buildDegree: Int = NndBuildDegree): DataFrame = {
     def topDegree(cand: DataFrame, degree: Int): DataFrame = {
       val scored = cand
         .join(e.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
@@ -401,7 +468,7 @@ object Nsw {
         .filter(col("rn") <= degree)
         .select(col("src"), col("dst"))
     }
-    var knn = topDegree(affineLinks(e, InitLinkParams, 1).distinct(), NndBuildDegree)
+    var knn = topDegree(affineLinks(e, InitLinkParams, 1).distinct(), buildDegree)
     for (i <- 1 to iters) {
       // checkpoint, not just persist: round i's graph appears 6× in round
       // i+1's plan, so without plan truncation analyzer cost is
@@ -415,7 +482,7 @@ object Nsw {
         .filter(col("src") =!= col("dst"))
         .unionByName(u)
         .distinct()
-      knn = topDegree(cand, if (i == iters) Degree else NndBuildDegree)
+      knn = topDegree(cand, if (i == iters) Degree else buildDegree)
     }
     knn
   }

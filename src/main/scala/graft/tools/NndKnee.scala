@@ -31,15 +31,25 @@ object NndKnee {
       id -> vecs.collect { case (o, w) if o != id => (o, cos(v, w)) }
         .toSeq.sortBy { case (o, c) => (-c, o) }.take(deg).map(_._1).toSet
     }
-    for (iters <- 0 to 5) {
+    // search truth: top-3 per query 0..4 (what the recall row measures)
+    val qTruth = (0L until 5L).flatMap { q =>
+      vecs.collect { case (o, w) if o != q => (o, cos(vecs(q), w)) }
+        .toSeq.sortBy { case (o, c) => (-c, o) }.take(3).map(n => (q, n._1))
+    }.toSet
+    val grid = (0 to 5).map(i => (i, 12)) ++ Seq((2, 16), (3, 16), (4, 16))
+    for ((iters, bdeg) <- grid) {
       val t0 = System.nanoTime()
-      val edges = graft.operators.Nsw.nnDescentKnn(e, iters)
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val knn = graft.operators.Nsw.nnDescentKnn(e, iters, bdeg)
+      val edges = knn.collect().map(r => (r.getLong(0), r.getLong(1)))
       val buildSec = (System.nanoTime() - t0) / 1e9
       val hits = edges.count { case (s, d) => truth(s).contains(d) }
       val rate = hits.toDouble / (truth.size * deg)
+      val finished = graft.operators.Nsw.symmetrizeWithLongLinks(e, knn, 1)
+      val found = graft.operators.Nsw.searchWithEdges(e, finished)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val recall = found.count(qTruth.contains).toDouble / qTruth.size
       CacheRegistry.release(blocking = true)
-      println(f"NNDKNEE iters=$iters hit_rate=$rate%.4f build=$buildSec%.2f s")
+      println(f"NNDKNEE iters=$iters bdeg=$bdeg hit_rate=$rate%.4f recall@3=$recall%.3f build=$buildSec%.2f s")
     }
     spark.stop()
   }

@@ -78,6 +78,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     sameRows("SELECT * FROM hnsw_search()", graft.operators.Nsw.hnswSearch(spark, dir))
     // the whole recall harness as one SQL table
     sameRows("SELECT * FROM ann_recall()", graft.operators.AnnRecall.annRecall(spark, dir))
+    sameRows("SELECT * FROM ann_recall_clustered()",
+      graft.operators.AnnRecall.annRecallClustered(spark, dir))
+    sameRows("SELECT * FROM nsw_bulk_search()", graft.operators.Nsw.bulkSearch(spark, dir))
+    sameRows("SELECT * FROM dedup_corpus_clean()",
+      graft.operators.Components.dedupCorpusClean(spark, dir))
   }
 
   test("TVFs compose with ordinary SQL around them") {
