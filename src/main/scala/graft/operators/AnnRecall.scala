@@ -110,6 +110,16 @@ object AnnRecall {
     * fixture). */
   private[operators] val ClusterSpread = 0.9
 
+  /** The demonstration corpus is SIZE-PINNED at the first [[ClusterCap]]
+    * ids: it is a regime demonstration (which method family wins on which
+    * geometry), not a scale probe — SfScale owns scaling measurements —
+    * and an unbounded clustered corpus at larger fixtures sends the
+    * pinned-planes NSW build quadratic inside the (deliberately) heavily
+    * co-bucketed clusters. The flip itself was verified to HOLD without
+    * the cap (oracle replay at all three fixtures; it sharpens at sf0.1:
+    * ivfadc 0.27 vs ivfpq 0.07 capped vs 0.13/0.07 uncapped). */
+  private[operators] val ClusterCap = 500
+
   /** The derived clustered corpus: 8 well-separated centers (the RAW
     * fixture vectors 8..15 — near-orthogonal in 64-d) plus per-member
     * noise `spread · v`. Same derivation pattern as [[Dedup.corpus]]'s
@@ -121,6 +131,7 @@ object AnnRecall {
   private[graft] def clusteredCorpus(spark: SparkSession, dir: String): DataFrame =
     CacheRegistry.sharedTracked(s"ann-clustered:$dir") {
       val e0 = Tables.embeddings(spark, dir)
+        .filter(col("vec_id") < ClusterCap)
         .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
       val ctr = e0.filter(col("vec_id") >= 8 && col("vec_id") < 16)
         .select((col("vec_id") - 8).as("cid"), col("v").as("cv"))
@@ -130,7 +141,7 @@ object AnnRecall {
     }
 
   private[operators] val ClusteredESql: String =
-    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < $ClusterCap),
        |ctr AS (SELECT vec_id - 8 AS cid, v AS cv FROM e0 WHERE vec_id >= 8 AND vec_id < 16),
        |e AS (
        |  SELECT e0.vec_id,

@@ -50,7 +50,7 @@ object IvfKMeans {
     * [[graft.functions.NearestCentroid]] kernel with the centroid matrix
     * attached as a reference object; float order matches the oracle's
     * (v·v − 2·v·c) + ‖c‖² replay exactly (see the kernel's scaladoc). */
-  private def assign(e: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame =
+  private[graft] def assign(e: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame =
     e.select(col("vec_id"), col("v"),
       graft.functions.NearestCentroid.column(col("v"), centroids).as("cluster"))
 
@@ -78,7 +78,7 @@ object IvfKMeans {
 
   /** Train (fixed init, `Iterations` Lloyd steps) and return the final
     * centroids — k·dim doubles on the driver. */
-  private def trainCentroids(e: DataFrame): Seq[(Int, Array[Double])] = {
+  private[graft] def trainCentroids(e: DataFrame): Seq[(Int, Array[Double])] = {
     var centroids: Seq[(Int, Array[Double])] =
       e.filter(col("vec_id") < K).orderBy(col("vec_id")).collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.IvfKMeans
+
+/** Incremental IVF index maintenance under streaming ingest — the
+  * quantizer-family counterpart of [[StreamingNswIndex]]:
+  *
+  *   - '''Assign on arrival''' (every batch): new vectors get their cell
+  *     from the FROZEN current centroids — one map-side pass through the
+  *     codegen NearestCentroid kernel, no retraining in the ingest path.
+  *     This is what production IVF systems do: ingest latency must not
+  *     depend on corpus-sized training jobs.
+  *   - '''Drift-triggered retrain''' (rare): frozen centroids slowly stop
+  *     describing a drifting corpus — recall decays silently. Each batch
+  *     therefore measures its own mean squared distance-to-centroid; when
+  *     it exceeds [[driftFactor]] × the training-time baseline, the index
+  *     retrains on the grown corpus and reassigns everything (the
+  *     compaction analog — corpus-sized, amortized over many batches).
+  *
+  * Versioned immutable parquet with a commit pointer, like the other
+  * streaming indexes. Centroids are K×Dim driver scalars (the documented
+  * k-means driver boundary) persisted per version for restartability.
+  */
+class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
+    driftFactor: Double = 1.5) extends Serializable {
+
+  import spark.implicits._
+
+  @volatile private var currentVersion: Int = 0
+  @volatile private var centroids: Seq[(Int, Array[Double])] = Seq.empty
+  @volatile private var baselineMsd: Double = 0.0
+  /** Retrain count — observable so tests (and dashboards) can tell WHY an
+    * assignment changed. */
+  @volatile var retrains: Int = 0
+
+  retrain(initial.select(col("vec_id"), col("v")), 0)
+
+  /** Full Lloyd training on `e` + reassignment of everything → version n. */
+  private def retrain(e: DataFrame, n: Int): Unit = {
+    centroids = IvfKMeans.trainCentroids(e)
+    val assigned = IvfKMeans.assign(e, centroids)
+    assigned.write.parquet(s"$baseDir/assigned-v$n")
+    centroids.map { case (c, v) => (c, v.toSeq) }.toDF("cluster", "cv")
+      .write.parquet(s"$baseDir/centroids-v$n")
+    baselineMsd = meanSquaredDist(IvfKMeans.assign(e, centroids))
+    currentVersion = n
+  }
+
+  /** Mean squared L2 distance of assigned rows to their centroid — the
+    * quantization-error signal the drift trigger watches. Codegen dot
+    * kernels (‖v‖² − 2·v·c + ‖c‖²) against the broadcast K-row centroid
+    * table — no per-row UDF. */
+  private def meanSquaredDist(assigned: DataFrame): Double = {
+    import graft.functions.VectorFunctions.dot
+    val cdf = centroids.map { case (c, v) => (c, v.toSeq) }.toDF("cluster", "cv")
+    assigned.join(broadcast(cdf), Seq("cluster"))
+      .select((dot(col("v"), col("v"))
+        - lit(2.0) * dot(col("v"), col("cv"))
+        + dot(col("cv"), col("cv"))).as("d2"))
+      .agg(avg(col("d2"))).head().getDouble(0)
+  }
+
+  def currentAssigned(): DataFrame = spark.read.parquet(s"$baseDir/assigned-v$currentVersion")
+  def currentCentroids(): Seq[(Int, Array[Double])] = centroids
+
+  /** Ingest one micro-batch: frozen-centroid assignment, drift check,
+    * retrain when the batch no longer fits the trained cells. */
+  def insertBatch(batch: Dataset[Row], batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      val fresh = batch.toDF().select(col("vec_id"), col("v"))
+        .join(currentAssigned().select(col("vec_id")), Seq("vec_id"), "left_anti")
+      val assigned = IvfKMeans.assign(fresh, centroids)
+      val batchMsd = meanSquaredDist(assigned)
+      val next = currentVersion + 1
+      if (baselineMsd > 0 && batchMsd > driftFactor * baselineMsd) {
+        retrains += 1
+        retrain(currentAssigned().select(col("vec_id"), col("v")).unionByName(fresh), next)
+      } else {
+        currentAssigned().unionByName(assigned).write.parquet(s"$baseDir/assigned-v$next")
+        centroids.map { case (c, v) => (c, v.toSeq) }.toDF("cluster", "cv")
+          .write.parquet(s"$baseDir/centroids-v$next")
+        currentVersion = next
+      }
+    }
+  }
+
+  /** Attach to a stream of (vec_id, v) rows; one ingest per micro-batch. */
+  def start(vectorStream: DataFrame, checkpointDir: String): StreamingQuery =
+    vectorStream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) => insertBatch(batch, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

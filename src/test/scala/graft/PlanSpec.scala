@@ -87,4 +87,14 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$s")
     assert(!s.contains("SortExec") || s.contains("TakeOrderedAndProject"))
   }
+
+  test("dedup_corpus_clean plans the keep-filter as a LEFT SEMI join (no payload duplication)") {
+    // the corpus payload must join the survivor ids semi-style: an inner
+    // join against the full membership table would carry (and risk
+    // duplicating) the document payload through a wider exchange
+    val plan = graft.operators.Components.dedupCorpusClean(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a left-semi keep filter in:\n$plan")
+    graft.tools.CacheRegistry.releaseShared()
+  }
 }

@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamingIvfIndex
+
+/** Incremental IVF maintenance: frozen-centroid assignment on arrival must
+  * equal the batch assignment (same kernel, same centroids), and the drift
+  * trigger must fire a retrain exactly when a batch stops fitting the
+  * trained cells. */
+class StreamingIvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("v", ArrayType(DoubleType))))
+
+  private def vectors() =
+    graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  test("in-distribution batches assign on frozen centroids, no retrain; matches batch assignment") {
+    val dropDir = Files.createTempDirectory("graft-ivf-drops").toString
+    val idxDir = Files.createTempDirectory("graft-ivf-idx").toString
+    val ckptDir = Files.createTempDirectory("graft-ivf-ckpt").toString
+    val e = vectors()
+    val initial = e.filter(col("vec_id") < 300)
+    e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .coalesce(1).write.parquet(s"$dropDir/a")
+    e.filter(col("vec_id") >= 400)
+      .coalesce(1).write.parquet(s"$dropDir/b")
+
+    val index = new StreamingIvfIndex(spark, idxDir, initial)
+    val trainedCentroids = index.currentCentroids()
+    val stream = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+    index.start(stream, ckptDir).awaitTermination(240000L)
+
+    // same-distribution drops must NOT trigger retraining — ingest stays a
+    // map-only assignment pass
+    assert(index.retrains === 0)
+    assert(index.currentAssigned().count() === e.count())
+    // streamed assignment == one-shot assignment on the same centroids
+    // (the kernel is deterministic; freezing centroids makes the incremental
+    // path exactly reproducible)
+    val streamed = index.currentAssigned()
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val oneShot = graft.operators.IvfKMeans.assign(e, trainedCentroids)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(streamed === oneShot)
+  }
+
+  test("an out-of-distribution batch trips the drift trigger and retrains on the grown corpus") {
+    val dropDir = Files.createTempDirectory("graft-ivf-drops2").toString
+    val idxDir = Files.createTempDirectory("graft-ivf-idx2").toString
+    val ckptDir = Files.createTempDirectory("graft-ivf-ckpt2").toString
+    val e = vectors()
+    val initial = e.filter(col("vec_id") < 400)
+    // shifted far outside the training distribution: every coordinate +5
+    import org.apache.spark.sql.functions.expr
+    val shifted = e.filter(col("vec_id") >= 400)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(v, x -> x + 5.0D)").as("v"))
+    shifted.coalesce(1).write.parquet(s"$dropDir/a")
+
+    val index = new StreamingIvfIndex(spark, idxDir, initial)
+    val before = index.currentCentroids().toMap
+    val stream = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+    index.start(stream, ckptDir).awaitTermination(240000L)
+
+    assert(index.retrains === 1, "shifted batch must trip the drift trigger")
+    // the retrain is a REAL Lloyd run on the grown corpus: identical to
+    // training from scratch on the same rows
+    val grown = index.currentAssigned().select(col("vec_id"), col("v"))
+    val fromScratch = graft.operators.IvfKMeans.trainCentroids(grown).toMap
+    val after = index.currentCentroids().toMap
+    assert(after.keySet === fromScratch.keySet)
+    after.foreach { case (c, v) =>
+      assert(v.toSeq === fromScratch(c).toSeq, s"centroid $c differs from scratch training")
+    }
+    assert(after !== before)
+  }
+}
