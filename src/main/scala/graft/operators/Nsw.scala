@@ -443,10 +443,18 @@ object Nsw {
     * the corpus.
     *
     * Scale shape: each round's candidate generation is the edge table
-    * self-joined on the shared middle node — at most (2·Degree)² candidate
-    * pairs per node, INDEPENDENT of corpus size (vs the LSH build's
-    * occupancy-driven O(N²·L/2^planes), which needs the planes dial re-sized
-    * as N grows — [[edgesOn]]). Pair-grade traffic is ids only; vectors
+    * self-joined on the shared middle node. The "(2·degree)² per node"
+    * bound is only true if the UNDIRECTED working graph is itself
+    * degree-capped: out-edges are top-`buildDegree` by construction, but
+    * REVERSE edges give hub nodes unbounded in-degree, and 2-hop
+    * expansion through a hub is quadratic in it — the round-7 SfScale ×10
+    * run caught exactly this (ratio 10.4 uncapped). So each round caps
+    * the undirected adjacency at 2·buildDegree rows per src (deterministic
+    * keep: lowest dst ids — hubs shed their farthest-id reverse links)
+    * BEFORE the self-join, making the bound real at any corpus size (vs
+    * the LSH build's occupancy-driven O(N²·L/2^planes), which needs the
+    * planes dial re-sized as N grows — [[edgesOn]]). Pair-grade traffic
+    * is ids only; vectors
     * enter once per round via two id-equi-joins for scoring. Each round's
     * kept graph (N·Degree 16-byte rows) is locally checkpointed — it
     * appears 6× in the next round's plan, so truncating lineage keeps
@@ -469,6 +477,7 @@ object Nsw {
         .select(col("src"), col("dst"))
     }
     var knn = topDegree(affineLinks(e, InitLinkParams, 1).distinct(), buildDegree)
+    val uw = Window.partitionBy(col("src")).orderBy(col("dst"))
     for (i <- 1 to iters) {
       // checkpoint, not just persist: round i's graph appears 6× in round
       // i+1's plan, so without plan truncation analyzer cost is
@@ -476,7 +485,12 @@ object Nsw {
       val k = CacheRegistry.checkpointTracked(knn)
       val u = CacheRegistry.persistTracked(
         k.unionByName(k.select(col("dst").as("src"), col("src").as("dst")))
-          .distinct())
+          .distinct()
+          // hub cap: see the scaladoc — without it reverse edges make the
+          // 2-hop candidate pool quadratic in hub in-degree
+          .withColumn("rn", row_number().over(uw))
+          .filter(col("rn") <= 2 * buildDegree)
+          .select(col("src"), col("dst")))
       val cand = u.as("a").join(u.as("b"), col("a.dst") === col("b.src"))
         .select(col("a.src").as("src"), col("b.dst").as("dst"))
         .filter(col("src") =!= col("dst"))
@@ -653,9 +667,14 @@ object Nsw {
          |${topDegree(s"${p}i0", 0)}""".stripMargin
     val rounds = (1 to NndIters).map { i =>
       s"""${p}u$i AS MATERIALIZED (
-         |  SELECT src, dst FROM ${p}k${i - 1}
-         |  UNION
-         |  SELECT dst AS src, src AS dst FROM ${p}k${i - 1}),
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |           row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+         |    FROM (
+         |      SELECT src, dst FROM ${p}k${i - 1}
+         |      UNION
+         |      SELECT dst AS src, src AS dst FROM ${p}k${i - 1}))
+         |  WHERE rn <= ${2 * NndBuildDegree}),
          |${p}c$i AS (
          |  SELECT DISTINCT src, dst FROM (
          |    SELECT a.src AS src, b.dst AS dst
