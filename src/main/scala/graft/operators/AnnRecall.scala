@@ -51,9 +51,13 @@ object AnnRecall {
   private final case class MethodInputs(
       spark: SparkSession, e: DataFrame,
       assigned: DataFrame, centroids: Seq[(Int, Array[Double])], tag: String) {
-    lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] = Pq.trainCodebooks(e)
+    // shared per-corpus with the standalone PQ-family queries (same keys
+    // for tag = dir; the clustered corpus gets its own #clustered keys)
+    lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] =
+      CacheRegistry.sharedObject(s"pq-codebooks:$tag")(Pq.trainCodebooks(e))
     lazy val residualCodebooks: Seq[Seq[(Int, Array[Double])]] =
-      Ivfadc.residualCodebooks(assigned, centroids)
+      CacheRegistry.sharedObject(s"ivfadc-codebooks:$tag")(
+        Ivfadc.residualCodebooks(assigned, centroids))
   }
 
   /** One approximate ANN method under test: its display name, its Spark
@@ -181,7 +185,9 @@ object AnnRecall {
 
   def annRecallClustered(spark: SparkSession, dir: String): DataFrame = {
     val e = clusteredCorpus(spark, dir)
-    val (assigned, centroids) = IvfKMeans.trainedOn(e)
+    val centroids = CacheRegistry.sharedObject(s"ivf-centroids:$dir#clustered")(
+      IvfKMeans.trainCentroids(e))
+    val assigned = IvfKMeans.assign(e, centroids)
     recallFrame(MethodInputs(spark, e, assigned, centroids, tag = s"$dir#clustered"),
       ClusteredMethods, Similarity.annBruteForceKOn(e, K))
   }

@@ -93,7 +93,11 @@ object IvfKMeans {
   private[operators] def trained(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Seq[(Int, Array[Double])]) = {
     val e = vectors(spark, dir)
-    val centroids = trainCentroids(e)
+    // centroids are a per-dir shared index artifact: six queries (the IVF
+    // family, IVFPQ/IVFADC, the recall harness) train the SAME quantizer —
+    // at scale a trained quantizer is persisted once, not re-fit per query
+    val centroids = graft.tools.CacheRegistry.sharedObject(s"ivf-centroids:$dir")(
+      trainCentroids(e))
     (e, assign(e, centroids), centroids)
   }
 

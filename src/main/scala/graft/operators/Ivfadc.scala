@@ -70,7 +70,9 @@ object Ivfadc {
 
   def ivfadcSearch(spark: SparkSession, dir: String): DataFrame = {
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
-    searchOn(e, assigned, centroids, residualCodebooks(assigned, centroids))
+    searchOn(e, assigned, centroids,
+      graft.tools.CacheRegistry.sharedObject(s"ivfadc-codebooks:$dir")(
+        residualCodebooks(assigned, centroids)))
   }
 
   private[graft] def searchOn(

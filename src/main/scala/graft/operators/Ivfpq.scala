@@ -21,7 +21,8 @@ object Ivfpq {
 
   def ivfpqSearch(spark: SparkSession, dir: String): DataFrame = {
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
-    searchOn(e, assigned, centroids, Pq.trainCodebooks(e))
+    searchOn(e, assigned, centroids,
+      graft.tools.CacheRegistry.sharedObject(s"pq-codebooks:$dir")(Pq.trainCodebooks(e)))
   }
 
   private[graft] def searchOn(

@@ -135,7 +135,8 @@ object Pq {
     * cos(q, v̂) = Σ_m q_m·c_m[code_m] / (‖q‖ · sqrt(Σ_m ‖c_m[code_m]‖²)). */
   def pqSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
-    searchOn(e, trainCodebooks(e))
+    searchOn(e, graft.tools.CacheRegistry.sharedObject(s"pq-codebooks:$dir")(
+      trainCodebooks(e)))
   }
 
   /** Table-injected form — shared with the recall harness so the codebooks

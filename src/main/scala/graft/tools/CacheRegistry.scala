@@ -53,14 +53,28 @@ object CacheRegistry {
       df
     }).asInstanceOf[DataFrame]
 
-  /** Unpersist and forget every [[sharedTracked]] entry. */
-  def releaseShared(blocking: Boolean = false): Unit =
+  private val sharedObjects = scala.collection.concurrent.TrieMap.empty[String, Any]
+
+  /** Driver-held index artifacts shared across queries in one suite run —
+    * trained k-means centroids, PQ codebooks (K×Dim scalars, the
+    * documented driver boundary). Same lifecycle as [[sharedTracked]]:
+    * built once per key, reused by every later query (the standalone IVF
+    * family and the recall harness all train the SAME quantizer — at
+    * scale a trained quantizer is a persisted artifact, not a per-query
+    * job), forgotten by [[releaseShared]]. */
+  def sharedObject[T](key: String)(build: => T): T =
+    sharedObjects.getOrElseUpdate(key, build).asInstanceOf[T]
+
+  /** Unpersist and forget every [[sharedTracked]] / [[sharedObject]] entry. */
+  def releaseShared(blocking: Boolean = false): Unit = {
     shared.keys.foreach { k =>
       shared.remove(k).foreach { d =>
         try d.unpersist(blocking)
         catch { case _: Throwable => () }
       }
     }
+    sharedObjects.clear()
+  }
 
   /** Unpersist everything registered since the last call. Bench passes
     * `blocking = true` so a query never competes for storage memory with
