@@ -211,6 +211,12 @@ object GraftExtensions {
         arity(es, "nsw_bulk_search", 0, 0)
         plan(Nsw.bulkSearch)
       }),
+    ("hnsw_bulk_search",
+      tvfInfo("hnsw_bulk_search", "hnsw_bulk_search() - top-3 2-layer HNSW neighbors for EVERY corpus node"),
+      (es: Seq[Expression]) => {
+        arity(es, "hnsw_bulk_search", 0, 0)
+        plan(Nsw.hnswBulkSearch)
+      }),
     ("dedup_corpus_clean",
       tvfInfo("dedup_corpus_clean", "dedup_corpus_clean() - the deduplicated corpus: one surviving document per duplicate family"),
       (es: Seq[Expression]) => {

@@ -330,16 +330,25 @@ object Nsw {
     * entry nodes of `e`. */
   private[graft] def bulkVisited(e: DataFrame, edges: DataFrame, q: DataFrame,
       hops: Int = Hops, beam: Int = Beam): DataFrame = {
-    def score(ids: DataFrame): DataFrame =
-      ids.join(e.select(col("vec_id").as("node_id"), col("v").as("nv")), Seq("node_id"))
-        .join(q, Seq("query_id"))
-        .select(col("query_id"), col("node_id"),
-          cosineSimilarity(col("nv"), col("qv")).as("cos"))
     val seeds = q.select(col("query_id"))
       .crossJoin(e.filter(col("vec_id") < Entries).select(col("vec_id").as("node_id")))
       .filter(col("node_id") =!= col("query_id"))
+    bulkBeamLoop(e, edges, q,
+      CacheRegistry.checkpointTracked(bulkScore(e, q, seeds)), hops, beam)
+  }
+
+  private def bulkScore(e: DataFrame, q: DataFrame, ids: DataFrame): DataFrame =
+    ids.join(e.select(col("vec_id").as("node_id"), col("v").as("nv")), Seq("node_id"))
+      .join(q, Seq("query_id"))
+      .select(col("query_id"), col("node_id"),
+        cosineSimilarity(col("nv"), col("qv")).as("cos"))
+
+  /** The hop loop alone, from an already-scored visited-set seed — lets
+    * the 2-layer bulk search feed layer 1's survivors into layer 0. */
+  private def bulkBeamLoop(e: DataFrame, edges: DataFrame, q: DataFrame,
+      visited0: DataFrame, hops: Int, beam: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("node_id"))
-    var visited = CacheRegistry.checkpointTracked(score(seeds))
+    var visited = visited0
     for (_ <- 1 to hops) {
       val frontier = visited.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= beam).select(col("query_id"), col("node_id"))
@@ -350,7 +359,8 @@ object Nsw {
         .distinct()
         .join(visited.select(col("query_id"), col("node_id")),
           Seq("query_id", "node_id"), "left_anti")
-      visited = CacheRegistry.checkpointTracked(visited.unionByName(score(fresh)))
+      visited = CacheRegistry.checkpointTracked(
+        visited.unionByName(bulkScore(e, q, fresh)))
     }
     visited
   }
@@ -393,6 +403,39 @@ object Nsw {
   def bulkSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     bulkSearchWithEdges(e, CacheRegistry.sharedTracked(s"nsw-edges:$dir")(edgesOn(e)))
+  }
+
+  /** The 2-layer hierarchy in BULK form: every corpus node routes through
+    * the layer-1 graph (bulk beam, [[HopsL1]]×[[BeamL1]]), its
+    * top-[[Entries]] layer-1 results seed the layer-0 bulk beam — the
+    * hierarchy's bounded-entry property with none of the per-query driver
+    * state. Both edge tables are the same shared caches the per-batch
+    * query builds. */
+  def hnswBulkSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val e1 = e.filter(col("vec_id") % SampleMod === 0)
+    val edges1 = CacheRegistry.sharedTracked(s"hnsw-l1:$dir")(
+      edgesOn(e1, Similarity.TablePlanes, SampleMod))
+    val edges0 = CacheRegistry.sharedTracked(s"nsw-edges:$dir")(
+      edgesOn(e, Similarity.TablePlanes))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val seeds1 = q.select(col("query_id"))
+      .crossJoin(e1.filter(col("vec_id") < Entries * SampleMod)
+        .select(col("vec_id").as("node_id")))
+      .filter(col("node_id") =!= col("query_id"))
+    val v1 = bulkBeamLoop(e, edges1, q,
+      CacheRegistry.checkpointTracked(bulkScore(e, q, seeds1)), HopsL1, BeamL1)
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("node_id"))
+    val seeds0 = v1.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Entries)
+      .select(col("query_id"), col("node_id"), col("cos"))
+    val v0 = bulkBeamLoop(e, edges0, q,
+      CacheRegistry.checkpointTracked(seeds0), Hops, Beam)
+    v0.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("node_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), pround(col("cos"), 4).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Production-dial variant for scale measurement: identical search over
@@ -754,11 +797,12 @@ object Nsw {
     * Layer-1 buckets are a FILTER of the full bucket relation (a bucket
     * depends only on the vector, so bucketing the sample equals sampling
     * the buckets). */
-  private[operators] def hnswCtes(bRel: String, l0EdgesRel: String): String =
+  private[operators] def hnswCtes(bRel: String, l0EdgesRel: String,
+                                  queryPred: String = "vec_id < 5"): String =
     s"""he1 AS (SELECT vec_id, v FROM e WHERE vec_id % $SampleMod = 0),
        |h1b AS (SELECT vec_id, t, bucket FROM $bRel WHERE vec_id % $SampleMod = 0),
        |${graphCtes("h1", "he1", "h1b", SampleMod)},
-       |hq AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 5),
+       |hq AS (SELECT vec_id AS query_id FROM e WHERE $queryPred),
        |h1ids0 AS (
        |  SELECT q.query_id, ent.vec_id AS node_id
        |  FROM hq q CROSS JOIN (SELECT vec_id FROM he1
@@ -815,17 +859,29 @@ object Nsw {
        |FROM bkranked WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Bulk hierarchy oracle: same layer CTEs, query set = whole corpus. */
+  val hnswBulkSearchSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${Similarity.multitableBucketsSql("e", "nwb")},
+       |${searchCtes("nwb")},
+       |${hnswCtes("nwb", "nwedges", queryPred = "TRUE")}
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
+       |FROM hnswranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_search" -> nswSearch,
     "ann_hnsw_search" -> hnswSearch,
     "ann_nsw_nnd_search" -> nndSearch,
-    "ann_nsw_bulk" -> bulkSearch
+    "ann_nsw_bulk" -> bulkSearch,
+    "ann_hnsw_bulk" -> hnswBulkSearch
   )
 
   val oracles: Map[String, String] = Map(
     "ann_nsw_search" -> nswSearchSql,
     "ann_hnsw_search" -> hnswSearchSql,
     "ann_nsw_nnd_search" -> nndSearchSql,
-    "ann_nsw_bulk" -> bulkSearchSql
+    "ann_nsw_bulk" -> bulkSearchSql,
+    "ann_hnsw_bulk" -> hnswBulkSearchSql
   )
 }

@@ -312,6 +312,15 @@ class AnnSpec extends AnyFunSuite {
     val n = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001).count()
     assert(all.length === 3 * n, "every corpus node reports a full top-3")
     all.foreach(r => assert(r.getLong(1) !== r.getLong(0), "query returned itself"))
+    // the 2-layer hierarchy's bulk form: same agreement on the shared
+    // query set, full coverage of the corpus
+    val hb = graft.operators.Nsw.hnswBulkSearch(spark, SparkTestSession.Sf0001)
+    val sharedHb = hb.filter(col("query_id") < 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    val hBatch = graft.operators.Nsw.hnswSearch(spark, SparkTestSession.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted
+    assert(sharedHb === hBatch)
+    assert(hb.count() === 3 * n)
   }
 
   test("recall harness is single-sourced: union, grid, and oracle all derive from MethodSpecs") {

@@ -81,6 +81,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     sameRows("SELECT * FROM ann_recall_clustered()",
       graft.operators.AnnRecall.annRecallClustered(spark, dir))
     sameRows("SELECT * FROM nsw_bulk_search()", graft.operators.Nsw.bulkSearch(spark, dir))
+    sameRows("SELECT * FROM hnsw_bulk_search()", graft.operators.Nsw.hnswBulkSearch(spark, dir))
     sameRows("SELECT * FROM dedup_corpus_clean()",
       graft.operators.Components.dedupCorpusClean(spark, dir))
   }
