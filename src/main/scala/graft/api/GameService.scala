@@ -105,7 +105,11 @@ final class GameService(
     * ROWS; their arrival order through the union is a physical-plan detail
     * (TakeOrderedAndProject + UnionExec child order) no contract
     * guarantees, so the ≤100 collected data rows are re-sorted driver-side
-    * — negligible cost, robust to AQE re-planning. */
+    * — negligible cost, robust to AQE re-planning. The UNROUNDED score
+    * rides along for that re-sort (the plan's top-k and the reference,
+    * similarSearch.get.ts:141, both order by the raw score — sorting on
+    * the 2dp-rounded value would reorder ties) and is dropped before
+    * serialization. */
   def similarSearch(universeId: String, limit: Option[String]): String =
     universeId.toLongOption match {
       case None => fail("Invalid universe ID")
@@ -114,17 +118,19 @@ final class GameService(
         val out = Similarity.similarScored(games, gameEmbeddings, id)
           .orderBy(desc("sim"), col("universeId"))
           .limit(k)
-          .select(blankToNullProjection :+ pround(col("sim"), 2).as("similarity"): _*)
+          .select(blankToNullProjection ++ Seq(
+            pround(col("sim"), 2).as("similarity"), col("sim")): _*)
         val sentinel = gameEmbeddings.filter(col("universeId") === id)
           .select(out.schema.map(f => lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
         val rows = out.unionByName(sentinel).collect()
         val (marks, data) = rows.partition(_.isNullAt(0))
         if (marks.isEmpty) fail(s"No embeddings found for game with universeId $id")
         else {
-          val simIdx = out.schema.fieldIndex("similarity")
+          val simIdx = out.schema.fieldIndex("sim")
           val idIdx = out.schema.fieldIndex("universeId")
           val sorted = data.sortBy(r => (-r.getDouble(simIdx), r.getLong(idIdx)))
-          ok(JArray(sorted.toList.map(rowToJson)))
+          ok(JArray(sorted.toList.map(r =>
+            org.json4s.JObject(rowToJson(r).obj.filterNot(_._1 == "sim")))))
         }
     }
 

@@ -21,33 +21,45 @@ import graft.operators.IvfKMeans
   *     retrains on the grown corpus and reassigns everything (the
   *     compaction analog — corpus-sized, amortized over many batches).
   *
-  * Versioned immutable parquet with a commit pointer, like the other
-  * streaming indexes. Centroids are K×Dim driver scalars (the documented
-  * k-means driver boundary) persisted per version for restartability.
+  * Storage is [[VersionedState]] (retry-safe versioned parquet, commit
+  * pointer, keep-last-K retention). Centroids are K×Dim driver scalars
+  * (the documented k-means driver boundary) persisted per version with the
+  * drift baseline, so a restarted writer resumes from the pointer — same
+  * centroids, same baseline — instead of retraining from scratch.
   */
 class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
-    driftFactor: Double = 1.5) extends Serializable {
+    driftFactor: Double = 1.5, keepVersions: Int = 3) extends Serializable {
 
   import spark.implicits._
 
-  @volatile private var currentVersion: Int = 0
+  private val state = new VersionedState(spark, baseDir, keepVersions)
   @volatile private var centroids: Seq[(Int, Array[Double])] = Seq.empty
   @volatile private var baselineMsd: Double = 0.0
   /** Retrain count — observable so tests (and dashboards) can tell WHY an
-    * assignment changed. */
+    * assignment changed. (In-memory only: resets to 0 on restart.) */
   @volatile var retrains: Int = 0
 
-  retrain(initial.select(col("vec_id"), col("v")), 0)
+  state.latest match {
+    case Some(_) => // resume: reload quantizer + baseline from the pointer
+      val c = state.read("centroids").collect()
+      centroids = c.map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      baselineMsd = c.head.getDouble(2)
+    case None =>
+      retrain(initial.select(col("vec_id"), col("v")), 0L)
+  }
+
+  /** The K-row centroid table as written per version; carries the drift
+    * baseline so resume needs no recomputation. */
+  private def centroidsDf: DataFrame =
+    centroids.map { case (c, v) => (c, v.toSeq, baselineMsd) }
+      .toDF("cluster", "cv", "baseline_msd")
 
   /** Full Lloyd training on `e` + reassignment of everything → version n. */
-  private def retrain(e: DataFrame, n: Int): Unit = {
+  private def retrain(e: DataFrame, n: Long): Unit = {
     centroids = IvfKMeans.trainCentroids(e)
     val assigned = IvfKMeans.assign(e, centroids)
-    assigned.write.parquet(s"$baseDir/assigned-v$n")
-    centroids.map { case (c, v) => (c, v.toSeq) }.toDF("cluster", "cv")
-      .write.parquet(s"$baseDir/centroids-v$n")
-    baselineMsd = meanSquaredDist(IvfKMeans.assign(e, centroids))
-    currentVersion = n
+    baselineMsd = meanSquaredDist(assigned)
+    state.commit(n, Map("assigned" -> assigned, "centroids" -> centroidsDf))
   }
 
   /** Mean squared L2 distance of assigned rows to their centroid — the
@@ -64,26 +76,30 @@ class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame
       .agg(avg(col("d2"))).head().getDouble(0)
   }
 
-  def currentAssigned(): DataFrame = spark.read.parquet(s"$baseDir/assigned-v$currentVersion")
+  def currentAssigned(): DataFrame = state.read("assigned")
   def currentCentroids(): Seq[(Int, Array[Double])] = centroids
 
   /** Ingest one micro-batch: frozen-centroid assignment, drift check,
-    * retrain when the batch no longer fits the trained cells. */
+    * retrain when the batch no longer fits the trained cells. An
+    * already-committed version (replay after a post-commit failure) and a
+    * batch that the anti-join empties (replayed content) are both no-ops —
+    * the latter also guards the drift check, whose avg() over zero rows
+    * would otherwise be null. */
   def insertBatch(batch: Dataset[Row], batchId: Long): Unit = {
-    if (!batch.isEmpty) {
-      val fresh = batch.toDF().select(col("vec_id"), col("v"))
-        .join(currentAssigned().select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val target = batchId + 1
+    if (state.latest.exists(_ >= target)) return
+    val fresh = batch.toDF().select(col("vec_id"), col("v"))
+      .join(currentAssigned().select(col("vec_id")), Seq("vec_id"), "left_anti")
+    if (!fresh.isEmpty) {
       val assigned = IvfKMeans.assign(fresh, centroids)
       val batchMsd = meanSquaredDist(assigned)
-      val next = currentVersion + 1
       if (baselineMsd > 0 && batchMsd > driftFactor * baselineMsd) {
         retrains += 1
-        retrain(currentAssigned().select(col("vec_id"), col("v")).unionByName(fresh), next)
+        retrain(currentAssigned().select(col("vec_id"), col("v")).unionByName(fresh), target)
       } else {
-        currentAssigned().unionByName(assigned).write.parquet(s"$baseDir/assigned-v$next")
-        centroids.map { case (c, v) => (c, v.toSeq) }.toDF("cluster", "cv")
-          .write.parquet(s"$baseDir/centroids-v$next")
-        currentVersion = next
+        state.commit(target, Map(
+          "assigned" -> currentAssigned().unionByName(assigned),
+          "centroids" -> centroidsDf))
       }
     }
   }

@@ -25,23 +25,25 @@ import graft.operators.Nsw
   * (their modulus is corpus size, so they are a cheap map-only recompute
   * per version, NOT incremental state).
   *
-  * Versioned immutable parquet (v0, v1, ... with a commit pointer), the
-  * same copy-on-write shape as [[StreamingUpsert]] — on a lakehouse both
-  * collapse to `MERGE INTO`/`INSERT INTO` table commits. At 100 TB the
+  * Storage is [[VersionedState]]: retry-safe overwrite writes at
+  * batchId-derived versions, an atomic commit pointer (a restarted writer
+  * resumes from it instead of rebuilding), and keep-last-K retention so
+  * the versioned corpus copies don't accumulate forever. At 100 TB the
   * per-batch cost is the insertion search (batch-sized × graph hops),
   * never a corpus-sized rebuild: the entire point of maintaining the
   * index incrementally.
   */
-class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame)
-    extends Serializable {
+class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
+    keepVersions: Int = 3) extends Serializable {
 
-  @volatile private var currentVersion: Int = 0
-  initial.write.parquet(s"$baseDir/vectors-v0")
-  Nsw.knnEdgesOn(initial.select(col("vec_id"), col("v")))
-    .write.parquet(s"$baseDir/knn-v0")
+  private val state = new VersionedState(spark, baseDir, keepVersions)
+  if (state.latest.isEmpty)
+    state.commit(0L, Map(
+      "vectors" -> initial,
+      "knn" -> Nsw.knnEdgesOn(initial.select(col("vec_id"), col("v")))))
 
-  def currentVectors(): DataFrame = spark.read.parquet(s"$baseDir/vectors-v$currentVersion")
-  def currentKnn(): DataFrame = spark.read.parquet(s"$baseDir/knn-v$currentVersion")
+  def currentVectors(): DataFrame = state.read("vectors")
+  def currentKnn(): DataFrame = state.read("knn")
 
   /** The searchable edge table of the current version: k-NN state plus the
     * serve-time symmetrize + small-world overlay. */
@@ -49,18 +51,21 @@ class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame
     Nsw.symmetrizeWithLongLinks(currentVectors(), currentKnn(), 1)
 
   /** Insert one micro-batch of (vec_id, v) rows: search-then-connect, then
-    * commit vectors-v(n+1) / knn-v(n+1). */
+    * commit vectors/knn at version batchId+1. A batch whose version is
+    * already committed (foreachBatch replay after a post-commit failure) is
+    * a no-op — re-running it would read the very dirs it overwrites. */
   def insertBatch(batch: Dataset[Row], batchId: Long): Unit = {
-    if (!batch.isEmpty) {
-      val e = currentVectors()
-      val fresh = batch.toDF().select(col("vec_id"), col("v"))
-        // id-idempotent under stream replay, like the anti-join re-runs
-        .join(e.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val target = batchId + 1
+    if (state.latest.exists(_ >= target)) return
+    val e = currentVectors()
+    val fresh = batch.toDF().select(col("vec_id"), col("v"))
+      // id-idempotent under stream replay, like the anti-join re-runs
+      .join(e.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    if (!fresh.isEmpty) {
       val newKnn = Nsw.insertKnn(e, servedEdges(), fresh)
-      val next = currentVersion + 1
-      e.unionByName(fresh).write.parquet(s"$baseDir/vectors-v$next")
-      currentKnn().unionByName(newKnn).write.parquet(s"$baseDir/knn-v$next")
-      currentVersion = next
+      state.commit(target, Map(
+        "vectors" -> e.unionByName(fresh),
+        "knn" -> currentKnn().unionByName(newKnn)))
     }
   }
 

@@ -10,31 +10,33 @@ import graft.operators.Merge
   * `foreachBatch` is the escape hatch that lets an arbitrary batch
   * transform (here the full-outer merge) run per micro-batch.
   *
-  * Snapshots are immutable parquet versions (v0, v1, ...) with the latest
-  * pointer advanced after each successful write — the same
-  * copy-on-write + commit-pointer shape Delta/Iceberg implement natively;
-  * on a lakehouse this whole class collapses to
+  * Snapshots live in [[VersionedState]]: immutable parquet versions at
+  * batchId-derived numbers with an atomic commit pointer (retry-safe, and
+  * a restarted writer resumes from it) and keep-last-K retention — the
+  * same copy-on-write + commit-pointer shape Delta/Iceberg implement
+  * natively; on a lakehouse this whole class collapses to
   * `foreachBatch(MERGE INTO games USING batch ...)`.
   */
-class StreamingUpsert(spark: SparkSession, baseDir: String, initial: DataFrame)
-    extends Serializable {
+class StreamingUpsert(spark: SparkSession, baseDir: String, initial: DataFrame,
+    keepVersions: Int = 3) extends Serializable {
 
-  @volatile private var currentVersion: Int = 0
-  initial.write.parquet(s"$baseDir/v0")
+  private val state = new VersionedState(spark, baseDir, keepVersions)
+  if (state.latest.isEmpty) state.commit(0L, Map("snapshot" -> initial))
 
-  def currentSnapshot(): DataFrame = spark.read.parquet(s"$baseDir/v$currentVersion")
+  def currentSnapshot(): DataFrame = state.read("snapshot")
 
-  /** J1 merge of one micro-batch into the latest snapshot. */
+  /** J1 merge of one micro-batch into the latest snapshot. A batch whose
+    * version is already committed (replay) is a no-op. */
   def mergeBatch(batch: Dataset[Row], batchId: Long): Unit = {
+    val target = batchId + 1
+    if (state.latest.exists(_ >= target)) return
     if (!batch.isEmpty) {
       val merged = Merge.mergeUpsert(
         currentSnapshot(), batch.toDF(), "universeId",
         overwriteCols = Seq("rootPlaceId", "name"),
         coalesceCols = Seq.empty,
         keepCols = Seq("description", "gameplayDescription", "playerCount"))
-      val next = currentVersion + 1
-      merged.write.parquet(s"$baseDir/v$next")
-      currentVersion = next
+      state.commit(target, Map("snapshot" -> merged))
     }
   }
 

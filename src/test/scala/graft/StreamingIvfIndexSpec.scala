@@ -54,6 +54,13 @@ class StreamingIvfIndexSpec extends AnyFunSuite {
     val oneShot = graft.operators.IvfKMeans.assign(e, trainedCentroids)
       .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
     assert(streamed === oneShot)
+
+    // restartability: a fresh handle on the same dir resumes from the
+    // commit pointer — same centroids, no retrain from scratch
+    val resumed = new StreamingIvfIndex(spark, idxDir, initial)
+    assert(resumed.currentCentroids().toMap.view.mapValues(_.toSeq).toMap
+      === index.currentCentroids().toMap.view.mapValues(_.toSeq).toMap)
+    assert(resumed.currentAssigned().count() === e.count())
   }
 
   test("an out-of-distribution batch trips the drift trigger and retrains on the grown corpus") {

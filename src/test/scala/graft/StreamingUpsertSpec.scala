@@ -31,7 +31,9 @@ class StreamingUpsertSpec extends AnyFunSuite {
       .toDF("universeId", "rootPlaceId", "name", "description", "gameplayDescription", "playerCount")
       .coalesce(1).write.parquet(s"$dropDir/b")
 
-    val upsert = new StreamingUpsert(spark, snapDir, initial)
+    // keepVersions=1: retention must prune superseded snapshots BETWEEN
+    // micro-batches without disturbing the serving path
+    val upsert = new StreamingUpsert(spark, snapDir, initial, keepVersions = 1)
     val stream = spark.readStream
       .schema(Schemas.game)
       .option("maxFilesPerTrigger", 1) // one drop per micro-batch
@@ -46,5 +48,11 @@ class StreamingUpsertSpec extends AnyFunSuite {
     assert(two.getLong(1) === 21L)               // rootPlaceId overwritten
     assert(two.getString(3) === "desc2")         // enrichment preserved
     assert(fin(0).getString(2) === "one")        // untouched row intact
+
+    // retention: with keepVersions=1 only the final snapshot survives
+    // (initial v0 + two batches → v1, v2; v0 and v1 pruned mid-stream)
+    val survivors = new java.io.File(snapDir).list().toSeq
+      .filter(_.startsWith("snapshot-v")).sorted
+    assert(survivors === Seq("snapshot-v2"))
   }
 }
