@@ -47,8 +47,16 @@ object Bench {
     }
     graft.tools.CacheRegistry.releaseShared(blocking = true)
 
+    // index_build_* entries run FIRST (then the rest alphabetically): they
+    // rebuild + persist the shared ANN artifacts and prime the in-memory
+    // handles, so build cost lands on its own named line and every search
+    // entry measures search — per-query numbers stay attribution-stable
+    // across rounds instead of billing builds to the alphabetically-first
+    // toucher (round-7 verdict #1).
+    val (buildQs, serveQs) =
+      SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.startsWith("index_build_"))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = (buildQs ++ serveQs).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnRecall, Components, Dedup, Enrich, Events, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
+import graft.operators.{AnnRecall, Components, Dedup, Enrich, Events, IndexBuild, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,7 @@ object SparkEntry {
       (Ivfpq.queries, Ivfpq.oracles),
       (Ivfadc.queries, Ivfadc.oracles),
       (Nsw.queries, Nsw.oracles),
+      (IndexBuild.queries, IndexBuild.oracles),
       (AnnRecall.queries, AnnRecall.oracles)
     )
 

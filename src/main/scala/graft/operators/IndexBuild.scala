@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.OracleParity.pround
+import graft.functions.VectorFunctions
+import graft.tools.{CacheRegistry, IndexStore}
+
+/** Explicit index-build step for every shared ANN artifact — the round-7
+  * verdict's top item: builds were previously a side effect of whichever
+  * search query ran first alphabetically, which made per-query bench
+  * numbers cache-order-dependent (±150% swings with flat family sums) and
+  * left `ann_nsw_nnd_search` carrying a 13.8 s graph build.
+  *
+  * Each `index_build_*` query (1) REBUILDS its artifact from the corpus and
+  * persists it via [[graft.tools.IndexStore]] (versioned parquet — the
+  * batch analogue of the streaming indexes' VersionedState), (2) primes the
+  * in-memory shared handle the serve queries read, and (3) returns a small
+  * oracle-checked SUMMARY of the artifact (edge/source counts for graphs,
+  * per-centroid norms for quantizers). The DuckDB oracle rebuilds the same
+  * artifact from scratch, so a stale or corrupted store entry cannot
+  * hash-match. Bench runs these entries FIRST (Bench.scala), so build cost
+  * has its own named line and search entries measure search.
+  *
+  * At 100 TB this is the only sane shape: an ANN index over a corpus is a
+  * materialized table with its own build pipeline and freshness tracking
+  * (here: a corpus fingerprint), not a per-query training job.
+  */
+object IndexBuild {
+
+  private def edgeSummary(edges: DataFrame): DataFrame =
+    edges.agg(count(lit(1)).as("edge_count"),
+      countDistinct(col("src")).as("src_count"))
+
+  /** (cluster, 4dp ‖c‖) — the quantizer summary; `dot` is the same
+    * left-to-right fold as the oracle's list_dot_product, and centroids are
+    * DECIMAL-exact, so the rounded norms match bit-for-bit. */
+  private def centroidSummary(
+      spark: SparkSession, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    cents.map { case (c, v) => (c, v.toSeq) }.toDF("cluster", "cv")
+      .select(col("cluster"),
+        pround(sqrt(VectorFunctions.dot(col("cv"), col("cv"))), 4).as("cnorm"))
+      .orderBy(col("cluster"))
+  }
+
+  /** (m, code, 4dp ‖c‖) over all M subspace codebooks. */
+  private def codebookSummary(
+      spark: SparkSession, cbs: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, m) =>
+      cb.map { case (code, v) => (m, code, v.toSeq) }
+    }.toDF("m", "code", "cv")
+      .select(col("m"), col("code"),
+        pround(sqrt(VectorFunctions.dot(col("cv"), col("cv"))), 4).as("cnorm"))
+      .orderBy(col("m"), col("code"))
+  }
+
+  def buildNsw(spark: SparkSession, dir: String): DataFrame = {
+    val edges = IndexStore.rebuild(spark, dir, "nsw-edges")(
+      Nsw.edgesOn(Nsw.vectors(spark, dir)))
+    edgeSummary(CacheRegistry.primeShared(s"nsw-edges:$dir", edges))
+  }
+
+  def buildHnswL1(spark: SparkSession, dir: String): DataFrame = {
+    val edges = IndexStore.rebuild(spark, dir, "hnsw-l1")(
+      Nsw.edgesOn(
+        Nsw.vectors(spark, dir).filter(col("vec_id") % Nsw.SampleMod === 0),
+        Similarity.TablePlanes, Nsw.SampleMod))
+    edgeSummary(CacheRegistry.primeShared(s"hnsw-l1:$dir", edges))
+  }
+
+  def buildNnd(spark: SparkSession, dir: String): DataFrame = {
+    val e = Nsw.vectors(spark, dir)
+    val edges = IndexStore.rebuild(spark, dir, "nnd-edges")(
+      Nsw.symmetrizeWithLongLinks(e, Nsw.nnDescentKnn(e), 1))
+    edgeSummary(CacheRegistry.primeShared(s"nnd-edges:$dir", edges))
+  }
+
+  def buildIvf(spark: SparkSession, dir: String): DataFrame = {
+    val cents = IndexStore.rebuildCentroids(spark, dir, "ivf-centroids")(
+      IvfKMeans.trainCentroids(Nsw.vectors(spark, dir)))
+    centroidSummary(spark, CacheRegistry.primeObject(s"ivf-centroids:$dir", cents))
+  }
+
+  def buildPq(spark: SparkSession, dir: String): DataFrame = {
+    val cbs = IndexStore.rebuildCodebooks(spark, dir, "pq-codebooks")(
+      Pq.trainCodebooks(Nsw.vectors(spark, dir)))
+    codebookSummary(spark, CacheRegistry.primeObject(s"pq-codebooks:$dir", cbs))
+  }
+
+  def buildIvfadc(spark: SparkSession, dir: String): DataFrame = {
+    // coarse quantizer first (index_build_ivf runs earlier in bench order;
+    // standalone runs read-or-build it through the store)
+    val (_, assigned, centroids) = IvfKMeans.trained(spark, dir)
+    val rcbs = IndexStore.rebuildCodebooks(spark, dir, "ivfadc-codebooks")(
+      Ivfadc.residualCodebooks(assigned, centroids))
+    codebookSummary(spark, CacheRegistry.primeObject(s"ivfadc-codebooks:$dir", rcbs))
+  }
+
+  // ------------------------------------------------------------- oracle SQL
+
+  val ivfBuildSql: String =
+    s"""WITH ${IvfKMeans.trainingSql}
+       |SELECT cluster, floor(sqrt(list_dot_product(cv, cv)) * 10000 + 0.5) / 10000.0 AS cnorm
+       |FROM ${IvfKMeans.finalCentroidsRel}
+       |ORDER BY cluster""".stripMargin
+
+  val pqBuildSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${Pq.lutCtes("e", "p", "pq")}
+       |SELECT m, code, floor(sqrt(cnorm2) * 10000 + 0.5) / 10000.0 AS cnorm
+       |FROM pqlut
+       |ORDER BY m, code""".stripMargin
+
+  val ivfadcBuildSql: String =
+    s"""WITH ${IvfKMeans.trainingSql},
+       |${Ivfadc.residualESql},
+       |${Pq.lutCtes("eres", "rp", "rpq")}
+       |SELECT m, code, floor(sqrt(cnorm2) * 10000 + 0.5) / 10000.0 AS cnorm
+       |FROM rpqlut
+       |ORDER BY m, code""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "index_build_nsw" -> buildNsw,
+    "index_build_hnsw_l1" -> buildHnswL1,
+    "index_build_nnd" -> buildNnd,
+    "index_build_ivf" -> buildIvf,
+    "index_build_pq" -> buildPq,
+    "index_build_ivfadc" -> buildIvfadc
+  )
+
+  val oracles: Map[String, String] = Map(
+    "index_build_nsw" -> Nsw.nswBuildSql,
+    "index_build_hnsw_l1" -> Nsw.hnswL1BuildSql,
+    "index_build_nnd" -> Nsw.nndBuildSql,
+    "index_build_ivf" -> ivfBuildSql,
+    "index_build_pq" -> pqBuildSql,
+    "index_build_ivfadc" -> ivfadcBuildSql
+  )
+}

@@ -95,9 +95,11 @@ object IvfKMeans {
     val e = vectors(spark, dir)
     // centroids are a per-dir shared index artifact: six queries (the IVF
     // family, IVFPQ/IVFADC, the recall harness) train the SAME quantizer —
-    // at scale a trained quantizer is persisted once, not re-fit per query
+    // persisted in the IndexStore (written by `index_build_ivf` or the
+    // first toucher), held in memory for the rest of the suite run
     val centroids = graft.tools.CacheRegistry.sharedObject(s"ivf-centroids:$dir")(
-      trainCentroids(e))
+      graft.tools.IndexStore.readOrBuildCentroids(spark, dir, "ivf-centroids")(
+        trainCentroids(e)))
     (e, assign(e, centroids), centroids)
   }
 

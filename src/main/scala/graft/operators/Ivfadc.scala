@@ -72,7 +72,8 @@ object Ivfadc {
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
     searchOn(e, assigned, centroids,
       graft.tools.CacheRegistry.sharedObject(s"ivfadc-codebooks:$dir")(
-        residualCodebooks(assigned, centroids)))
+        graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, "ivfadc-codebooks")(
+          residualCodebooks(assigned, centroids))))
   }
 
   private[graft] def searchOn(
@@ -140,6 +141,15 @@ object Ivfadc {
     * tables, candidate scoring → `adranked`. Assumes
     * [[IvfKMeans.trainingSql]] (`e`, `afinal`, final centroids) and a
     * probe relation `probeRel(query_id, qv, cluster)` are in scope. */
+  /** CTE (no WITH): the residual table over `afinal` + final centroids —
+    * shared by [[recallCtes]] and the `index_build_ivfadc` summary oracle. */
+  private[operators] def residualESql: String =
+    s"""eres AS (
+       |  SELECT a.vec_id,
+       |         list_transform(generate_series(1, ${IvfKMeans.Dim}),
+       |                        i -> a.v[i] - c.cv[i]) AS v
+       |  FROM afinal a JOIN ${IvfKMeans.finalCentroidsRel} c ON a.cluster = c.cluster)""".stripMargin
+
   private[operators] def recallCtes(probeRel: String): String = {
     val cRel = IvfKMeans.finalCentroidsRel
     val qd = (0 until M).map(m => s"max(CASE WHEN ql.m = $m THEN ql.qdot END) AS qd_$m")
@@ -151,11 +161,7 @@ object Ivfadc {
     val qdSum = (0 until M).map(m => s"qd_$m").mkString(" + ")
     val rnSum = (0 until M).map(m => s"rn_$m").mkString(" + ")
     val crSum = (0 until M).map(m => s"cr_$m").mkString(" + ")
-    s"""eres AS (
-       |  SELECT a.vec_id,
-       |         list_transform(generate_series(1, ${IvfKMeans.Dim}),
-       |                        i -> a.v[i] - c.cv[i]) AS v
-       |  FROM afinal a JOIN $cRel c ON a.cluster = c.cluster),
+    s"""$residualESql,
        |${Pq.lutCtes("eres", "rp", "rpq")},
        |adqc AS (
        |  SELECT p.query_id, p.cluster,

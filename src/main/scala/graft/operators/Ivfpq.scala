@@ -22,7 +22,9 @@ object Ivfpq {
   def ivfpqSearch(spark: SparkSession, dir: String): DataFrame = {
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
     searchOn(e, assigned, centroids,
-      graft.tools.CacheRegistry.sharedObject(s"pq-codebooks:$dir")(Pq.trainCodebooks(e)))
+      graft.tools.CacheRegistry.sharedObject(s"pq-codebooks:$dir")(
+        graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, "pq-codebooks")(
+          Pq.trainCodebooks(e))))
   }
 
   private[graft] def searchOn(

@@ -57,7 +57,7 @@ object Nsw {
     * hop (seeds + Hops score jobs per search, twice that for the
     * hierarchy), so re-reading parquet + re-casting each time would be
     * (hops+1) redundant corpus scans per query. */
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def vectors(spark: SparkSession, dir: String): DataFrame =
     CacheRegistry.sharedTracked(s"nsw-vectors:$dir") {
       Tables.embeddings(spark, dir)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -164,13 +164,45 @@ object Nsw {
       .distinct()
   }
 
+  /** Store-backed edge table for the dir-keyed graphs: the parquet
+    * artifact in [[graft.tools.IndexStore]] IS the index — written by the
+    * `index_build_*` queries (or the first toucher) and only READ at serve
+    * time — and the [[CacheRegistry.sharedTracked]] entry (same keys as
+    * always, so the recall harness keeps sharing) is just the in-memory
+    * handle over it. */
+  private[operators] def storedEdges(
+      spark: SparkSession, dir: String, artifact: String)
+      (build: => DataFrame): DataFrame =
+    CacheRegistry.sharedTracked(s"$artifact:$dir")(
+      graft.tools.IndexStore.readOrBuild(spark, dir, artifact)(build))
+
+  private[operators] def storedNswEdges(
+      spark: SparkSession, dir: String, planes: Int = Similarity.TablePlanes): DataFrame = {
+    val artifact =
+      if (planes == Similarity.TablePlanes) "nsw-edges" else s"nsw-edges-p$planes"
+    storedEdges(spark, dir, artifact)(edgesOn(vectors(spark, dir), planes))
+  }
+
+  private[operators] def storedHnswL1Edges(
+      spark: SparkSession, dir: String, planes: Int = Similarity.TablePlanes): DataFrame = {
+    val artifact = if (planes == Similarity.TablePlanes) "hnsw-l1" else s"hnsw-l1-p$planes"
+    storedEdges(spark, dir, artifact)(
+      edgesOn(vectors(spark, dir).filter(col("vec_id") % SampleMod === 0),
+        planes, SampleMod))
+  }
+
+  private[operators] def storedNndEdges(spark: SparkSession, dir: String): DataFrame =
+    storedEdges(spark, dir, "nnd-edges") {
+      val e = vectors(spark, dir)
+      symmetrizeWithLongLinks(e, nnDescentKnn(e), 1)
+    }
+
   /** Fixed-hop beam search over the graph — see the object scaladoc. The
-    * edge table is the reusable index: one [[CacheRegistry.sharedTracked]]
-    * build (keyed by data dir) serves the standalone query AND the recall
-    * harness — the at-scale form is a materialized edge table every search
-    * batch reads, exactly like the dedup family's shared token corpus. */
+    * edge table is the reusable index, read from [[graft.tools.IndexStore]]
+    * — the at-scale form is a materialized edge table every search batch
+    * reads, exactly like the dedup family's shared token corpus. */
   private[operators] def searchOn(spark: SparkSession, dir: String): DataFrame =
-    searchOnFrame(vectors(spark, dir), s"nsw-edges:$dir")
+    searchWithEdges(vectors(spark, dir), storedNswEdges(spark, dir))
 
   /** Same search over an arbitrary `(vec_id, v)` corpus; `cacheKey` names
     * the shared edge-table build (pass the dir-keyed name to share with
@@ -400,10 +432,8 @@ object Nsw {
       .select(col("query_id").as("src"), col("node_id").as("dst"))
   }
 
-  def bulkSearch(spark: SparkSession, dir: String): DataFrame = {
-    val e = vectors(spark, dir)
-    bulkSearchWithEdges(e, CacheRegistry.sharedTracked(s"nsw-edges:$dir")(edgesOn(e)))
-  }
+  def bulkSearch(spark: SparkSession, dir: String): DataFrame =
+    bulkSearchWithEdges(vectors(spark, dir), storedNswEdges(spark, dir))
 
   /** The 2-layer hierarchy in BULK form: every corpus node routes through
     * the layer-1 graph (bulk beam, [[HopsL1]]×[[BeamL1]]), its
@@ -414,10 +444,8 @@ object Nsw {
   def hnswBulkSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     val e1 = e.filter(col("vec_id") % SampleMod === 0)
-    val edges1 = CacheRegistry.sharedTracked(s"hnsw-l1:$dir")(
-      edgesOn(e1, Similarity.TablePlanes, SampleMod))
-    val edges0 = CacheRegistry.sharedTracked(s"nsw-edges:$dir")(
-      edgesOn(e, Similarity.TablePlanes))
+    val edges1 = storedHnswL1Edges(spark, dir)
+    val edges0 = storedNswEdges(spark, dir)
     val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
     val seeds1 = q.select(col("query_id"))
       .crossJoin(e1.filter(col("vec_id") < Entries * SampleMod)
@@ -440,11 +468,8 @@ object Nsw {
 
   /** Production-dial variant for scale measurement: identical search over
     * a graph whose candidate buckets use `planes` planes per table. */
-  def nswSearchPlanes(spark: SparkSession, dir: String, planes: Int): DataFrame = {
-    val e = vectors(spark, dir)
-    searchWithEdges(e,
-      CacheRegistry.sharedTracked(s"nsw-edges:$dir:p$planes")(edgesOn(e, planes)))
-  }
+  def nswSearchPlanes(spark: SparkSession, dir: String, planes: Int): DataFrame =
+    searchWithEdges(vectors(spark, dir), storedNswEdges(spark, dir, planes))
 
   // ------------------------------------------------------------ NN-descent
 
@@ -548,7 +573,7 @@ object Nsw {
     * (plus the same long links + symmetrization — navigability is a
     * property of the finishing step, not the candidate source). */
   private[operators] def nndSearchOn(spark: SparkSession, dir: String): DataFrame =
-    nndSearchOnFrame(vectors(spark, dir), s"nnd-edges:$dir")
+    searchWithEdges(vectors(spark, dir), storedNndEdges(spark, dir))
 
   private[operators] def nndSearchOnFrame(e: DataFrame, cacheKey: String): DataFrame =
     searchWithEdges(e, CacheRegistry.sharedTracked(cacheKey)(
@@ -576,25 +601,28 @@ object Nsw {
     * nodes, instead of the fixed-entry beam spending its first hops
     * escaping wherever entry 0..3 happen to live. */
   private[operators] def hnswSearchOn(spark: SparkSession, dir: String): DataFrame =
-    hnswImpl(spark, dir, Similarity.TablePlanes, keyTag = "")
+    hnswImpl(spark, dir, Similarity.TablePlanes)
 
-  private def hnswImpl(
-      spark: SparkSession, dir: String, planes: Int, keyTag: String): DataFrame =
-    hnswOnFrame(vectors(spark, dir), planes,
-      l1Key = s"hnsw-l1:$dir$keyTag", l0Key = s"nsw-edges:$dir$keyTag")
+  private def hnswImpl(spark: SparkSession, dir: String, planes: Int): DataFrame =
+    hnswWithEdges(vectors(spark, dir),
+      storedHnswL1Edges(spark, dir, planes), storedNswEdges(spark, dir, planes))
 
   /** The 2-layer search over an arbitrary `(vec_id, v)` corpus; the cache
     * keys name the two edge-table builds (layer 0's dir-keyed default is
     * shared with `ann_nsw_search` — built once for both). */
   private[operators] def hnswOnFrame(
-      e: DataFrame, planes: Int, l1Key: String, l0Key: String): DataFrame = {
+      e: DataFrame, planes: Int, l1Key: String, l0Key: String): DataFrame =
+    hnswWithEdges(e,
+      CacheRegistry.sharedTracked(l1Key)(
+        edgesOn(e.filter(col("vec_id") % SampleMod === 0), planes, SampleMod)),
+      CacheRegistry.sharedTracked(l0Key)(edgesOn(e, planes)))
+
+  /** The 2-layer beam core over already-built layer graphs. */
+  private def hnswWithEdges(
+      e: DataFrame, edges1: DataFrame, edges0: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val e1 = e.filter(col("vec_id") % SampleMod === 0)
-    val edges1 = CacheRegistry.sharedTracked(l1Key)(
-      edgesOn(e1, planes, SampleMod))
-    val edges0 = CacheRegistry.sharedTracked(l0Key)(
-      edgesOn(e, planes))
     val q = queryFrame(e)
     val qIds = q.select(col("query_id")).as[Long].collect().sorted.toSeq
     // layer-1 entries: the sample members among the first Entries·SampleMod ids
@@ -615,7 +643,7 @@ object Nsw {
     * — layer 1 is a fixed 1/[[SampleMod]] sample, so its occupancy grows by
     * the same factor as layer 0's. */
   def hnswSearchPlanes(spark: SparkSession, dir: String, planes: Int): DataFrame =
-    hnswImpl(spark, dir, planes, keyTag = s":p$planes")
+    hnswImpl(spark, dir, planes)
 
   // ------------------------------------------------------------- oracle SQL
   //
@@ -868,6 +896,34 @@ object Nsw {
        |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
        |FROM hnswranked WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
+
+  // -------------------------------------------- index-build summary oracles
+  //
+  // The `index_build_*` queries (IndexBuild) verify the PERSISTED artifact
+  // itself: the oracle rebuilds the same graph from scratch in DuckDB and
+  // compares edge/source counts — a stale or corrupted store artifact
+  // cannot hash-match a fresh rebuild.
+
+  private def edgeSummarySql(withBlocks: String, edgesRel: String): String =
+    s"""WITH $withBlocks
+       |SELECT count(*) AS edge_count, count(DISTINCT src) AS src_count
+       |FROM $edgesRel""".stripMargin
+
+  val nswBuildSql: String = edgeSummarySql(
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${Similarity.multitableBucketsSql("e", "nwb")},
+       |${graphCtes("nw", "e", "nwb")}""".stripMargin, "nwedges")
+
+  val hnswL1BuildSql: String = edgeSummarySql(
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${Similarity.multitableBucketsSql("e", "nwb")},
+       |he1 AS (SELECT vec_id, v FROM e WHERE vec_id % $SampleMod = 0),
+       |h1b AS (SELECT vec_id, t, bucket FROM nwb WHERE vec_id % $SampleMod = 0),
+       |${graphCtes("h1", "he1", "h1b", SampleMod)}""".stripMargin, "h1edges")
+
+  val nndBuildSql: String = edgeSummarySql(
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${nnDescentGraphCtes("ng", "e")}""".stripMargin, "ngedges")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_search" -> nswSearch,

@@ -136,7 +136,8 @@ object Pq {
   def pqSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     searchOn(e, graft.tools.CacheRegistry.sharedObject(s"pq-codebooks:$dir")(
-      trainCodebooks(e)))
+      graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, "pq-codebooks")(
+        trainCodebooks(e))))
   }
 
   /** Table-injected form — shared with the recall harness so the codebooks

@@ -53,7 +53,26 @@ object CacheRegistry {
       df
     }).asInstanceOf[DataFrame]
 
+  /** Insert-or-REPLACE a shared frame (unlike [[sharedTracked]]'s
+    * get-or-build): the `index_build_*` queries prime the serve-side
+    * handle with the freshly rebuilt IndexStore artifact, so serve queries
+    * measured after a build never pay a build or a first read. */
+  def primeShared(key: String, df: DataFrame): DataFrame = {
+    shared.remove(key).foreach { d =>
+      try d.unpersist(false) catch { case _: Throwable => () }
+    }
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shared.put(key, df)
+    df
+  }
+
   private val sharedObjects = scala.collection.concurrent.TrieMap.empty[String, Any]
+
+  /** Insert-or-replace the driver-object analogue of [[primeShared]]. */
+  def primeObject[T](key: String, value: T): T = {
+    sharedObjects.put(key, value)
+    value
+  }
 
   /** Driver-held index artifacts shared across queries in one suite run —
     * trained k-means centroids, PQ codebooks (K×Dim scalars, the
