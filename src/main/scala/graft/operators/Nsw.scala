@@ -435,6 +435,17 @@ object Nsw {
   def bulkSearch(spark: SparkSession, dir: String): DataFrame =
     bulkSearchWithEdges(vectors(spark, dir), storedNswEdges(spark, dir))
 
+  /** BULK search over the NN-DESCENT graph — the pairing a 100 TB pipeline
+    * actually runs (round-7 verdict #2): the LSH-free, dial-free build
+    * ([[nnDescentKnn]] — candidate pools bounded by the degree cap, no
+    * occupancy dial to re-size as N grows) under the no-driver-state
+    * all-corpus search ([[bulkSearchWithEdges]] — frontier in DataFrames,
+    * per-hop job count independent of the query count). Both halves
+    * existed; this is their composition, reading the same persisted
+    * `nnd-edges` artifact as `ann_nsw_nnd_search`. */
+  def nndBulkSearch(spark: SparkSession, dir: String): DataFrame =
+    bulkSearchWithEdges(vectors(spark, dir), storedNndEdges(spark, dir))
+
   /** The 2-layer hierarchy in BULK form: every corpus node routes through
     * the layer-1 graph (bulk beam, [[HopsL1]]×[[BeamL1]]), its
     * top-[[Entries]] layer-1 results seed the layer-0 bulk beam — the
@@ -887,6 +898,17 @@ object Nsw {
        |FROM bkranked WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Bulk NN-descent oracle: the same unrolled NND build, beam query set
+    * widened to the whole corpus — CTE machinery shared with
+    * `ann_nsw_nnd_search` exactly as the NSW bulk shares its parent's. */
+  val nndBulkSearchSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${nnDescentGraphCtes("ng", "e")},
+       |${entrySearchCtes("nb", "ngedges", "nbranked", queryPred = "TRUE")}
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
+       |FROM nbranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Bulk hierarchy oracle: same layer CTEs, query set = whole corpus. */
   val hnswBulkSearchSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -930,7 +952,8 @@ object Nsw {
     "ann_hnsw_search" -> hnswSearch,
     "ann_nsw_nnd_search" -> nndSearch,
     "ann_nsw_bulk" -> bulkSearch,
-    "ann_hnsw_bulk" -> hnswBulkSearch
+    "ann_hnsw_bulk" -> hnswBulkSearch,
+    "ann_nnd_bulk" -> nndBulkSearch
   )
 
   val oracles: Map[String, String] = Map(
@@ -938,6 +961,7 @@ object Nsw {
     "ann_hnsw_search" -> hnswSearchSql,
     "ann_nsw_nnd_search" -> nndSearchSql,
     "ann_nsw_bulk" -> bulkSearchSql,
-    "ann_hnsw_bulk" -> hnswBulkSearchSql
+    "ann_hnsw_bulk" -> hnswBulkSearchSql,
+    "ann_nnd_bulk" -> nndBulkSearchSql
   )
 }
