@@ -134,15 +134,29 @@ object AnnRecall {
     * materialization. */
   private[graft] def clusteredCorpus(spark: SparkSession, dir: String): DataFrame =
     CacheRegistry.sharedTracked(s"ann-clustered:$dir") {
-      val e0 = Tables.embeddings(spark, dir)
-        .filter(col("vec_id") < ClusterCap)
-        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
-      val ctr = e0.filter(col("vec_id") >= 8 && col("vec_id") < 16)
-        .select((col("vec_id") - 8).as("cid"), col("v").as("cv"))
-      e0.join(broadcast(ctr), (col("vec_id") % 8) === col("cid"))
-        .select(col("vec_id"),
-          zip_with(col("cv"), col("v"), (c, x) => c + lit(ClusterSpread) * x).as("v"))
+      clusteredFrom(
+        Tables.embeddings(spark, dir)
+          .filter(col("vec_id") < ClusterCap)
+          .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v")))
     }
+
+  /** The same derivation with NO size cap — the corpus for SCALE probes on
+    * clustered geometry ([[Dedup.dedupEmbeddingCosineClusteredPlanes]]),
+    * where the interesting quantity is precisely how costs grow as the
+    * clusters do. Not oracle-checked (the capped query owns the regime
+    * demonstration); not shared-cached (scale probes release between runs). */
+  private[graft] def clusteredCorpusUncapped(spark: SparkSession, dir: String): DataFrame =
+    clusteredFrom(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v")))
+
+  private def clusteredFrom(e0: DataFrame): DataFrame = {
+    val ctr = e0.filter(col("vec_id") >= 8 && col("vec_id") < 16)
+      .select((col("vec_id") - 8).as("cid"), col("v").as("cv"))
+    e0.join(broadcast(ctr), (col("vec_id") % 8) === col("cid"))
+      .select(col("vec_id"),
+        zip_with(col("cv"), col("v"), (c, x) => c + lit(ClusterSpread) * x).as("v"))
+  }
 
   private[operators] val ClusteredESql: String =
     s"""e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < $ClusterCap),

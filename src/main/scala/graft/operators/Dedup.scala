@@ -425,17 +425,14 @@ object Dedup {
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     dedupEmbeddingCosinePlanes(spark, dir, NearDupPlanes)
 
-  /** Plane count is THE scale dial: 2^planes buckets, so occupancy — and
-    * with it within-bucket candidate pairs — grows linearly in corpus size
-    * when planes is fixed. Production sizing is
-    * planes ≈ log2(n / target_occupancy): the SfScale 100× run shows the
-    * fixed-8-plane query going super-linear (bucket saturation) and this
-    * dial restoring ~linear cost at the same recall trade (SCALING.md). */
-  def dedupEmbeddingCosinePlanes(spark: SparkSession, dir: String, planes: Int): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+  /** The shared near-dup core over any `(vec_id, v)` corpus: manufacture
+    * near-dups (every 10th vector perturbed by ±2⁻⁷ per element, id offset
+    * by `pertOffset`), block by sign-of-projection hyperplane bucket,
+    * verify candidates by exact cosine ≥ 0.99. */
+  private[graft] def nearDupPairsOn(
+      e: DataFrame, planes: Int, pertOffset: Long = 100000L): DataFrame = {
     val pert = e.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + 100000L).as("vec_id"),
+      .select((col("vec_id") + pertOffset).as("vec_id"),
         transform(sequence(lit(1), lit(64)),
           i => element_at(col("v"), i) + lit(0.0078125) * (i % 3 - 1).cast("double")).as("v"))
     val all = e.unionByName(pert)
@@ -450,8 +447,99 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val dedupEmbeddingCosineSql: String =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** Plane count is THE scale dial: 2^planes buckets, so occupancy — and
+    * with it within-bucket candidate pairs — grows linearly in corpus size
+    * when planes is fixed. Production sizing is
+    * planes ≈ log2(n / target_occupancy): the SfScale 100× run shows the
+    * fixed-8-plane query going super-linear (bucket saturation) and this
+    * dial restoring ~linear cost at the same recall trade (SCALING.md). */
+  def dedupEmbeddingCosinePlanes(spark: SparkSession, dir: String, planes: Int): DataFrame =
+    nearDupPairsOn(
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v")),
+      planes)
+
+  /** The near-dup scan on the geometry that breaks hyperplane blocking
+    * (round-8 item #3): [[AnnRecall.clusteredCorpus]]'s members agree on
+    * every plane whose projection of the shared center dominates the noise
+    * term, so occupancy concentrates per cluster — within-bucket candidate
+    * pairs grow with cluster size squared, not corpus size. The
+    * oracle-checked query pins the size-capped demonstration corpus
+    * (regime, not scale); the SfScale rerun derives the clustered corpus
+    * UNCAPPED over the scaled fixture and measures the planes dial on the
+    * hostile geometry — numbers in SCALING.md. */
+  def dedupEmbeddingCosineClustered(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsOn(AnnRecall.clusteredCorpus(spark, dir), NearDupPlanes)
+
+  /** SfScale probe: uncapped clustered derivation × planes dial. */
+  def dedupEmbeddingCosineClusteredPlanes(
+      spark: SparkSession, dir: String, planes: Int): DataFrame = {
+    val e = AnnRecall.clusteredCorpusUncapped(spark, dir)
+    // dense ids 0..N-1: offset the manufactured near-dups past max(id)
+    // (the capped query's fixed +100000 would collide at scaled sizes)
+    val offset = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    nearDupPairsOn(e, planes, offset)
+  }
+
+  /** The PRODUCTION fix for clustered geometry, measured decisive at ×10
+    * (150k vectors): raw-vector blocking carries 9.5M candidate pairs at 8
+    * planes and the dial only halves pairs per 4 extra planes (new planes
+    * split on the noise component alone); blocking the RESIDUAL v −
+    * c[cluster] under a (cluster, bucket) key carries 695k pairs at the
+    * same 8 planes — 13.7× fewer — and the dial regains flat-geometry
+    * strength (4.3× per 4 planes). Residuals are noise-dominated, so their
+    * sign patterns spread like the uniform fixture's: cluster-then-block
+    * turns the hostile geometry back into the easy one. Training is the
+    * shared deterministic Lloyd (same `#clustered` quantizer as the recall
+    * harness), residuals the exact codegen kernel, so the whole pipeline —
+    * training, assignment of the manufactured near-dups, residual buckets,
+    * verify — replays in DuckDB. The recall trade this adds: a perturbed
+    * copy assigned across a cell boundary from its source cannot pair
+    * (mirrored exactly by the oracle). */
+  def dedupEmbeddingCosineResidual(spark: SparkSession, dir: String): DataFrame = {
+    val e = AnnRecall.clusteredCorpus(spark, dir)
+    val centroids = CacheRegistry.sharedObject(s"ivf-centroids:$dir#clustered")(
+      IvfKMeans.trainCentroids(e))
+    nearDupResidualOn(e, centroids, NearDupPlanes)
+  }
+
+  private[graft] def nearDupResidualOn(
+      e: DataFrame, centroids: Seq[(Int, Array[Double])],
+      planes: Int, pertOffset: Long = 100000L): DataFrame = {
+    val pert = e.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + pertOffset).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => element_at(col("v"), i) + lit(0.0078125) * (i % 3 - 1).cast("double")).as("v"))
+    val all = IvfKMeans.assign(e.unionByName(pert), centroids)
+    val rb = all.withColumn("bucket",
+      VectorFunctions.hyperplaneBucket(
+        graft.functions.CentroidResidual.column(col("v"), col("cluster"), centroids),
+        planes))
+    val x = rb.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("cluster"), col("bucket"))
+    val y = rb.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("cluster"), col("bucket"))
+    x.join(y, Seq("cluster", "bucket"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", VectorFunctions.cosineSimilarity(col("va"), col("vb")))
+      .filter(col("cos") >= 0.99)
+      .select(col("a_id"), col("b_id"), pround(col("cos"), 4).as("cosine"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** SfScale probe: residual blocking on the uncapped clustered corpus —
+    * the quantizer trains on the scaled corpus itself (driver-bound K×Dim,
+    * like every Lloyd run here). */
+  def dedupEmbeddingCosineResidualPlanes(
+      spark: SparkSession, dir: String, planes: Int): DataFrame = {
+    val e = AnnRecall.clusteredCorpusUncapped(spark, dir)
+    val offset = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    nearDupResidualOn(e, IvfKMeans.trainCentroids(e), planes, offset)
+  }
+
+  /** [[nearDupPairsOn]] as SQL over whatever CTE block defines `e`. */
+  private def nearDupSqlFrom(eDef: String): String =
+    s"""WITH $eDef,
        |pert AS (
        |  SELECT vec_id + 100000 AS vec_id,
        |         list_transform(generate_series(1, 64),
@@ -460,7 +548,7 @@ object Dedup {
        |allv AS (
        |  SELECT vec_id, v,
        |         ${VectorFunctions.hyperplaneBucketSql("v", NearDupPlanes)} AS bucket
-       |  FROM (SELECT * FROM e UNION ALL SELECT * FROM pert)),
+       |  FROM (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert)),
        |pairs AS (
        |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
        |         list_dot_product(x.v, y.v)
@@ -469,6 +557,45 @@ object Dedup {
        |  JOIN allv y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
        |SELECT a_id, b_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
        |FROM pairs WHERE cos >= 0.99
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val dedupEmbeddingCosineSql: String =
+    nearDupSqlFrom("e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)")
+
+  val dedupEmbeddingCosineClusteredSql: String =
+    nearDupSqlFrom(AnnRecall.ClusteredESql)
+
+  /** Residual-blocking replay: Lloyd training on the clustered `e`
+    * ([[IvfKMeans.trainingSqlFrom]]), assignment of corpus ∪ manufactured
+    * near-dups, residual per row against the final centroids, hyperplane
+    * buckets over the residual, (cluster, bucket) candidate join, exact
+    * verify — every stage the Spark pipeline runs. */
+  val dedupEmbeddingCosineResidualSql: String =
+    s"""WITH ${IvfKMeans.trainingSqlFrom(AnnRecall.ClusteredESql)},
+       |pert AS (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |         list_transform(generate_series(1, 64),
+       |           i -> v[i] + 0.0078125 * ((i % 3) - 1)) AS v
+       |  FROM e WHERE vec_id % 10 = 0),
+       |allv AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
+       |${IvfKMeans.assignSql("allv", IvfKMeans.finalCentroidsRel, "aall")},
+       |res AS (
+       |  SELECT a.vec_id, a.v, a.cluster,
+       |         list_transform(generate_series(1, 64), i -> a.v[i] - c.cv[i]) AS r
+       |  FROM aall a JOIN ${IvfKMeans.finalCentroidsRel} c ON a.cluster = c.cluster),
+       |rb AS (
+       |  SELECT vec_id, v, cluster,
+       |         ${VectorFunctions.hyperplaneBucketSql("r", NearDupPlanes)} AS bucket
+       |  FROM res),
+       |rpairs AS (
+       |  SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+       |         list_dot_product(x.v, y.v)
+       |           / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
+       |  FROM rb x
+       |  JOIN rb y ON x.cluster = y.cluster AND x.bucket = y.bucket
+       |            AND x.vec_id < y.vec_id)
+       |SELECT a_id, b_id, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
+       |FROM rpairs WHERE cos >= 0.99
        |ORDER BY a_id, b_id""".stripMargin
 
   // --------------------------------------------------- IVF-style ANN scan
@@ -518,6 +645,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_salted_skew" -> dedupSaltedSkew,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_embedding_cosine_clustered" -> dedupEmbeddingCosineClustered,
+    "dedup_embedding_cosine_residual" -> dedupEmbeddingCosineResidual,
     "ann_ivf_label" -> annIvfLabel
   )
 
@@ -528,6 +657,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,
     "dedup_salted_skew" -> dedupSaltedSkewSql,
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
+    "dedup_embedding_cosine_clustered" -> dedupEmbeddingCosineClusteredSql,
+    "dedup_embedding_cosine_residual" -> dedupEmbeddingCosineResidualSql,
     "ann_ivf_label" -> annIvfLabelSql
   )
 }

@@ -193,7 +193,7 @@ object IvfKMeans {
 
   // ------------------------------------------------------------- oracle SQL
 
-  private def assignSql(eRel: String, cRel: String, out: String): String =
+  private[operators] def assignSql(eRel: String, cRel: String, out: String): String =
     s"""$out AS (
        |  SELECT vec_id, v, cluster FROM (
        |    SELECT e.vec_id, e.v, c.cluster,

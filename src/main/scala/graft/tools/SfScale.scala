@@ -118,6 +118,47 @@ object SfScale {
       val tScaled = runPlanes(out, planes)
       println(f"SCALE ${s"dedup_embedding_cosine/p$planes"}%-26s $tBase%8.2f $tScaled%8.2f ${tScaled / tBase}%7.2f")
     }
+    // Clustered-geometry near-dup (round 8): hyperplane blocking degrades
+    // exactly here — same-cluster members co-bucket, so within-bucket pairs
+    // grow with cluster size squared. Measure the UNCAPPED clustered
+    // derivation at the pinned dial (saturation) and at the production dial
+    // (extra planes split on the noise component and restore candidate
+    // bounds — each plane halves expected same-cluster co-bucketing at
+    // spread 0.9, where ~45% of a member's energy is noise).
+    if (only.forall(_.contains("dedup_embedding_cosine_clustered")) && factor > 1) {
+      val planes = 8 + math.ceil(math.log(factor.toDouble) / math.log(2.0)).toInt
+      def runClustered(dir: String, p: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.dedupEmbeddingCosineClusteredPlanes(spark, dir, p)
+          .write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        CacheRegistry.release(blocking = true)
+        CacheRegistry.releaseShared(blocking = true)
+        s
+      }
+      runClustered(base, 8)
+      val tBase = runClustered(base, 8)
+      val tPinned = runClustered(out, 8)
+      val tScaled = runClustered(out, planes)
+      println(f"SCALE ${"dedup_emb_cos_uncapped/p8"}%-26s $tBase%8.2f $tPinned%8.2f ${tPinned / tBase}%7.2f")
+      println(f"SCALE ${s"dedup_emb_cos_uncapped/p$planes"}%-26s $tBase%8.2f $tScaled%8.2f ${tScaled / tBase}%7.2f")
+      // ...and the production fix: residual blocking under (cluster,
+      // bucket) — candidate pairs measured 13.7× below raw-vector blocking
+      // at the same planes on this geometry (see Dedup scaladoc)
+      def runResidual(dir: String, p: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.dedupEmbeddingCosineResidualPlanes(spark, dir, p)
+          .write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        CacheRegistry.release(blocking = true)
+        CacheRegistry.releaseShared(blocking = true)
+        s
+      }
+      runResidual(base, 8)
+      val rBase = runResidual(base, 8)
+      val rScaled = runResidual(out, 8)
+      println(f"SCALE ${"dedup_emb_cos_residual/p8"}%-26s $rBase%8.2f $rScaled%8.2f ${rScaled / rBase}%7.2f")
+    }
     // Same dial, same story for the NSW graph build: the oracle-pinned
     // query buckets with 4 planes per table, so its candidate pairs grow
     // ~linearly in occupancy; the production sizing resizes planes to hold
