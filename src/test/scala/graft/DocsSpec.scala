@@ -17,6 +17,19 @@ class DocsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries missing from COVERAGE.md: ${missing.mkString(", ")}")
   }
 
+  test("doc round stamps agree (SCALING.md status == COVERAGE.md status == NOTES.md state)") {
+    // round-7 verdict item #5: SCALING.md:3 said "round 6" while carrying
+    // round-7 measurements — make the stamp drift structural
+    def stamp(text: String, pattern: String): Int =
+      pattern.r.findFirstMatchIn(text).map(_.group(1).toInt)
+        .getOrElse(fail(s"no round stamp matching '$pattern'"))
+    val scaling = stamp(read("SCALING.md"), "Status: round (\\d+)")
+    val coverage = stamp(read("COVERAGE.md"), "Status: round (\\d+)")
+    val notes = stamp(read("NOTES.md"), "## State at end of round (\\d+)")
+    assert(scaling === notes, "SCALING.md status stamp behind NOTES.md")
+    assert(coverage === notes, "COVERAGE.md status stamp behind NOTES.md")
+  }
+
   test("SCALING.md carries the recall table for every ANN method the harness measures") {
     val scaling = read("SCALING.md")
     val methods = graft.operators.AnnRecall.methodNames
