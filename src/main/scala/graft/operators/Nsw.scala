@@ -50,7 +50,7 @@ object Nsw {
   private[graft] val Degree = 6
   private[operators] val Beam = 8
   private[operators] val Hops = 3
-  private[operators] val Entries = 4
+  private[graft] val Entries = 4
   private val K = 3
 
   /** Corpus vectors, cached per dir: beamLoop scans this frame once per
@@ -360,10 +360,14 @@ object Nsw {
     * need NOT be corpus members (streaming insertion searches the current
     * graph for vectors that are about to join it). Seeds are the fixed
     * entry nodes of `e`. */
+  /** `entryCap` bounds the fixed entry-node id range — [[Entries]] for the
+    * full corpus, Entries·[[SampleMod]] when `e` is the layer-1 sample
+    * (whose ids are all multiples of SampleMod, exactly as in
+    * [[hnswSearchOn]]'s layer-1 seeding). */
   private[graft] def bulkVisited(e: DataFrame, edges: DataFrame, q: DataFrame,
-      hops: Int = Hops, beam: Int = Beam): DataFrame = {
+      hops: Int = Hops, beam: Int = Beam, entryCap: Int = Entries): DataFrame = {
     val seeds = q.select(col("query_id"))
-      .crossJoin(e.filter(col("vec_id") < Entries).select(col("vec_id").as("node_id")))
+      .crossJoin(e.filter(col("vec_id") < entryCap).select(col("vec_id").as("node_id")))
       .filter(col("node_id") =!= col("query_id"))
     bulkBeamLoop(e, edges, q,
       CacheRegistry.checkpointTracked(bulkScore(e, q, seeds)), hops, beam)
@@ -412,10 +416,11 @@ object Nsw {
   private[operators] val InsertHops = Hops + 1
   private[operators] val InsertBeam = Beam * 2
 
-  private[graft] def insertKnn(e: DataFrame, edges: DataFrame, batch: DataFrame): DataFrame = {
+  private[graft] def insertKnn(e: DataFrame, edges: DataFrame, batch: DataFrame,
+      entryCap: Int = Entries): DataFrame = {
     val visited = bulkVisited(e, edges,
       batch.select(col("vec_id").as("query_id"), col("v").as("qv")),
-      hops = InsertHops, beam = InsertBeam)
+      hops = InsertHops, beam = InsertBeam, entryCap = entryCap)
     // batch-INTERNAL candidates: two near-duplicates arriving in the same
     // micro-batch cannot find each other by searching the pre-batch graph,
     // so the batch also scores itself — bounded at batch² pairs (a
@@ -628,8 +633,10 @@ object Nsw {
         edgesOn(e.filter(col("vec_id") % SampleMod === 0), planes, SampleMod)),
       CacheRegistry.sharedTracked(l0Key)(edgesOn(e, planes)))
 
-  /** The 2-layer beam core over already-built layer graphs. */
-  private def hnswWithEdges(
+  /** The 2-layer beam core over already-built layer graphs — also the
+    * serve path of [[graft.streaming.StreamingNswIndex]]'s maintained
+    * hierarchy. */
+  private[graft] def hnswWithEdges(
       e: DataFrame, edges1: DataFrame, edges0: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._

@@ -6,10 +6,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.operators.Nsw
 
-/** Incremental NSW index maintenance under streaming ingest — the
+/** Incremental NSW/HNSW index maintenance under streaming ingest — the
   * composition the streaming upsert + streaming dedup imply: new vectors
   * arrive continuously, and the graph-ANN index grows with them instead of
-  * being rebuilt.
+  * being rebuilt. Since round 8 BOTH layers of the `ann_hnsw_search`
+  * hierarchy are maintained: layer-1 membership is deterministic
+  * (`vec_id % SampleMod == 0`), so each batch's sample members are
+  * inserted into the routing graph by the same search-then-connect the
+  * full corpus gets on layer 0 — grown ≡ rebuilt recall pinned for both
+  * the flat and the 2-layer search.
   *
   * Each micro-batch runs the actual NSW INSERTION algorithm (Malkov et
   * al., Information Systems 2014 §4): beam-search the CURRENT graph for
@@ -40,20 +45,37 @@ class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame
   if (state.latest.isEmpty)
     state.commit(0L, Map(
       "vectors" -> initial,
-      "knn" -> Nsw.knnEdgesOn(initial.select(col("vec_id"), col("v")))))
+      "knn" -> Nsw.knnEdgesOn(initial.select(col("vec_id"), col("v"))),
+      "knn1" -> Nsw.knnEdgesOn(
+        initial.select(col("vec_id"), col("v"))
+          .filter(col("vec_id") % Nsw.SampleMod === 0))))
 
   def currentVectors(): DataFrame = state.read("vectors")
   def currentKnn(): DataFrame = state.read("knn")
+  def currentKnn1(): DataFrame = state.read("knn1")
 
   /** The searchable edge table of the current version: k-NN state plus the
     * serve-time symmetrize + small-world overlay. */
   def servedEdges(): DataFrame =
     Nsw.symmetrizeWithLongLinks(currentVectors(), currentKnn(), 1)
 
-  /** Insert one micro-batch of (vec_id, v) rows: search-then-connect, then
-    * commit vectors/knn at version batchId+1. A batch whose version is
-    * already committed (foreachBatch replay after a post-commit failure) is
-    * a no-op — re-running it would read the very dirs it overwrites. */
+  /** The ROUTING layer's edge table: the maintained layer-1 k-NN state
+    * under the same finishing overlay, on the sample's id lattice. Layer-1
+    * membership is deterministic (`vec_id % SampleMod == 0` — the batch
+    * hierarchy's rule), so the routing layer is maintainable by exactly
+    * the insertion algorithm layer 0 uses. */
+  def servedEdges1(): DataFrame =
+    Nsw.symmetrizeWithLongLinks(
+      currentVectors().filter(col("vec_id") % Nsw.SampleMod === 0),
+      currentKnn1(), Nsw.SampleMod)
+
+  /** Insert one micro-batch of (vec_id, v) rows: search-then-connect on
+    * layer 0 for every row, and the same insertion on the routing layer
+    * for the deterministic 1-in-[[Nsw.SampleMod]] sample members; then
+    * commit vectors/knn/knn1 at version batchId+1. A batch whose version
+    * is already committed (foreachBatch replay after a post-commit
+    * failure) is a no-op — re-running it would read the very dirs it
+    * overwrites. */
   def insertBatch(batch: Dataset[Row], batchId: Long): Unit = {
     val target = batchId + 1
     if (state.latest.exists(_ >= target)) return
@@ -63,9 +85,16 @@ class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame
       .join(e.select(col("vec_id")), Seq("vec_id"), "left_anti")
     if (!fresh.isEmpty) {
       val newKnn = Nsw.insertKnn(e, servedEdges(), fresh)
+      val fresh1 = fresh.filter(col("vec_id") % Nsw.SampleMod === 0)
+      val newKnn1 =
+        if (fresh1.isEmpty) currentKnn1().limit(0)
+        else Nsw.insertKnn(
+          e.filter(col("vec_id") % Nsw.SampleMod === 0), servedEdges1(), fresh1,
+          entryCap = Nsw.Entries * Nsw.SampleMod)
       state.commit(target, Map(
         "vectors" -> e.unionByName(fresh),
-        "knn" -> currentKnn().unionByName(newKnn)))
+        "knn" -> currentKnn().unionByName(newKnn),
+        "knn1" -> currentKnn1().unionByName(newKnn1)))
     }
   }
 
@@ -82,4 +111,10 @@ class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame
     * rebuild. */
   def search(): DataFrame =
     Nsw.searchWithEdges(currentVectors(), servedEdges())
+
+  /** The 2-layer search over the grown hierarchy: routing through the
+    * maintained layer-1 graph, layer-0 beam from its survivors — the same
+    * serve core as `ann_hnsw_search`. */
+  def search2(): DataFrame =
+    Nsw.hnswWithEdges(currentVectors(), servedEdges1(), servedEdges())
 }

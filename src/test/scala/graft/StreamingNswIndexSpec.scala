@@ -70,5 +70,21 @@ class StreamingNswIndexSpec extends AnyFunSuite {
     // LSH-found k-NN; long links identical, recomputed per version)
     assert(grown >= rebuilt - 1.0 / 15.0 - 1e-9,
       s"incrementally grown graph recall $grown vs rebuilt $rebuilt")
+
+    // 2-LAYER: the maintained routing layer (deterministic vec_id % 8
+    // membership, inserted by the same search-then-connect over the
+    // sample graph) must reach the batch-rebuilt hierarchy's recall
+    val knn1Srcs = index.currentKnn1().select("src").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert((304L until n by 8).forall(knn1Srcs.contains),
+      "every new sample member got routing-layer edges")
+    val e1 = e.filter(col("vec_id") % 8 === 0)
+    val grown2 = recallOf(index.search2().collect())
+    val rebuilt2 = recallOf(graft.operators.Nsw.hnswWithEdges(
+      e, graft.operators.Nsw.edgesOn(e1, 4, 8),
+      graft.operators.Nsw.edgesOn(e)).collect())
+    info(s"2-layer recall@3: grown $grown2 vs batch rebuilt $rebuilt2")
+    assert(grown2 >= rebuilt2 - 1.0 / 15.0 - 1e-9,
+      s"incrementally grown hierarchy recall $grown2 vs rebuilt $rebuilt2")
   }
 }
