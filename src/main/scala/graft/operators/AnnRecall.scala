@@ -41,23 +41,41 @@ object AnnRecall {
   private val K = 3
 
   /** Everything an approximate method's frame builder may need: the
-    * corpus `(vec_id, v)`, its trained IVF assignment, and a cache tag
-    * namespacing the shared edge-table builds (the data dir for the
-    * fixture corpus — shared with the standalone queries — and a
-    * `#clustered` variant for the derived corpus). One shared k-means
-    * training feeds both IVF rows and one shared PQ training feeds the PQ
-    * rows (the harness compares search policies, not training runs). PQ
-    * codebooks are lazy — trained only if a PQ method is listed. */
+    * corpus `(vec_id, v)`, its trained IVF assignment, and the cache/store
+    * coordinates namespacing the shared artifact builds (the data dir for
+    * the fixture corpus — SAME keys and IndexStore artifacts as the
+    * standalone queries and `index_build_*` entries — and `#clustered`
+    * keys / `-clustered` artifacts for the derived corpus, built by
+    * `index_build_clustered`). One shared k-means training feeds both IVF
+    * rows and one shared PQ training feeds the PQ rows (the harness
+    * compares search policies, not training runs). All artifacts are
+    * lazy — built only if a listed method needs them. */
   private final case class MethodInputs(
       spark: SparkSession, e: DataFrame,
-      assigned: DataFrame, centroids: Seq[(Int, Array[Double])], tag: String) {
-    // shared per-corpus with the standalone PQ-family queries (same keys
-    // for tag = dir; the clustered corpus gets its own #clustered keys)
+      assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
+      dir: String, clustered: Boolean) {
+    val tag: String = if (clustered) s"$dir#clustered" else dir
+    private val sfx = if (clustered) "-clustered" else ""
     lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] =
-      CacheRegistry.sharedObject(s"pq-codebooks:$tag")(Pq.trainCodebooks(e))
+      CacheRegistry.sharedObject(s"pq-codebooks:$tag")(
+        graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, s"pq-codebooks$sfx")(
+          Pq.trainCodebooks(e)))
     lazy val residualCodebooks: Seq[Seq[(Int, Array[Double])]] =
       CacheRegistry.sharedObject(s"ivfadc-codebooks:$tag")(
-        Ivfadc.residualCodebooks(assigned, centroids))
+        graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, s"ivfadc-codebooks$sfx")(
+          Ivfadc.residualCodebooks(assigned, centroids)))
+    lazy val nswEdges: DataFrame =
+      CacheRegistry.sharedTracked(s"nsw-edges:$tag")(
+        graft.tools.IndexStore.readOrBuild(spark, dir, s"nsw-edges$sfx")(Nsw.edgesOn(e)))
+    lazy val hnswL1Edges: DataFrame =
+      CacheRegistry.sharedTracked(s"hnsw-l1:$tag")(
+        graft.tools.IndexStore.readOrBuild(spark, dir, s"hnsw-l1$sfx")(
+          Nsw.edgesOn(e.filter(col("vec_id") % Nsw.SampleMod === 0),
+            Similarity.TablePlanes, Nsw.SampleMod)))
+    lazy val nndEdges: DataFrame =
+      CacheRegistry.sharedTracked(s"nnd-edges:$tag")(
+        graft.tools.IndexStore.readOrBuild(spark, dir, s"nnd-edges$sfx")(
+          Nsw.symmetrizeWithLongLinks(e, Nsw.nnDescentKnn(e), 1)))
   }
 
   /** One approximate ANN method under test: its display name, its Spark
@@ -84,10 +102,9 @@ object AnnRecall {
       in => Ivfpq.searchOn(in.e, in.assigned, in.centroids, in.pqCodebooks), "ipranked"),
     Method("ivfadc",
       in => Ivfadc.searchOn(in.e, in.assigned, in.centroids, in.residualCodebooks), "adranked"),
-    Method("nsw", in => Nsw.searchOnFrame(in.e, s"nsw-edges:${in.tag}"), "nswranked"),
-    Method("hnsw", in => Nsw.hnswOnFrame(in.e, Similarity.TablePlanes,
-      l1Key = s"hnsw-l1:${in.tag}", l0Key = s"nsw-edges:${in.tag}"), "hnswranked"),
-    Method("nsw_nnd", in => Nsw.nndSearchOnFrame(in.e, s"nnd-edges:${in.tag}"), "ndranked"))
+    Method("nsw", in => Nsw.searchWithEdges(in.e, in.nswEdges), "nswranked"),
+    Method("hnsw", in => Nsw.hnswWithEdges(in.e, in.hnswL1Edges, in.nswEdges), "hnswranked"),
+    Method("nsw_nnd", in => Nsw.searchWithEdges(in.e, in.nndEdges), "ndranked"))
 
   private[graft] def methodNames: Seq[String] = MethodSpecs.map(_.name)
 
@@ -193,16 +210,23 @@ object AnnRecall {
 
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
-    recallFrame(MethodInputs(spark, e, assigned, centroids, tag = dir),
+    recallFrame(MethodInputs(spark, e, assigned, centroids, dir, clustered = false),
       MethodSpecs, Similarity.annBruteForceK(spark, dir, K))
   }
 
+  /** The clustered quantizer — shared (same key + IndexStore artifact) by
+    * the harness, the residual near-dup, and `index_build_clustered`. */
+  private[operators] def clusteredCentroids(
+      spark: SparkSession, dir: String, e: DataFrame): Seq[(Int, Array[Double])] =
+    CacheRegistry.sharedObject(s"ivf-centroids:$dir#clustered")(
+      graft.tools.IndexStore.readOrBuildCentroids(spark, dir, "ivf-centroids-clustered")(
+        IvfKMeans.trainCentroids(e)))
+
   def annRecallClustered(spark: SparkSession, dir: String): DataFrame = {
     val e = clusteredCorpus(spark, dir)
-    val centroids = CacheRegistry.sharedObject(s"ivf-centroids:$dir#clustered")(
-      IvfKMeans.trainCentroids(e))
+    val centroids = clusteredCentroids(spark, dir, e)
     val assigned = IvfKMeans.assign(e, centroids)
-    recallFrame(MethodInputs(spark, e, assigned, centroids, tag = s"$dir#clustered"),
+    recallFrame(MethodInputs(spark, e, assigned, centroids, dir, clustered = true),
       ClusteredMethods, Similarity.annBruteForceKOn(e, K))
   }
 

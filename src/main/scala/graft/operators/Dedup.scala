@@ -498,9 +498,7 @@ object Dedup {
     * (mirrored exactly by the oracle). */
   def dedupEmbeddingCosineResidual(spark: SparkSession, dir: String): DataFrame = {
     val e = AnnRecall.clusteredCorpus(spark, dir)
-    val centroids = CacheRegistry.sharedObject(s"ivf-centroids:$dir#clustered")(
-      IvfKMeans.trainCentroids(e))
-    nearDupResidualOn(e, centroids, NearDupPlanes)
+    nearDupResidualOn(e, AnnRecall.clusteredCentroids(spark, dir, e), NearDupPlanes)
   }
 
   private[graft] def nearDupResidualOn(

@@ -204,12 +204,6 @@ object Nsw {
   private[operators] def searchOn(spark: SparkSession, dir: String): DataFrame =
     searchWithEdges(vectors(spark, dir), storedNswEdges(spark, dir))
 
-  /** Same search over an arbitrary `(vec_id, v)` corpus; `cacheKey` names
-    * the shared edge-table build (pass the dir-keyed name to share with
-    * the standalone query, a distinct one for synthetic corpora). */
-  private[operators] def searchOnFrame(e: DataFrame, cacheKey: String): DataFrame =
-    searchWithEdges(e, CacheRegistry.sharedTracked(cacheKey)(edgesOn(e)))
-
   /** The beam state (visited scores + frontier) lives on the DRIVER: it is
     * Q · (Entries + Hops·Beam·degree) rows — bounded by the search dials,
     * INDEPENDENT of corpus size — the same legitimate driver boundary as
@@ -591,10 +585,6 @@ object Nsw {
   private[operators] def nndSearchOn(spark: SparkSession, dir: String): DataFrame =
     searchWithEdges(vectors(spark, dir), storedNndEdges(spark, dir))
 
-  private[operators] def nndSearchOnFrame(e: DataFrame, cacheKey: String): DataFrame =
-    searchWithEdges(e, CacheRegistry.sharedTracked(cacheKey)(
-      symmetrizeWithLongLinks(e, nnDescentKnn(e), 1)))
-
   def nndSearch(spark: SparkSession, dir: String): DataFrame =
     nndSearchOn(spark, dir)
 
@@ -623,19 +613,9 @@ object Nsw {
     hnswWithEdges(vectors(spark, dir),
       storedHnswL1Edges(spark, dir, planes), storedNswEdges(spark, dir, planes))
 
-  /** The 2-layer search over an arbitrary `(vec_id, v)` corpus; the cache
-    * keys name the two edge-table builds (layer 0's dir-keyed default is
-    * shared with `ann_nsw_search` — built once for both). */
-  private[operators] def hnswOnFrame(
-      e: DataFrame, planes: Int, l1Key: String, l0Key: String): DataFrame =
-    hnswWithEdges(e,
-      CacheRegistry.sharedTracked(l1Key)(
-        edgesOn(e.filter(col("vec_id") % SampleMod === 0), planes, SampleMod)),
-      CacheRegistry.sharedTracked(l0Key)(edgesOn(e, planes)))
-
   /** The 2-layer beam core over already-built layer graphs — also the
     * serve path of [[graft.streaming.StreamingNswIndex]]'s maintained
-    * hierarchy. */
+    * hierarchy and the recall harness's hnsw row. */
   private[graft] def hnswWithEdges(
       e: DataFrame, edges1: DataFrame, edges0: DataFrame): DataFrame = {
     val spark = e.sparkSession

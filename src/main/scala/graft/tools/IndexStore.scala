@@ -64,6 +64,28 @@ object IndexStore {
     s"$root/v$FormatVersion/$base-${fingerprint(spark, dir)}/$name"
   }
 
+  /** Drop artifact dirs built from SUPERSEDED corpus versions: when the
+    * data under `dir` changes, its fingerprint changes, and the old
+    * `{basename}-{oldFp}` tree would otherwise live forever — the same
+    * unbounded-growth defect class VersionedState's keep-last-K closes for
+    * the streaming indexes. Called on every write; same-basename dirs with
+    * a different fingerprint are deleted (the CURRENT corpus's artifacts,
+    * across all names, are never touched). The basename IS the corpus
+    * identity: two paths sharing a basename count as versions of one
+    * logical corpus — exactly the sf-fixture layout. */
+  private def pruneStaleFingerprints(spark: SparkSession, dir: String): Unit = {
+    val base = new Path(dir).getName
+    val current = fingerprint(spark, dir)
+    val parent = new Path(s"$root/v$FormatVersion")
+    val fs = parent.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(s"$base-") && n != s"$base-$current")
+          fs.delete(st.getPath, true)
+      }
+  }
+
   private def committed(spark: SparkSession, path: String): Boolean = {
     val p = new Path(path, "_SUCCESS")
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
@@ -72,7 +94,9 @@ object IndexStore {
   /** Write `build` to a temp dir, then rename over `path`. Losing a
     * cross-process race is fine: the winner's artifact is byte-equivalent
     * (builds are deterministic), so the loser just discards its temp. */
-  private def writeAtomic(spark: SparkSession, path: String)(build: => DataFrame): Unit = {
+  private def writeAtomic(spark: SparkSession, dir: String, path: String)
+      (build: => DataFrame): Unit = {
+    pruneStaleFingerprints(spark, dir)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(path + s".tmp-${java.lang.Thread.currentThread().getId}-${System.nanoTime()}")
     build.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -97,7 +121,7 @@ object IndexStore {
       (build: => DataFrame): DataFrame = {
     val path = artifactPath(spark, dir, name)
     withLock(path) {
-      if (!committed(spark, path)) writeAtomic(spark, path)(build)
+      if (!committed(spark, path)) writeAtomic(spark, dir, path)(build)
       spark.read.parquet(path)
     }
   }
@@ -109,7 +133,7 @@ object IndexStore {
       (build: => DataFrame): DataFrame = {
     val path = artifactPath(spark, dir, name)
     withLock(path) {
-      writeAtomic(spark, path)(build)
+      writeAtomic(spark, dir, path)(build)
       spark.read.parquet(path)
     }
   }
