@@ -429,13 +429,19 @@ object Dedup {
     * near-dups (every 10th vector perturbed by ±2⁻⁷ per element, id offset
     * by `pertOffset`), block by sign-of-projection hyperplane bucket,
     * verify candidates by exact cosine ≥ 0.99. */
+  /** `e` plus its manufactured near-dups (every 10th vector perturbed by
+    * ±2⁻⁷ per element, id offset by `pertOffset`) — the corpus both
+    * blocking strategies and the NearDupSweep tool scan. */
+  private[graft] def withPerturbed(e: DataFrame, pertOffset: Long): DataFrame =
+    e.unionByName(
+      e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + pertOffset).as("vec_id"),
+          transform(sequence(lit(1), lit(64)),
+            i => element_at(col("v"), i) + lit(0.0078125) * (i % 3 - 1).cast("double")).as("v")))
+
   private[graft] def nearDupPairsOn(
       e: DataFrame, planes: Int, pertOffset: Long = 100000L): DataFrame = {
-    val pert = e.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + pertOffset).as("vec_id"),
-        transform(sequence(lit(1), lit(64)),
-          i => element_at(col("v"), i) + lit(0.0078125) * (i % 3 - 1).cast("double")).as("v"))
-    val all = e.unionByName(pert)
+    val all = withPerturbed(e, pertOffset)
       .withColumn("bucket", VectorFunctions.hyperplaneBucket(col("v"), planes))
     val x = all.select(col("vec_id").as("a_id"), col("v").as("va"), col("bucket"))
     val y = all.select(col("vec_id").as("b_id"), col("v").as("vb"), col("bucket"))
@@ -504,11 +510,7 @@ object Dedup {
   private[graft] def nearDupResidualOn(
       e: DataFrame, centroids: Seq[(Int, Array[Double])],
       planes: Int, pertOffset: Long = 100000L): DataFrame = {
-    val pert = e.filter(col("vec_id") % 10 === 0)
-      .select((col("vec_id") + pertOffset).as("vec_id"),
-        transform(sequence(lit(1), lit(64)),
-          i => element_at(col("v"), i) + lit(0.0078125) * (i % 3 - 1).cast("double")).as("v"))
-    val all = IvfKMeans.assign(e.unionByName(pert), centroids)
+    val all = IvfKMeans.assign(withPerturbed(e, pertOffset), centroids)
     val rb = all.withColumn("bucket",
       VectorFunctions.hyperplaneBucket(
         graft.functions.CentroidResidual.column(col("v"), col("cluster"), centroids),
