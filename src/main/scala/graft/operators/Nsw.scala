@@ -176,20 +176,13 @@ object Nsw {
     CacheRegistry.sharedTracked(s"$artifact:$dir")(
       graft.tools.IndexStore.readOrBuild(spark, dir, artifact)(build))
 
-  private[operators] def storedNswEdges(
-      spark: SparkSession, dir: String, planes: Int = Similarity.TablePlanes): DataFrame = {
-    val artifact =
-      if (planes == Similarity.TablePlanes) "nsw-edges" else s"nsw-edges-p$planes"
-    storedEdges(spark, dir, artifact)(edgesOn(vectors(spark, dir), planes))
-  }
+  private[operators] def storedNswEdges(spark: SparkSession, dir: String): DataFrame =
+    storedEdges(spark, dir, "nsw-edges")(edgesOn(vectors(spark, dir)))
 
-  private[operators] def storedHnswL1Edges(
-      spark: SparkSession, dir: String, planes: Int = Similarity.TablePlanes): DataFrame = {
-    val artifact = if (planes == Similarity.TablePlanes) "hnsw-l1" else s"hnsw-l1-p$planes"
-    storedEdges(spark, dir, artifact)(
+  private[operators] def storedHnswL1Edges(spark: SparkSession, dir: String): DataFrame =
+    storedEdges(spark, dir, "hnsw-l1")(
       edgesOn(vectors(spark, dir).filter(col("vec_id") % SampleMod === 0),
-        planes, SampleMod))
-  }
+        Similarity.TablePlanes, SampleMod))
 
   private[operators] def storedNndEdges(spark: SparkSession, dir: String): DataFrame =
     storedEdges(spark, dir, "nnd-edges") {
@@ -477,9 +470,15 @@ object Nsw {
   }
 
   /** Production-dial variant for scale measurement: identical search over
-    * a graph whose candidate buckets use `planes` planes per table. */
-  def nswSearchPlanes(spark: SparkSession, dir: String, planes: Int): DataFrame =
-    searchWithEdges(vectors(spark, dir), storedNswEdges(spark, dir, planes))
+    * a graph whose candidate buckets use `planes` planes per table.
+    * Deliberately NOT IndexStore-backed: the SfScale probes exist to
+    * measure the BUILD cost at the resized dial, so each run pays a fresh
+    * build (per-run persist only — the serve queries' store amortization
+    * would hide exactly the number being measured). */
+  def nswSearchPlanes(spark: SparkSession, dir: String, planes: Int): DataFrame = {
+    val e = vectors(spark, dir)
+    searchWithEdges(e, CacheRegistry.persistTracked(edgesOn(e, planes)))
+  }
 
   // ------------------------------------------------------------ NN-descent
 
@@ -607,11 +606,8 @@ object Nsw {
     * nodes, instead of the fixed-entry beam spending its first hops
     * escaping wherever entry 0..3 happen to live. */
   private[operators] def hnswSearchOn(spark: SparkSession, dir: String): DataFrame =
-    hnswImpl(spark, dir, Similarity.TablePlanes)
-
-  private def hnswImpl(spark: SparkSession, dir: String, planes: Int): DataFrame =
     hnswWithEdges(vectors(spark, dir),
-      storedHnswL1Edges(spark, dir, planes), storedNswEdges(spark, dir, planes))
+      storedHnswL1Edges(spark, dir), storedNswEdges(spark, dir))
 
   /** The 2-layer beam core over already-built layer graphs — also the
     * serve path of [[graft.streaming.StreamingNswIndex]]'s maintained
@@ -635,13 +631,19 @@ object Nsw {
   def hnswSearch(spark: SparkSession, dir: String): DataFrame =
     hnswSearchOn(spark, dir)
 
-  /** Production-dial variant for scale measurement, as [[nswSearchPlanes]]:
+  /** Production-dial variant for scale measurement, as [[nswSearchPlanes]]
+    * (same deliberate non-store semantics — each run pays both builds):
     * both layers' graph builds bucket with `planes` planes per table. The
     * same delta holds both layers' bucket occupancy at the fixture's level
     * — layer 1 is a fixed 1/[[SampleMod]] sample, so its occupancy grows by
     * the same factor as layer 0's. */
-  def hnswSearchPlanes(spark: SparkSession, dir: String, planes: Int): DataFrame =
-    hnswImpl(spark, dir, planes)
+  def hnswSearchPlanes(spark: SparkSession, dir: String, planes: Int): DataFrame = {
+    val e = vectors(spark, dir)
+    hnswWithEdges(e,
+      CacheRegistry.persistTracked(
+        edgesOn(e.filter(col("vec_id") % SampleMod === 0), planes, SampleMod)),
+      CacheRegistry.persistTracked(edgesOn(e, planes)))
+  }
 
   // ------------------------------------------------------------- oracle SQL
   //
