@@ -107,20 +107,27 @@ object Components {
     * near-dup into 3-member families, so transitivity is exercised, not
     * just mirrored pairs.
     *
-    * Shared across the components queries via [[CacheRegistry
-    * .sharedTracked]] — the at-scale form is one materialized membership
-    * table feeding both the keep-filter and the duplication dashboards. */
+    * Shared across the components queries AND persisted in
+    * [[graft.tools.IndexStore]] (written by `index_build_components` or
+    * the first toucher) — a materialized membership table IS what feeds
+    * the keep-filter and the duplication dashboards at scale, so the
+    * store-backed form is the production shape, not an optimization. */
   def membership(spark: SparkSession, dir: String): DataFrame =
-    CacheRegistry.sharedTracked(s"dedup-cc:$dir") {
-      val labels = connectedComponents(
-        Dedup.minhashPairs(spark, dir).select(col("a_id"), col("b_id")))
-        .select(col("u").as("doc_id"), col("v").as("component"))
-      Dedup.corpus(spark, dir)
-        .select(col("doc_id"))
-        .join(labels, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("component"), col("doc_id")).as("component"))
-    }
+    CacheRegistry.sharedTracked(s"dedup-cc:$dir")(
+      graft.tools.IndexStore.readOrBuild(spark, dir, "dedup-cc")(
+        membershipFrame(spark, dir)))
+
+  /** The raw membership build (pair generation + alternating-star CC). */
+  private[operators] def membershipFrame(spark: SparkSession, dir: String): DataFrame = {
+    val labels = connectedComponents(
+      Dedup.minhashPairs(spark, dir).select(col("a_id"), col("b_id")))
+      .select(col("u").as("doc_id"), col("v").as("component"))
+    Dedup.corpus(spark, dir)
+      .select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+  }
 
   def dedupComponents(spark: SparkSession, dir: String): DataFrame =
     membership(spark, dir)
@@ -157,7 +164,7 @@ object Components {
   /** Oracle: reachability by recursive CTE over the same pairs —
     * min(reachable id) must equal the star roots the alternating
     * algorithm converges to. */
-  private val membershipCtes: String =
+  private[operators] val membershipCtes: String =
     s"""${Dedup.minhashPairsCtes},
        |edges AS (
        |  SELECT a_id AS u, b_id AS v FROM pairs

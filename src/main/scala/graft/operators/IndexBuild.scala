@@ -126,7 +126,25 @@ object IndexBuild {
     centroidSummary(spark, cents)
   }
 
+  /** The dedup family's shared artifact: the duplicate-cluster membership
+    * table (MinHash pair generation + alternating-star connected
+    * components) that `dedup_components`, `dedup_component_sizes` and
+    * `dedup_corpus_clean` all read. Summary = doc and component counts,
+    * checked against the DuckDB recursive-reachability replay. */
+  def buildComponents(spark: SparkSession, dir: String): DataFrame = {
+    val m = IndexStore.rebuild(spark, dir, "dedup-cc")(
+      Components.membershipFrame(spark, dir))
+    CacheRegistry.primeShared(s"dedup-cc:$dir", m)
+    m.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("component")).as("n_components"))
+  }
+
   // ------------------------------------------------------------- oracle SQL
+
+  val componentsBuildSql: String =
+    s"""WITH RECURSIVE ${Components.membershipCtes}
+       |SELECT count(*) AS n_docs, count(DISTINCT component) AS n_components
+       |FROM member""".stripMargin
 
   val clusteredBuildSql: String =
     s"""WITH ${IvfKMeans.trainingSqlFrom(AnnRecall.ClusteredESql)}
@@ -162,7 +180,8 @@ object IndexBuild {
     "index_build_ivf" -> buildIvf,
     "index_build_pq" -> buildPq,
     "index_build_ivfadc" -> buildIvfadc,
-    "index_build_clustered" -> buildClustered
+    "index_build_clustered" -> buildClustered,
+    "index_build_components" -> buildComponents
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,6 +191,7 @@ object IndexBuild {
     "index_build_ivf" -> ivfBuildSql,
     "index_build_pq" -> pqBuildSql,
     "index_build_ivfadc" -> ivfadcBuildSql,
-    "index_build_clustered" -> clusteredBuildSql
+    "index_build_clustered" -> clusteredBuildSql,
+    "index_build_components" -> componentsBuildSql
   )
 }

@@ -44,17 +44,20 @@ object IndexStore {
   private val fingerprints = scala.collection.concurrent.TrieMap.empty[String, String]
   private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
 
-  /** Cheap corpus fingerprint: MD5 over the embeddings table's file
-    * listing (name, length, mtime). Listing-only — no data read. */
+  /** Cheap corpus fingerprint: MD5 over the file listings (name, length,
+    * mtime) of the tables artifacts derive from — embeddings for the ANN
+    * family, documents for the dedup family. Listing-only — no data read. */
   private def fingerprint(spark: SparkSession, dir: String): String =
     fingerprints.getOrElseUpdate(dir, {
-      val p = new Path(s"$dir/embeddings.parquet")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val listing =
-        if (!fs.exists(p)) "absent"
+      val hc = spark.sparkContext.hadoopConfiguration
+      val listing = Seq("embeddings.parquet", "documents.parquet").map { table =>
+        val p = new Path(s"$dir/$table")
+        val fs = p.getFileSystem(hc)
+        if (!fs.exists(p)) s"$table:absent"
         else fs.listStatus(p).sortBy(_.getPath.getName)
           .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-          .mkString("\n")
+          .mkString(s"$table\n", "\n", "")
+      }.mkString("\n")
       val md = java.security.MessageDigest.getInstance("MD5")
       md.digest(listing.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     })
