@@ -78,13 +78,31 @@ object IvfKMeans {
 
   /** Train (fixed init, `Iterations` Lloyd steps) and return the final
     * centroids — k·dim doubles on the driver. */
-  private[graft] def trainCentroids(e: DataFrame): Seq[(Int, Array[Double])] = {
+  private[graft] def trainCentroids(e: DataFrame): Seq[(Int, Array[Double])] =
+    trainCentroidsK(e, K)
+
+  /** K is THE scale dial of the IVF family: cells partition the corpus,
+    * so with K pinned each cell holds N/K vectors and a single-cell scan
+    * grows linearly in N. Production sizing is K ∝ √N (balancing probe
+    * cost K against scan cost N/K — the standard IVF rule); the SfScale
+    * probe measures both the pinned and the resized form. The
+    * oracle-checked queries pin K=[[K]] (the replayable fixture dial). */
+  private[graft] def trainCentroidsK(e: DataFrame, k: Int): Seq[(Int, Array[Double])] = {
     var centroids: Seq[(Int, Array[Double])] =
-      e.filter(col("vec_id") < K).orderBy(col("vec_id")).collect()
+      e.filter(col("vec_id") < k).orderBy(col("vec_id")).collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray)).toSeq
     for (_ <- 0 until Iterations)
       centroids = updateCollect(assign(e, centroids))
     centroids
+  }
+
+  /** SfScale probe: train at an arbitrary K and run the single-cell
+    * search — the pinned-vs-resized cell-count measurement
+    * (train + assign + search per run; no store, like the planes probes). */
+  def kmeansSearchK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = vectors(spark, dir)
+    val centroids = trainCentroidsK(e, k)
+    kmeansSearchOn(graft.tools.CacheRegistry.persistTracked(assign(e, centroids)))
   }
 
   /** Train once and return (vectors, final assignment, final centroids) —

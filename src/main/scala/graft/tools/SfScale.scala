@@ -169,6 +169,29 @@ object SfScale {
       val rScaled = runResidual(out, 8)
       println(f"SCALE ${"dedup_emb_cos_residual/p8"}%-26s $rBase%8.2f $rScaled%8.2f ${rScaled / rBase}%7.2f")
     }
+    // The IVF family's dial: K cells partition the corpus, so pinned-K
+    // single-cell scans grow linearly in N (N/K per cell). Production
+    // sizing K ∝ √N balances probe cost K against scan cost N/K; the
+    // probe measures train+assign+search at both (store bypassed — the
+    // resized training IS part of the measured cost).
+    if (only.forall(_.contains("ann_ivf_kmeans_search")) && factor > 1) {
+      val k = 8 * math.ceil(math.sqrt(factor.toDouble)).toInt
+      def runK(dir: String, kk: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.IvfKMeans.kmeansSearchK(spark, dir, kk)
+          .write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        CacheRegistry.release(blocking = true)
+        CacheRegistry.releaseShared(blocking = true)
+        s
+      }
+      runK(base, 8)
+      val tBase = runK(base, 8)
+      val tPinned = runK(out, 8)
+      val tScaled = runK(out, k)
+      println(f"SCALE ${"ann_ivf_kmeans/k8"}%-26s $tBase%8.2f $tPinned%8.2f ${tPinned / tBase}%7.2f")
+      println(f"SCALE ${s"ann_ivf_kmeans/k$k"}%-26s $tBase%8.2f $tScaled%8.2f ${tScaled / tBase}%7.2f")
+    }
     // Same dial, same story for the NSW graph build: the oracle-pinned
     // query buckets with 4 planes per table, so its candidate pairs grow
     // ~linearly in occupancy; the production sizing resizes planes to hold
