@@ -1,0 +1,289 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.functions.OracleParity.pround
+
+/** Corpus-curation operators — the steps a training-data pipeline runs
+  * between "deduplicated corpus" and "tokens on the trainer": deterministic
+  * train/val/test splitting, seeded global shuffle into shards, fixed-budget
+  * sequence packing, and BM25 retrieval for quality probes.
+  *
+  * Everything is seed-deterministic (md5-derived keys, never `rand()`), so a
+  * 100 TB run is reproducible and resumable: re-running any stage on any
+  * cluster layout yields byte-identical assignments — the property that makes
+  * the DuckDB oracle possible is the same one that makes the pipeline safe to
+  * re-run in production.
+  */
+object Curation {
+
+  /** 32-bit uniform hash of a salted key — the seed-determinism primitive.
+    * Same construction as [[TextAnalysis.fingerprint]]'s token hash: first 8
+    * md5 hex digits as a long (mirrored exactly in DuckDB). */
+  private def h32(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("long")
+
+  private def h32Sql(key: String, salt: String): String =
+    s"CAST('0x' || substring(md5($key::VARCHAR || ':$salt'), 1, 8) AS BIGINT)"
+
+  private def wsTokens(c: Column): Column =
+    size(split(lower(c), "\\s+")).cast("long")
+
+  private val wsTokensSql = """len(string_split_regex(lower(text), '\s+'))"""
+
+  // ---------------------------------------------------------------------
+  // cur_split — deterministic train/val/test split
+  // ---------------------------------------------------------------------
+
+  /** Hash-bucket split (90/5/5): bucket = h32(doc_id, seed) mod 100. Map-only
+    * — no shuffle until the tiny per-split rollup — and STABLE UNDER
+    * APPENDS: a document's split never changes when the corpus grows, which
+    * is what keeps eval sets uncontaminated across pipeline re-runs (the
+    * property `rand(seed)` does NOT have — Spark's sample is
+    * partitioning-dependent). */
+  def split9055(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val bucket = h32(col("doc_id"), "split42") % 100
+    val split = when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    d.select(split.as("split"), wsTokens(col("text")).as("n_tok"), col("doc_id"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+  }
+
+  val split9055Sql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, $wsTokensSql AS n_tok,
+       |         ${h32Sql("doc_id", "split42")} % 100 AS bucket
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, n_tok,
+       |         CASE WHEN bucket < 90 THEN 'train'
+       |              WHEN bucket < 95 THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM b)
+       |SELECT split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+       |FROM s GROUP BY split ORDER BY split""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cur_shuffle_shards — seeded global shuffle into shards
+  // ---------------------------------------------------------------------
+
+  private val Shards = 8
+
+  /** Seeded global shuffle, production shape: shard = h mod [[Shards]], then
+    * sort WITHIN each shard by (h, doc_id). At 100 TB this is exactly one
+    * hash-partitioned shuffle + a per-partition sort (no global ordering
+    * bottleneck — each shard sorts independently and writes its own file),
+    * yet the resulting order is fully deterministic. The query emits the
+    * first 5 documents of every shard as the replayable witness. */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val h = h32(col("doc_id"), "shuf42")
+    val keyed = d.select(col("doc_id"), h.as("h"), (h % Shards).as("shard"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    keyed
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= 5)
+      .select(col("shard"), col("pos").cast("long").as("pos"), col("doc_id"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  val shuffleShardsSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, ${h32Sql("doc_id", "shuf42")} AS h
+       |  FROM documents),
+       |p AS (
+       |  SELECT h % $Shards AS shard, doc_id,
+       |         row_number() OVER (PARTITION BY h % $Shards ORDER BY h, doc_id) AS pos
+       |  FROM k)
+       |SELECT shard, pos, doc_id FROM p WHERE pos <= 5 ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cur_pack_chunks — fixed-budget sequence packing (distributed prefix sum)
+  // ---------------------------------------------------------------------
+
+  private val ChunkBudget = 2000L
+  private val PackBuckets = 64L
+  // h32 is uniform on [0, 2^32); the top log2(PackBuckets) bits give a
+  // bucket whose order agrees with the order of h itself.
+  private val BucketShift = (1L << 32) / PackBuckets
+
+  /** Streaming-concat sequence packing — the standard LLM pretraining layout:
+    * lay documents end-to-end in seeded-shuffle order and cut every
+    * [[ChunkBudget]] tokens; a document belongs to the chunk its first token
+    * falls in. The interesting part at scale is the RUNNING TOKEN OFFSET — a
+    * naive `sum() over (order by …)` is a single-partition window (one
+    * executor sorts 100 TB). This runs the textbook distributed prefix sum
+    * instead: bucket by the HIGH bits of the order key (so bucket order ≡
+    * global order), cumsum inside each bucket in parallel, then add each
+    * bucket's exclusive running offset — a [[PackBuckets]]-row aggregate —
+    * back via broadcast join. The oracle is the same computation as one flat
+    * window, which is the equivalence the hash-check proves. */
+  def packChunks(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val h = h32(col("doc_id"), "shuf42")
+    val docs = d.select(
+      col("doc_id"), h.as("h"), floor(h / BucketShift).as("bucket"),
+      wsTokens(col("text")).as("n_tok"))
+
+    val intraW = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIntra = docs.withColumn("intra", sum(col("n_tok")).over(intraW))
+
+    // Per-bucket totals → exclusive running offsets. PackBuckets rows total:
+    // the single-partition window is over a fixed-size frame, not the data.
+    val offW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("tot"))
+      .withColumn("off", sum(col("tot")).over(offW) - col("tot"))
+      .select(col("bucket"), col("off"))
+
+    withIntra
+      .join(broadcast(offsets), "bucket")
+      .withColumn("start", col("off") + col("intra") - col("n_tok"))
+      .withColumn("chunk_id", floor(col("start") / ChunkBudget))
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("chunk_id"))
+  }
+
+  val packChunksSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id, ${h32Sql("doc_id", "shuf42")} AS h,
+       |         $wsTokensSql AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT n_tok,
+       |         sum(n_tok) OVER (ORDER BY h, doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS start
+       |  FROM k)
+       |SELECT CAST(floor(start / $ChunkBudget) AS BIGINT) AS chunk_id,
+       |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM c GROUP BY 1 ORDER BY chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cur_bm25_topk — BM25 retrieval (Robertson/Sparck Jones; the Lucene form)
+  // ---------------------------------------------------------------------
+
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = Seq("spark", "join", "window")
+  private val Bm25TopK = 15
+
+  /** BM25 top-k over `documents` for a fixed conjunctive term set — the
+    * quality-probe retrieval a curation pipeline runs ("which documents
+    * dominate this query?"). Shape at scale: one explode→filter (the filter
+    * keeps ONLY query terms, so the exploded stream is |terms|-bounded per
+    * doc, not vocabulary-sized), one groupBy(doc, term) for tf, a
+    * |terms|-row df aggregate broadcast back, and a TakeOrderedAndProject
+    * top-k — no global sort, no full inverted index materialized for a
+    * 3-term probe. idf uses the +1 form (Lucene's), so it is never negative.
+    * Scores are summed in fixed term order via pivoted columns (float-sum
+    * parity — see OracleParity) and rounded to 4 dp. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val docs = d.select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+
+    // Corpus stats: N and average doc length — one tiny aggregate, broadcast.
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+
+    // tf per (doc, term): explode restricted to the probe terms.
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+
+    // df per term (|terms| rows) + idf.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .withColumn("w", col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+        (col("tf") + (col("dl") / col("avgdl") * Bm25B + (1.0 - Bm25B)) * Bm25K1))
+
+    // Fixed-order term sum (pivot to columns) for cross-engine float parity.
+    val terms = Bm25Terms.zipWithIndex
+    val termSums = terms.map { case (t, i) =>
+      sum(when(col("term") === t, col("w")).otherwise(0.0)).as(s"w_$i") }
+    val pivoted = scored.groupBy(col("doc_id")).agg(termSums.head, termSums.tail: _*)
+    val total = terms.map { case (_, i) => col(s"w_$i") }.reduce(_ + _)
+
+    pivoted
+      .select(col("doc_id"), pround(total, 4).as("bm25"),
+        (terms.map { case (t, i) =>
+          when(col(s"w_$i") > 0.0, 1).otherwise(0) }.reduce(_ + _))
+          .cast("long").as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  val bm25TopKSql: String = {
+    val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    val wCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"sum(CASE WHEN term = '$t' THEN w ELSE 0.0 END) AS w_$i"
+    }.mkString(",\n         ")
+    val totalExpr = Bm25Terms.indices.map(i => s"w_$i").mkString(" + ")
+    val nTermsExpr = Bm25Terms.indices
+      .map(i => s"CASE WHEN w_$i > 0.0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
+       |         len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM docs),
+       |tf AS (
+       |  SELECT doc_id, dl, t.term, count(*)::DOUBLE AS tf
+       |  FROM docs, unnest(toks) AS t(term)
+       |  WHERE t.term IN ($termList)
+       |  GROUP BY doc_id, dl, t.term),
+       |df AS (
+       |  SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+       |w AS (
+       |  SELECT tf.doc_id,
+       |         tf.term,
+       |         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |           * (tf.tf * (${Bm25K1} + 1.0))
+       |           / (tf.tf + ${Bm25K1} * (1.0 - ${Bm25B} + ${Bm25B} * tf.dl / stats.avgdl)) AS w
+       |  FROM tf, df, stats WHERE tf.term = df.term),
+       |p AS (
+       |  SELECT doc_id,
+       |         $wCols
+       |  FROM w GROUP BY doc_id)
+       |SELECT doc_id,
+       |       floor(($totalExpr) * 10000 + 0.5) / 10000.0 AS bm25,
+       |       CAST($nTermsExpr AS BIGINT) AS n_terms
+       |FROM p
+       |ORDER BY floor(($totalExpr) * 10000 + 0.5) / 10000.0 DESC, doc_id
+       |LIMIT $Bm25TopK""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_split" -> split9055,
+    "cur_shuffle_shards" -> shuffleShards,
+    "cur_pack_chunks" -> packChunks,
+    "cur_bm25_topk" -> bm25TopK
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cur_split" -> split9055Sql,
+    "cur_shuffle_shards" -> shuffleShardsSql,
+    "cur_pack_chunks" -> packChunksSql,
+    "cur_bm25_topk" -> bm25TopKSql
+  )
+}

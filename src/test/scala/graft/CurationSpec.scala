@@ -1,0 +1,93 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.Sf0001
+
+  test("split is ~90/5/5 and covers every document exactly once") {
+    val out = Curation.split9055(spark, dir).collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("test", "train", "val"))
+    val byName = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = byName.values.sum
+    assert(total === 500L)
+    // hash-bucket split: binomial spread around 90/5/5
+    assert(byName("train") > 400L && byName("train") < 480L)
+    assert(byName("val") > 5L && byName("test") > 5L)
+  }
+
+  test("split assignment is append-stable: a prefix corpus assigns identically") {
+    // the anti-contamination property rand(seed) does not have: recompute
+    // the per-doc split over HALF the corpus and over the whole corpus —
+    // shared doc_ids must land in the same split
+    val bucket = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":split42"))), 1, 8), 16, 10).cast("long") % 100
+    val docs = graft.io.Tables.documents(spark, dir).select(col("doc_id"))
+    val full = docs.withColumn("b", bucket)
+    val half = docs.filter(col("doc_id") % 2 === 0).repartition(7).withColumn("b", bucket)
+    val joined = full.as("f").join(half.as("h"), "doc_id")
+      .filter(col("f.b") =!= col("h.b"))
+    assert(joined.count() === 0L)
+  }
+
+  test("shuffle shards: all shards populated, deterministic across runs") {
+    val a = Curation.shuffleShards(spark, dir).collect()
+    val b = Curation.shuffleShards(spark, dir).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_.getLong(0)).distinct.length === 8)
+    assert(a.length === 40)
+  }
+
+  test("pack: distributed prefix sum equals the flat single-window packing") {
+    // the scale claim — bucketed cumsum + offsets ≡ one global window
+    val d = graft.io.Tables.documents(spark, dir)
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"),
+      lit(":shuf42"))), 1, 8), 16, 10).cast("long")
+    val flat = d.select(col("doc_id"), h.as("h"),
+        size(split(lower(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("start", sum(col("n_tok")).over(
+        Window.orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)) - col("n_tok"))
+      .groupBy(floor(col("start") / 2000L).as("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy(col("chunk_id")).collect()
+    val bucketed = Curation.packChunks(spark, dir).collect()
+    assert(bucketed.toSeq === flat.toSeq)
+  }
+
+  test("pack: chunks are contiguous, budget-sized, and conserve tokens") {
+    val out = Curation.packChunks(spark, dir).collect()
+    val ids = out.map(_.getLong(0))
+    assert(ids.toSeq === (0L until ids.length).toSeq)
+    val total = out.map(_.getLong(2)).sum
+    val corpus = graft.io.Tables.documents(spark, dir)
+      .select(sum(size(split(lower(col("text")), "\\s+")).cast("long")))
+      .head().getLong(0)
+    assert(total === corpus)
+    // a doc belongs to the chunk its FIRST token falls in, so a chunk's sum
+    // deviates from the 2000 budget by less than one max-doc length
+    val maxDoc = graft.io.Tables.documents(spark, dir)
+      .select(max(size(split(lower(col("text")), "\\s+")).cast("long")))
+      .head().getLong(0)
+    out.dropRight(1).foreach { r =>
+      assert(math.abs(r.getLong(2) - 2000L) < maxDoc,
+        s"chunk ${r.getLong(0)} sum ${r.getLong(2)} strays >$maxDoc from budget")
+    }
+  }
+
+  test("bm25: ranked descending, scores positive, term counts in range") {
+    val out = Curation.bm25TopK(spark, dir).collect()
+    assert(out.length === 15)
+    val scores = out.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    assert(scores.forall(_ > 0.0))
+    assert(out.map(_.getLong(2)).forall(n => n >= 1L && n <= 3L))
+    // multi-term matches should outrank single-term at the top on this corpus
+    assert(out.head.getLong(2) >= 2L)
+  }
+}
