@@ -331,15 +331,22 @@ object Nsw {
     * NN-descent build. Identical expansion/tie-break semantics to the
     * per-batch loop, replayed in DuckDB by the same unrolled CTEs with the
     * query set widened to the full corpus. */
-  private[graft] def bulkSearchWithEdges(e: DataFrame, edges: DataFrame): DataFrame = {
-    val visited = bulkVisited(e, edges,
-      e.select(col("vec_id").as("query_id"), col("v").as("qv")))
+  private[graft] def bulkSearchWithEdges(e: DataFrame, edges: DataFrame): DataFrame =
+    serveTopK(e, edges, e.select(col("vec_id").as("query_id"), col("v").as("qv")))
+      .orderBy(col("query_id"), col("rank"))
+
+  /** Top-[[K]] serve core for an ARBITRARY query frame `q(query_id, qv)` —
+    * the request-batch shape of [[bulkSearchWithEdges]], shared with the
+    * streaming serve path ([[graft.streaming.NswIndexServer]]): query
+    * vectors need not be corpus members, and each request batch costs one
+    * bounded beam sweep over the served edge table. */
+  private[graft] def serveTopK(e: DataFrame, edges: DataFrame, q: DataFrame): DataFrame = {
+    val visited = bulkVisited(e, edges, q)
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("node_id"))
     visited.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= K)
       .select(col("query_id"), col("node_id").as("neighbor_id"),
         col("rank").cast("long").as("rank"), pround(col("cos"), 4).as("cosine"))
-      .orderBy(col("query_id"), col("rank"))
   }
 
   /** The DataFrame-frontier beam core: visited `(query_id, node_id, cos)`

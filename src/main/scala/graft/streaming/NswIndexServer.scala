@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.Nsw
+
+/** The SERVE side of the incremental index pair — the streaming analogue of
+  * [[graft.tools.IndexStore]]'s read path: a long-running query-answering
+  * process that watches [[VersionedState]]'s commit pointer and swaps in a
+  * freshly committed index version mid-stream, without restarting.
+  *
+  * Contract with the writer ([[StreamingNswIndex]]): the writer commits
+  * `vectors`/`knn` versions and advances `_LATEST`; this server re-reads the
+  * pointer once per request micro-batch (one metadata op) and rebuilds its
+  * cached handles ONLY when the pointer moved — so steady-state serving pays
+  * zero re-read cost, and an index commit becomes visible at the next batch
+  * boundary. Both tables of a refresh are pinned to the SAME observed
+  * version ([[VersionedState.readAt]]), so a writer advancing mid-refresh
+  * can never produce a torn vectors/edges pair. The served edge table is
+  * persisted (and the previous version's unpersisted) on swap: the
+  * symmetrize + long-link overlay is computed once per version, not per
+  * request batch.
+  *
+  * Retention coupling: keep-last-K deletes versions ≤ latest − K, so a
+  * server that refreshes at batch cadence can never hold a pruned version
+  * (it always serves `latest`). A reader paused longer than K writer
+  * commits re-reads `latest` on its next batch — the same freshness
+  * semantics as a lakehouse reader after VACUUM.
+  *
+  * At 100 TB: requests arrive as micro-batches of query vectors; each batch
+  * costs one [[Nsw.serveTopK]] beam sweep (bounded hops × beam × degree per
+  * query, frontier state in DataFrames), and index growth never blocks
+  * serving — the writer builds version N+1 while this serves N.
+  */
+class NswIndexServer(spark: SparkSession, baseDir: String) extends Serializable {
+
+  private val state = new VersionedState(spark, baseDir)
+
+  // (version, vectors, served edge table) — swapped atomically under this
+  // object's lock; volatile so a concurrent reader thread sees the swap
+  @volatile private var served: Option[(Long, DataFrame, DataFrame)] = None
+
+  /** Refreshes performed (first load included) — observable so tests and
+    * operators can verify steady-state serving does NOT reload. */
+  @volatile var refreshCount: Long = 0L
+
+  def servedVersion: Option[Long] = served.map(_._1)
+
+  /** One pointer read; reload handles only if it moved. Returns true when a
+    * new version was swapped in. */
+  def refreshIfStale(): Boolean = synchronized {
+    val v = state.latest.getOrElse(sys.error(s"no committed index under $baseDir"))
+    if (served.exists(_._1 == v)) false
+    else {
+      val vectors = state.readAt("vectors", v).persist(StorageLevel.MEMORY_AND_DISK)
+      val edges = Nsw.symmetrizeWithLongLinks(vectors, state.readAt("knn", v), 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      edges.count() // materialize the overlay once per version, not per batch
+      served.foreach { case (_, oldV, oldE) =>
+        oldV.unpersist(blocking = false); oldE.unpersist(blocking = false)
+      }
+      served = Some((v, vectors, edges))
+      refreshCount += 1
+      true
+    }
+  }
+
+  /** Answer one batch of `(query_id, qv)` requests against the currently
+    * served version: top-k neighbors per query. */
+  def answer(queries: DataFrame): DataFrame = {
+    refreshIfStale()
+    val (_, vectors, edges) = served.get
+    Nsw.serveTopK(vectors, edges,
+      queries.select(col("query_id"), col("qv")))
+  }
+
+  /** Attach to a request stream; answers append to `outDir` parquet tagged
+    * with their micro-batch id (at-least-once on retry — downstream dedups
+    * on (batch_id, query_id, rank) if it needs exactly-once). */
+  def start(queryStream: DataFrame, checkpointDir: String, outDir: String): StreamingQuery =
+    queryStream.writeStream
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        answer(batch.toDF()).withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -52,10 +52,15 @@ final class VersionedState(spark: SparkSession, baseDir: String, keepVersions: I
     }
 
   /** Read table `name` at the committed version. */
-  def read(name: String): DataFrame = {
-    val v = latest.getOrElse(sys.error(s"no committed version under $baseDir"))
-    spark.read.parquet(tablePath(name, v).toString)
-  }
+  def read(name: String): DataFrame =
+    readAt(name, latest.getOrElse(sys.error(s"no committed version under $baseDir")))
+
+  /** Read table `name` at an explicit version — the serve path pins the
+    * version it observed from one `latest` read so every table of a
+    * refresh comes from the SAME commit even if the writer advances the
+    * pointer mid-refresh. */
+  def readAt(name: String, version: Long): DataFrame =
+    spark.read.parquet(tablePath(name, version).toString)
 
   /** Commit one version: write every table dir (Overwrite — retry-safe),
     * then advance the pointer, then prune versions older than the keep
