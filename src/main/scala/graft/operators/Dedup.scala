@@ -85,18 +85,24 @@ object Dedup {
        |HAVING count(*) > 1
        |ORDER BY text_hash""".stripMargin
 
+  /** The raw tokenization pass — what `index_build_tokens` materializes. */
+  private[graft] def tokensFrame(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir).select(
+      col("doc_id"), col("lang"), col("source"),
+      split(lower(col("text")), "\\s+").as("toks"))
+
   /** Tokenized corpus shared ACROSS the dedup family: minhash, n-gram
     * Jaccard, salted-skew and simhash all start from
     * `split(lower(text), "\s+")` over the same corpus, and in a suite run
-    * each used to re-scan and re-tokenize it per query. One
-    * [[CacheRegistry.sharedTracked]] cache (keyed by data dir) makes the
-    * scan + regex tokenization a once-per-suite cost — the at-scale analog
-    * is a materialized `corpus_tokens` table feeding every dedup stage. */
+    * each used to re-scan and re-tokenize it per query. Layered like the
+    * ANN artifacts since `index_build_tokens`: an [[IndexStore]] parquet
+    * table (the at-scale `corpus_tokens` materialization, fingerprint-keyed
+    * so corpus changes invalidate it) under a [[CacheRegistry.sharedTracked]]
+    * in-memory handle (once-per-suite read). */
   private def corpusTokens(spark: SparkSession, dir: String): DataFrame =
     CacheRegistry.sharedTracked(s"dedup-tokens:$dir") {
-      corpus(spark, dir).select(
-        col("doc_id"), col("lang"), col("source"),
-        split(lower(col("text")), "\\s+").as("toks"))
+      graft.tools.IndexStore.readOrBuild(spark, dir, "corpus-tokens")(
+        tokensFrame(spark, dir))
     }
 
   // --------------------------------------- banded-minhash candidate engine

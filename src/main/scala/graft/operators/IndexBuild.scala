@@ -139,7 +139,26 @@ object IndexBuild {
       countDistinct(col("component")).as("n_components"))
   }
 
+  /** The tokenized-corpus table every text-dedup stage starts from
+    * (minhash, n-gram Jaccard, simhash, salted-skew) — the last shared
+    * frame that was memory-only. Summary = doc and token counts over the
+    * materialized table, checked against a from-scratch DuckDB
+    * re-tokenization. */
+  def buildTokens(spark: SparkSession, dir: String): DataFrame = {
+    val t = IndexStore.rebuild(spark, dir, "corpus-tokens")(
+      Dedup.tokensFrame(spark, dir))
+    CacheRegistry.primeShared(s"dedup-tokens:$dir", t)
+    t.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).as("n_tokens"))
+  }
+
   // ------------------------------------------------------------- oracle SQL
+
+  val tokensBuildSql: String =
+    s"""WITH ${Dedup.corpusSql}
+       |SELECT count(*) AS n_docs,
+       |       CAST(sum(len(string_split_regex(lower(text), '\\s+'))) AS BIGINT) AS n_tokens
+       |FROM corpus""".stripMargin
 
   val componentsBuildSql: String =
     s"""WITH RECURSIVE ${Components.membershipCtes}
@@ -181,7 +200,8 @@ object IndexBuild {
     "index_build_pq" -> buildPq,
     "index_build_ivfadc" -> buildIvfadc,
     "index_build_clustered" -> buildClustered,
-    "index_build_components" -> buildComponents
+    "index_build_components" -> buildComponents,
+    "index_build_tokens" -> buildTokens
   )
 
   val oracles: Map[String, String] = Map(
@@ -192,6 +212,7 @@ object IndexBuild {
     "index_build_pq" -> pqBuildSql,
     "index_build_ivfadc" -> ivfadcBuildSql,
     "index_build_clustered" -> clusteredBuildSql,
-    "index_build_components" -> componentsBuildSql
+    "index_build_components" -> componentsBuildSql,
+    "index_build_tokens" -> tokensBuildSql
   )
 }
