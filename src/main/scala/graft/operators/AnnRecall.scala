@@ -162,17 +162,19 @@ object AnnRecall {
     * where the interesting quantity is precisely how costs grow as the
     * clusters do. Not oracle-checked (the capped query owns the regime
     * demonstration); not shared-cached (scale probes release between runs). */
-  private[graft] def clusteredCorpusUncapped(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def clusteredCorpusUncapped(spark: SparkSession, dir: String,
+      spread: Double = ClusterSpread): DataFrame =
     clusteredFrom(
       Tables.embeddings(spark, dir)
-        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v")))
+        .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v")),
+      spread)
 
-  private def clusteredFrom(e0: DataFrame): DataFrame = {
+  private def clusteredFrom(e0: DataFrame, spread: Double = ClusterSpread): DataFrame = {
     val ctr = e0.filter(col("vec_id") >= 8 && col("vec_id") < 16)
       .select((col("vec_id") - 8).as("cid"), col("v").as("cv"))
     e0.join(broadcast(ctr), (col("vec_id") % 8) === col("cid"))
       .select(col("vec_id"),
-        zip_with(col("cv"), col("v"), (c, x) => c + lit(ClusterSpread) * x).as("v"))
+        zip_with(col("cv"), col("v"), (c, x) => c + lit(spread) * x).as("v"))
   }
 
   private[operators] val ClusteredESql: String =
