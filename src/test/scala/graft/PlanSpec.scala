@@ -97,4 +97,21 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("LeftSemi"), s"expected a left-semi keep filter in:\n$plan")
     graft.tools.CacheRegistry.releaseShared()
   }
+
+  test("sequence packing runs its big window partitioned, offsets broadcast") {
+    // the distributed-prefix-sum claim, structurally: the corpus-sized
+    // cumsum window must be PARTITIONED by bucket (a single-partition
+    // window over 100 TB is one executor sorting the corpus), and the
+    // 64-row bucket-offset table must come back via broadcast, never a
+    // shuffled join
+    val plan = graft.operators.Curation.packChunks(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket offsets must broadcast-join back in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "no shuffled join in the pack plan")
+    val windowSpecs = "Window \\[sum".r.findAllIn(plan).size
+    val partitionedSpecs = "windowspecdefinition\\(bucket".r.findAllIn(plan).size
+    assert(partitionedSpecs >= 1,
+      s"corpus-sized cumsum must partition by bucket ($windowSpecs windows):\n$plan")
+  }
 }
