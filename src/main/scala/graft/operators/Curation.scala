@@ -173,6 +173,108 @@ object Curation {
        |FROM c GROUP BY 1 ORDER BY chunk_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cur_stratified_sample — per-stratum deterministic sampling
+  // ---------------------------------------------------------------------
+
+  private val StratumN = 30
+
+  /** Balanced corpus sampling: the top-[[StratumN]] documents per language
+    * by seeded hash rank — the quota step a multilingual pipeline runs so
+    * low-resource languages survive downsampling. One window per stratum,
+    * partitioned by `lang`, so strata sample in parallel; for strata big
+    * enough that even a per-stratum sort hurts, the production variant
+    * flips to a hash THRESHOLD (keep h < N/|stratum| · 2³²  — map-only,
+    * approximate quota) — same key, same determinism, documented here
+    * because the fixture-sized rank form is the oracle-checkable one. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))
+    d.select(col("lang"), col("doc_id"),
+        h32(col("doc_id"), "strat42").as("h"), wsTokens(col("text")).as("n_tok"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= StratumN)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
+  val stratifiedSampleSql: String =
+    s"""WITH k AS (
+       |  SELECT lang, doc_id, ${h32Sql("doc_id", "strat42")} AS h,
+       |         $wsTokensSql AS n_tok
+       |  FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, n_tok,
+       |         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+       |  FROM k)
+       |SELECT lang, count(*) AS n_sampled,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS first_doc
+       |FROM r WHERE rn <= $StratumN
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cur_decontaminate — cross-split n-gram leakage audit
+  // ---------------------------------------------------------------------
+
+  private val DecontGramN = 8
+
+  /** Eval-set decontamination audit — the check a training pipeline runs
+    * BEFORE trusting its eval numbers: which test-split documents share
+    * [[DecontGramN]]-gram content with the train split? Runs over the
+    * dedup fixture corpus (planted re-crawl copies and near-dup tails,
+    * [[Dedup.corpus]]) under the SAME hash-bucket split as `cur_split`, so
+    * it measures the real failure mode: duplicates straddling the split
+    * boundary leak eval content into training. Shape at scale: explode the
+    * (sorted-distinct, codegen-hashed) gram arrays and equi-join test
+    * grams against train grams — one hash-partitioned join whose hot keys
+    * are boilerplate grams (salt or drop top-df grams in production); the
+    * test side is the small side by construction (5% split) and the gram
+    * arrays come from the same kernel the dedup family uses. A clean
+    * corpus returns zero rows; every row is a doc whose eval score is
+    * compromised, with the evidence counted. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = h32(col("doc_id"), "split42") % 100
+    val grams = Dedup.tokensFrame(spark, dir)
+      .select(col("doc_id"), bucket.as("b"),
+        explode(graft.functions.ArrayExpressions
+          .hashedWordNGrams(col("toks"), DecontGramN)).as("gram"))
+    val test = grams.filter(col("b") >= 95)
+      .select(col("doc_id").as("test_doc_id"), col("gram"))
+    val train = grams.filter(col("b") < 90)
+      .select(col("doc_id").as("train_doc_id"), col("gram"))
+    test.join(train, "gram")
+      .groupBy(col("test_doc_id"))
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("train_doc_id")).as("n_train_docs"))
+      .orderBy(col("test_doc_id"))
+  }
+
+  val decontaminateSql: String = {
+    val gramJoin = (0 until DecontGramN).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH ${Dedup.corpusSql},
+       |tok AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
+       |         ${h32Sql("doc_id", "split42")} % 100 AS b
+       |  FROM corpus),
+       |g AS (
+       |  SELECT doc_id, b,
+       |         unnest(list_distinct(list_transform(
+       |           list_transform(generate_series(1, len(toks) - ${DecontGramN - 1}),
+       |             i -> $gramJoin),
+       |           s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)))) AS gram
+       |  FROM tok)
+       |SELECT t.doc_id AS test_doc_id,
+       |       count(DISTINCT t.gram) AS n_shared_grams,
+       |       count(DISTINCT tr.doc_id) AS n_train_docs
+       |FROM g t JOIN g tr ON t.gram = tr.gram
+       |WHERE t.b >= 95 AND tr.b < 90
+       |GROUP BY t.doc_id
+       |ORDER BY test_doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // cur_bm25_topk — BM25 retrieval (Robertson/Sparck Jones; the Lucene form)
   // ---------------------------------------------------------------------
 
@@ -277,6 +379,8 @@ object Curation {
     "cur_split" -> split9055,
     "cur_shuffle_shards" -> shuffleShards,
     "cur_pack_chunks" -> packChunks,
+    "cur_stratified_sample" -> stratifiedSample,
+    "cur_decontaminate" -> decontaminate,
     "cur_bm25_topk" -> bm25TopK
   )
 
@@ -284,6 +388,8 @@ object Curation {
     "cur_split" -> split9055Sql,
     "cur_shuffle_shards" -> shuffleShardsSql,
     "cur_pack_chunks" -> packChunksSql,
+    "cur_stratified_sample" -> stratifiedSampleSql,
+    "cur_decontaminate" -> decontaminateSql,
     "cur_bm25_topk" -> bm25TopKSql
   )
 }

@@ -80,6 +80,36 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("stratified sample: per-language quota respected, deterministic") {
+    val out = Curation.stratifiedSample(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getLong(1) <= 30L), "quota is 30 per stratum")
+    assert(out.forall(_.getLong(1) >= 1L))
+    val again = Curation.stratifiedSample(spark, dir).collect()
+    assert(out.toSeq === again.toSeq)
+  }
+
+  test("decontaminate: planted duplicates straddling the split are caught") {
+    // the dedup fixture plants exact re-crawl copies; with a 90/5/5 hash
+    // split some pairs must straddle test/train — each is a leak
+    val out = Curation.decontaminate(spark, dir).collect()
+    assert(out.nonEmpty, "planted cross-split duplicates must be flagged")
+    // every flagged doc really is in the test bucket (driver-side replay
+    // of the same md5 bucket assignment)
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:split42".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    assert(out.forall(r => bucket(r.getLong(0)) >= 95))
+    assert(out.forall(r => r.getLong(1) >= 1L && r.getLong(2) >= 1L))
+    // an exact-copy pair straddling the split shares essentially the whole
+    // document: the strongest flagged doc must carry many shared grams
+    assert(out.map(_.getLong(1)).max >= 20L,
+      "expected at least one near-fully-leaked document")
+  }
+
   test("bm25: ranked descending, scores positive, term counts in range") {
     val out = Curation.bm25TopK(spark, dir).collect()
     assert(out.length === 15)
