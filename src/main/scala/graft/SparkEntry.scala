@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnRecall, Components, Curation, Dedup, Enrich, Events, IndexBuild, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
+import graft.operators.{AnnRecall, Components, Curation, Dedup, Enrich, Events, Filtering, IndexBuild, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,6 +30,7 @@ object SparkEntry {
       (Components.queries, Components.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Curation.queries, Curation.oracles),
+      (Filtering.queries, Filtering.oracles),
       (Events.queries, Events.oracles),
       (Enrich.queries, Enrich.oracles),
       (Multimodal.queries, Multimodal.oracles),

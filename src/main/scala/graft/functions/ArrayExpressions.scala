@@ -39,6 +39,9 @@ object ArrayExpressions {
   def hashedWords60(tokens: Column): Column =
     ColumnBridge.column(HashedWords60(ColumnBridge.expression(tokens)))
 
+  def maxLongMultiplicity(a: Column): Column =
+    ColumnBridge.column(MaxLongMultiplicity(ColumnBridge.expression(a)))
+
   /** Skew-hardened all-pairs join inside blocks. Oversized blocks are the
     * dedup failure mode at scale (one boilerplate cluster → one straggler
     * task); salting bounds per-task work: the LEFT side gets salt
@@ -155,6 +158,36 @@ case class HashedWords60(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HashedWords60 =
+    copy(child = newChild)
+}
+
+/** Max multiplicity of any value in a long array (the mode's count):
+  * sort a copy, return the longest equal run — O(n log n) and one pass,
+  * vs the O(u·n) nested-lambda form the DuckDB oracle mirrors
+  * (`list_max(list_transform(list_distinct(hw), v -> len(list_filter(hw,
+  * x -> x = v))))`). Feeds the Gopher-style top-word-fraction repetition
+  * metric over [[HashedWords60]] token hashes. Empty input → 0. */
+case class MaxLongMultiplicity(child: Expression)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData].toLongArray()
+    if (a.isEmpty) return 0
+    java.util.Arrays.sort(a)
+    var best = 1
+    var run = 1
+    var i = 1
+    while (i < a.length) {
+      if (a(i) == a(i - 1)) run += 1 else run = 1
+      if (run > best) best = run
+      i += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxLongMultiplicity =
     copy(child = newChild)
 }
 

@@ -215,6 +215,89 @@ object Curation {
        |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cur_domain_mix — temperature-weighted source mixture sampling
+  // ---------------------------------------------------------------------
+
+  private val MixTarget = 200L // total docs in the mixed sample
+
+  /** Temperature-based domain mixing (α = 0.5, the multilingual-sampling
+    * recipe of XLM-R / mC4): per-source weights w_s ∝ (n_s/N)^α flatten the
+    * source distribution so small domains survive downsampling, quotas
+    * round to [[MixTarget]] total, and each source contributes its
+    * hash-rank top-quota — fully seed-deterministic, like every other
+    * curation stage.
+    *
+    * Scale shape: the weight/quota computation is a |sources|-row aggregate
+    * (broadcast back), and sampling is one window per source — strata rank
+    * in parallel. The one float-parity hazard is Σw (a sum of doubles is
+    * partition-order-dependent); the norm is therefore folded in FIXED
+    * source order over a collected |sources|-element array — same idiom as
+    * BM25's pivoted term sums — which the oracle mirrors with
+    * `list_reduce(list(w ORDER BY source))`. Quotas can exceed a small
+    * source's size (sublinear weighting oversamples small domains);
+    * `n_sampled < quota` rows surface exactly that, which is the signal a
+    * production pipeline uses to switch the domain to multi-epoch repeats.
+    */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val perSrc = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = perSrc.agg(sum(col("n_docs")).as("n_total"))
+    val weighted = perSrc.crossJoin(broadcast(total))
+      .withColumn("w", sqrt(col("n_docs").cast("double") / col("n_total").cast("double")))
+    // Fixed-order fold for the normalizer: sort the (source, w) pairs, then
+    // left-fold — bitwise-identical to the oracle's ordered list_reduce.
+    val norm = weighted.agg(
+      aggregate(
+        transform(
+          sort_array(collect_list(struct(col("source"), col("w")))),
+          s => s.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("norm"))
+    val quotas = weighted.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_docs"),
+        floor(lit(MixTarget.toDouble) * col("w") / col("norm") + 0.5)
+          .cast("long").as("quota"))
+
+    val rankW = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    d.select(col("source"), col("doc_id"),
+        h32(col("doc_id"), "mix42").as("h"), wsTokens(col("text")).as("n_tok"))
+      .withColumn("rn", row_number().over(rankW))
+      .join(broadcast(quotas), "source")
+      .filter(col("rn") <= col("quota"))
+      .groupBy(col("source"), col("n_docs"), col("quota"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
+  val domainMixSql: String =
+    s"""WITH s AS (
+       |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM s),
+       |wgt AS (
+       |  SELECT source, n_docs, sqrt(n_docs::DOUBLE / n_total::DOUBLE) AS w
+       |  FROM s, tot),
+       |nrm AS (
+       |  SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+       |                     (a, b) -> a + b) AS norm
+       |  FROM wgt),
+       |q AS (
+       |  SELECT source, n_docs,
+       |         CAST(floor($MixTarget.0 * w / norm + 0.5) AS BIGINT) AS quota
+       |  FROM wgt, nrm),
+       |r AS (
+       |  SELECT source, doc_id, $wsTokensSql AS n_tok,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY ${h32Sql("doc_id", "mix42")}, doc_id) AS rn
+       |  FROM documents)
+       |SELECT r.source, q.n_docs, q.quota, count(*) AS n_sampled,
+       |       CAST(sum(r.n_tok) AS BIGINT) AS n_tokens, min(r.doc_id) AS first_doc
+       |FROM r JOIN q ON r.source = q.source
+       |WHERE r.rn <= q.quota
+       |GROUP BY r.source, q.n_docs, q.quota
+       |ORDER BY r.source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cur_decontaminate — cross-split n-gram leakage audit
   // ---------------------------------------------------------------------
 
@@ -380,6 +463,7 @@ object Curation {
     "cur_shuffle_shards" -> shuffleShards,
     "cur_pack_chunks" -> packChunks,
     "cur_stratified_sample" -> stratifiedSample,
+    "cur_domain_mix" -> domainMix,
     "cur_decontaminate" -> decontaminate,
     "cur_bm25_topk" -> bm25TopK
   )
@@ -389,6 +473,7 @@ object Curation {
     "cur_shuffle_shards" -> shuffleShardsSql,
     "cur_pack_chunks" -> packChunksSql,
     "cur_stratified_sample" -> stratifiedSampleSql,
+    "cur_domain_mix" -> domainMixSql,
     "cur_decontaminate" -> decontaminateSql,
     "cur_bm25_topk" -> bm25TopKSql
   )

@@ -1,0 +1,211 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayExpressions
+import graft.functions.OracleParity.pround
+import graft.io.Tables
+
+/** Document-level quality filtering — the rule battery a training-data
+  * pipeline runs between raw crawl and dedup (the reference corpus has no
+  * such stage; these are the standard public recipes: the repetition rules
+  * of Gopher [Rae et al. 2021, §A1.1] / the heuristic filters of C4
+  * [Raffel et al. 2020] and RefinedWeb, and regex PII scrubbing as run by
+  * BigScience/ROOTS).
+  *
+  * Both operators are MAP-ONLY — one narrow projection over one `documents`
+  * scan, no shuffle before the output sort — so at 100 TB they run at
+  * parquet-scan speed and compose with any downstream stage without a
+  * repartition. The per-doc loops (token mode, n-gram dedup) are compiled
+  * kernels from [[graft.functions.ArrayExpressions]], not interpreted
+  * higher-order lambdas: a 100k-token document costs O(n log n), not the
+  * O(u·n) of the nested-lambda form the oracle mirrors at fixture scale.
+  */
+object Filtering {
+
+  // ---------------------------------------------------------------------
+  // flt_gopher_repetition — Gopher-style repetition metrics + keep flag
+  // ---------------------------------------------------------------------
+
+  // Thresholds follow Gopher's structure (duplicate-word fraction, top-word
+  // fraction, duplicate-n-gram fraction, length bounds), re-tuned to this
+  // corpus so every rule discriminates: ~43% of fixture docs pass all four.
+  private val MaxDupWordFrac = 0.6
+  private val MaxTopWordFrac = 0.15
+  private val MaxDup2GramFrac = 0.05
+  private val MinTokens = 20L
+  private val MaxTokens = 1000L
+
+  /** Per-document repetition metrics and the keep/drop decision:
+    *
+    *   - `dup_word_frac`  = 1 − |distinct tokens| / |tokens|
+    *   - `top_word_frac`  = multiplicity of the most frequent token / |tokens|
+    *   - `dup_2gram_frac` = 1 − |distinct bigrams| / |bigrams|
+    *   - `keep`           = all three under threshold ∧ length in bounds
+    *
+    * The keep flag compares the UNROUNDED doubles (identical IEEE ops on
+    * both engines); the reported fractions are 4dp-rounded for display.
+    * Distinct-bigram counting rides [[ArrayExpressions.hashedWordNGrams]]
+    * (sorted-distinct 32-bit gram hashes — the same kernel the dedup family
+    * and `cur_decontaminate` use), and the token mode rides
+    * [[ArrayExpressions.maxLongMultiplicity]] over
+    * [[ArrayExpressions.hashedWords60]] hashes, both mirrored hash-for-hash
+    * in the oracle so parity is by construction, not by collision luck.
+    */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val base = d
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("double"))
+      .withColumn("hw", ArrayExpressions.hashedWords60(col("toks")))
+      .withColumn("g2", ArrayExpressions.hashedWordNGrams(col("toks"), 2))
+    val dupw = lit(1.0) - size(array_distinct(col("toks"))).cast("double") / col("n")
+    val topw = ArrayExpressions.maxLongMultiplicity(col("hw")).cast("double") / col("n")
+    val dup2 = when(col("n") >= 2.0,
+      lit(1.0) - size(col("g2")).cast("double") / (col("n") - 1.0)).otherwise(0.0)
+    val keep = dupw <= MaxDupWordFrac && topw <= MaxTopWordFrac &&
+      dup2 <= MaxDup2GramFrac &&
+      col("n") >= MinTokens.toDouble && col("n") <= MaxTokens.toDouble
+    base.select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tok"),
+        pround(dupw, 4).as("dup_word_frac"),
+        pround(topw, 4).as("top_word_frac"),
+        pround(dup2, 4).as("dup_2gram_frac"),
+        when(keep, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherRepetitionSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, toks, len(toks)::DOUBLE AS n,
+       |         list_transform(toks,
+       |           w -> CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)) AS hw,
+       |         list_distinct(list_transform(
+       |           list_transform(generate_series(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1]),
+       |           s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT))) AS g2
+       |  FROM t),
+       |m AS (
+       |  SELECT doc_id, n,
+       |         1.0 - len(list_distinct(toks))::DOUBLE / n AS dupw,
+       |         list_max(list_transform(list_distinct(hw),
+       |           v -> len(list_filter(hw, x -> x = v))))::DOUBLE / n AS topw,
+       |         CASE WHEN n >= 2 THEN 1.0 - len(g2)::DOUBLE / (n - 1.0)
+       |              ELSE 0.0 END AS dup2
+       |  FROM h)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_tok,
+       |       floor(dupw * 10000 + 0.5) / 10000.0 AS dup_word_frac,
+       |       floor(topw * 10000 + 0.5) / 10000.0 AS top_word_frac,
+       |       floor(dup2 * 10000 + 0.5) / 10000.0 AS dup_2gram_frac,
+       |       CAST(CASE WHEN dupw <= $MaxDupWordFrac AND topw <= $MaxTopWordFrac
+       |                  AND dup2 <= $MaxDup2GramFrac
+       |                  AND n BETWEEN $MinTokens AND $MaxTokens
+       |             THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // flt_pii_redact — regex PII scrub with per-doc audit counts
+  // ---------------------------------------------------------------------
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\+[0-9][0-9 ]{5,}[0-9]"
+  private val IpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scrubbing over a corpus with PLANTED identifiers (the fixture
+    * corpus is clean words, so the query derives a dirty variant first:
+    * deterministic doc_id-keyed email / phone / IP suffixes — same pattern
+    * as `cur_decontaminate`'s planted-duplicate corpus). Every step is a
+    * deterministic string expression, so the DuckDB oracle replants and
+    * re-scrubs the identical bytes; `clean_fp` (32-bit md5 prefix of the
+    * redacted text) hash-checks that both engines redacted the exact same
+    * spans, not just the same number of them.
+    *
+    * Match counts are audited BEFORE replacement; replacement order is
+    * email → phone → IP (no placeholder contains a digit or '@', so later
+    * passes cannot re-match earlier redactions). Patterns stay inside the
+    * syntax intersection of Java regex and RE2 — no lookarounds, no
+    * backrefs — which is also the portable subset a production pipeline
+    * would standardize on.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val idS = col("doc_id").cast("string")
+    val dirty = concat(
+      col("text"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" contact user"), idS, lit("@example.com"))).otherwise(""),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" call +1 555 "),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(""),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" host 10.0."), (col("doc_id") % 250).cast("string"),
+          lit("."), (col("doc_id") % 200 + 1).cast("string"))).otherwise(""))
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(dirty, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
+    d.select(
+        col("doc_id"),
+        regexp_count(dirty, lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(dirty, lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(dirty, lit(IpRe)).cast("long").as("n_ips"),
+        length(clean).cast("long").as("clean_len"),
+        conv(substring(md5(clean), 1, 8), 16, 10).cast("long").as("clean_fp"))
+      .filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String = {
+    // the same pattern strings drop straight into single-quoted SQL:
+    // DuckDB string literals are not backslash-processed
+    val email = EmailRe
+    val phone = PhoneRe
+    val ip = IpRe
+    s"""WITH dirty AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |         THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |         THEN ' call +1 555 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+       |         ELSE '' END ||
+       |    CASE WHEN doc_id % 13 = 0
+       |         THEN ' host 10.0.' || (doc_id % 250)::VARCHAR || '.'
+       |              || (doc_id % 200 + 1)::VARCHAR
+       |         ELSE '' END AS text
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, '$email')) AS n_emails,
+       |    len(regexp_extract_all(text, '$phone')) AS n_phones,
+       |    len(regexp_extract_all(text, '$ip')) AS n_ips,
+       |    regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$email', '<EMAIL>', 'g'),
+       |      '$phone', '<PHONE>', 'g'),
+       |      '$ip', '<IP>', 'g') AS clean
+       |  FROM dirty)
+       |SELECT doc_id, n_emails, n_phones, n_ips,
+       |       length(clean) AS clean_len,
+       |       CAST('0x' || substring(md5(clean), 1, 8) AS BIGINT) AS clean_fp
+       |FROM c
+       |WHERE n_emails + n_phones + n_ips > 0
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flt_gopher_repetition" -> gopherRepetition,
+    "flt_pii_redact" -> piiRedact
+  )
+
+  val oracles: Map[String, String] = Map(
+    "flt_gopher_repetition" -> gopherRepetitionSql,
+    "flt_pii_redact" -> piiRedactSql
+  )
+}

@@ -110,6 +110,29 @@ class CurationSpec extends AnyFunSuite {
       "expected at least one near-fully-leaked document")
   }
 
+  test("domain mix: quotas hit the target, sampling respects them, deterministic") {
+    val a = Curation.domainMix(spark, dir).collect()
+    val b = Curation.domainMix(spark, dir).collect()
+    assert(a.toSeq === b.toSeq)
+    assert(a.map(_.getString(0)).toSeq === a.map(_.getString(0)).toSeq.sorted)
+    // nearest-rounding per source: total within ±|sources|/2 of the target
+    val quotaSum = a.map(_.getLong(2)).sum
+    assert(math.abs(quotaSum - 200L) <= a.length / 2 + 1,
+      s"quota sum $quotaSum drifted from target 200")
+    // sampler can never exceed its quota or its stratum
+    a.foreach { r =>
+      assert(r.getLong(3) === math.min(r.getLong(2), r.getLong(1)),
+        s"source ${r.getString(0)}: n_sampled != min(quota, n_docs)")
+    }
+    // temperature α=0.5 flattens: smallest source is oversampled relative
+    // to its share, largest undersampled
+    val smallest = a.minBy(_.getLong(1))
+    val largest = a.maxBy(_.getLong(1))
+    val total = a.map(_.getLong(1)).sum.toDouble
+    assert(smallest.getLong(2) / 200.0 >= smallest.getLong(1) / total)
+    assert(largest.getLong(2) / 200.0 <= largest.getLong(1) / total)
+  }
+
   test("bm25: ranked descending, scores positive, term counts in range") {
     val out = Curation.bm25TopK(spark, dir).collect()
     assert(out.length === 15)

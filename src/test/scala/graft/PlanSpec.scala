@@ -98,6 +98,21 @@ class PlanSpec extends AnyFunSuite {
     graft.tools.CacheRegistry.releaseShared()
   }
 
+  test("gopher repetition filter is map-only: no shuffle before the output sort") {
+    // the quality-filter battery must run at parquet-scan speed — one
+    // narrow projection, per-doc kernels, zero aggregation shuffles; the
+    // only exchange in the plan is the final presentation orderBy
+    val plan = graft.operators.Filtering.gopherRepetition(spark, dir)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"expected at most the orderBy exchange:\n$plan")
+    exchanges.foreach(e => assert(
+      e.outputPartitioning.toString.toLowerCase.contains("range"),
+      s"the single exchange must be the orderBy range partition, got: $e"))
+  }
+
   test("sequence packing runs its big window partitioned, offsets broadcast") {
     // the distributed-prefix-sum claim, structurally: the corpus-sized
     // cumsum window must be PARTITIONED by bucket (a single-partition
