@@ -81,7 +81,8 @@ object SfScale {
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES").map(_.split(",").toSet)
     val names = graft.SparkEntry.queries.keys
       .filter(n => n.startsWith("dedup_") || n.startsWith("ann_")
-        || n.startsWith("index_build_") || n.startsWith("cur_"))
+        || n.startsWith("index_build_") || n.startsWith("cur_")
+        || n.startsWith("flt_"))
       .filter(n => only.forall(_.contains(n))).toSeq.sorted
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
