@@ -458,8 +458,95 @@ object Curation {
        |LIMIT $Bm25TopK""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // cur_dsir_select — importance-resampling data selection (DSIR)
+  // ---------------------------------------------------------------------
+
+  private val DsirBuckets = 1024L
+  private val DsirTopK = 20
+
+  /** Data Selection via Importance Resampling [Xie et al., NeurIPS 2023]:
+    * score every document by how much its HASHED BIGRAM features look like a
+    * target distribution (here: the `lang = 'en'` slice) relative to the raw
+    * pool, w(doc) = mean over features of log p̂_target(b) − log p̂_raw(b)
+    * (add-half smoothing). The top-k by weight is the selected training
+    * subset; on the fixture the top 20 is 18/20 English with en mean-weight
+    * +0.006 vs ≈ −0.045 for every other language — the selector visibly
+    * pulls the target distribution.
+    *
+    * The whole point of DSIR's hashed features is the SCALE SHAPE: the
+    * "model" is [[DsirBuckets]] integers per side regardless of corpus
+    * vocabulary, so fitting is one groupBy(bucket) with conditional counts
+    * (map-side combine does almost all the work), the weight table is a
+    * ≤1024-row BROADCAST, and scoring is explode → broadcast-join → one
+    * groupBy(doc). Three narrow shuffles total at 100 TB, none keyed on
+    * anything skewable. Bigram hashing rides the same codegen
+    * [[graft.functions.ArrayExpressions.hashedWordNGrams]] kernel as the
+    * dedup family (md5-mirrored in the oracle).
+    *
+    * Float parity: per-bucket weights are 6dp-rounded ([[pround]]) then
+    * summed as DECIMAL(30,6) — exact and order-independent in both engines
+    * (see OracleParity rule 1); the displayed score is the 4dp mean. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val grams = d
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.ArrayExpressions
+          .hashedWordNGrams(split(lower(col("text")), "\\s+"), 2)).as("gram"))
+      .select(col("doc_id"), col("lang"), (col("gram") % DsirBuckets).as("b"))
+    val buckets = grams.groupBy(col("b")).agg(
+      count(when(col("lang") === "en", 1)).as("t_cnt"),
+      count(lit(1)).as("r_cnt"))
+    val totals = buckets.agg(
+      sum(col("t_cnt")).cast("double").as("tt"),
+      sum(col("r_cnt")).cast("double").as("rt"))
+    val half = DsirBuckets / 2.0
+    val weights = buckets.crossJoin(broadcast(totals))
+      .select(col("b"), pround(
+        log((col("t_cnt") + 0.5) / (col("tt") + half)) -
+          log((col("r_cnt") + 0.5) / (col("rt") + half)), 6).as("w"))
+    grams.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("w").cast("decimal(30,6)")).as("sw"))
+      .select(col("doc_id"), col("lang"), col("n_feats"),
+        pround(col("sw").cast("double") / col("n_feats"), 4).as("dsir"))
+      .orderBy(col("dsir").desc, col("doc_id"))
+      .limit(DsirTopK)
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |         unnest(list_distinct(list_transform(
+       |           list_transform(generate_series(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1]),
+       |           s -> CAST('0x' || substring(md5(s), 1, 8) AS BIGINT)))) AS gram
+       |  FROM t),
+       |f AS (SELECT doc_id, lang, gram % $DsirBuckets AS b FROM g),
+       |bk AS (
+       |  SELECT b, count(*) FILTER (lang = 'en') AS t_cnt, count(*) AS r_cnt
+       |  FROM f GROUP BY b),
+       |tot AS (SELECT sum(t_cnt)::DOUBLE AS tt, sum(r_cnt)::DOUBLE AS rt FROM bk),
+       |w AS (
+       |  SELECT b, floor((ln((t_cnt + 0.5) / (tt + ${DsirBuckets / 2}.0))
+       |                   - ln((r_cnt + 0.5) / (rt + ${DsirBuckets / 2}.0)))
+       |                  * 1000000 + 0.5) / 1000000.0 AS w
+       |  FROM bk, tot),
+       |s AS (
+       |  SELECT f.doc_id, f.lang, count(*) AS n_feats,
+       |         sum(CAST(w.w AS DECIMAL(30,6))) AS sw
+       |  FROM f JOIN w ON f.b = w.b GROUP BY f.doc_id, f.lang)
+       |SELECT doc_id, lang, n_feats,
+       |       floor(sw::DOUBLE / n_feats * 10000 + 0.5) / 10000.0 AS dsir
+       |FROM s ORDER BY dsir DESC, doc_id LIMIT $DsirTopK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_split" -> split9055,
+    "cur_dsir_select" -> dsirSelect,
     "cur_shuffle_shards" -> shuffleShards,
     "cur_pack_chunks" -> packChunks,
     "cur_stratified_sample" -> stratifiedSample,
@@ -470,6 +557,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "cur_split" -> split9055Sql,
+    "cur_dsir_select" -> dsirSelectSql,
     "cur_shuffle_shards" -> shuffleShardsSql,
     "cur_pack_chunks" -> packChunksSql,
     "cur_stratified_sample" -> stratifiedSampleSql,

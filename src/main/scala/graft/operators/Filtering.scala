@@ -199,13 +199,211 @@ object Filtering {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // flt_gopher_quality — Gopher-style document-quality battery
+  // ---------------------------------------------------------------------
+
+  private val QMinWords = 20L
+  private val QMaxWords = 400L
+  private val QMinMeanWordLen = 3.0
+  private val QMaxMeanWordLen = 10.0
+  private val QMaxSymbolRatio = 0.05
+  private val QMinAlphaFrac = 0.9
+  private val QMinStopwords = 2L
+
+  /** The OTHER half of Gopher §A1.1 (complementing `flt_gopher_repetition`'s
+    * repetition rules): document-shape quality — word-count bounds, mean word
+    * length bounds, symbol-to-word ratio (`#`/`…` tokens), fraction of words
+    * containing an alphabetic character, and a minimum stopword count. Runs
+    * over a DIRTY derived corpus (the fixture is clean words, so hashtag runs
+    * and numeric-token runs are planted on deterministic doc_id strata — the
+    * same idiom as `flt_pii_redact`'s planted identifiers), which proves each
+    * rule actually fires; the length/stopword/word-length rules also fire on
+    * natural documents (~45% of the fixture fails at least one rule).
+    *
+    * Every metric is a CODEGEN STRING KERNEL, no interpreted lambdas: token
+    * counts via one regex split, character mass via space-strip, and the
+    * per-token classifiers via `regexp_count` over a DOUBLE-SPACED padding
+    * (`' '+replace(t,' ','  ')+' '`) — doubling the separators gives every
+    * token its own leading AND trailing space, so the ` tok `-shaped patterns
+    * count adjacent matches exactly where a single-spaced form would miss
+    * every second one (regex matches cannot overlap). Map-only like the rest
+    * of the module: at 100 TB this runs at parquet-scan speed.
+    *
+    * The keep flag compares UNROUNDED doubles (identical IEEE ops in both
+    * engines); displayed fractions are 4dp-rounded.
+    */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val dirty = concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0, " # # # # # # # #").otherwise(""),
+      when(col("doc_id") % 7 === 0, " 12 345 6789 01 23 456 78 90").otherwise(""))
+    val base = d.select(
+      col("doc_id"),
+      size(split(dirty, "\\s+")).cast("double").as("n"),
+      length(regexp_replace(dirty, " ", "")).cast("double").as("chars"),
+      concat(lit(" "), regexp_replace(dirty, " ", "  "), lit(" ")).as("padded"))
+    val mwl = col("chars") / col("n")
+    val symr = regexp_count(col("padded"), lit(" (#|\\.\\.\\.) ")).cast("double") / col("n")
+    val alpha = regexp_count(col("padded"), lit(" [^ ]*[a-z][^ ]* ")).cast("double") / col("n")
+    val nStop = regexp_count(col("padded"), lit(" (the|a|of|to|and) ")).cast("long")
+    val keep = col("n") >= QMinWords.toDouble && col("n") <= QMaxWords.toDouble &&
+      mwl >= QMinMeanWordLen && mwl <= QMaxMeanWordLen &&
+      symr <= QMaxSymbolRatio && alpha >= QMinAlphaFrac && nStop >= QMinStopwords
+    base.select(
+        col("doc_id"),
+        col("n").cast("long").as("n_words"),
+        pround(mwl, 4).as("mean_word_len"),
+        pround(symr, 4).as("symbol_ratio"),
+        pround(alpha, 4).as("alpha_frac"),
+        nStop.as("n_stop"),
+        when(keep, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val gopherQualitySql: String =
+    s"""WITH dirty AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' # # # # # # # #' ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' 12 345 6789 01 23 456 78 90'
+       |         ELSE '' END AS t
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    ' ' || replace(t, ' ', '  ') || ' ' AS padded,
+       |    len(string_split_regex(t, '\\s+'))::DOUBLE AS n,
+       |    length(replace(t, ' ', ''))::DOUBLE AS chars
+       |  FROM dirty),
+       |x AS (
+       |  SELECT doc_id, n,
+       |    chars / n AS mwl,
+       |    len(regexp_extract_all(padded, ' (#|\\.\\.\\.) '))::DOUBLE / n AS symr,
+       |    len(regexp_extract_all(padded, ' [^ ]*[a-z][^ ]* '))::DOUBLE / n AS alpha,
+       |    len(regexp_extract_all(padded, ' (the|a|of|to|and) ')) AS n_stop
+       |  FROM m)
+       |SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       |       floor(mwl * 10000 + 0.5) / 10000.0 AS mean_word_len,
+       |       floor(symr * 10000 + 0.5) / 10000.0 AS symbol_ratio,
+       |       floor(alpha * 10000 + 0.5) / 10000.0 AS alpha_frac,
+       |       CAST(n_stop AS BIGINT) AS n_stop,
+       |       CAST(CASE WHEN n BETWEEN $QMinWords AND $QMaxWords
+       |                  AND mwl BETWEEN $QMinMeanWordLen AND $QMaxMeanWordLen
+       |                  AND symr <= $QMaxSymbolRatio AND alpha >= $QMinAlphaFrac
+       |                  AND n_stop >= $QMinStopwords
+       |             THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM x ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // flt_line_dedup — cross-document line-level deduplication
+  // ---------------------------------------------------------------------
+
+  private val LineTokens = 12
+  private val MinDupDocs = 5L
+  private val Boiler1 = "accept cookies to continue reading this site"
+  private val Boiler2 = "all rights reserved contact the site owner today"
+
+  /** Line-level dedup — the RefinedWeb / CCNet / C4 boilerplate stage: a
+    * line that recurs across ≥ [[MinDupDocs]] distinct documents is
+    * boilerplate (cookie banners, nav bars, license footers) and is removed
+    * from EVERY document, preserving the order of what remains. The fixture
+    * corpus is single-line, so lines are derived ([[LineTokens]]-token
+    * windows) and two boilerplate lines are planted on deterministic doc_id
+    * strata — the planted lines recur across ~125/~83 docs and are the ones
+    * the threshold catches; natural lines are effectively unique.
+    *
+    * Shape at scale: explode lines (8-byte hash + pos), ONE groupBy(line_hash)
+    * to find recurring hashes — the duplicate-hash table is tiny by
+    * construction (only boilerplate recurs), so the removal join is a
+    * BROADCAST LEFT ANTI, not a shuffle of the corpus — then one
+    * groupBy(doc_id) to reassemble. `clean_fp` (32-bit md5 of the kept lines
+    * joined in original order) hash-checks that both engines kept exactly
+    * the same bytes in the same order, the same witness idiom as
+    * `flt_pii_redact`.
+    */
+  def lineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val emptyS = array().cast("array<string>")
+    val base = d
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("nl", ceil(size(col("toks")) / lit(LineTokens.toDouble)).cast("int"))
+      .withColumn("lines", concat(
+        when(col("doc_id") % 4 === 0, array(lit(Boiler1))).otherwise(emptyS),
+        transform(sequence(lit(0), col("nl") - 1),
+          i => array_join(slice(col("toks"), i * LineTokens + 1, lit(LineTokens)), " ")),
+        when(col("doc_id") % 6 === 0, array(lit(Boiler2))).otherwise(emptyS)))
+    val exploded = base
+      .select(col("doc_id"), size(col("lines")).as("n_lines"),
+        posexplode(col("lines")))
+      .select(col("doc_id"), col("n_lines"), col("pos"), col("col").as("line"),
+        conv(substring(md5(col("col")), 1, 8), 16, 10).cast("long").as("lh"))
+    val dup = exploded.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= MinDupDocs)
+      .select(col("lh"))
+    exploded.join(broadcast(dup), Seq("lh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n_lines")).cast("long").as("n_lines"),
+        (max(col("n_lines")) - count(lit(1))).cast("long").as("n_dropped"),
+        conv(substring(md5(array_join(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          "\n")), 1, 8), 16, 10).cast("long").as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lineDedupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |l0 AS (
+       |  SELECT doc_id, list_transform(
+       |      generate_series(0, CAST(ceil(len(toks) / $LineTokens.0) AS INT) - 1),
+       |      i -> array_to_string(
+       |             list_slice(toks, i*$LineTokens + 1, i*$LineTokens + $LineTokens),
+       |             ' ')) AS lines
+       |  FROM t),
+       |l1 AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 4 = 0 THEN ['$Boiler1'] ELSE [] END)
+       |    || lines ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN ['$Boiler2'] ELSE [] END) AS lines
+       |  FROM l0),
+       |e AS (
+       |  SELECT doc_id, len(lines) AS n_lines,
+       |         unnest(generate_series(1, len(lines))) AS pos,
+       |         unnest(lines) AS line
+       |  FROM l1),
+       |hh AS (
+       |  SELECT doc_id, n_lines, pos, line,
+       |         CAST('0x' || substring(md5(line), 1, 8) AS BIGINT) AS lh
+       |  FROM e),
+       |dup AS (
+       |  SELECT lh FROM hh GROUP BY lh
+       |  HAVING count(DISTINCT doc_id) >= $MinDupDocs),
+       |k AS (
+       |  SELECT * FROM hh WHERE lh NOT IN (SELECT lh FROM dup))
+       |SELECT doc_id, max(n_lines) AS n_lines,
+       |       CAST(max(n_lines) - count(*) AS BIGINT) AS n_dropped,
+       |       CAST('0x' || substring(
+       |         md5(string_agg(line, chr(10) ORDER BY pos)), 1, 8) AS BIGINT)
+       |         AS clean_fp
+       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flt_gopher_repetition" -> gopherRepetition,
-    "flt_pii_redact" -> piiRedact
+    "flt_gopher_quality" -> gopherQuality,
+    "flt_pii_redact" -> piiRedact,
+    "flt_line_dedup" -> lineDedup
   )
 
   val oracles: Map[String, String] = Map(
     "flt_gopher_repetition" -> gopherRepetitionSql,
-    "flt_pii_redact" -> piiRedactSql
+    "flt_gopher_quality" -> gopherQualitySql,
+    "flt_pii_redact" -> piiRedactSql,
+    "flt_line_dedup" -> lineDedupSql
   )
 }

@@ -143,4 +143,57 @@ class CurationSpec extends AnyFunSuite {
     // multi-term matches should outrank single-term at the top on this corpus
     assert(out.head.getLong(2) >= 2L)
   }
+
+  test("dsir selection matches a naive recomputation and pulls the target language") {
+    val out = Curation.dsirSelect(spark, dir).collect()
+    assert(out.length === 20)
+
+    // full naive recompute: hashed bigram presence features → bucket counts
+    // → smoothed log-ratio weights (6dp) → exact decimal sums → 4dp means
+    def md5_32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d, 16)
+    }
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // distinct GRAMS then bucket (two distinct grams sharing a bucket count
+    // twice — presence features per gram, exactly what the plan explodes)
+    val feats2 = docs.map { case (id, lang, text) =>
+      val toks = text.toLowerCase.split("\\s+").toSeq
+      val grams = toks.sliding(2).filter(_.size == 2)
+        .map(g => md5_32(g.mkString(" "))).toSeq.distinct
+      (id, lang, grams.map(_ % 1024L))
+    }
+    val all = feats2.flatMap { case (_, lang, bs) => bs.map(b => (b, lang)) }
+    val rCnt = all.groupBy(_._1).map { case (b, xs) => b -> xs.size.toLong }
+    val tCnt = all.filter(_._2 == "en").groupBy(_._1)
+      .map { case (b, xs) => b -> xs.size.toLong }.withDefaultValue(0L)
+    val tt = tCnt.values.sum.toDouble
+    val rt = rCnt.values.sum.toDouble
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000.0
+    val w = rCnt.map { case (b, r) =>
+      b -> r6(math.log((tCnt(b) + 0.5) / (tt + 512.0)) -
+        math.log((r + 0.5) / (rt + 512.0)))
+    }
+    val scored = feats2.filter(_._3.nonEmpty).map { case (id, lang, bs) =>
+      val s = bs.map(b => BigDecimal.valueOf(w(b))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      val dsir = math.floor((s.toDouble / bs.size) * 10000 + 0.5) / 10000.0
+      (id, lang, bs.size.toLong, dsir)
+    }
+    val expected = scored.sortBy { case (id, _, _, d) => (-d, id) }.take(20)
+    val got = out.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === expected.toSeq)
+
+    // the selector visibly pulls the target distribution
+    assert(out.count(_.getString(1) == "en") >= 15, "top-20 not en-dominated")
+    val byLang = scored.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.map(_._4).sum / xs.size }
+    val en = byLang("en")
+    byLang.foreach { case (l, m) =>
+      if (l != "en") assert(en > m, s"mean dsir(en)=$en not above $l=$m")
+    }
+  }
 }

@@ -54,6 +54,86 @@ class FilteringSpec extends AnyFunSuite {
     assert(kept > 0 && kept < out.size)
   }
 
+  test("gopher quality metrics match a naive Scala recomputation") {
+    val out = Filtering.gopherQuality(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+    assert(docs.length === out.size)
+    def round4(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    val stop = Set("the", "a", "of", "to", "and")
+    docs.foreach { d =>
+      val id = d.getLong(0)
+      val dirty = d.getString(1) +
+        (if (id % 5 == 0) " # # # # # # # #" else "") +
+        (if (id % 7 == 0) " 12 345 6789 01 23 456 78 90" else "")
+      val toks = dirty.split("\\s+").toSeq
+      val n = toks.size.toDouble
+      val mwl = toks.map(_.length).sum / n
+      val symr = toks.count(t => t == "#" || t.matches("\\.\\.\\.")) / n
+      val alpha = toks.count(_.exists(c => c >= 'a' && c <= 'z')) / n
+      val nStop = toks.count(stop)
+      val keep = n >= 20 && n <= 400 && mwl >= 3.0 && mwl <= 10.0 &&
+        symr <= 0.05 && alpha >= 0.9 && nStop >= 2
+      val r = out(id)
+      assert(r.getLong(1) === toks.size, s"n_words doc $id")
+      assert(r.getDouble(2) === round4(mwl), s"mean_word_len doc $id")
+      assert(r.getDouble(3) === round4(symr), s"symbol_ratio doc $id")
+      assert(r.getDouble(4) === round4(alpha), s"alpha_frac doc $id")
+      assert(r.getLong(5) === nStop.toLong, s"n_stop doc $id")
+      assert(r.getLong(6) === (if (keep) 1L else 0L), s"keep doc $id")
+    }
+    // planted hashtag docs always fail (8/(n+8) > 0.05 needs n < 152 and the
+    // corpus tops out near 110 words); planted numeric docs fail the alpha
+    // rule exactly when the doc is small enough that 8 tokens matter — both
+    // branches of that rule must occur, and alpha only dips on planted docs
+    out.values.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 5 == 0) assert(r.getLong(6) === 0L, s"hashtag doc $id kept")
+      if (r.getDouble(4) < 0.9)
+        assert(id % 7 == 0 || id % 5 == 0, s"alpha dipped on unplanted doc $id")
+    }
+    val numeric = out.values.filter(r => r.getLong(0) % 7 == 0 && r.getLong(0) % 5 != 0)
+    assert(numeric.exists(_.getDouble(4) < 0.9), "alpha rule never fired")
+    assert(numeric.exists(_.getDouble(4) >= 0.9), "alpha rule fired on every planted doc")
+    val kept = out.values.count(_.getLong(6) == 1L)
+    assert(kept > 0 && kept < out.size)
+  }
+
+  test("line dedup drops exactly the boilerplate lines and keeps order") {
+    val out = Filtering.lineDedup(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.size === out.size)
+    val b1 = "accept cookies to continue reading this site"
+    val b2 = "all rights reserved contact the site owner today"
+    def linesOf(id: Long): Seq[String] = {
+      val toks = docs(id).toLowerCase.split("\\s+").toSeq
+      val nat = toks.grouped(12).map(_.mkString(" ")).toSeq
+      (if (id % 4 == 0) Seq(b1) else Nil) ++ nat ++
+        (if (id % 6 == 0) Seq(b2) else Nil)
+    }
+    // dup set recomputed from scratch on the line STRINGS (also proves the
+    // plan's 32-bit hashes did not collide on this corpus)
+    val docCount = docs.keys.toSeq.flatMap(id => linesOf(id).distinct.map(_ -> id))
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val dup = docCount.filter(_._2 >= 5).keySet
+    assert(dup === Set(b1, b2), s"unexpected dup set: $dup")
+    docs.keys.foreach { id =>
+      val all = linesOf(id)
+      val keptLines = all.filterNot(dup)
+      val r = out(id)
+      assert(r.getLong(1) === all.size.toLong, s"n_lines doc $id")
+      assert(r.getLong(2) === (all.size - keptLines.size).toLong, s"n_dropped doc $id")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(keptLines.mkString("\n").getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      assert(r.getLong(3) === java.lang.Long.parseLong(md5, 16), s"clean_fp doc $id")
+    }
+  }
+
   test("pii redaction finds exactly the planted identifiers and scrubs them all") {
     val out = Filtering.piiRedact(spark, dir).collect()
     val ids = graft.io.Tables.documents(spark, dir)
