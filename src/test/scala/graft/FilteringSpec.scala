@@ -134,6 +134,67 @@ class FilteringSpec extends AnyFunSuite {
     }
   }
 
+  test("lm perplexity matches a naive recomputation and head is en-dominated") {
+    val out = Filtering.lmPerplexity(spark, dir).collect()
+    def md5_32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d, 16)
+    }
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val B = 512L
+    val pairs = docs.map { case (id, lang, text) =>
+      val bs = text.toLowerCase.split("\\s+").map(t => md5_32(t) % B)
+      (id, lang, bs.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq)
+    }.filter(_._3.nonEmpty)
+    assert(out.length === pairs.length, "every multi-token doc scored")
+    val enPairs = pairs.filter(_._2 == "en").flatMap(_._3)
+    val mc = enPairs.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+    val cc = enPairs.groupBy(_._1).map { case (k, xs) => k -> xs.size.toLong }
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000.0
+    def lp(p: (Long, Long)): Double = mc.get(p) match {
+      case Some(c) => r6(math.log((c + 0.5) / (cc(p._1) + 256.0)))
+      case None => cc.get(p._1) match {
+        case Some(ctx) => r6(math.log(0.5 / (ctx + 256.0)))
+        case None => r6(math.log(0.5 / 256.0))
+      }
+    }
+    val hByDoc = pairs.map { case (id, lang, ps) =>
+      val s = ps.map(p => BigDecimal.valueOf(lp(p))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      (id, lang, ps.size.toLong,
+        math.floor(-(s.toDouble) / ps.size * 10000 + 0.5) / 10000.0)
+    }
+    val expected = hByDoc.map(t => t._1 -> t).toMap
+    out.foreach { r =>
+      val (id, lang, n, h) = (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      val e = expected(id)
+      assert((lang, n, h) === ((e._2, e._3, e._4)), s"doc $id")
+    }
+    // tercile sizes within 1 of n/3, labels monotone in h
+    val byBucket = out.groupBy(_.getString(4))
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    val n3 = out.length / 3.0
+    byBucket.values.foreach(g => assert(math.abs(g.length - n3) <= 1.0))
+    val maxHead = byBucket("head").map(_.getDouble(3)).max
+    val minTail = byBucket("tail").map(_.getDouble(3)).min
+    assert(maxHead < minTail)
+    assert(byBucket("middle").forall(r =>
+      r.getDouble(3) > maxHead - 1e-9 && r.getDouble(3) < minTail + 1e-9))
+    // the en-trained LM discriminates: en mean cross-entropy below every
+    // other language, and the head tercile is en-dominated
+    val byLang = out.groupBy(_.getString(1))
+      .map { case (l, rs) => l -> rs.map(_.getDouble(3)).sum / rs.length }
+    byLang.foreach { case (l, m) =>
+      if (l != "en") assert(byLang("en") < m, s"mean h(en) not below $l")
+    }
+    val enFrac = byBucket("head").count(_.getString(1) == "en").toDouble /
+      byBucket("head").length
+    assert(enFrac > 0.5, s"head tercile only $enFrac en")
+  }
+
   test("pii redaction finds exactly the planted identifiers and scrubs them all") {
     val out = Filtering.piiRedact(spark, dir).collect()
     val ids = graft.io.Tables.documents(spark, dir)
