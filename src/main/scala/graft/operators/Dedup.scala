@@ -604,6 +604,118 @@ object Dedup {
        |FROM rpairs WHERE cos >= 0.99
        |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------------------- SemDeDup
+
+  private val SemTau = 0.95
+
+  /** SemDeDup [Abbas et al. 2023, arXiv:2303.09540] — SEMANTIC dedup as
+    * cluster-then-prune: k-means the embedding space (the shared
+    * deterministic Lloyd quantizer, so the whole pipeline replays in
+    * DuckDB), then inside each cluster mark every pair with cosine ≥
+    * [[SemTau]] as semantic duplicates and keep, per duplicate
+    * neighborhood, the member with the LOWEST cosine to its centroid (the
+    * paper's keep rule: the most atypical exemplar survives; ties break on
+    * vec_id). A row is dropped iff some same-cluster neighbor above the
+    * threshold precedes it in that (centroid_cos, vec_id) priority order —
+    * the greedy sorted-scan semantics reference implementations use, as a
+    * single self-join + groupBy instead of a sequential pass.
+    *
+    * This is the missing tier between `dedup_embedding_cosine` (syntactic
+    * near-dup, hyperplane blocking at τ=0.99) and topic-level clustering:
+    * SemTau=0.95 catches re-encodings of the same content that perturbation
+    * blocking is tuned for but a 0.99 exact-dup bar would miss. The corpus
+    * is the fixture plus the manufactured near-dup replicas (same planted
+    * ground truth as the near-dup family — every planted pair must land
+    * `keep=0` on exactly one side, asserted in DedupSpec).
+    *
+    * Scale shape — the reason SemDeDup works at dataset scale: the
+    * quadratic lives INSIDE cells, bounded by occupancy N/K, and the
+    * production dial is K ∝ N (the paper runs 50k clusters on LAION) which
+    * holds per-cell cost constant; assignment is the map-only codegen
+    * kernel and training is the sample-train/full-assign split
+    * ([[IvfKMeans]] scaladoc). The oracle-checked form pins K=8, the
+    * replayable fixture dial, same convention as the IVF family. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    semanticOn(e, IvfKMeans.trainCentroids(e), 100000L)
+  }
+
+  /** SfScale probe: the K ∝ N production dial (constant cell occupancy ⇒
+    * constant within-cell pair cost per vector), with the near-dup offset
+    * past max(id) so scaled dense id spaces don't collide. */
+  def dedupSemanticK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val offset = e.agg(max(col("vec_id"))).head().getLong(0) + 1L
+    semanticOn(e, IvfKMeans.trainCentroidsK(e, k), offset)
+  }
+
+  private def semanticOn(
+      e: DataFrame, cents: Seq[(Int, Array[Double])], pertOffset: Long): DataFrame = {
+    val assigned = IvfKMeans.assign(withPerturbed(e, pertOffset), cents)
+    // centroids as a broadcast K-row table, not a K-deep when() chain —
+    // the chain's generated code grows O(K·dim) and Janino compile time
+    // dominates at the K ∝ N production dial
+    import e.sparkSession.implicits._
+    val cdf = cents.map { case (c, arr) => (c, arr.toSeq) }.toDF("cluster", "cv")
+    val cw = assigned
+      .join(broadcast(cdf), "cluster")
+      .withColumn("cosc", VectorFunctions.cosineSimilarity(col("v"), col("cv")))
+      .drop("cv")
+    val x = cw.select(col("vec_id"), col("cluster"), col("v"), col("cosc"))
+    val y = cw.select(col("vec_id").as("y_id"), col("cluster"),
+      col("v").as("yv"), col("cosc").as("y_cosc"))
+    val close = x.join(y, Seq("cluster"))
+      .filter(col("vec_id") =!= col("y_id"))
+      .filter(VectorFunctions.cosineSimilarity(col("v"), col("yv")) >= SemTau)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_close"),
+        sum(when(col("y_cosc") < col("cosc") ||
+          (col("y_cosc") === col("cosc") && col("y_id") < col("vec_id")),
+          1L).otherwise(0L)).as("n_prior"))
+    cw.join(close, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        pround(col("cosc"), 4).as("centroid_cos"),
+        coalesce(col("n_close"), lit(0L)).as("n_close"),
+        when(coalesce(col("n_prior"), lit(0L)) === 0L, 1L).otherwise(0L).as("keep"))
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH ${IvfKMeans.trainingSql},
+       |pert AS (
+       |  SELECT vec_id + 100000 AS vec_id,
+       |         list_transform(generate_series(1, 64),
+       |           i -> v[i] + 0.0078125 * ((i % 3) - 1)) AS v
+       |  FROM e WHERE vec_id % 10 = 0),
+       |allv AS (SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM pert),
+       |${IvfKMeans.assignSql("allv", IvfKMeans.finalCentroidsRel, "aall")},
+       |cw AS (
+       |  SELECT a.vec_id, a.cluster, a.v,
+       |         list_dot_product(a.v, c.cv)
+       |           / (sqrt(list_dot_product(a.v, a.v))
+       |              * sqrt(list_dot_product(c.cv, c.cv))) AS cosc
+       |  FROM aall a JOIN ${IvfKMeans.finalCentroidsRel} c
+       |    ON a.cluster = c.cluster),
+       |p AS (
+       |  SELECT x.vec_id, count(*) AS n_close,
+       |         sum(CASE WHEN y.cosc < x.cosc
+       |                    OR (y.cosc = x.cosc AND y.vec_id < x.vec_id)
+       |                  THEN 1 ELSE 0 END) AS n_prior
+       |  FROM cw x JOIN cw y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+       |  WHERE list_dot_product(x.v, y.v)
+       |          / (sqrt(list_dot_product(x.v, x.v))
+       |             * sqrt(list_dot_product(y.v, y.v))) >= $SemTau
+       |  GROUP BY x.vec_id)
+       |SELECT cw.vec_id, cw.cluster,
+       |       floor(cw.cosc * 10000 + 0.5) / 10000.0 AS centroid_cos,
+       |       coalesce(p.n_close, 0)::BIGINT AS n_close,
+       |       CAST(CASE WHEN coalesce(p.n_prior, 0) = 0 THEN 1 ELSE 0 END
+       |            AS BIGINT) AS keep
+       |FROM cw LEFT JOIN p ON cw.vec_id = p.vec_id
+       |ORDER BY cw.vec_id""".stripMargin
+
   // --------------------------------------------------- IVF-style ANN scan
 
   /** ANN scale path: restrict the scan to the query's coarse cell (label),
@@ -653,6 +765,7 @@ object Dedup {
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_embedding_cosine_clustered" -> dedupEmbeddingCosineClustered,
     "dedup_embedding_cosine_residual" -> dedupEmbeddingCosineResidual,
+    "dedup_semantic" -> dedupSemantic,
     "ann_ivf_label" -> annIvfLabel
   )
 
@@ -665,6 +778,7 @@ object Dedup {
     "dedup_embedding_cosine" -> dedupEmbeddingCosineSql,
     "dedup_embedding_cosine_clustered" -> dedupEmbeddingCosineClusteredSql,
     "dedup_embedding_cosine_residual" -> dedupEmbeddingCosineResidualSql,
+    "dedup_semantic" -> dedupSemanticSql,
     "ann_ivf_label" -> annIvfLabelSql
   )
 }

@@ -170,6 +170,28 @@ object SfScale {
       val rScaled = runResidual(out, 8)
       println(f"SCALE ${"dedup_emb_cos_residual/p8"}%-26s $rBase%8.2f $rScaled%8.2f ${rScaled / rBase}%7.2f")
     }
+    // SemDeDup's dial is K ∝ N (the paper's regime: constant cell
+    // occupancy ⇒ the within-cell quadratic costs O(occupancy) per vector
+    // regardless of corpus size). Pinned K=8 grows cell occupancy linearly
+    // — within-cell pairs quadratically; the resized run pays K× more
+    // assignment arithmetic but holds pair volume flat.
+    if (only.forall(_.contains("dedup_semantic")) && factor > 1) {
+      def runSem(dir: String, kk: Int): Double = {
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.dedupSemanticK(spark, dir, kk)
+          .write.format("noop").mode("overwrite").save()
+        val s = (System.nanoTime() - t0) / 1e9
+        CacheRegistry.release(blocking = true)
+        CacheRegistry.releaseShared(blocking = true)
+        s
+      }
+      runSem(base, 8)
+      val tBase = runSem(base, 8)
+      val tPinned = runSem(out, 8)
+      val tScaled = runSem(out, 8 * factor)
+      println(f"SCALE ${"dedup_semantic/k8"}%-26s $tBase%8.2f $tPinned%8.2f ${tPinned / tBase}%7.2f")
+      println(f"SCALE ${s"dedup_semantic/k${8 * factor}"}%-26s $tBase%8.2f $tScaled%8.2f ${tScaled / tBase}%7.2f")
+    }
     // The IVF family's dial: K cells partition the corpus, so pinned-K
     // single-cell scans grow linearly in N (N/K per cell). Production
     // sizing K ∝ √N balances probe cost K against scan cost N/K; the

@@ -94,6 +94,66 @@ class DedupSpec extends AnyFunSuite {
     assert(slept === 60000L)
   }
 
+  test("semantic dedup matches a naive recompute and drops one side of each planted pair") {
+    val out = Dedup.dedupSemantic(spark, SparkTestSession.Sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getLong(3), r.getLong(4))).toMap
+
+    // naive recompute on the SAME assignment inputs (training itself is
+    // pinned by IvfKMeansSpec): collect (id, v, cluster), add centroid cos,
+    // then per-cluster pairwise cosines at tau=0.95
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val cents = graft.operators.IvfKMeans.trainCentroids(e)
+    val all = graft.operators.IvfKMeans
+      .assign(Dedup.withPerturbed(e, 100000L), cents)
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cmap = cents.toMap
+    val withC = all.map { case (id, v, cl) => (id, v, cl, cos(v, cmap(cl))) }
+    val byCluster = withC.groupBy(_._3)
+    def r4(x: Double) = math.floor(x * 10000 + 0.5) / 10000.0
+    assert(out.size === all.length)
+    withC.foreach { case (id, v, cl, cc) =>
+      val peers = byCluster(cl).filter(_._1 != id)
+      val close = peers.filter(p => cos(v, p._2) >= 0.95)
+      val nPrior = close.count(p => p._4 < cc || (p._4 == cc && p._1 < id))
+      val (ocl, occ, onClose, oKeep) = out(id)
+      assert(ocl === cl, s"cluster vec $id")
+      assert(occ === r4(cc), s"centroid_cos vec $id")
+      assert(onClose === close.length.toLong, s"n_close vec $id")
+      assert(oKeep === (if (nPrior == 0) 1L else 0L), s"keep vec $id")
+    }
+    // planted ground truth: each same-cluster (orig, perturbed) pair loses
+    // exactly one member when isolated (n_close == 1 on both sides)
+    val planted = withC.filter(_._1 >= 100000L).map { case (pid, _, pcl, _) =>
+      (pid - 100000L, pid, pcl)
+    }
+    assert(planted.nonEmpty)
+    val sameCluster = planted.filter { case (a, b, pcl) =>
+      withC.find(_._1 == a).exists(_._3 == pcl)
+    }
+    // the perturbation is small: most pairs co-assign
+    assert(sameCluster.length * 2 >= planted.length,
+      s"only ${sameCluster.length}/${planted.length} pairs co-assigned")
+    sameCluster.foreach { case (a, b, _) =>
+      if (out(a)._3 == 1L && out(b)._3 == 1L) {
+        assert(out(a)._4 + out(b)._4 === 1L, s"pair ($a,$b) keep flags")
+      }
+    }
+    // dropped rows exist and every drop has a close witness
+    assert(out.values.exists(_._4 == 0L))
+    out.foreach { case (id, (_, _, nc, k)) => if (k == 0L) assert(nc > 0L) }
+  }
+
   test("400 bisect isolates the poison element and keeps the rest") {
     val poison = 13
     def call(batch: Seq[Int]): Seq[Int] =
