@@ -459,6 +459,116 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // cur_hard_negatives — BM25 hard-negative mining for retrieval training
+  // ---------------------------------------------------------------------
+
+  private val HnQueryStride = 97L
+  private val HnQueryTerms = 5
+  private val HnNegatives = 5
+
+  /** Hard-negative mining — the stage that builds contrastive training data
+    * for retrieval/embedding models [Karpukhin et al., EMNLP 2020 (DPR);
+    * Xiong et al., ICLR 2021 (ANCE)]: for each (query, positive) pair, the
+    * best negatives are the top-scoring NON-relevant documents under a
+    * lexical retriever, not random ones. Queries are derived
+    * deterministically (every [[HnQueryStride]]th document; pseudo-query =
+    * its first [[HnQueryTerms]] distinct tokens; the source document is the
+    * positive), scored with the same Lucene-form BM25 as `cur_bm25_topk`,
+    * and the top [[HnNegatives]] non-self documents per query are emitted.
+    *
+    * Unlike `cur_bm25_topk`'s fixed conjunctive probe, term sets here are
+    * PER-QUERY, so the fixed-order pivot trick doesn't apply; float parity
+    * instead comes from rounding each (doc, term) weight to 6dp and summing
+    * as DECIMAL(30,6) — exact and order-independent — and RANKING on the
+    * exact decimal (ties → doc_id). The displayed score is the 4dp double.
+    *
+    * Scale shape: the query-term table is a |Q|·[[HnQueryTerms]]-row
+    * BROADCAST; the exploded token stream is pruned to query vocabulary by
+    * a broadcast semi-join before any aggregation (the stream is
+    * |matches|-sized, not corpus-vocabulary-sized); then one
+    * groupBy(doc, term), one groupBy(query, doc), and a per-query window
+    * top-k over only the matched docs. No cartesian, no global sort. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val docs = d.select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val qt = docs.filter(col("doc_id") % HnQueryStride === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(col("toks"), 1, HnQueryTerms))).as("term"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val w = tf
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      .select(col("doc_id"), col("term"),
+        pround(col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + (col("dl") / col("avgdl") * Bm25B + (1.0 - Bm25B)) * Bm25K1),
+          6).as("w6"))
+    val scored = w.join(broadcast(qt), "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w6").cast("decimal(30,6)")).as("sc"))
+    val win = Window.partitionBy(col("query_id"))
+      .orderBy(col("sc").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= HnNegatives)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id").as("neg_id"),
+        pround(col("sc").cast("double"), 4).as("bm25"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
+       |         len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS dl
+       |  FROM documents),
+       |stats AS (
+       |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM docs),
+       |qt AS (
+       |  SELECT doc_id AS query_id,
+       |         unnest(list_distinct(list_slice(toks, 1, $HnQueryTerms))) AS term
+       |  FROM docs WHERE doc_id % $HnQueryStride = 0),
+       |tf AS (
+       |  SELECT doc_id, dl, t.term, count(*)::DOUBLE AS tf
+       |  FROM docs, unnest(toks) AS t(term)
+       |  WHERE t.term IN (SELECT DISTINCT term FROM qt)
+       |  GROUP BY doc_id, dl, t.term),
+       |df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+       |w AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         floor(ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+       |               * (tf.tf * (${Bm25K1} + 1.0))
+       |               / (tf.tf + ($Bm25B * tf.dl / stats.avgdl
+       |                           + (1.0 - $Bm25B)) * $Bm25K1)
+       |               * 1000000 + 0.5) / 1000000.0 AS w6
+       |  FROM tf, df, stats WHERE tf.term = df.term),
+       |s AS (
+       |  SELECT qt.query_id, w.doc_id,
+       |         sum(CAST(w.w6 AS DECIMAL(30,6))) AS sc
+       |  FROM w JOIN qt ON w.term = qt.term
+       |  WHERE w.doc_id <> qt.query_id
+       |  GROUP BY qt.query_id, w.doc_id),
+       |r AS (
+       |  SELECT query_id, doc_id, sc,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY sc DESC, doc_id) AS rank
+       |  FROM s)
+       |SELECT query_id, rank, doc_id AS neg_id,
+       |       floor(sc::DOUBLE * 10000 + 0.5) / 10000.0 AS bm25
+       |FROM r WHERE rank <= $HnNegatives
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cur_dsir_select — importance-resampling data selection (DSIR)
   // ---------------------------------------------------------------------
 
@@ -547,6 +657,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_split" -> split9055,
     "cur_dsir_select" -> dsirSelect,
+    "cur_hard_negatives" -> hardNegatives,
     "cur_shuffle_shards" -> shuffleShards,
     "cur_pack_chunks" -> packChunks,
     "cur_stratified_sample" -> stratifiedSample,
@@ -558,6 +669,7 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "cur_split" -> split9055Sql,
     "cur_dsir_select" -> dsirSelectSql,
+    "cur_hard_negatives" -> hardNegativesSql,
     "cur_shuffle_shards" -> shuffleShardsSql,
     "cur_pack_chunks" -> packChunksSql,
     "cur_stratified_sample" -> stratifiedSampleSql,

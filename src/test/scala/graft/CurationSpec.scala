@@ -144,6 +144,48 @@ class CurationSpec extends AnyFunSuite {
     assert(out.head.getLong(2) >= 2L)
   }
 
+  test("hard negatives match a naive BM25 recompute and exclude the positive") {
+    val out = Curation.hardNegatives(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\s+").toSeq))
+    val nDocs = docs.length.toDouble
+    val avgdl = docs.map(_._2.size).sum.toDouble / nDocs
+    val queries = docs.filter(_._1 % 97 == 0)
+      .map { case (id, toks) => id -> toks.take(5).distinct }
+    assert(queries.nonEmpty)
+    val qTerms = queries.flatMap(_._2).toSet
+    // tf / df over the pruned vocabulary only
+    val tf = docs.map { case (id, toks) =>
+      id -> toks.filter(qTerms).groupBy(identity).map { case (t, xs) => t -> xs.size }
+    }.toMap
+    val dfm = qTerms.map(t => t -> docs.count(d => tf(d._1).contains(t)).toDouble).toMap
+    def r6(x: Double) = math.floor(x * 1000000 + 0.5) / 1000000.0
+    def w6(id: Long, dl: Double, t: String): Option[Double] =
+      tf(id).get(t).map { f =>
+        val idf = math.log((nDocs - dfm(t) + 0.5) / (dfm(t) + 0.5) + 1.0)
+        r6(idf * (f * 2.2) / (f + (dl / avgdl * 0.75 + 0.25) * 1.2))
+      }
+    val expected = queries.flatMap { case (qid, terms) =>
+      val scored = docs.filter(_._1 != qid).flatMap { case (id, toks) =>
+        val ws = terms.flatMap(t => w6(id, toks.size.toDouble, t))
+        if (ws.isEmpty) None
+        else Some(id -> ws.map(BigDecimal.valueOf(_)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum)
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex.map {
+        case ((id, s), i) =>
+          (qid, (i + 1).toLong, id,
+            math.floor(s.toDouble * 10000 + 0.5) / 10000.0)
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(out.toSeq === expected.toSeq)
+    // no query ranks itself as its own negative
+    assert(out.forall { case (qid, _, nid, _) => qid != nid })
+    assert(out.forall(_._4 > 0.0))
+  }
+
   test("dsir selection matches a naive recomputation and pulls the target language") {
     val out = Curation.dsirSelect(spark, dir).collect()
     assert(out.length === 20)
