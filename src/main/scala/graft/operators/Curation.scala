@@ -459,6 +459,115 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
+  // cur_span_corrupt — T5-style span-corruption sample construction
+  // ---------------------------------------------------------------------
+
+  private val SpanStartMod = 20L
+  private val SpanLen = 3
+
+  /** Span-corruption denoising pairs [Raffel et al., JMLR 2020, §3.1.4 —
+    * the T5 pretraining objective; UL2's R-denoiser is the same shape]:
+    * mask contiguous token spans and emit (input, target) where the input
+    * replaces each masked span with one sentinel and the target lists each
+    * sentinel followed by the span's tokens. Randomness is HASH-DERIVED —
+    * a position p starts a span iff md5_32(doc_id:p) ≡ 0 (mod
+    * [[SpanStartMod]]), and a span covers [[SpanLen]] positions — so the
+    * corruption is deterministic per (doc, position): ~5% starts × 3-token
+    * spans ≈ the 15% corruption rate T5 uses, with no RNG state to
+    * coordinate across executors (the property that matters at 100 TB:
+    * re-running a failed partition re-derives identical samples).
+    *
+    * Everything is IN-ARRAY per document — masked flags, span starts, and
+    * both output sequences are `transform`/`flatten` over the token array,
+    * because span membership at p only looks back [[SpanLen]]−1 positions
+    * of pure position arithmetic. ZERO shuffles (the only exchange is the
+    * output sort): this runs at parquet-scan speed like the `flt_*`
+    * battery. Both sequences are witnessed by 32-bit md5 fingerprints,
+    * the `flt_line_dedup` idiom. */
+  def spanCorrupt(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    def start(p: Column): Column =
+      conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        p.cast("string"))), 1, 8), 16, 10).cast("long") % SpanStartMod === 0
+    val sentinel = lit("<m>")
+    val emptyS = array().cast("array<string>")
+    // stage starts → masked → span-begin as array columns (the exact CTE
+    // shape the oracle uses): one md5 per position instead of ~8
+    val base = d
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .withColumn("ps", sequence(lit(1), col("n")))
+      .withColumn("st", transform(col("ps"), p => start(p)))
+      .withColumn("mk", transform(col("ps"), p =>
+        element_at(col("st"), p) ||
+          (p > 1 && element_at(col("st"), p - 1)) ||
+          (p > 2 && element_at(col("st"), p - 2))))
+      .withColumn("sb", transform(col("ps"), p =>
+        element_at(col("mk"), p) && !(p > 1 && element_at(col("mk"), p - 1))))
+    def mk(p: Column) = element_at(col("mk"), p)
+    def sb(p: Column) = element_at(col("sb"), p)
+    val fp: Column => Column =
+      a => conv(substring(md5(array_join(a, " ")), 1, 8), 16, 10).cast("long")
+    base.select(
+        col("doc_id"),
+        col("n").cast("long").as("n_tokens"),
+        size(filter(col("ps"), p => sb(p))).cast("long").as("n_spans"),
+        size(filter(col("ps"), p => mk(p))).cast("long").as("n_masked"),
+        pround(size(filter(col("ps"), p => mk(p))).cast("double") / col("n"), 4)
+          .as("mask_frac"),
+        fp(flatten(transform(col("ps"), p =>
+          when(!mk(p), array(element_at(col("toks"), p)))
+            .when(sb(p), array(sentinel))
+            .otherwise(emptyS)))).as("input_fp"),
+        fp(flatten(transform(col("ps"), p =>
+          when(mk(p) && sb(p), array(sentinel, element_at(col("toks"), p)))
+            .when(mk(p), array(element_at(col("toks"), p)))
+            .otherwise(emptyS)))).as("target_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val spanCorruptSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks,
+       |         len(string_split_regex(lower(text), '\\s+')) AS n
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, toks, n,
+       |    list_transform(generate_series(1, n), p ->
+       |      (CAST('0x' || substring(md5(doc_id::VARCHAR || ':' || p::VARCHAR),
+       |            1, 8) AS BIGINT) % $SpanStartMod = 0)
+       |      OR (p > 1 AND CAST('0x' || substring(
+       |            md5(doc_id::VARCHAR || ':' || (p-1)::VARCHAR),
+       |            1, 8) AS BIGINT) % $SpanStartMod = 0)
+       |      OR (p > 2 AND CAST('0x' || substring(
+       |            md5(doc_id::VARCHAR || ':' || (p-2)::VARCHAR),
+       |            1, 8) AS BIGINT) % $SpanStartMod = 0)) AS mk
+       |  FROM t),
+       |b AS (
+       |  SELECT doc_id, toks, n, mk,
+       |    list_transform(generate_series(1, n), p ->
+       |      mk[p] AND NOT (p > 1 AND mk[p-1])) AS sb
+       |  FROM m)
+       |SELECT doc_id,
+       |  CAST(n AS BIGINT) AS n_tokens,
+       |  len(list_filter(generate_series(1, n), p -> sb[p])) AS n_spans,
+       |  len(list_filter(generate_series(1, n), p -> mk[p])) AS n_masked,
+       |  floor(len(list_filter(generate_series(1, n), p -> mk[p]))::DOUBLE
+       |        / n * 10000 + 0.5) / 10000.0 AS mask_frac,
+       |  -- coalesce: DuckDB array_to_string([]) is NULL, Spark's is ''
+       |  CAST('0x' || substring(md5(coalesce(array_to_string(
+       |    flatten(list_transform(generate_series(1, n), p ->
+       |      CASE WHEN NOT mk[p] THEN [toks[p]]
+       |           WHEN sb[p] THEN ['<m>'] ELSE [] END)), ' '), '')), 1, 8)
+       |    AS BIGINT) AS input_fp,
+       |  CAST('0x' || substring(md5(coalesce(array_to_string(
+       |    flatten(list_transform(generate_series(1, n), p ->
+       |      CASE WHEN mk[p] AND sb[p] THEN ['<m>', toks[p]]
+       |           WHEN mk[p] THEN [toks[p]] ELSE [] END)), ' '), '')), 1, 8)
+       |    AS BIGINT) AS target_fp
+       |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cur_hard_negatives — BM25 hard-negative mining for retrieval training
   // ---------------------------------------------------------------------
 
@@ -658,6 +767,7 @@ object Curation {
     "cur_split" -> split9055,
     "cur_dsir_select" -> dsirSelect,
     "cur_hard_negatives" -> hardNegatives,
+    "cur_span_corrupt" -> spanCorrupt,
     "cur_shuffle_shards" -> shuffleShards,
     "cur_pack_chunks" -> packChunks,
     "cur_stratified_sample" -> stratifiedSample,
@@ -670,6 +780,7 @@ object Curation {
     "cur_split" -> split9055Sql,
     "cur_dsir_select" -> dsirSelectSql,
     "cur_hard_negatives" -> hardNegativesSql,
+    "cur_span_corrupt" -> spanCorruptSql,
     "cur_shuffle_shards" -> shuffleShardsSql,
     "cur_pack_chunks" -> packChunksSql,
     "cur_stratified_sample" -> stratifiedSampleSql,

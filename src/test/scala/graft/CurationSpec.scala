@@ -144,6 +144,55 @@ class CurationSpec extends AnyFunSuite {
     assert(out.head.getLong(2) >= 2L)
   }
 
+  test("span corruption matches a naive recompute and hits the target rate") {
+    val out = Curation.spanCorrupt(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def md5_32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d, 16)
+    }
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\s+").toSeq))
+    assert(out.size === docs.length)
+    var totMasked = 0L; var totTokens = 0L
+    docs.foreach { case (id, toks) =>
+      val n = toks.size
+      def start(p: Int) = p >= 1 && md5_32(s"$id:$p") % 20 == 0
+      def masked(p: Int) = start(p) || start(p - 1) || start(p - 2)
+      def sb(p: Int) = masked(p) && !(p > 1 && masked(p - 1))
+      val input = (1 to n).flatMap { p =>
+        if (!masked(p)) Seq(toks(p - 1))
+        else if (sb(p)) Seq("<m>") else Nil
+      }
+      val target = (1 to n).flatMap { p =>
+        if (masked(p)) (if (sb(p)) Seq("<m>", toks(p - 1)) else Seq(toks(p - 1)))
+        else Nil
+      }
+      val nMasked = (1 to n).count(masked)
+      val nSpans = (1 to n).count(sb)
+      val r = out(id)
+      assert(r.getLong(1) === n.toLong, s"n_tokens doc $id")
+      assert(r.getLong(2) === nSpans.toLong, s"n_spans doc $id")
+      assert(r.getLong(3) === nMasked.toLong, s"n_masked doc $id")
+      assert(r.getDouble(4) ===
+        math.floor(nMasked.toDouble / n * 10000 + 0.5) / 10000.0, s"mask_frac doc $id")
+      assert(r.getLong(5) === md5_32(input.mkString(" ")), s"input_fp doc $id")
+      assert(r.getLong(6) === md5_32(target.mkString(" ")), s"target_fp doc $id")
+      totMasked += nMasked; totTokens += n
+    }
+    // ~5% starts x 3-token spans => corpus-level corruption near 14%
+    // (spans overlap/truncate at boundaries, so slightly under 15%)
+    val rate = totMasked.toDouble / totTokens
+    assert(rate > 0.10 && rate < 0.20, s"corruption rate $rate")
+    // reconstruction conservation: masked + kept = n, sentinels = spans
+    out.values.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1))
+      assert(r.getLong(2) <= r.getLong(3))
+    }
+  }
+
   test("hard negatives match a naive BM25 recompute and exclude the positive") {
     val out = Curation.hardNegatives(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
