@@ -113,6 +113,62 @@ class PlanSpec extends AnyFunSuite {
       s"the single exchange must be the orderBy range partition, got: $e"))
   }
 
+  test("line dedup removes boilerplate via a broadcast LEFT ANTI, not a shuffled join") {
+    // the duplicate-hash table is tiny by construction (only boilerplate
+    // recurs), so the corpus-sized removal join must be broadcast-anti —
+    // a sort-merge anti would shuffle the whole exploded line stream
+    val plan = graft.operators.Filtering.lineDedup(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti removal in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffled join in:\n$plan")
+  }
+
+  test("lm perplexity scores via broadcast model joins, no shuffled join") {
+    // the hashed-LM weight tables are <=B^2/<=B rows: both scoring joins
+    // and the tercile-cutoff join-back must broadcast; the only shuffles
+    // are the two bounded-key model groupBys, the per-doc groupBy, and
+    // the presentation sort
+    val plan = graft.operators.Filtering.lmPerplexity(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected broadcast scoring joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffled join in:\n$plan")
+  }
+
+  test("hard negatives prune the token stream with a broadcast semi-join") {
+    // the exploded corpus tokens must be filtered to query vocabulary by
+    // a broadcast LEFT SEMI before any aggregation — a shuffled semi (or
+    // filtering after the tf groupBy) would shuffle the corpus vocabulary
+    val plan = graft.operators.Curation.hardNegatives(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join vocab prune in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffled join in:\n$plan")
+  }
+
+  test("span corruption is map-only: no shuffle before the output sort") {
+    val plan = graft.operators.Curation.spanCorrupt(spark, dir)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"expected at most the orderBy exchange:\n$plan")
+    exchanges.foreach(e => assert(
+      e.outputPartitioning.toString.toLowerCase.contains("range"),
+      s"the single exchange must be the orderBy range partition, got: $e"))
+  }
+
+  test("semantic dedup joins centroids by broadcast on both sides of the prune") {
+    // the K-row centroid table and the within-cell self-join must not
+    // shuffle the corpus twice: centroid lookup broadcasts, and the pair
+    // join keys on cluster occupancy (bounded), never a cartesian
+    val plan = graft.operators.Dedup.dedupSemantic(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast centroid join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian in:\n$plan")
+  }
+
   test("sequence packing runs its big window partitioned, offsets broadcast") {
     // the distributed-prefix-sum claim, structurally: the corpus-sized
     // cumsum window must be PARTITIONED by bucket (a single-partition
