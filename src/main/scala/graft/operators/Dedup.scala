@@ -638,7 +638,26 @@ object Dedup {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
-    semanticOn(e, IvfKMeans.trainCentroids(e), 100000L)
+    // the quantizer is the SAME k-means the IVF family trains on this
+    // corpus — read it from the shared IndexStore handle (written by
+    // index_build_ivf or the first toucher) instead of retraining
+    semanticOn(e, IvfKMeans.trained(spark, dir)._3, 100000L)
+  }
+
+  /** The SemDeDup deliverable: the working corpus with every pruned
+    * member dropped — corpus ⋉ keepers, one shuffle on the 8-byte id,
+    * payload (witnessed by the 4dp vector norm) moved once. The semantic
+    * analogue of `dedup_corpus_clean`. */
+  def dedupSemanticClean(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
+    val keepers = dedupSemantic(spark, dir)
+      .filter(col("keep") === 1L).select(col("vec_id"))
+    withPerturbed(e, 100000L)
+      .join(keepers, Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        pround(sqrt(VectorFunctions.dot(col("v"), col("v"))), 4).as("v_norm"))
+      .orderBy(col("vec_id"))
   }
 
   /** SfScale probe: the K ∝ N production dial (constant cell occupancy ⇒
@@ -682,8 +701,8 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
-  val dedupSemanticSql: String =
-    s"""WITH ${IvfKMeans.trainingSql},
+  private val semanticCtes: String =
+    s"""${IvfKMeans.trainingSql},
        |pert AS (
        |  SELECT vec_id + 100000 AS vec_id,
        |         list_transform(generate_series(1, 64),
@@ -707,7 +726,10 @@ object Dedup {
        |  WHERE list_dot_product(x.v, y.v)
        |          / (sqrt(list_dot_product(x.v, x.v))
        |             * sqrt(list_dot_product(y.v, y.v))) >= $SemTau
-       |  GROUP BY x.vec_id)
+       |  GROUP BY x.vec_id)""".stripMargin
+
+  val dedupSemanticSql: String =
+    s"""WITH $semanticCtes
        |SELECT cw.vec_id, cw.cluster,
        |       floor(cw.cosc * 10000 + 0.5) / 10000.0 AS centroid_cos,
        |       coalesce(p.n_close, 0)::BIGINT AS n_close,
@@ -715,6 +737,18 @@ object Dedup {
        |            AS BIGINT) AS keep
        |FROM cw LEFT JOIN p ON cw.vec_id = p.vec_id
        |ORDER BY cw.vec_id""".stripMargin
+
+  val dedupSemanticCleanSql: String =
+    s"""WITH $semanticCtes,
+       |keepers AS (
+       |  SELECT cw.vec_id FROM cw LEFT JOIN p ON cw.vec_id = p.vec_id
+       |  WHERE coalesce(p.n_prior, 0) = 0)
+       |SELECT a.vec_id,
+       |       floor(sqrt(list_dot_product(a.v, a.v)) * 10000 + 0.5)
+       |         / 10000.0 AS v_norm
+       |FROM allv a
+       |WHERE a.vec_id IN (SELECT vec_id FROM keepers)
+       |ORDER BY a.vec_id""".stripMargin
 
   // --------------------------------------------------- IVF-style ANN scan
 
@@ -766,6 +800,7 @@ object Dedup {
     "dedup_embedding_cosine_clustered" -> dedupEmbeddingCosineClustered,
     "dedup_embedding_cosine_residual" -> dedupEmbeddingCosineResidual,
     "dedup_semantic" -> dedupSemantic,
+    "dedup_semantic_clean" -> dedupSemanticClean,
     "ann_ivf_label" -> annIvfLabel
   )
 
@@ -779,6 +814,7 @@ object Dedup {
     "dedup_embedding_cosine_clustered" -> dedupEmbeddingCosineClusteredSql,
     "dedup_embedding_cosine_residual" -> dedupEmbeddingCosineResidualSql,
     "dedup_semantic" -> dedupSemanticSql,
+    "dedup_semantic_clean" -> dedupSemanticCleanSql,
     "ann_ivf_label" -> annIvfLabelSql
   )
 }

@@ -154,6 +154,28 @@ class DedupSpec extends AnyFunSuite {
     out.foreach { case (id, (_, _, nc, k)) => if (k == 0L) assert(nc > 0L) }
   }
 
+  test("semantic corpus-clean keeps exactly the keep=1 rows with their payload") {
+    val flags = Dedup.dedupSemantic(spark, SparkTestSession.Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val out = Dedup.dedupSemanticClean(spark, SparkTestSession.Sf0001).collect()
+    val outIds = out.map(_.getLong(0)).toSet
+    assert(outIds === flags.filter(_._2 == 1L).keySet)
+    assert(out.length < flags.size, "nothing was pruned")
+    // payload witness: norms match a direct recompute
+    import org.apache.spark.sql.functions._
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val norms = Dedup.withPerturbed(e, 100000L).collect()
+      .map { r =>
+        val v = r.getSeq[Double](1)
+        r.getLong(0) ->
+          math.floor(math.sqrt(v.map(x => x * x).sum) * 10000 + 0.5) / 10000.0
+      }.toMap
+    out.foreach(r => assert(r.getDouble(1) === norms(r.getLong(0)),
+      s"v_norm vec ${r.getLong(0)}"))
+  }
+
   test("400 bisect isolates the poison element and keeps the rest") {
     val poison = 13
     def call(batch: Seq[Int]): Seq[Int] =
