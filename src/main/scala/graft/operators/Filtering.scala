@@ -233,32 +233,41 @@ object Filtering {
     * The keep flag compares UNROUNDED doubles (identical IEEE ops in both
     * engines); displayed fractions are 4dp-rounded.
     */
+  /** The metric projection itself, shared with
+    * [[graft.streaming.StreamingQualityFilter]] (a stateless map is
+    * trivially streamable — sharing the EXPRESSIONS is what makes the
+    * streaming ≡ batch parity test meaningful): appends `n_words`,
+    * `mean_word_len`, `symbol_ratio`, `alpha_frac`, `n_stop`, `keep` to
+    * any frame, derived from `textCol`. Whole-stage codegen CSEs the
+    * repeated padded/count subexpressions. */
+  private[graft] def withQualityMetrics(
+      df: DataFrame, textCol: Column): DataFrame = {
+    val n = size(split(textCol, "\\s+")).cast("double")
+    val padded = concat(lit(" "), regexp_replace(textCol, " ", "  "), lit(" "))
+    val mwl = length(regexp_replace(textCol, " ", "")).cast("double") / n
+    val symr = regexp_count(padded, lit(" (#|\\.\\.\\.) ")).cast("double") / n
+    val alpha = regexp_count(padded, lit(" [^ ]*[a-z][^ ]* ")).cast("double") / n
+    val nStop = regexp_count(padded, lit(" (the|a|of|to|and) ")).cast("long")
+    val keep = n >= QMinWords.toDouble && n <= QMaxWords.toDouble &&
+      mwl >= QMinMeanWordLen && mwl <= QMaxMeanWordLen &&
+      symr <= QMaxSymbolRatio && alpha >= QMinAlphaFrac && nStop >= QMinStopwords
+    df.withColumn("n_words", n.cast("long"))
+      .withColumn("mean_word_len", pround(mwl, 4))
+      .withColumn("symbol_ratio", pround(symr, 4))
+      .withColumn("alpha_frac", pround(alpha, 4))
+      .withColumn("n_stop", nStop)
+      .withColumn("keep", when(keep, 1L).otherwise(0L))
+  }
+
   def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val dirty = concat(
       col("text"),
       when(col("doc_id") % 5 === 0, " # # # # # # # #").otherwise(""),
       when(col("doc_id") % 7 === 0, " 12 345 6789 01 23 456 78 90").otherwise(""))
-    val base = d.select(
-      col("doc_id"),
-      size(split(dirty, "\\s+")).cast("double").as("n"),
-      length(regexp_replace(dirty, " ", "")).cast("double").as("chars"),
-      concat(lit(" "), regexp_replace(dirty, " ", "  "), lit(" ")).as("padded"))
-    val mwl = col("chars") / col("n")
-    val symr = regexp_count(col("padded"), lit(" (#|\\.\\.\\.) ")).cast("double") / col("n")
-    val alpha = regexp_count(col("padded"), lit(" [^ ]*[a-z][^ ]* ")).cast("double") / col("n")
-    val nStop = regexp_count(col("padded"), lit(" (the|a|of|to|and) ")).cast("long")
-    val keep = col("n") >= QMinWords.toDouble && col("n") <= QMaxWords.toDouble &&
-      mwl >= QMinMeanWordLen && mwl <= QMaxMeanWordLen &&
-      symr <= QMaxSymbolRatio && alpha >= QMinAlphaFrac && nStop >= QMinStopwords
-    base.select(
-        col("doc_id"),
-        col("n").cast("long").as("n_words"),
-        pround(mwl, 4).as("mean_word_len"),
-        pround(symr, 4).as("symbol_ratio"),
-        pround(alpha, 4).as("alpha_frac"),
-        nStop.as("n_stop"),
-        when(keep, 1L).otherwise(0L).as("keep"))
+    withQualityMetrics(d.select(col("doc_id"), dirty.as("t")), col("t"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("alpha_frac"), col("n_stop"), col("keep"))
       .orderBy(col("doc_id"))
   }
 
