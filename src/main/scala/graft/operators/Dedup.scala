@@ -670,8 +670,9 @@ object Dedup {
     semanticOn(e, IvfKMeans.trainCentroidsK(e, k), offset)
   }
 
-  private def semanticOn(
-      e: DataFrame, cents: Seq[(Int, Array[Double])], pertOffset: Long): DataFrame = {
+  private[graft] def semanticOn(
+      e: DataFrame, cents: Seq[(Int, Array[Double])], pertOffset: Long,
+      tau: Double = SemTau): DataFrame = {
     val assigned = IvfKMeans.assign(withPerturbed(e, pertOffset), cents)
     // centroids as a broadcast K-row table, not a K-deep when() chain —
     // the chain's generated code grows O(K·dim) and Janino compile time
@@ -687,7 +688,7 @@ object Dedup {
       col("v").as("yv"), col("cosc").as("y_cosc"))
     val close = x.join(y, Seq("cluster"))
       .filter(col("vec_id") =!= col("y_id"))
-      .filter(VectorFunctions.cosineSimilarity(col("v"), col("yv")) >= SemTau)
+      .filter(VectorFunctions.cosineSimilarity(col("v"), col("yv")) >= tau)
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_close"),
         sum(when(col("y_cosc") < col("cosc") ||
