@@ -139,15 +139,92 @@ object Multimodal {
       |FROM f
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** AS-OF JOIN — the temporal-alignment operator a multimodal pipeline
+    * needs (pair each video frame with the latest audio chunk at or before
+    * its timestamp: captioning, lip-sync, transcript alignment) and a
+    * classic operator Spark has no built-in for. Implemented as
+    * UNION-AND-CARRY: tag both streams, union, and run ONE window
+    * partitioned by doc ordered by (ts, kind) carrying the last audio row
+    * forward (`last(..., ignoreNulls)` over unbounded-preceding); frame
+    * rows then read their as-of match off the carried columns. One shuffle
+    * on the doc key, sort within partition, zero range explosion — the
+    * shape that survives 100 TB, unlike the naive per-frame max-filter
+    * (quadratic in chunks) or an unbanded range join. Ties (audio exactly
+    * at frame time) match by ordering audio (kind 0) before frames
+    * (kind 1); frames before any audio emit -1, exercising LEFT semantics.
+    *
+    * Streams are hash-derived from the fixture (frames every 40 ms; audio
+    * every 37 ms plus a 0–19 ms md5 jitter, monotone since 37 > 19). The
+    * oracle is DuckDB's NATIVE `ASOF LEFT JOIN` — the strongest possible
+    * cross-check: a hand-built windowed plan must reproduce a purpose-built
+    * engine operator row for row. */
+  def asofAlign(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = Tables.documents(spark, dir)
+      .withColumn("hv", expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+    val frames = h
+      .select(col("doc_id"), explode(expr("sequence(0, cast(hv % 7 as int))")).as("idx"))
+      .select(col("doc_id"), lit(1).as("kind"), col("idx"),
+        (col("idx") * 40L).as("ts"))
+    val audio = h
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(0, cast(hv % 5 as int) + 1)")).as("idx"))
+      .select(col("doc_id"), lit(0).as("kind"), col("idx"),
+        (col("idx") * 37L +
+          expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':', cast(idx as string))), 1, 8), 16, 10) as bigint) % 20")
+        ).as("ts"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    frames.unionByName(audio)
+      .withColumn("a_idx",
+        last(when(col("kind") === 0, col("idx")), ignoreNulls = true).over(w))
+      .withColumn("a_ts",
+        last(when(col("kind") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("doc_id"), col("idx").cast("long").as("frame_idx"),
+        col("ts").as("f_ts_ms"),
+        coalesce(col("a_idx").cast("long"), lit(-1L)).as("a_idx"),
+        coalesce(col("ts") - col("a_ts"), lit(-1L)).as("lag_ms"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val asofAlignSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, text,
+      |         CAST('0x' || substring(md5(text), 1, 8) AS BIGINT) AS hv
+      |  FROM documents),
+      |frames AS (
+      |  SELECT doc_id, unnest(generate_series(0, CAST(hv % 7 AS INTEGER))) AS idx
+      |  FROM h),
+      |f AS (SELECT doc_id, idx, idx * 40 AS ts FROM frames),
+      |chunks AS (
+      |  SELECT doc_id,
+      |         unnest(generate_series(0, CAST(hv % 5 AS INTEGER) + 1)) AS idx
+      |  FROM h),
+      |a AS (
+      |  SELECT doc_id, idx,
+      |         idx * 37 + CAST('0x' || substring(
+      |           md5(doc_id::VARCHAR || ':' || idx::VARCHAR), 1, 8) AS BIGINT) % 20 AS ts
+      |  FROM chunks)
+      |SELECT f.doc_id, CAST(f.idx AS BIGINT) AS frame_idx,
+      |       CAST(f.ts AS BIGINT) AS f_ts_ms,
+      |       coalesce(CAST(a.idx AS BIGINT), -1) AS a_idx,
+      |       coalesce(CAST(f.ts - a.ts AS BIGINT), -1) AS lag_ms
+      |FROM f ASOF LEFT JOIN a
+      |  ON f.doc_id = a.doc_id AND f.ts >= a.ts
+      |ORDER BY f.doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> decodeStub,
     "mm_frame_sample" -> frameSample,
+    "mm_asof_align" -> asofAlign,
     "f14_data_uri" -> dataUri
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode_stub" -> decodeStubSql,
     "mm_frame_sample" -> frameSampleSql,
+    "mm_asof_align" -> asofAlignSql,
     "f14_data_uri" -> dataUriSql
   )
 }

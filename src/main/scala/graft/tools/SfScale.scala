@@ -82,7 +82,7 @@ object SfScale {
     val names = graft.SparkEntry.queries.keys
       .filter(n => n.startsWith("dedup_") || n.startsWith("ann_")
         || n.startsWith("index_build_") || n.startsWith("cur_")
-        || n.startsWith("flt_"))
+        || n.startsWith("flt_") || n.startsWith("mm_"))
       .filter(n => only.forall(_.contains(n))).toSeq.sorted
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
