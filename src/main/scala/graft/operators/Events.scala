@@ -153,9 +153,81 @@ object Events {
       |SELECT 'total' AS status, count(*) AS n FROM jobs
       |ORDER BY status""".stripMargin
 
+  // ------------------------------------------------------ interval join
+
+  private val IncidentCount = 24
+  private val IncidentStepMs = 30L * 3600 * 1000 // one incident per 30 h
+  private val BandMs = 3600L * 1000 // 1 h bands
+  private val EpochBaseMs = 1704067200000L // 2024-01-01T00:00:00Z
+
+  /** INTERVAL (range) JOIN — attribute point events to the incident
+    * windows containing them ("which alerts/deploys/outages does each
+    * event fall inside?"). Spark has no native range join, and the naive
+    * `e.ts BETWEEN i.s AND i.e` theta-join plans as a nested loop; the
+    * scalable form is BANDING: explode each interval to the 1-hour bands
+    * it covers (≤ 4 band-rows per incident here — a tiny BROADCAST), give
+    * every event its single band by one integer division, equi-join on
+    * the band, and re-check the exact bounds. Each event meets each
+    * overlapping interval in exactly one band (the event's own), so the
+    * rewrite is exact with no dedup. Cost at 100 TB: one scan of events +
+    * Σ(interval span)/band broadcast rows — never |events| × |intervals|.
+    *
+    * The 24 incident windows are hash-derived (start on a 30 h lattice,
+    * duration 30–149 min from md5) so both engines construct identical
+    * intervals; the ORACLE runs DuckDB's native inequality join — the
+    * banded rewrite must reproduce the reference range-join semantics row
+    * for row, including empty incidents via LEFT semantics. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val incidents = spark.range(0, IncidentCount)
+      .select(col("id").cast("int").as("incident_id"))
+      .withColumn("s_ms", lit(EpochBaseMs) + col("incident_id") * IncidentStepMs)
+      .withColumn("dur_ms",
+        (conv(substring(md5(concat(lit("inc:"), col("incident_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 120 + 30) * 60000L)
+      .withColumn("e_ms", col("s_ms") + col("dur_ms"))
+    val bands = incidents
+      .select(col("incident_id"), col("s_ms"), col("e_ms"),
+        explode(sequence(floor(col("s_ms") / BandMs).cast("long"),
+          floor((col("e_ms") - 1) / BandMs).cast("long"))).as("band"))
+    val ev = Tables.events(spark, dir)
+      .select(unix_millis(col("ts")).as("ems"), col("user_id"))
+      .withColumn("band", floor(col("ems") / BandMs).cast("long"))
+    val matched = ev
+      .join(broadcast(bands), "band")
+      .filter(col("ems") >= col("s_ms") && col("ems") < col("e_ms"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    incidents
+      .join(matched, Seq("incident_id"), "left")
+      .select(col("incident_id"), col("s_ms"), col("e_ms"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"))
+      .orderBy(col("incident_id"))
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH incidents AS (
+       |  SELECT CAST(k AS INTEGER) AS incident_id,
+       |         $EpochBaseMs + k * $IncidentStepMs AS s_ms,
+       |         $EpochBaseMs + k * $IncidentStepMs
+       |           + (CAST('0x' || substring(md5('inc:' || k::VARCHAR), 1, 8)
+       |              AS BIGINT) % 120 + 30) * 60000 AS e_ms
+       |  FROM (SELECT unnest(generate_series(0, ${IncidentCount - 1})) AS k)),
+       |ev AS (SELECT epoch_ms(ts) AS ems, user_id FROM events)
+       |SELECT i.incident_id, CAST(i.s_ms AS BIGINT) AS s_ms,
+       |       CAST(i.e_ms AS BIGINT) AS e_ms,
+       |       count(e.ems) AS n_events,
+       |       count(DISTINCT e.user_id) AS n_users
+       |FROM incidents i LEFT JOIN ev e
+       |  ON e.ems >= i.s_ms AND e.ems < i.e_ms
+       |GROUP BY i.incident_id, i.s_ms, i.e_ms
+       |ORDER BY i.incident_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> windowAgg,
     "st_sessionize" -> sessionize,
+    "ev_interval_join" -> intervalJoin,
     "f16_json_extract" -> jsonExtract,
     "t_rolling_avg" -> rollingAvg,
     "a3_job_stats" -> jobStats
@@ -164,6 +236,7 @@ object Events {
   val oracles: Map[String, String] = Map(
     "st_window_agg" -> windowAggSql,
     "st_sessionize" -> sessionizeSql,
+    "ev_interval_join" -> intervalJoinSql,
     "f16_json_extract" -> jsonExtractSql,
     "t_rolling_avg" -> rollingAvgSql,
     "a3_job_stats" -> jobStatsSql

@@ -23,6 +23,38 @@ class StatefulSpec extends AnyFunSuite {
     assert(stateful === sql)
   }
 
+  test("banded interval join equals a naive range scan, empty incidents included") {
+    val out = graft.operators.Events.intervalJoin(spark, SparkTestSession.Sf0001)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.length === 24)
+    def md5_32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d, 16)
+    }
+    val ev = graft.io.Tables.events(spark, SparkTestSession.Sf0001)
+      .select(org.apache.spark.sql.functions.unix_millis(
+        org.apache.spark.sql.functions.col("ts")).as("ems"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val base = 1704067200000L
+    out.foreach { case (k, s, e, nEv, nUs) =>
+      assert(s === base + k * 30L * 3600 * 1000, s"start incident $k")
+      assert(e === s + (md5_32(s"inc:$k") % 120 + 30) * 60000L, s"end incident $k")
+      val in = ev.filter { case (t, _) => t >= s && t < e }
+      assert(nEv === in.length.toLong, s"n_events incident $k")
+      assert(nUs === in.map(_._2).distinct.length.toLong, s"n_users incident $k")
+    }
+    assert(out.exists(_._4 > 0L), "no incident caught any events")
+    // plan shape: broadcast band equi-join, never a nested-loop range join
+    val plan = graft.operators.Events.intervalJoin(spark, SparkTestSession.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected banded broadcast join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"range join must not plan as a product:\n$plan")
+  }
+
   test("salted block pair join returns exactly the unsalted pair set") {
     val grams = Dedup.corpus(spark, SparkTestSession.Sf0001)
       .select(col("doc_id"), col("lang"), col("source"),
