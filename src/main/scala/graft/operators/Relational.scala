@@ -240,6 +240,53 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** KMV approximate distinct — the deterministic sketch sibling of
+    * `q_approx_distinct`: same group-by shape, fixed-size mergeable state
+    * (≤64 longs per group, partial-aggregated map-side), but the estimate
+    * depends only on the input SET, so the DuckDB oracle replays it
+    * EXACTLY (bottom-k of the same md5 hashes, same estimator
+    * arithmetic) — an approximate operator under the full hash gate,
+    * closing the "approx ⇒ rows-only" gap HLL has to live with. Exact
+    * distinct rides alongside so every row displays its own error. */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val kmv = udaf(graft.functions.KmvSketch)
+    li.select(col("l_returnflag"),
+        col("l_partkey"),
+        conv(substring(md5(col("l_partkey").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(kmv(col("h")).as("kmv_parts"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val kmvDistinctSql: String = {
+    val k = graft.functions.KmvSketch.K
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag,
+       |         CAST('0x' || substring(md5(l_partkey::VARCHAR), 1, 8)
+       |              AS BIGINT) AS hv
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, hv,
+       |         row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+       |  FROM h),
+       |s AS (
+       |  SELECT l_returnflag, count(*) AS nh, max(hv) AS hk
+       |  FROM r WHERE rn <= $k GROUP BY l_returnflag),
+       |ex AS (
+       |  SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+       |  FROM lineitem GROUP BY l_returnflag)
+       |SELECT s.l_returnflag,
+       |       CASE WHEN s.nh < $k OR s.hk <= 0 THEN s.nh
+       |            ELSE CAST(floor(($k - 1) * 4294967296.0 / s.hk + 0.5)
+       |                      AS BIGINT) END AS kmv_parts,
+       |       ex.n_parts
+       |FROM s JOIN ex ON s.l_returnflag = ex.l_returnflag
+       |ORDER BY s.l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> pricingSummary,
     "q3_top_revenue_orders" -> topRevenueOrders,
@@ -251,7 +298,8 @@ object Relational {
     "a4_dedup_last_wins" -> latestOrderPerCustomer,
     "q_rollup_revenue" -> revenueRollup,
     "q_distinct_counts" -> distinctCounts,
-    "q_approx_distinct" -> approxDistinct
+    "q_approx_distinct" -> approxDistinct,
+    "q_kmv_distinct" -> kmvDistinct
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,6 +312,7 @@ object Relational {
     "t7_limit_offset" -> ordersPageSql,
     "a4_dedup_last_wins" -> latestOrderPerCustomerSql,
     "q_rollup_revenue" -> revenueRollupSql,
-    "q_distinct_counts" -> distinctCountsSql
+    "q_distinct_counts" -> distinctCountsSql,
+    "q_kmv_distinct" -> kmvDistinctSql
   )
 }
