@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -204,15 +204,68 @@ object Components {
        |JOIN member m ON m.doc_id = c.doc_id AND m.doc_id = m.component
        |ORDER BY c.doc_id""".stripMargin
 
+  /** The pipeline FUNNEL — what a data lead reads before anything else:
+    * survivors per dedup stage, chained (raw → exact content dedup →
+    * near-dup families via connected components), each with its reduction
+    * rate. Exact duplicates are jaccard-1 pairs, so the CC stage subsumes
+    * the exact stage and the funnel is monotone; the report is three
+    * 1-row aggregates (two over the corpus, one over the shared
+    * membership table) cross-joined and unpivoted — nothing here costs
+    * more than the stages themselves, which the IndexStore already
+    * materialized. */
+  def dedupPipelineReport(spark: SparkSession, dir: String): DataFrame = {
+    val s = Dedup.corpus(spark, dir).agg(
+      count(lit(1)).as("n0"),
+      countDistinct(md5(col("text"))).as("n1"))
+    val s2 = membership(spark, dir).agg(
+      countDistinct(col("component")).as("n2"))
+    def stage(no: Long, name: String, in: Column, out: Column) =
+      struct(lit(no).as("stage_no"), lit(name).as("stage"),
+        in.as("n_in"), out.as("n_out"))
+    s.crossJoin(s2)
+      .select(explode(array(
+        stage(1L, "raw", col("n0"), col("n0")),
+        stage(2L, "exact", col("n0"), col("n1")),
+        stage(3L, "near_cc", col("n1"), col("n2")))).as("r"))
+      .select(col("r.stage_no"), col("r.stage"), col("r.n_in"), col("r.n_out"),
+        graft.functions.OracleParity.pround(
+          lit(1.0) - col("r.n_out").cast("double") / col("r.n_in"), 4)
+          .as("reduction"))
+      .orderBy(col("stage_no"))
+  }
+
+  val dedupPipelineReportSql: String =
+    s"""WITH RECURSIVE $membershipCtes,
+       |s AS (SELECT count(*) AS n0, count(DISTINCT md5(text)) AS n1
+       |      FROM corpus),
+       |s2 AS (SELECT count(DISTINCT component) AS n2 FROM member)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage,
+       |         n0 AS n_in, n0 AS n_out,
+       |         floor((1.0 - n0::DOUBLE / n0) * 10000 + 0.5) / 10000.0
+       |           AS reduction
+       |  FROM s
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'exact', n0, n1,
+       |         floor((1.0 - n1::DOUBLE / n0) * 10000 + 0.5) / 10000.0
+       |  FROM s
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), 'near_cc', n1, n2,
+       |         floor((1.0 - n2::DOUBLE / n1) * 10000 + 0.5) / 10000.0
+       |  FROM s, s2)
+       |ORDER BY stage_no""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> dedupComponents,
     "dedup_component_sizes" -> dedupComponentSizes,
-    "dedup_corpus_clean" -> dedupCorpusClean
+    "dedup_corpus_clean" -> dedupCorpusClean,
+    "dedup_pipeline_report" -> dedupPipelineReport
   )
 
   val oracles: Map[String, String] = Map(
     "dedup_components" -> dedupComponentsSql,
     "dedup_component_sizes" -> dedupComponentSizesSql,
-    "dedup_corpus_clean" -> dedupCorpusCleanSql
+    "dedup_corpus_clean" -> dedupCorpusCleanSql,
+    "dedup_pipeline_report" -> dedupPipelineReportSql
   )
 }

@@ -93,4 +93,24 @@ class ComponentsSpec extends AnyFunSuite {
         s"doc $d: family $family lacks its manufactured triple")
     }
   }
+
+  test("pipeline report funnel is chained, monotone, and consistent with the stages") {
+    val rows = graft.operators.Components
+      .dedupPipelineReport(spark, SparkTestSession.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(t => (t._1, t._2)).toSeq === Seq((1L, "raw"), (2L, "exact"), (3L, "near_cc")))
+    // chained: each stage's input is the previous stage's output
+    assert(rows(0)._3 === rows(0)._4)
+    assert(rows(1)._3 === rows(0)._4)
+    assert(rows(2)._3 === rows(1)._4)
+    // monotone shrinking (exact dups are jaccard-1, so CC subsumes exact)
+    assert(rows(1)._4 < rows(1)._3 && rows(2)._4 < rows(2)._3)
+    // consistent with the stage operators themselves
+    val nComponents = graft.operators.Components
+      .membership(spark, SparkTestSession.Sf0001)
+      .select("component").distinct().count()
+    assert(rows(2)._4 === nComponents)
+    assert(rows(0)._5 === 0.0)
+    graft.tools.CacheRegistry.releaseShared()
+  }
 }
