@@ -43,6 +43,19 @@ class KmvSketchSpec extends AnyFunSuite {
     assert(swapped.toSeq === bulk.toSeq)
   }
 
+  test("the sketch aggregates partially map-side (no raw-row shuffle)") {
+    // the whole point of a mergeable sketch: the plan must show a partial
+    // aggregate before the exchange (k longs per group cross the wire,
+    // not one row per input)
+    val plan = graft.operators.Relational
+      .kmvDistinct(spark, SparkTestSession.Sf0001)
+      .queryExecution.executedPlan.toString
+    val objAggs = "ObjectHashAggregate".r.findAllIn(plan).size
+    val sortAggs = "SortAggregate".r.findAllIn(plan).size
+    assert(objAggs + sortAggs >= 2,
+      s"expected partial+final aggregate pair in:\n$plan")
+  }
+
   test("the query is partition-independent and tracks exact distinct") {
     import org.apache.spark.sql.functions._
     val base = graft.operators.Relational
