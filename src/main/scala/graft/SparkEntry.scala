@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnRecall, Components, Curation, Dedup, Enrich, Events, Filtering, IndexBuild, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
+import graft.operators.{AnnRecall, Components, Curation, Dedup, Enrich, Events, Filtering, Graph, IndexBuild, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sources, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,7 @@ object SparkEntry {
       (Quality.queries, Quality.oracles),
       (Dedup.queries, Dedup.oracles),
       (Components.queries, Components.oracles),
+      (Graph.queries, Graph.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Curation.queries, Curation.oracles),
       (Filtering.queries, Filtering.oracles),

@@ -224,10 +224,66 @@ object Events {
        |GROUP BY i.incident_id, i.s_ms, i.e_ms
        |ORDER BY i.incident_id""".stripMargin
 
+  // ------------------------------------------------- attribution join
+
+  private val AttribWindowHours = 48L
+
+  /** ATTRIBUTION JOIN — for every purchase, the views by the same user in
+    * the preceding [[AttribWindowHours]] hours (count + lag from the most
+    * recent one): the ad-attribution / conversion-funnel primitive, and
+    * the BATCH TWIN of the stream-stream time-bounded join in
+    * [[graft.streaming.StreamingJoin]] (whose parity test asserts the two
+    * produce identical pairs).
+    *
+    * Unlike `ev_interval_join` (no equi-key ⇒ banding required), the
+    * user_id equi-key makes this a plain HASH JOIN with a residual time
+    * filter — one shuffle of each side keyed by user, per-user fan-out
+    * bounded by rate × window. Hot users at 100 TB get the salting
+    * treatment `dedup_salted_skew` demonstrates; the streaming form keeps
+    * state bounded by the same window via watermarks. LEFT semantics keep
+    * zero-view purchases (`n_views = 0`, NULL lag — coalesced to -1 so the
+    * lag column stays non-null BIGINT in both engines). */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    p.join(v,
+        col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $AttribWindowHours HOURS"),
+        "left")
+      .groupBy(col("p_id"), col("user_id"), col("p_ts"))
+      .agg(count(col("v_ts")).as("n_views"), max(col("v_ts")).as("last_v"))
+      .select(col("p_id"), col("user_id"), col("n_views"),
+        coalesce(
+          expr("(unix_millis(p_ts) - unix_millis(last_v)) div 1000"),
+          lit(-1L)).as("last_view_lag_s"))
+      .orderBy(col("p_id"))
+  }
+
+  val attributionSql: String =
+    s"""WITH p AS (
+       |  SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+       |  WHERE event_type = 'purchase'),
+       |v AS (
+       |  SELECT user_id AS v_user, ts AS v_ts FROM events
+       |  WHERE event_type = 'view')
+       |SELECT p.p_id, p.user_id, count(v.v_ts) AS n_views,
+       |       coalesce((epoch_ms(p.p_ts) - epoch_ms(max(v.v_ts))) // 1000, -1)
+       |         AS last_view_lag_s
+       |FROM p LEFT JOIN v
+       |  ON p.user_id = v.v_user AND v.v_ts <= p.p_ts
+       | AND v.v_ts >= p.p_ts - INTERVAL $AttribWindowHours HOUR
+       |GROUP BY p.p_id, p.user_id, p.p_ts
+       |ORDER BY p.p_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> windowAgg,
     "st_sessionize" -> sessionize,
     "ev_interval_join" -> intervalJoin,
+    "ev_attribution" -> attribution,
     "f16_json_extract" -> jsonExtract,
     "t_rolling_avg" -> rollingAvg,
     "a3_job_stats" -> jobStats
@@ -237,6 +293,7 @@ object Events {
     "st_window_agg" -> windowAggSql,
     "st_sessionize" -> sessionizeSql,
     "ev_interval_join" -> intervalJoinSql,
+    "ev_attribution" -> attributionSql,
     "f16_json_extract" -> jsonExtractSql,
     "t_rolling_avg" -> rollingAvgSql,
     "a3_job_stats" -> jobStatsSql

@@ -521,12 +521,146 @@ object Filtering {
        |FROM pd, q ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // flt_c4_heuristics — C4's page-level cleaning battery
+  // ---------------------------------------------------------------------
+
+  private val C4MinLineWords = 3
+  private val C4MinSentences = 3L
+  private val C4BadRe = "\\b(xxx|porn|nsfw)\\b"
+  private val JsLine = "enable javascript to view this page."
+  private val LoremLine = "lorem ipsum dolor sit amet."
+  private val BraceLine = "function() { return 0; }"
+  private val BadLine = "visit xxx site now."
+
+  /** The C4 cleaning battery [Raffel et al. 2020, §2.2] — the page-level
+    * heuristics the original C4 corpus was built with, the one published
+    * filter recipe this module did not yet cover:
+    *
+    *   - LINE rules: keep a line iff it ends in terminal punctuation
+    *     (`. ! ? "`), has ≥ [[C4MinLineWords]] words, and does not mention
+    *     "javascript" (C4 drops the cookie/JS-warning boilerplate at line
+    *     level, not page level);
+    *   - PAGE rules: drop the whole page if any line hits the bad-word list
+    *     (a compact embedded stand-in for C4's public LDNOOBW list — the
+    *     mechanism, whole-token regex alternation, is what scales to the
+    *     full list), contains the phrase "lorem ipsum", or contains `{`
+    *     (C4's code-page heuristic); require ≥ [[C4MinSentences]] surviving
+    *     sentences (C4 uses 5 on web pages; 3 here so the rule discriminates
+    *     on this corpus's 1–9 derived lines — ~30% of fixture docs fail it).
+    *
+    * The fixture corpus is single-line clean words, so pages are derived
+    * exactly as in [[lineDedup]] ([[LineTokens]]-token windows), terminal
+    * punctuation is planted on a deterministic (doc_id + line_index) % 3
+    * stratum, and one representative violation line per page rule is planted
+    * on deterministic doc_id strata — every rule provably fires, and the
+    * DuckDB oracle replants identical bytes. `clean_fp` (32-bit md5 prefix
+    * of the kept lines joined in order) witnesses byte-identical cleaning,
+    * the same idiom as `flt_pii_redact` / `flt_line_dedup`.
+    *
+    * Shape at scale: MAP-ONLY — the whole battery is one projection of
+    * array expressions over one documents scan (no explode, no shuffle
+    * before the output sort), so it runs at parquet-scan speed and fuses
+    * with any other per-document stage. The per-line work is a handful of
+    * short-string regexes; at fixture scale the interpreted HOF lambdas
+    * cost <1 s, and the kernel-ization dial (compiling the line classifier
+    * as a codegen Expression, the `ArrayExpressions` pattern) stays
+    * available if a profile ever shows them hot.
+    */
+  def c4Heuristics(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val emptyS = array().cast("array<string>")
+    val base = d
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("nl", ceil(size(col("toks")) / lit(LineTokens.toDouble)).cast("int"))
+      .withColumn("lines", concat(
+        transform(sequence(lit(0), col("nl") - 1), i => {
+          val line = array_join(slice(col("toks"), i * LineTokens + 1, lit(LineTokens)), " ")
+          when((col("doc_id") + i) % 3 =!= 2, concat(line, lit("."))).otherwise(line)
+        }),
+        when(col("doc_id") % 9 === 0, array(lit(JsLine))).otherwise(emptyS),
+        when(col("doc_id") % 17 === 0, array(lit(LoremLine))).otherwise(emptyS),
+        when(col("doc_id") % 19 === 0, array(lit(BraceLine))).otherwise(emptyS),
+        when(col("doc_id") % 23 === 0, array(lit(BadLine))).otherwise(emptyS)))
+    def isSent(l: Column): Column = l.rlike("[.!?\"]$")
+    val flagged = base
+      .withColumn("kept", filter(col("lines"), l =>
+        isSent(l) && size(split(l, " ")) >= C4MinLineWords &&
+          !l.contains("javascript")))
+      .withColumn("n_sent", size(filter(col("lines"), isSent(_))).cast("long"))
+      .withColumn("bad", exists(col("lines"), l => l.rlike(C4BadRe)))
+      .withColumn("lor", exists(col("lines"), l => l.contains("lorem ipsum")))
+      .withColumn("brace", exists(col("lines"), l => l.contains("{")))
+    flagged.select(
+        col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        col("n_sent"),
+        size(col("kept")).cast("long").as("n_kept"),
+        when(col("bad"), 1L).otherwise(0L).as("has_badword"),
+        when(col("lor"), 1L).otherwise(0L).as("has_lorem"),
+        when(col("brace"), 1L).otherwise(0L).as("has_brace"),
+        when(size(col("kept")) >= C4MinSentences && !col("bad") && !col("lor")
+          && !col("brace"), 1L).otherwise(0L).as("keep"),
+        conv(substring(md5(array_join(col("kept"), "\n")), 1, 8), 16, 10)
+          .cast("long").as("clean_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val c4HeuristicsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |l0 AS (
+       |  SELECT doc_id, toks,
+       |         CAST(ceil(len(toks) / $LineTokens.0) AS INT) AS nl
+       |  FROM t),
+       |l1 AS (
+       |  SELECT doc_id, list_transform(generate_series(0, nl - 1),
+       |    i -> CASE WHEN (doc_id + i) % 3 <> 2
+       |         THEN array_to_string(
+       |                list_slice(toks, i*$LineTokens + 1, i*$LineTokens + $LineTokens),
+       |                ' ') || '.'
+       |         ELSE array_to_string(
+       |                list_slice(toks, i*$LineTokens + 1, i*$LineTokens + $LineTokens),
+       |                ' ') END) AS lines0
+       |  FROM l0),
+       |l2 AS (
+       |  SELECT doc_id,
+       |    lines0
+       |    || (CASE WHEN doc_id % 9 = 0 THEN ['$JsLine'] ELSE [] END)
+       |    || (CASE WHEN doc_id % 17 = 0 THEN ['$LoremLine'] ELSE [] END)
+       |    || (CASE WHEN doc_id % 19 = 0 THEN ['$BraceLine'] ELSE [] END)
+       |    || (CASE WHEN doc_id % 23 = 0 THEN ['$BadLine'] ELSE [] END) AS lines
+       |  FROM l1),
+       |c AS (
+       |  SELECT doc_id, len(lines) AS n_lines,
+       |    len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$$'))) AS n_sent,
+       |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
+       |      AND len(string_split(l, ' ')) >= $C4MinLineWords
+       |      AND NOT contains(l, 'javascript')) AS kept,
+       |    len(list_filter(lines, l -> regexp_matches(l, '$C4BadRe'))) > 0 AS bad,
+       |    len(list_filter(lines, l -> contains(l, 'lorem ipsum'))) > 0 AS lor,
+       |    len(list_filter(lines, l -> contains(l, '{'))) > 0 AS brace
+       |  FROM l2)
+       |SELECT doc_id, n_lines, n_sent, len(kept) AS n_kept,
+       |       CAST(CASE WHEN bad THEN 1 ELSE 0 END AS BIGINT) AS has_badword,
+       |       CAST(CASE WHEN lor THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+       |       CAST(CASE WHEN brace THEN 1 ELSE 0 END AS BIGINT) AS has_brace,
+       |       CAST(CASE WHEN len(kept) >= $C4MinSentences
+       |                  AND NOT bad AND NOT lor AND NOT brace
+       |             THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       |       CAST('0x' || substring(
+       |         md5(coalesce(array_to_string(kept, chr(10)), '')), 1, 8) AS BIGINT)
+       |         AS clean_fp
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "flt_gopher_repetition" -> gopherRepetition,
     "flt_gopher_quality" -> gopherQuality,
     "flt_pii_redact" -> piiRedact,
     "flt_line_dedup" -> lineDedup,
-    "flt_lm_perplexity" -> lmPerplexity
+    "flt_lm_perplexity" -> lmPerplexity,
+    "flt_c4_heuristics" -> c4Heuristics
   )
 
   val oracles: Map[String, String] = Map(
@@ -534,6 +668,7 @@ object Filtering {
     "flt_gopher_quality" -> gopherQualitySql,
     "flt_pii_redact" -> piiRedactSql,
     "flt_line_dedup" -> lineDedupSql,
-    "flt_lm_perplexity" -> lmPerplexitySql
+    "flt_lm_perplexity" -> lmPerplexitySql,
+    "flt_c4_heuristics" -> c4HeuristicsSql
   )
 }

@@ -232,4 +232,56 @@ class FilteringSpec extends AnyFunSuite {
       assert(r.getLong(4) === clean.length.toLong, s"clean_len doc $id")
     }
   }
+
+  test("c4 heuristics match a naive Scala recomputation and every rule fires") {
+    val out = Filtering.c4Heuristics(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+    assert(docs.length === out.size)
+    docs.foreach { d =>
+      val id = d.getLong(0)
+      val toks = d.getString(1).toLowerCase.split("\\s+").toSeq
+      val nl = math.ceil(toks.size / 12.0).toInt
+      val derived = (0 until nl).map { i =>
+        val line = toks.slice(i * 12, i * 12 + 12).mkString(" ")
+        if ((id + i) % 3 != 2) line + "." else line
+      }
+      val lines = derived ++
+        (if (id % 9 == 0) Seq("enable javascript to view this page.") else Nil) ++
+        (if (id % 17 == 0) Seq("lorem ipsum dolor sit amet.") else Nil) ++
+        (if (id % 19 == 0) Seq("function() { return 0; }") else Nil) ++
+        (if (id % 23 == 0) Seq("visit xxx site now.") else Nil)
+      def isSent(l: String) = l.matches(".*[.!?\"]$")
+      val kept = lines.filter(l =>
+        isSent(l) && l.split(" ").length >= 3 && !l.contains("javascript"))
+      val bad = lines.exists(_.matches(".*\\b(xxx|porn|nsfw)\\b.*"))
+      val lor = lines.exists(_.contains("lorem ipsum"))
+      val brace = lines.exists(_.contains("{"))
+      val keep = kept.size >= 3 && !bad && !lor && !brace
+      val r = out(id)
+      assert(r.getLong(1) === lines.size.toLong, s"n_lines doc $id")
+      assert(r.getLong(2) === lines.count(isSent).toLong, s"n_sent doc $id")
+      assert(r.getLong(3) === kept.size.toLong, s"n_kept doc $id")
+      assert(r.getLong(4) === (if (bad) 1L else 0L), s"has_badword doc $id")
+      assert(r.getLong(5) === (if (lor) 1L else 0L), s"has_lorem doc $id")
+      assert(r.getLong(6) === (if (brace) 1L else 0L), s"has_brace doc $id")
+      assert(r.getLong(7) === (if (keep) 1L else 0L), s"keep doc $id")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString("\n").getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      assert(r.getLong(8) === java.lang.Long.parseLong(md5, 16), s"clean_fp doc $id")
+    }
+    // every rule discriminates: pages dropped by each page rule, lines
+    // dropped by each line rule, and survivors exist
+    val vals = out.values.toSeq
+    assert(vals.exists(_.getLong(4) == 1L))
+    assert(vals.exists(_.getLong(5) == 1L))
+    assert(vals.exists(_.getLong(6) == 1L))
+    assert(vals.exists(r => r.getLong(7) == 0L && r.getLong(4) == 0L &&
+      r.getLong(5) == 0L && r.getLong(6) == 0L), "sentence-count rule fires")
+    assert(vals.exists(r => r.getLong(3) < r.getLong(2)), "line rules fire")
+    val kept = vals.count(_.getLong(7) == 1L)
+    assert(kept > 0 && kept < vals.size)
+  }
 }

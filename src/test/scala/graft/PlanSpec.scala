@@ -185,4 +185,29 @@ class PlanSpec extends AnyFunSuite {
     assert(partitionedSpecs >= 1,
       s"corpus-sized cumsum must partition by bucket ($windowSpecs windows):\n$plan")
   }
+
+  test("c4 heuristics are map-only: no shuffle before the output sort") {
+    // the whole battery (line derivation, sentence/word classifiers,
+    // page flags, clean fingerprint) must stay one narrow projection —
+    // a groupBy-shaped formulation would shuffle the corpus
+    val plan = graft.operators.Filtering.c4Heuristics(spark, dir)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"expected at most the orderBy exchange:\n$plan")
+    exchanges.foreach(e => assert(
+      e.outputPartitioning.toString.toLowerCase.contains("range"),
+      s"the single exchange must be the orderBy range partition, got: $e"))
+  }
+
+  test("attribution join keys on user_id — hash join, never a nested loop") {
+    // the time filter must ride the user_id equi-join as a residual
+    // condition; losing the equi-key would plan |purchases| x |views|
+    val plan = graft.operators.Events.attribution(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range predicate must stay residual on the hash join:\n$plan")
+  }
 }
