@@ -27,11 +27,14 @@ import graft.tools.CacheRegistry
   *   - each iteration is one join (rank × edges) + one groupBy(dst) — a
   *     single shuffle of (dst, 13-byte decimal) pairs, map-side combined;
   *     nothing is ever collected to the driver;
-  *   - the iteration count is FIXED (5) — plan depth is bounded, so no
-  *     per-round checkpoint is needed (contrast [[Components]], whose
-  *     data-dependent round count forces one); a convergence-driven
-  *     production run would add [[CacheRegistry.checkpointTracked]] per
-  *     round, the discipline NN-descent's loop already demonstrates.
+  *   - the rank frame is EAGERLY CHECKPOINTED every round
+  *     ([[CacheRegistry.checkpointTracked]], the NN-descent discipline):
+  *     leaving it lazy nests each round's whole subtree inside the next
+  *     round's join build side, which the planner re-plans and partially
+  *     re-executes per level — measured 12–32 s with wild variance at
+  *     sf0.1 versus a stable ~3 s checkpointed. The rank table is
+  *     O(nodes), far smaller than edges, so materializing it per round
+  *     is exactly what a 100 TB run would do too.
   *
   * Float parity with the DuckDB oracle (OracleParity rules): every
   * contribution is 9dp-pround'ed then summed as DECIMAL(30,9) — exact,
@@ -58,26 +61,39 @@ object Graph {
       .select(concat(lit("c"), col("o_custkey")).as("c"),
         concat(lit("s"), col("l_suppkey")).as("s"))
       .distinct()
+    // adjacency HASH-PARTITIONED by src and cached: deg (a groupBy on the
+    // same key) and every iteration's rank join then line up with zero
+    // exchange on the edge side — the local analogue of bucketing the
+    // materialized adjacency, which is how the 100 TB run keeps the big
+    // table stationary across all five rounds
     val edges = CacheRegistry.persistTracked(
       pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst"))))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+        .repartition(col("src")))
     val deg = CacheRegistry.persistTracked(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val nDf = deg.agg(count(lit(1)).as("n"))
-    var pr = deg.crossJoin(broadcast(nDf))
-      .select(col("src").as("node"), pround(lit(1.0) / col("n"), 9).as("pr"))
+    // node count: a single scalar (the documented driver boundary — one
+    // count() job), folded into the per-iteration teleport constant; a
+    // broadcast-scalar crossJoin here would re-run the count aggregate
+    // inside every iteration's plan (6 extra jobs, measured)
+    val n = deg.count()
+    var pr = CacheRegistry.checkpointTracked(
+      deg.select(col("src").as("node"), pround(lit(1.0 / n), 9).as("pr")))
     for (_ <- 1 to Iters) {
       val mass = edges
         .join(deg, Seq("src"))
-        .join(pr, col("src") === col("node"))
+        // shuffle-hash: the O(nodes) rank frame is the only moving side;
+        // a sort-merge join would re-sort the stationary adjacency every
+        // round, a broadcast would not survive a 100M-node rank table
+        .join(pr.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst"),
           pround(col("pr") / col("deg"), 9).cast("decimal(30,9)").as("w"))
         .groupBy(col("dst"))
         .agg(sum(col("w")).as("m"))
-      pr = mass.crossJoin(broadcast(nDf))
-        .select(col("dst").as("node"),
-          pround(lit(Teleport) / col("n") +
-            lit(Damping) * col("m").cast("double"), 9).as("pr"))
+      pr = CacheRegistry.checkpointTracked(
+        mass.select(col("dst").as("node"),
+          pround(lit(Teleport / n) +
+            lit(Damping) * col("m").cast("double"), 9).as("pr")))
     }
     pr.join(deg, col("node") === col("src"))
       .select(col("node"), col("deg"), col("pr"))

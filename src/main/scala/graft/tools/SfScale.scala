@@ -76,13 +76,51 @@ object SfScale {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+    // events: per-replica DISTINCT user ids over the SAME time range, so
+    // the event stream gets K× denser but the per-user rate (what bounds the
+    // attribution join fan-out and the session/window state) is unchanged
+    // — the scale axis a crawler's traffic growth actually follows. ts
+    // stays in its on-disk representation (LONG nanos under the session's
+    // nanosAsLong flag), so the scaled table round-trips identically.
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val evOff = ev.agg(max(col("event_id"))).head().getLong(0) + 1L
+    val userOff = ev.agg(max(col("user_id"))).head().getLong(0) + 1L
+    ev.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("event_id", col("event_id") + col("rep") * evOff)
+      .withColumn("user_id", col("user_id") + col("rep") * userOff)
+      .drop("rep")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    // orders + lineitem: disjoint graph replicas (every key family offset
+    // per replica) — K× nodes and edges with unchanged degree structure,
+    // the honest scale axis for the iterative graph ops
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    val okOff = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
+    val custOff = ord.agg(max(col("o_custkey"))).head().getLong(0) + 1L
+    ord.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * okOff)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * custOff)
+      .drop("rep")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val suppOff = li.agg(max(col("l_suppkey"))).head().getLong(0) + 1L
+    li.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * okOff)
+      .withColumn("l_suppkey", col("l_suppkey") + col("rep") * suppOff)
+      .drop("rep")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
     // SPARK_GRAFT_SCALE_QUERIES: comma-separated subset (e.g. to exclude
     // the intentionally-quadratic salted-skew demo from very large factors)
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES").map(_.split(",").toSet)
     val names = graft.SparkEntry.queries.keys
       .filter(n => n.startsWith("dedup_") || n.startsWith("ann_")
         || n.startsWith("index_build_") || n.startsWith("cur_")
-        || n.startsWith("flt_") || n.startsWith("mm_"))
+        || n.startsWith("flt_") || n.startsWith("mm_")
+        || n.startsWith("ev_") || n.startsWith("graph_"))
       .filter(n => only.forall(_.contains(n))).toSeq.sorted
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
