@@ -57,9 +57,13 @@ object Graph {
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    // node ids stay 8-byte LONGS through every shuffle (customer 2k,
+    // supplier 2k+1 — disjoint by parity); the display strings are built
+    // only on the 20 output rows. Shuffling concatenated string keys
+    // through distinct + repartition + 5 iteration joins costs real
+    // serialization and hashing at 100 TB for no semantic gain.
     val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey")).as("c"),
-        concat(lit("s"), col("l_suppkey")).as("s"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
       .distinct()
     // adjacency HASH-PARTITIONED by src and cached: deg (a groupBy on the
     // same key) and every iteration's rank join then line up with zero
@@ -67,8 +71,8 @@ object Graph {
     // materialized adjacency, which is how the 100 TB run keeps the big
     // table stationary across all five rounds
     val edges = CacheRegistry.persistTracked(
-      pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      pairs.select((col("ck") * 2).as("src"), (col("sk") * 2 + 1).as("dst"))
+        .union(pairs.select((col("sk") * 2 + 1).as("src"), (col("ck") * 2).as("dst")))
         .repartition(col("src")))
     val deg = CacheRegistry.persistTracked(
       edges.groupBy(col("src")).agg(count(lit(1)).as("deg")))
@@ -96,7 +100,11 @@ object Graph {
             lit(Damping) * col("m").cast("double"), 9).as("pr")))
     }
     pr.join(deg, col("node") === col("src"))
-      .select(col("node"), col("deg"), col("pr"))
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        col("deg"), col("pr"))
       .orderBy(col("pr").desc, col("node"))
       .limit(TopK)
   }
