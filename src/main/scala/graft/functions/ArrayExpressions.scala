@@ -36,6 +36,9 @@ object ArrayExpressions {
   def hashedWordNGrams(tokens: Column, n: Int): Column =
     ColumnBridge.column(HashedWordNGrams(ColumnBridge.expression(tokens), n))
 
+  def positionalWordNGrams(tokens: Column, n: Int): Column =
+    ColumnBridge.column(PositionalWordNGrams(ColumnBridge.expression(tokens), n))
+
   def hashedWords60(tokens: Column): Column =
     ColumnBridge.column(HashedWords60(ColumnBridge.expression(tokens)))
 
@@ -128,6 +131,45 @@ object HashedWordNGrams {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+}
+
+/** Position-preserving variant of [[HashedWordNGrams]]: element i is the
+  * hash of the n-gram STARTING at token i (no sort, no dedup), so
+  * `posexplode` recovers (offset, window-hash) pairs. This is the kernel
+  * exact-substring dedup needs — a duplicated ≥n-token substring is
+  * exactly a run of duplicated n-token windows, and runs are only visible
+  * when offsets survive. Hash is identical to [[HashedWordNGrams]]'s
+  * (`CAST('0x' || substring(md5(gram), 1, 8) AS BIGINT)` in the oracle). */
+case class PositionalWordNGrams(child: Expression, n: Int)
+    extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    val count = toks.numElements() - n + 1
+    if (count <= 0) return new GenericArrayData(Array.empty[Long])
+    val md = HashedWordNGrams.digest.get()
+    val out = new Array[Long](count)
+    var i = 0
+    while (i < count) {
+      md.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = md.digest()
+      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionalWordNGrams =
+    copy(child = newChild)
 }
 
 /** Order- and multiplicity-preserving md5 token hashes: element i is the

@@ -255,10 +255,61 @@ object Components {
        |  FROM s, s2)
        |ORDER BY stage_no""".stripMargin
 
+  /** Quality-argmax survivor selection — the policy question min-doc_id
+    * sidesteps: inside each duplicate family, which copy do you KEEP? The
+    * default (smallest id ≈ first-crawled) is arbitrary; production
+    * pipelines keep the highest-quality member (the cleanest extraction of
+    * the page). One row per multi-member family: the winner under
+    * ([[TextAnalysis.qualityCol]] desc, doc_id asc) — scores rounded to
+    * 4 dp BEFORE comparison so the ordering is engine-portable — plus
+    * `policy_differs`, flagging families where quality-argmax disagrees
+    * with min-id (the near-dup tail shifts the score, so it does happen).
+    *
+    * Shape at scale: quality is a map-only projection over the corpus, the
+    * argmax a row_number window partitioned by component — one shuffle on
+    * the component key, streaming top-1 per family, nothing driver-side.
+    * Rides the same shared membership table as the other family queries. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val q = Dedup.corpus(spark, dir).select(col("doc_id"),
+      graft.functions.OracleParity.pround(
+        TextAnalysis.qualityCol(col("text")), 4).as("q"))
+    val fam = membership(spark, dir)
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy("component")))
+      .filter(col("csize") > 1)
+    val byQuality = Window.partitionBy("component")
+      .orderBy(col("q").desc, col("doc_id"))
+    fam.join(q, Seq("doc_id"))
+      .withColumn("rn", row_number().over(byQuality))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("csize"),
+        col("doc_id").as("kept_doc_id"), col("q").as("kept_quality"),
+        (col("doc_id") =!= col("component")).as("policy_differs"))
+      .orderBy(col("component"))
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH RECURSIVE $membershipCtes,
+       |q AS ${TextAnalysis.qualitySqlOver("corpus")},
+       |fam AS (
+       |  SELECT doc_id, component,
+       |         count(*) OVER (PARTITION BY component) AS csize
+       |  FROM member),
+       |r AS (
+       |  SELECT f.component, f.csize, f.doc_id, q.q,
+       |         row_number() OVER (PARTITION BY f.component
+       |                            ORDER BY q.q DESC, f.doc_id) AS rn
+       |  FROM fam f JOIN q ON q.doc_id = f.doc_id
+       |  WHERE f.csize > 1)
+       |SELECT component, csize, doc_id AS kept_doc_id, q AS kept_quality,
+       |       (doc_id <> component) AS policy_differs
+       |FROM r WHERE rn = 1
+       |ORDER BY component""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_components" -> dedupComponents,
     "dedup_component_sizes" -> dedupComponentSizes,
     "dedup_corpus_clean" -> dedupCorpusClean,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_pipeline_report" -> dedupPipelineReport
   )
 
@@ -266,6 +317,7 @@ object Components {
     "dedup_components" -> dedupComponentsSql,
     "dedup_component_sizes" -> dedupComponentSizesSql,
     "dedup_corpus_clean" -> dedupCorpusCleanSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_pipeline_report" -> dedupPipelineReportSql
   )
 }

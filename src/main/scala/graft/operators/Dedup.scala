@@ -105,6 +105,79 @@ object Dedup {
         tokensFrame(spark, dir))
     }
 
+  // --------------------------------- exact substring dedup (Lee et al.)
+
+  /** Window width. Lee et al. 2022 ("Deduplicating Training Data Makes
+    * Language Models Better") use 50 BPE tokens; the fixture's documents
+    * run 10–99 whitespace tokens, so the fixture dial is 10 — every doc
+    * contributes at least one window. */
+  private val SubstrWindow = 10
+
+  /** Exact-substring duplication report (Lee et al. 2022, the ExactSubstr
+    * half of their pipeline — doc-level MinHash is [[dedupMinhashLsh]]).
+    * A duplicated substring of ≥K tokens is exactly a run of duplicated
+    * K-token windows, so instead of their suffix array — a global
+    * sequential structure with no distributed analogue — we hash every
+    * K-token window WITH its offset ([[ArrayExpressions.positionalWordNGrams]]),
+    * count corpus-wide occurrences per window content, and report, per
+    * document that contains any duplicated window: how many of its windows
+    * are duplicated, the duplicated fraction, and the offset extent. Exact
+    * copies show dup_frac = 1; near-dup tails < 1 — the per-span
+    * granularity doc-level hashing can't see.
+    *
+    * Shape at 100 TB: one map-side window hash per doc, one groupBy on the
+    * 8-byte window hash (count > 1 — map-side partial counts make the
+    * unique mass, which is almost everything, collapse before the
+    * shuffle), one equi-join back, one groupBy(doc). No suffix array, no
+    * global sort, no all-pairs anything; boilerplate hot windows are
+    * bounded by the count aggregate, not replicated through a pair join. */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val w = corpusTokens(spark, dir)
+      .select(col("doc_id"),
+        (size(col("toks")) - (SubstrWindow - 1)).cast("long").as("n_windows"),
+        posexplode(ArrayExpressions.positionalWordNGrams(col("toks"), SubstrWindow)))
+      .withColumnRenamed("col", "gram")
+    val dup = w.groupBy(col("gram")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("gram"))
+    w.join(dup, "gram")
+      .groupBy(col("doc_id"), col("n_windows"))
+      .agg(count(lit(1)).as("n_dup_windows"),
+        (min(col("pos")) + 1).cast("long").as("first_dup_pos"),
+        (max(col("pos")) + 1).cast("long").as("last_dup_pos"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        pround(col("n_dup_windows").cast("double") / col("n_windows").cast("double"), 4)
+          .as("dup_frac"),
+        col("first_dup_pos"), col("last_dup_pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupSubstringSql: String = {
+    val gram = (0 until SubstrWindow).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    s"""WITH $corpusSql,
+       |tok AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM corpus),
+       |g AS (
+       |  SELECT doc_id,
+       |         len(toks) - ${SubstrWindow - 1} AS n_windows,
+       |         unnest(generate_series(1, len(toks) - ${SubstrWindow - 1})) AS pos,
+       |         unnest(list_transform(generate_series(1, len(toks) - ${SubstrWindow - 1}),
+       |           i -> CAST('0x' || substring(md5($gram), 1, 8) AS BIGINT))) AS gram
+       |  FROM tok
+       |  WHERE len(toks) >= $SubstrWindow),
+       |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1)
+       |SELECT doc_id,
+       |       CAST(n_windows AS BIGINT) AS n_windows,
+       |       count(*) AS n_dup_windows,
+       |       floor(count(*)::DOUBLE / n_windows::DOUBLE * 10000 + 0.5) / 10000.0 AS dup_frac,
+       |       CAST(min(pos) AS BIGINT) AS first_dup_pos,
+       |       CAST(max(pos) AS BIGINT) AS last_dup_pos
+       |FROM g JOIN dup USING (gram)
+       |GROUP BY doc_id, n_windows
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------- banded-minhash candidate engine
 
   private val NumHashes = 16
@@ -793,6 +866,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_substring" -> dedupSubstring,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -807,6 +881,7 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dedup_exact" -> dedupExactSql,
+    "dedup_substring" -> dedupSubstringSql,
     "dedup_minhash_lsh" -> dedupMinhashLshSql,
     "dedup_simhash" -> dedupSimhashSql,
     "dedup_ngram_jaccard" -> dedupNgramJaccardSql,

@@ -75,21 +75,44 @@ object TextAnalysis {
        |ORDER BY lang, predicted""".stripMargin
   }
 
+  /** Un-rounded quality score over an arbitrary text column — shared with
+    * [[Components]]' keep-best survivor policy, which scores the dedup
+    * corpus rather than the raw documents table. */
+  private[operators] def qualityCol(text: Column): Column = {
+    val t = toks(text)
+    val nTok = size(t).cast("double")
+    val sw = voteCount(t, stopwords.flatMap(_._2)).cast("double")
+    val meanLen = (length(text) - (size(t) - 1)).cast("double") / nTok
+    least(lit(1.0), nTok / 50.0) * 0.3 +
+      least(lit(1.0), sw / nTok * 5.0) * 0.4 +
+      least(lit(1.0), meanLen / 8.0) * 0.3
+  }
+
+  /** The same score as a DuckDB CTE: `(SELECT doc_id, q FROM ...)` over
+    * whatever relation `from` names (must expose doc_id + text). */
+  private[operators] def qualitySqlOver(from: String): String = {
+    val allSw = stopwords.flatMap(_._2).map(w => s"'$w'").mkString(", ")
+    s"""(SELECT doc_id,
+       |        floor((least(1.0, n_tok / 50.0) * 0.3
+       |            + least(1.0, sw / n_tok * 5.0) * 0.4
+       |            + least(1.0, mean_len / 8.0) * 0.3) * 10000 + 0.5) / 10000.0 AS q
+       | FROM (
+       |   SELECT doc_id,
+       |          len(toks)::DOUBLE AS n_tok,
+       |          len(list_filter(toks, w -> w IN ($allSw)))::DOUBLE AS sw,
+       |          (length(text) - (len(toks) - 1))::DOUBLE / len(toks)::DOUBLE AS mean_len
+       |   FROM (SELECT doc_id, text,
+       |                string_split_regex(lower(text), '\\s+') AS toks
+       |         FROM $from)))""".stripMargin
+  }
+
   /** Quality score ∈ [0,1]: 0.3·min(1, tokens/50) + 0.4·stopword-ratio·5 +
     * 0.3·min(1, mean_token_len/8), clamped — the standard cheap-heuristics
     * blend (length, function-word density, word shape). */
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
-    val t = toks(col("text"))
-    val nTok = size(t).cast("double")
-    val sw = voteCount(t, stopwords.flatMap(_._2)).cast("double")
-    val meanLen = (length(col("text")) - (size(t) - 1)).cast("double") / nTok
-    val score =
-      least(lit(1.0), nTok / 50.0) * 0.3 +
-        least(lit(1.0), sw / nTok * 5.0) * 0.4 +
-        least(lit(1.0), meanLen / 8.0) * 0.3
-    d.select(col("doc_id"), nTok.cast("long").as("n_tokens"),
-        pround(score, 4).as("quality_score"))
+    d.select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"),
+        pround(qualityCol(col("text")), 4).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 

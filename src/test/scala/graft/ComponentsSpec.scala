@@ -113,4 +113,22 @@ class ComponentsSpec extends AnyFunSuite {
     assert(rows(0)._5 === 0.0)
     graft.tools.CacheRegistry.releaseShared()
   }
+
+  test("keep-best survivor: quality argmax with min-id tiebreak") {
+    val out = Components.dedupKeepBest(spark, SparkTestSession.Sf0001).collect()
+    // one row per multi-member family; the fixture plants ~200 of them
+    assert(out.length >= 190)
+    assert(out.forall(_.getLong(1) >= 2L))
+    // policy_differs is exactly "quality argmax != min-id default"
+    assert(out.forall(r => r.getBoolean(4) === (r.getLong(2) != r.getLong(0))))
+    // exact-copy pairs tie on quality (identical text) so min id survives;
+    // near-dup tails shift the score, flipping some argmaxes — the fixture
+    // must exercise BOTH outcomes or the policy is vacuous
+    val differs = out.count(_.getBoolean(4))
+    assert(differs > 0 && differs < out.length)
+    assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // every-20th docs chain copy + near-dup into 3-member families
+    assert(out.count(_.getLong(1) === 3L) >= 25)
+    graft.tools.CacheRegistry.releaseShared()
+  }
 }

@@ -66,6 +66,29 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.forall(_.getDouble(2) >= 0.99))
   }
 
+  test("substring dedup: copies fully duplicated, near-dup tails partial") {
+    val out = Dedup.dedupSubstring(spark, SparkTestSession.Sf0001).collect()
+    // columns: doc_id, n_windows, n_dup_windows, dup_frac, first/last pos
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+    val copies = out.filter(r =>
+      r.getLong(0) >= 100000L && r.getLong(0) < 200000L)
+    assert(copies.length === 125)
+    assert(copies.forall(_.getDouble(3) === 1.0))
+    // a near-dup's windows inside the original text re-occur there, so the
+    // duplicated run starts at offset 1; the windows spanning the appended
+    // tail are unique, so the fraction stays below 1 — the per-span
+    // granularity doc-level hashing can't produce
+    val tails = out.filter(_.getLong(0) >= 200000L)
+    assert(tails.length === 100)
+    assert(tails.forall(r =>
+      r.getDouble(3) > 0.0 && r.getDouble(3) < 1.0 && r.getLong(4) === 1L))
+    // every original of a planted copy is itself fully duplicated
+    val fullDocs = out.filter(_.getDouble(3) === 1.0).map(_.getLong(0)).toSet
+    assert((0L until 500L).filter(i => i % 4 == 0 || i % 5 == 0)
+      .forall(fullDocs.contains))
+    graft.tools.CacheRegistry.releaseShared()
+  }
+
   test("salted skew pair join equals the unsalted block join exactly") {
     import org.apache.spark.sql.functions._
     import graft.functions.ArrayExpressions

@@ -201,6 +201,22 @@ class PlanSpec extends AnyFunSuite {
       s"the single exchange must be the orderBy range partition, got: $e"))
   }
 
+  test("substring dedup joins windows back on the gram hash, with partial counts") {
+    // the duplicated-window set must come from a hash aggregate on the
+    // 8-byte gram key (map-side partial counts collapse the unique mass
+    // before the shuffle) and rejoin the window stream as an equi-join —
+    // any nested-loop/cartesian here would be the suffix-array port this
+    // operator exists to avoid
+    val plan = graft.operators.Dedup.dedupSubstring(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"window join must stay an equi-join on the gram hash:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"expected map-side partial counts before the gram shuffle:\n$plan")
+    graft.tools.CacheRegistry.releaseShared()
+  }
+
   test("attribution join keys on user_id — hash join, never a nested loop") {
     // the time filter must ride the user_id equi-join as a residual
     // condition; losing the equi-key would plan |purchases| x |views|
