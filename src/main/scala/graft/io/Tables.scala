@@ -26,18 +26,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  /** The events fixture stores TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set by
-    * Verify/Bench sessions) it arrives as LONG nanos and is converted here
-    * to a microsecond timestamp — the same truncation DuckDB applies. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val raw = load(spark, dir, "events")
+  /** The events fixture's `ts` column arrives in a host-dependent parquet
+    * flavor, and the engine must read all of them identically (an engine
+    * that only reads one writer's files is not portable):
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it outright; with
+    *     spark.sql.legacy.parquet.nanosAsLong=true (set by Verify/Bench/test
+    *     sessions) it arrives as LONG nanos → truncated to micros here, the
+    *     same truncation DuckDB applies.
+    *   - TIMESTAMP_NTZ (isAdjustedToUTC=false micros, what pandas/pyarrow
+    *     write by default): cast to TIMESTAMP. Every graft session pins
+    *     spark.sql.session.timeZone=UTC, so the cast is instant-preserving
+    *     and matches DuckDB's naive read of the same values.
+    *   - TIMESTAMP (instant micros): passes through.
+    * All downstream event operators assume `ts` is TimestampType after this
+    * point; TimestampFlavorSpec replays every Events query against all three
+    * shapes to keep it that way. */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTs(load(spark, dir, "events"))
+
+  /** Flavor normalization for any dataframe carrying an events-style `ts`
+    * column (used by the batch reader above and by streaming fixtures). */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -21,4 +21,16 @@ object SparkTestSession {
     s
   }
   val Sf0001 = "/root/testdata/sf0.001"
+
+  /** Flavor-tolerant timestamp read: TIMESTAMP collects as
+    * java.sql.Timestamp, TIMESTAMP_NTZ as java.time.LocalDateTime — specs
+    * comparing event times must accept both (session tz is pinned UTC, so
+    * the NTZ wall-clock and the instant agree). */
+  def tsAt(r: org.apache.spark.sql.Row, i: Int): java.sql.Timestamp = r.get(i) match {
+    case t: java.sql.Timestamp => t
+    case ldt: java.time.LocalDateTime => java.sql.Timestamp.valueOf(ldt)
+    case inst: java.time.Instant => java.sql.Timestamp.from(inst)
+    case other => throw new IllegalArgumentException(
+      s"column $i is not a timestamp: $other (${if (other == null) "null" else other.getClass})")
+  }
 }

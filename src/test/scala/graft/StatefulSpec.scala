@@ -17,7 +17,8 @@ class StatefulSpec extends AnyFunSuite {
       .toSet
     val sql = Events.sessionize(spark, SparkTestSession.Sf0001)
       .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        SparkTestSession.tsAt(r, 3), SparkTestSession.tsAt(r, 4)))
       .toSet
     assert(stateful.nonEmpty)
     assert(stateful === sql)

@@ -40,7 +40,8 @@ class StreamingSessionsSpec extends AnyFunSuite {
     q.awaitTermination(180000L)
 
     val streamed = spark.sql("SELECT * FROM sess_out").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3), r.getTimestamp(4)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        SparkTestSession.tsAt(r, 3), SparkTestSession.tsAt(r, 4)))
       .toSet
 
     // expected: every batch session that is CLOSED by a successor event
@@ -48,7 +49,7 @@ class StreamingSessionsSpec extends AnyFunSuite {
     // (end + 30 min) precedes the final watermark (max ts − 1 min delay)
     val batch = StatefulSessions.sessionize(spark, SparkTestSession.Sf0001).collect()
       .map(s => (s.user_id, s.session_id, s.n_events, s.session_start, s.session_end))
-    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val maxTs = SparkTestSession.tsAt(ev.agg(max(col("ts"))).head(), 0).getTime
     val finalWatermark = maxTs - 60L * 1000
     val lastPerUser = batch.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
     val expected = batch.filter { case (u, sid, _, _, end) =>

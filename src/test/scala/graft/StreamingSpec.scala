@@ -26,10 +26,10 @@ class StreamingSpec extends AnyFunSuite {
 
     val streamed = spark.sql(
       "SELECT window_start, event_type, n FROM stream_out ORDER BY 1, 2")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (SparkTestSession.tsAt(r, 0), r.getString(1), r.getLong(2)))
     val batch = Events.windowAgg(spark, SparkTestSession.Sf0001)
       .select("window_start", "event_type", "n")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .collect().map(r => (SparkTestSession.tsAt(r, 0), r.getString(1), r.getLong(2)))
     assert(streamed.nonEmpty)
     assert(streamed.toSet === batch.toSet)
   }
