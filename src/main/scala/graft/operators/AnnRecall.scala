@@ -66,12 +66,12 @@ object AnnRecall {
           Ivfadc.residualCodebooks(assigned, centroids)))
     lazy val nswEdges: DataFrame =
       CacheRegistry.sharedTracked(s"nsw-edges:$tag")(
-        graft.tools.IndexStore.readOrBuild(spark, dir, s"nsw-edges$sfx")(Nsw.edgesOn(e)))
+        graft.tools.IndexStore.readOrBuild(spark, dir, s"nsw-edges$sfx")(Nsw.edgesOnSized(e)))
     lazy val hnswL1Edges: DataFrame =
       CacheRegistry.sharedTracked(s"hnsw-l1:$tag")(
         graft.tools.IndexStore.readOrBuild(spark, dir, s"hnsw-l1$sfx")(
-          Nsw.edgesOn(e.filter(col("vec_id") % Nsw.SampleMod === 0),
-            Similarity.TablePlanes, Nsw.SampleMod)))
+          Nsw.edgesOnSized(e.filter(col("vec_id") % Nsw.SampleMod === 0),
+            Nsw.SampleMod)))
     lazy val nndEdges: DataFrame =
       CacheRegistry.sharedTracked(s"nnd-edges:$tag")(
         graft.tools.IndexStore.readOrBuild(spark, dir, s"nnd-edges$sfx")(

@@ -59,15 +59,15 @@ object IndexBuild {
 
   def buildNsw(spark: SparkSession, dir: String): DataFrame = {
     val edges = IndexStore.rebuild(spark, dir, "nsw-edges")(
-      Nsw.edgesOn(Nsw.vectors(spark, dir)))
+      Nsw.edgesOnSized(Nsw.vectors(spark, dir)))
     edgeSummary(CacheRegistry.primeShared(s"nsw-edges:$dir", edges))
   }
 
   def buildHnswL1(spark: SparkSession, dir: String): DataFrame = {
     val edges = IndexStore.rebuild(spark, dir, "hnsw-l1")(
-      Nsw.edgesOn(
+      Nsw.edgesOnSized(
         Nsw.vectors(spark, dir).filter(col("vec_id") % Nsw.SampleMod === 0),
-        Similarity.TablePlanes, Nsw.SampleMod))
+        Nsw.SampleMod))
     edgeSummary(CacheRegistry.primeShared(s"hnsw-l1:$dir", edges))
   }
 
@@ -122,7 +122,7 @@ object IndexBuild {
       IndexStore.rebuildCodebooks(spark, dir, "ivfadc-codebooks-clustered")(
         Ivfadc.residualCodebooks(assigned, cents)))
     CacheRegistry.primeShared(s"nsw-edges:$dir#clustered",
-      IndexStore.rebuild(spark, dir, "nsw-edges-clustered")(Nsw.edgesOn(e)))
+      IndexStore.rebuild(spark, dir, "nsw-edges-clustered")(Nsw.edgesOnSized(e)))
     centroidSummary(spark, cents)
   }
 

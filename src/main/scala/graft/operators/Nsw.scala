@@ -89,6 +89,32 @@ object Nsw {
   private[graft] def edgesOn(e: DataFrame): DataFrame =
     edgesOn(e, Similarity.TablePlanes, 1)
 
+  /** Expected bucket occupancy the size-derived planes dial targets. With
+    * occupancy held constant, candidate pairs per node stay O(occupancy·L)
+    * whatever the corpus size — the property the pinned dial loses
+    * (SCALING.md measured the pinned build at 20.0× for a ×10 corpus, the
+    * resized one at 4.0×). */
+  private[graft] val PlanesTargetOccupancy = 128
+
+  /** Production planes dial: max([[Similarity.TablePlanes]],
+    * ceil(log2(N / [[PlanesTargetOccupancy]]))). At every oracle fixture
+    * (N ≤ 2000 vectors) this lands exactly on TablePlanes, so the DuckDB
+    * mirrors — which unroll the plane count at SQL-generation time — replay
+    * the same build and the hash compare stays exact; from ~2× the sf0.1
+    * corpus upward it grows with log N (×10 replay: 20 000 vectors → 8
+    * planes, the dial SCALING.md measured). */
+  private[graft] def sizedPlanes(n: Long): Int =
+    math.max(Similarity.TablePlanes,
+      math.ceil(math.log(math.max(n, 1L).toDouble / PlanesTargetOccupancy) /
+        math.log(2.0)).toInt)
+
+  /** [[edgesOn]] at the size-derived dial — the STORED default for every
+    * persisted graph artifact (round-8 verdict: the pinned-dial build was
+    * the one remaining scale watch-item). Costs one count() of the node
+    * set before the build — noise against the pair-generation join. */
+  private[graft] def edgesOnSized(e: DataFrame, idStep: Int = 1): DataFrame =
+    edgesOn(e, sizedPlanes(e.count()), idStep)
+
   /** Planes-per-table is THE scale dial for the graph build, exactly as in
     * [[Dedup.dedupEmbeddingCosinePlanes]]: with planes fixed, bucket
     * occupancy — and with it candidate pairs — grows linearly in corpus
@@ -177,12 +203,12 @@ object Nsw {
       graft.tools.IndexStore.readOrBuild(spark, dir, artifact)(build))
 
   private[operators] def storedNswEdges(spark: SparkSession, dir: String): DataFrame =
-    storedEdges(spark, dir, "nsw-edges")(edgesOn(vectors(spark, dir)))
+    storedEdges(spark, dir, "nsw-edges")(edgesOnSized(vectors(spark, dir)))
 
   private[operators] def storedHnswL1Edges(spark: SparkSession, dir: String): DataFrame =
     storedEdges(spark, dir, "hnsw-l1")(
-      edgesOn(vectors(spark, dir).filter(col("vec_id") % SampleMod === 0),
-        Similarity.TablePlanes, SampleMod))
+      edgesOnSized(vectors(spark, dir).filter(col("vec_id") % SampleMod === 0),
+        SampleMod))
 
   private[operators] def storedNndEdges(spark: SparkSession, dir: String): DataFrame =
     storedEdges(spark, dir, "nnd-edges") {

@@ -406,4 +406,18 @@ class AnnSpec extends AnyFunSuite {
       conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
   }
+
+  test("size-derived planes dial: pinned at oracle fixture sizes, grows with log N") {
+    import graft.operators.Nsw
+    // every oracle-checked fixture (≤ 2000 vectors) must land on the pinned
+    // dial — the DuckDB mirrors unroll exactly that many planes
+    Seq(0L, 1L, 500L, 2000L).foreach(n =>
+      assert(Nsw.sizedPlanes(n) === 4, s"N=$n"))
+    // the ×10 replay corpus gets the measured resize (SCALING.md: 20.0× → 4.0×)
+    assert(Nsw.sizedPlanes(20000L) === 8)
+    // occupancy-constant growth: +1 plane per corpus doubling, monotone
+    assert(Nsw.sizedPlanes(40000L) === 9)
+    val dials = Seq(2000L, 4000L, 8000L, 16000L, 32000L).map(Nsw.sizedPlanes)
+    assert(dials === dials.sorted)
+  }
 }
