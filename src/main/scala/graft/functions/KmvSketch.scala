@@ -12,8 +12,9 @@ import org.apache.spark.sql.expressions.Aggregator
   * map-side and shuffles k values per group like any sketch; unlike
   * HLL++ the result depends only on the SET of inputs, never on
   * partitioning or merge order, which is what makes `q_kmv_distinct`
-  * hash-checkable against a DuckDB replay while `q_approx_distinct`
-  * (HLL) is rows-only by design.
+  * hash-check an estimate VALUE against a DuckDB replay while
+  * `q_approx_distinct` (HLL) can only hash-check its error CONTRACT
+  * (estimate-within-envelope alongside the exact count).
   *
   * The standard error is ~1/√(k−2) (≈13% at k=64); KmvSketchSpec pins
   * the observed error and the partition-independence claim.

@@ -212,47 +212,80 @@ object Components {
     * 1-row aggregates (two over the corpus, one over the shared
     * membership table) cross-joined and unpivoted — nothing here costs
     * more than the stages themselves, which the IndexStore already
-    * materialized. */
+    * materialized.
+    *
+    * Each stage also reports `n_out_kmv` — the [[graft.functions.KmvSketch]]
+    * estimate of the same distinct count. At fixture scale the exact counts
+    * are cheap; at 100 TB a funnel is usually reported FROM sketches
+    * (distinct-count shuffles cost more than the dedup itself), so the
+    * report demonstrates sketch-vs-exact agreement on every row — and
+    * because KMV is deterministic, the estimates hash-check against the
+    * oracle's bottom-k replay, not just against a tolerance. */
   def dedupPipelineReport(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(graft.functions.KmvSketch)
+    def h(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
     val s = Dedup.corpus(spark, dir).agg(
       count(lit(1)).as("n0"),
-      countDistinct(md5(col("text"))).as("n1"))
+      countDistinct(md5(col("text"))).as("n1"),
+      kmv(h(col("doc_id").cast("string"))).as("k0"),
+      kmv(h(md5(col("text")))).as("k1"))
     val s2 = membership(spark, dir).agg(
-      countDistinct(col("component")).as("n2"))
-    def stage(no: Long, name: String, in: Column, out: Column) =
+      countDistinct(col("component")).as("n2"),
+      kmv(h(col("component").cast("string"))).as("k2"))
+    def stage(no: Long, name: String, in: Column, out: Column, est: Column) =
       struct(lit(no).as("stage_no"), lit(name).as("stage"),
-        in.as("n_in"), out.as("n_out"))
+        in.as("n_in"), out.as("n_out"), est.as("n_out_kmv"))
     s.crossJoin(s2)
       .select(explode(array(
-        stage(1L, "raw", col("n0"), col("n0")),
-        stage(2L, "exact", col("n0"), col("n1")),
-        stage(3L, "near_cc", col("n1"), col("n2")))).as("r"))
+        stage(1L, "raw", col("n0"), col("n0"), col("k0")),
+        stage(2L, "exact", col("n0"), col("n1"), col("k1")),
+        stage(3L, "near_cc", col("n1"), col("n2"), col("k2")))).as("r"))
       .select(col("r.stage_no"), col("r.stage"), col("r.n_in"), col("r.n_out"),
+        col("r.n_out_kmv"),
         graft.functions.OracleParity.pround(
           lit(1.0) - col("r.n_out").cast("double") / col("r.n_in"), 4)
           .as("reduction"))
       .orderBy(col("stage_no"))
   }
 
+  /** Bottom-k KMV replay over `SELECT $keyExpr FROM $rel` — same hash,
+    * same estimator arithmetic as [[graft.functions.KmvSketch]]. */
+  private def kmvEstCte(name: String, rel: String, keyExpr: String): String = {
+    val k = graft.functions.KmvSketch.K
+    s"""${name}_h AS (
+       |  SELECT DISTINCT CAST('0x' || substring(md5($keyExpr), 1, 8) AS BIGINT) AS hv
+       |  FROM $rel),
+       |${name}_r AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM ${name}_h),
+       |$name AS (
+       |  SELECT CASE WHEN count(*) < $k OR max(hv) <= 0 THEN count(*)
+       |              ELSE CAST(floor(($k - 1) * 4294967296.0 / max(hv) + 0.5) AS BIGINT)
+       |         END AS est
+       |  FROM ${name}_r WHERE rn <= $k)""".stripMargin
+  }
+
   val dedupPipelineReportSql: String =
     s"""WITH RECURSIVE $membershipCtes,
        |s AS (SELECT count(*) AS n0, count(DISTINCT md5(text)) AS n1
        |      FROM corpus),
-       |s2 AS (SELECT count(DISTINCT component) AS n2 FROM member)
+       |s2 AS (SELECT count(DISTINCT component) AS n2 FROM member),
+       |${kmvEstCte("k0", "corpus", "doc_id::VARCHAR")},
+       |${kmvEstCte("k1", "corpus", "md5(text)")},
+       |${kmvEstCte("k2", "member", "component::VARCHAR")}
        |SELECT * FROM (
        |  SELECT CAST(1 AS BIGINT) AS stage_no, 'raw' AS stage,
-       |         n0 AS n_in, n0 AS n_out,
+       |         n0 AS n_in, n0 AS n_out, k0.est AS n_out_kmv,
        |         floor((1.0 - n0::DOUBLE / n0) * 10000 + 0.5) / 10000.0
        |           AS reduction
-       |  FROM s
+       |  FROM s, k0
        |  UNION ALL
-       |  SELECT CAST(2 AS BIGINT), 'exact', n0, n1,
+       |  SELECT CAST(2 AS BIGINT), 'exact', n0, n1, k1.est,
        |         floor((1.0 - n1::DOUBLE / n0) * 10000 + 0.5) / 10000.0
-       |  FROM s
+       |  FROM s, k1
        |  UNION ALL
-       |  SELECT CAST(3 AS BIGINT), 'near_cc', n1, n2,
+       |  SELECT CAST(3 AS BIGINT), 'near_cc', n1, n2, k2.est,
        |         floor((1.0 - n2::DOUBLE / n1) * 10000 + 0.5) / 10000.0
-       |  FROM s, s2)
+       |  FROM s, s2, k2)
        |ORDER BY stage_no""".stripMargin
 
   /** Quality-argmax survivor selection — the policy question min-doc_id

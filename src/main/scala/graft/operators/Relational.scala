@@ -229,16 +229,36 @@ object Relational {
 
   /** HLL++ sketch aggregation — the at-scale substitute for exact distinct
     * counts (fixed-size mergeable state instead of a distinct shuffle).
-    * No DuckDB oracle: its HLL implementation differs, so the driver
-    * records the weaker rows-only check; the unit test bounds the sketch
-    * against the exact count instead. */
+    * DuckDB's HLL implementation differs, so the raw estimate can never
+    * hash-match across engines; what CAN be checked exactly is the
+    * sketch's CONTRACT. The query therefore outputs the exact count plus
+    * the assertion the sketch is bought for — estimate within the
+    * configured rsd envelope (2% rsd → 5% bound ≈ 2.5σ) — and the oracle
+    * pins that boolean to TRUE. A broken HLL (or a regression in the
+    * rsd dial) flips the column and fails the full hash gate, where the
+    * previous rows-only convention would still have passed. The
+    * deterministic sibling `q_kmv_distinct` hash-checks an estimate
+    * VALUE end-to-end. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("n_parts"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_parts"), col("n_rows"),
+        (abs(col("approx_parts") - col("n_parts")).cast("double") / col("n_parts")
+          <= 0.05).as("approx_within_5pct"))
       .orderBy(col("l_returnflag"))
   }
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(*) AS n_rows,
+      |  TRUE AS approx_within_5pct
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** KMV approximate distinct — the deterministic sketch sibling of
     * `q_approx_distinct`: same group-by shape, fixed-size mergeable state
@@ -313,6 +333,7 @@ object Relational {
     "a4_dedup_last_wins" -> latestOrderPerCustomerSql,
     "q_rollup_revenue" -> revenueRollupSql,
     "q_distinct_counts" -> distinctCountsSql,
+    "q_approx_distinct" -> approxDistinctSql,
     "q_kmv_distinct" -> kmvDistinctSql
   )
 }
