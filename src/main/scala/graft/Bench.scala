@@ -40,7 +40,13 @@ object Bench {
     // 9.1 s vs steady-state 1.2 s — the 8 s delta was compilation, which
     // belongs to the harness, not the engine).
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.foreach { case (_, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY: comma-separated subset, for isolated-JVM
+    // spot-checks of in-suite numbers (SCALING.md "suite-overhead" table —
+    // a query whose isolated time matches its in-suite time is not being
+    // slowed by accumulated JVM/catalog state; one that diverges is).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
       graft.tools.CacheRegistry.release(blocking = true)
@@ -54,13 +60,16 @@ object Bench {
     // across rounds instead of billing builds to the alphabetically-first
     // toucher (round-7 verdict #1).
     val (buildQs, serveQs) =
-      SparkEntry.queries.toSeq.sortBy(_._1).partition(_._1.startsWith("index_build_"))
+      selected.toSeq.sortBy(_._1).partition(_._1.startsWith("index_build_"))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = (buildQs ++ serveQs).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable => errors(name) = e.toString.take(200); false }
+        // keep the WHOLE first line plus 2000 chars of detail: the r8
+        // postmortem needed the AnalysisException's "got TIMESTAMP_NTZ"
+        // tail, which a 200-char cap had discarded (ADVICE r8)
+        catch { case e: Throwable => errors(name) = e.toString.take(2000); false }
       // stop the clock before cache-release housekeeping — unpersist cost
       // belongs to the harness, not the measured query
       val elapsed = (System.nanoTime() - t0) / 1e9
