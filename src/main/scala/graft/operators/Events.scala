@@ -157,20 +157,61 @@ object Events {
 
   private val IncidentCount = 24
   private val IncidentStepMs = 30L * 3600 * 1000 // one incident per 30 h
-  private val BandMs = 3600L * 1000 // 1 h bands
   private val EpochBaseMs = 1704067200000L // 2024-01-01T00:00:00Z
 
-  /** INTERVAL (range) JOIN — attribute point events to the incident
-    * windows containing them ("which alerts/deploys/outages does each
-    * event fall inside?"). Spark has no native range join, and the naive
-    * `e.ts BETWEEN i.s AND i.e` theta-join plans as a nested loop; the
-    * scalable form is BANDING: explode each interval to the 1-hour bands
-    * it covers (≤ 4 band-rows per incident here — a tiny BROADCAST), give
-    * every event its single band by one integer division, equi-join on
-    * the band, and re-check the exact bounds. Each event meets each
-    * overlapping interval in exactly one band (the event's own), so the
-    * rewrite is exact with no dedup. Cost at 100 TB: one scan of events +
-    * Σ(interval span)/band broadcast rows — never |events| × |intervals|.
+  /** Band width for [[bandedIntervalJoin]], derived from the interval-span
+    * distribution: the next power of two ≥ the median span. Median (not
+    * max) so one outlier interval cannot widen every band — a long
+    * interval just explodes to ⌈span/band⌉ band rows, which is the cheap
+    * side of the tradeoff; a band much wider than typical spans would
+    * instead make every EVENT probe intervals it cannot match. The result
+    * is exact for ANY band width (the residual bound re-check below), so
+    * the dial is pure plan shaping. */
+  private[graft] def derivedBandMs(intervals: DataFrame): Long = {
+    val median = intervals
+      .select(expr("CAST(percentile(e_ms - s_ms, 0.5) AS LONG)"))
+      .head().getLong(0)
+    val m = math.max(median, 1L)
+    if (java.lang.Long.bitCount(m) == 1) m
+    else java.lang.Long.highestOneBit(m) << 1
+  }
+
+  /** INTERVAL (range) JOIN as a reusable operator: match rows of `events`
+    * (point column `ems`, epoch millis) to the rows of `intervals`
+    * (`s_ms` inclusive, `e_ms` exclusive) containing them. Spark plans the
+    * naive `e.ems BETWEEN i.s_ms AND i.e_ms` theta-join as a nested loop;
+    * the scalable form is BANDING: explode each interval to the fixed-width
+    * bands it covers (≤ ⌈span/band⌉ + 1 rows each — a tiny BROADCAST next
+    * to the event stream), give every event its single band by one integer
+    * division, equi-join on the band, and re-check the exact bounds. Each
+    * event meets each overlapping interval in exactly one band (its own),
+    * so the rewrite is exact with no dedup — for any band width. Cost at
+    * 100 TB: one scan of events + Σ(span)/band broadcast rows, never
+    * |events| × |intervals|.
+    *
+    * Returns the matched INNER pairs (all columns of both sides minus the
+    * plumbing); callers aggregate and re-join `intervals` for LEFT
+    * semantics (see [[intervalJoin]]). PlanSpec pins the
+    * broadcast-equi-join shape on a synthetic interval set. */
+  def bandedIntervalJoin(
+      events: DataFrame, intervals: DataFrame,
+      bandMs: Option[Long] = None): DataFrame = {
+    val band = bandMs.getOrElse(derivedBandMs(intervals))
+    val bands = intervals
+      .withColumn("band", explode(sequence(
+        floor(col("s_ms") / band).cast("long"),
+        floor((col("e_ms") - 1) / band).cast("long"))))
+    events
+      .withColumn("band", floor(col("ems") / band).cast("long"))
+      .join(broadcast(bands), "band")
+      .filter(col("ems") >= col("s_ms") && col("ems") < col("e_ms"))
+      .drop("band")
+  }
+
+  /** Attribute point events to the incident windows containing them
+    * ("which alerts/deploys/outages does each event fall inside?") —
+    * [[bandedIntervalJoin]] with the band width derived from the incident
+    * span statistics, then a per-incident aggregate.
     *
     * The 24 incident windows are hash-derived (start on a 30 h lattice,
     * duration 30–149 min from md5) so both engines construct identical
@@ -185,16 +226,10 @@ object Events {
         (conv(substring(md5(concat(lit("inc:"), col("incident_id").cast("string"))),
           1, 8), 16, 10).cast("long") % 120 + 30) * 60000L)
       .withColumn("e_ms", col("s_ms") + col("dur_ms"))
-    val bands = incidents
-      .select(col("incident_id"), col("s_ms"), col("e_ms"),
-        explode(sequence(floor(col("s_ms") / BandMs).cast("long"),
-          floor((col("e_ms") - 1) / BandMs).cast("long"))).as("band"))
+      .drop("dur_ms")
     val ev = Tables.events(spark, dir)
       .select(unix_millis(col("ts")).as("ems"), col("user_id"))
-      .withColumn("band", floor(col("ems") / BandMs).cast("long"))
-    val matched = ev
-      .join(broadcast(bands), "band")
-      .filter(col("ems") >= col("s_ms") && col("ems") < col("e_ms"))
+    val matched = bandedIntervalJoin(ev, incidents)
       .groupBy(col("incident_id"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))

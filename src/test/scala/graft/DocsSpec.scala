@@ -17,6 +17,37 @@ class DocsSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"queries missing from COVERAGE.md: ${missing.mkString(", ")}")
   }
 
+  test("COVERAGE.md and NOTES.md headline counts match the code") {
+    // round-8 verdict #2: the self-reported counts ("105 queries", "171
+    // tests across 33 files") had outrun the code twice; containment checks
+    // alone can't catch a stale COUNT, so pin the numbers themselves.
+    def num(text: String, where: String, pattern: String): Int =
+      pattern.r.findFirstMatchIn(text).map(_.group(1).toInt)
+        .getOrElse(fail(s"no headline number matching '$pattern' in $where"))
+    val coverage = read("COVERAGE.md")
+    val notes = read("NOTES.md")
+    assert(num(coverage, "COVERAGE.md", "`SparkEntry\\.queries` \\((\\d+)\\)")
+      === SparkEntry.queries.size, "COVERAGE.md query count is stale")
+    assert(num(notes, "NOTES.md", "(\\d+) queries in `SparkEntry\\.queries`")
+      === SparkEntry.queries.size, "NOTES.md query count is stale")
+    // suite + test counts come from ScalaTest's own accounting: instantiate
+    // every compiled *Spec class (constructors are side-effect-free; Spark
+    // is always behind a lazy val) and sum expectedTestCount
+    import scala.jdk.CollectionConverters._
+    val classesDir = java.nio.file.Paths.get("target/scala-2.13/test-classes/graft")
+    val suiteClasses = java.nio.file.Files.list(classesDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.endsWith("Spec.class") && !n.contains("$"))
+      .map(n => "graft." + n.stripSuffix(".class")).toSeq.sorted
+    val suites = suiteClasses.map(n =>
+      Class.forName(n).getDeclaredConstructor().newInstance().asInstanceOf[org.scalatest.Suite])
+    assert(num(notes, "NOTES.md", "across (\\d+) suites") === suites.size,
+      "NOTES.md suite count is stale")
+    val totalTests = suites.map(_.expectedTestCount(org.scalatest.Filter.default)).sum
+    assert(num(notes, "NOTES.md", "(\\d+) tests across") === totalTests,
+      "NOTES.md test count is stale")
+  }
+
   test("doc round stamps agree (SCALING.md status == COVERAGE.md status == NOTES.md state)") {
     // round-7 verdict item #5: SCALING.md:3 said "round 6" while carrying
     // round-7 measurements — make the stamp drift structural

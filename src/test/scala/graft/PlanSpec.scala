@@ -226,4 +226,22 @@ class PlanSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"),
       s"range predicate must stay residual on the hash join:\n$plan")
   }
+
+  test("bandedIntervalJoin plans as a broadcast equi-join for any interval set") {
+    // the generalized operator (round-9): whatever the interval geometry,
+    // the rewrite must broadcast the exploded band table and equi-join on
+    // the band — never fall back to a nested-loop range join
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val intervals = Seq((1, 100L, 900L), (2, 5000L, 5400L), (3, 40000L, 90000L))
+      .toDF("iid", "s_ms", "e_ms")
+    val events = spark.range(0, 5000)
+      .select((col("id") * 17L % 100000L).as("ems"), col("id").as("payload"))
+    val plan = graft.operators.Events.bandedIntervalJoin(events, intervals)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast band equi-join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"interval join must not plan as a product:\n$plan")
+  }
 }

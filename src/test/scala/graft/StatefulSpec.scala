@@ -56,6 +56,31 @@ class StatefulSpec extends AnyFunSuite {
       s"range join must not plan as a product:\n$plan")
   }
 
+  test("bandedIntervalJoin is exact for arbitrary geometries, derived or forced band") {
+    import spark.implicits._
+    // overlapping intervals, a zero-width-adjacent pair, and a long outlier
+    // (the derived band uses the MEDIAN span so the outlier must not widen
+    // every band — it just explodes to more band rows itself)
+    val ints = Seq((1, 100L, 900L), (2, 900L, 1700L), (3, 500L, 1300L),
+      (4, 3000L, 3100L), (5, 10000L, 90000L))
+    val intervals = ints.toDF("iid", "s_ms", "e_ms")
+    val events = spark.range(0, 2000)
+      .select((col("id") * 53L % 100000L).as("ems"))
+    val evLocal = events.collect().map(_.getLong(0))
+    val expected = (for {
+      t <- evLocal; (iid, s, e) <- ints if t >= s && t < e
+    } yield (t, iid)).toSeq.sorted
+    def got(bandMs: Option[Long]) =
+      graft.operators.Events.bandedIntervalJoin(events, intervals, bandMs)
+        .select(col("ems"), col("iid"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    assert(got(None) === expected)            // span-derived band
+    assert(got(Some(256L)) === expected)      // much finer than spans
+    assert(got(Some(1 << 20)) === expected)   // much coarser than spans
+    // derivation: next pow2 >= median span (median of 800,800,800,100,80000)
+    assert(graft.operators.Events.derivedBandMs(intervals) === 1024L)
+  }
+
   test("salted block pair join returns exactly the unsalted pair set") {
     val grams = Dedup.corpus(spark, SparkTestSession.Sf0001)
       .select(col("doc_id"), col("lang"), col("source"),
