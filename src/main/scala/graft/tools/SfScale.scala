@@ -292,6 +292,60 @@ object SfScale {
       val tScaled = runHnsw(out, planes)
       println(f"SCALE ${s"ann_hnsw_search/p$planes"}%-26s $tBase%8.2f $tScaled%8.2f ${tScaled / tBase}%7.2f")
     }
+    // Stream-stream attribution at scale (round-9): replay BOTH corpora
+    // through the watermarked StreamingJoin (four time-ordered file drops
+    // so the watermark actually advances) and record (a) exact pair parity
+    // with the batch attribution join at each scale and (b) PEAK JOIN
+    // STATE from Spark's own stateOperators metrics. The SfScale events
+    // axis adds K× distinct users at unchanged per-user rate over the same
+    // time range, so the watermark bound predicts peak state ≈ K× rows but
+    // FLAT per user — a leak (state ∝ stream length, not window × rate)
+    // would show as a super-K state ratio. This is the measured-evidence
+    // form of StreamingJoinSpec's fixture-scale parity test.
+    if (only.forall(_.contains("streaming_attribution")) && factor > 1) {
+      def runStream(dir: String, tag: String): (Double, Long, Long) = {
+        val drop = java.nio.file.Files.createTempDirectory(s"sfattr-$tag").toString
+        val ckpt = java.nio.file.Files.createTempDirectory(s"sfattr-ck-$tag").toString
+        val ev = graft.io.Tables.events(spark, dir)
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        val qs = ev.select(expr(
+          "percentile(unix_timestamp(ts), array(0.25, 0.5, 0.75))"))
+          .head().getSeq[Double](0).map(_.toLong)
+        val t = unix_timestamp(col("ts"))
+        Seq(
+          ("a", t <= qs(0)),
+          ("b", t > qs(0) && t <= qs(1)),
+          ("c", t > qs(1) && t <= qs(2)),
+          ("d", t > qs(2))
+        ).foreach { case (part, pred) =>
+          ev.filter(pred).coalesce(1).write.parquet(s"$drop/${part}_drop")
+        }
+        val name = s"sfattr_$tag"
+        def src = spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1).option("latestFirst", "false")
+          .parquet(s"$drop/*")
+        val t0 = System.nanoTime()
+        val q = graft.streaming.StreamingJoin.startMemorySink(
+          graft.streaming.StreamingJoin.attributionPairs(src, src), name, ckpt)
+        q.awaitTermination(600000L)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val pairs = spark.table(name).count()
+        val peakState = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsTotal))
+          .foldLeft(0L)(math.max)
+        (sec, pairs, peakState)
+      }
+      def batchPairs(dir: String): Long =
+        graft.operators.Events.attribution(spark, dir)
+          .agg(sum(col("n_views"))).head().getLong(0)
+      val (sB, pB, stB) = runStream(base, "base")
+      val (sX, pX, stX) = runStream(out, s"x$factor")
+      val (bB, bX) = (batchPairs(base), batchPairs(out))
+      println(f"SCALE ${"streaming_attribution"}%-26s $sB%8.2f $sX%8.2f ${sX / sB}%7.2f")
+      println(s"STREAMPARITY base: pairs=$pB batch=$bB parity=${pB == bB} peak_state=$stB")
+      println(s"STREAMPARITY x$factor: pairs=$pX batch=$bX parity=${pX == bX} " +
+        s"peak_state=$stX state_ratio=${if (stB > 0) f"${stX.toDouble / stB}%.2f" else "n/a"}")
+    }
     spark.stop()
   }
 }
