@@ -218,8 +218,10 @@ object Events {
     * intervals; the ORACLE runs DuckDB's native inequality join — the
     * banded rewrite must reproduce the reference range-join semantics row
     * for row, including empty incidents via LEFT semantics. */
-  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
-    val incidents = spark.range(0, IncidentCount)
+  /** The hash-derived incident windows (30 h lattice, 30–149 min spans)
+    * — shared by the batch query and the streaming twin's parity spec. */
+  private[graft] def incidentWindows(spark: SparkSession): DataFrame =
+    spark.range(0, IncidentCount)
       .select(col("id").cast("int").as("incident_id"))
       .withColumn("s_ms", lit(EpochBaseMs) + col("incident_id") * IncidentStepMs)
       .withColumn("dur_ms",
@@ -227,6 +229,9 @@ object Events {
           1, 8), 16, 10).cast("long") % 120 + 30) * 60000L)
       .withColumn("e_ms", col("s_ms") + col("dur_ms"))
       .drop("dur_ms")
+
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val incidents = incidentWindows(spark)
     val ev = Tables.events(spark, dir)
       .select(unix_millis(col("ts")).as("ems"), col("user_id"))
     val matched = bandedIntervalJoin(ev, incidents)
