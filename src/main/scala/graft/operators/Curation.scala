@@ -763,7 +763,106 @@ object Curation {
        |       floor(sw::DOUBLE / n_feats * 10000 + 0.5) / 10000.0 AS dsir
        |FROM s ORDER BY dsir DESC, doc_id LIMIT $DsirTopK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cur_chunk_overlap — sliding-window chunking with overlap (RAG shape)
+  // ---------------------------------------------------------------------
+
+  private val ChunkW = 32 // tokens per chunk
+  private val ChunkS = 24 // stride → 8-token overlap between neighbors
+
+  /** Sliding-window chunking with overlap — the retrieval/embedding prep
+    * step ("chunk every document into ≤W-token windows with W−S tokens of
+    * overlap, stable chunk ids") that sits between curation and the
+    * embedding pipeline. Start positions are pure integer arithmetic
+    * (chunk_no · S), so chunk identity is reproducible on any cluster
+    * layout, and the op is MAP-ONLY: tokenize, explode the start lattice,
+    * slice — no shuffle before the output sort, the same zero-shuffle
+    * shape as the flt_* filters. The tail window is kept whenever the doc
+    * extends past the last full stride (standard RAG chunker semantics),
+    * so every token lands in ≥1 chunk. */
+  def chunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      // 1 + max(0, ceil((n-W)/S)) starts, all-integer so both engines agree
+      .withColumn("chunk_no", explode(sequence(lit(0L),
+        greatest(lit(0L),
+          expr(s"(n - $ChunkW + ${ChunkS - 1}) div $ChunkS")))))
+      .select(col("doc_id"), col("chunk_no"),
+        (col("chunk_no") * ChunkS + 1).as("start_tok"),
+        least(lit(ChunkW.toLong), col("n") - col("chunk_no") * ChunkS).as("n_tok"),
+        array_join(slice(col("toks"),
+          (col("chunk_no") * ChunkS + 1).cast("int"), lit(ChunkW)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_no"))
+  }
+
+  val chunkOverlapSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         string_split_regex(lower(text), '\\s+') AS toks,
+       |         len(string_split_regex(lower(text), '\\s+')) AS n
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id, toks, n,
+       |         unnest(generate_series(0,
+       |           greatest(0, (n - $ChunkW + ${ChunkS - 1}) // $ChunkS))) AS chunk_no
+       |  FROM t)
+       |SELECT doc_id, chunk_no,
+       |       chunk_no * $ChunkS + 1 AS start_tok,
+       |       least($ChunkW, n - chunk_no * $ChunkS) AS n_tok,
+       |       array_to_string(
+       |         toks[chunk_no * $ChunkS + 1 : chunk_no * $ChunkS + $ChunkW],
+       |         ' ') AS chunk_text
+       |FROM s
+       |ORDER BY doc_id, chunk_no""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // cur_priority_sample — weighted sampling without replacement (A-ES)
+  // ---------------------------------------------------------------------
+
+  private val PrioK = 60
+
+  /** Weighted sampling WITHOUT replacement [Efraimidis & Spirakis, IPL
+    * 2006, algorithm A-ES]: each document draws u ∈ (0,1) from its seeded
+    * hash and enters the race with priority key −ln(u)/w — an
+    * Exponential(w) arrival time — and the global bottom-[[PrioK]] keys
+    * are exactly a w-weighted sample without replacement. Here w is the
+    * 4dp-rounded [[TextAnalysis.qualityCol]] score, i.e. "sample the
+    * corpus with probability proportional to quality" — the curation
+    * counterpart of DSIR's distribution matching.
+    *
+    * Scale shape: scoring is map-only (hash + ln per row), selection is
+    * `ORDER BY key LIMIT K` → TakeOrderedAndProject (per-partition heaps,
+    * driver merges K·P rows) — no corpus shuffle, no global sort, the
+    * same top-k story as similarity search. Keys are rounded to 6dp
+    * before ranking with a doc_id tiebreak, so the ordering survives
+    * sub-ulp libm differences between engines. */
+  def prioritySample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val u = (h32(col("doc_id"), "prio42").cast("double") + lit(1.0)) / lit(4294967297.0)
+    val w = pround(TextAnalysis.qualityCol(col("text")), 4)
+    d.select(col("doc_id"), col("lang"),
+        w.as("quality"),
+        pround(-log(u) / w, 6).as("prio_key"))
+      .orderBy(col("prio_key"), col("doc_id"))
+      .limit(PrioK)
+  }
+
+  val prioritySampleSql: String =
+    s"""WITH q AS ${graft.operators.TextAnalysis.qualitySqlOver("documents")},
+       |k AS (
+       |  SELECT d.doc_id, d.lang, q.q AS quality,
+       |         (${h32Sql("d.doc_id", "prio42")}::DOUBLE + 1.0) / 4294967297.0 AS u
+       |  FROM documents d JOIN q ON d.doc_id = q.doc_id)
+       |SELECT doc_id, lang, quality,
+       |       floor((-ln(u) / quality) * 1000000 + 0.5) / 1000000.0 AS prio_key
+       |FROM k
+       |ORDER BY prio_key, doc_id
+       |LIMIT $PrioK""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_chunk_overlap" -> chunkOverlap,
+    "cur_priority_sample" -> prioritySample,
     "cur_split" -> split9055,
     "cur_dsir_select" -> dsirSelect,
     "cur_hard_negatives" -> hardNegatives,
@@ -777,6 +876,8 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "cur_chunk_overlap" -> chunkOverlapSql,
+    "cur_priority_sample" -> prioritySampleSql,
     "cur_split" -> split9055Sql,
     "cur_dsir_select" -> dsirSelectSql,
     "cur_hard_negatives" -> hardNegativesSql,

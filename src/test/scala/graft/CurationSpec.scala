@@ -287,4 +287,63 @@ class CurationSpec extends AnyFunSuite {
       if (l != "en") assert(en > m, s"mean dsir(en)=$en not above $l=$m")
     }
   }
+
+  test("chunk overlap: full coverage, exact overlap, reassembly round-trips") {
+    val docs = graft.io.Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val chunks = Curation.chunkOverlap(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .groupBy(_._1)
+    assert(chunks.keySet === docs.keySet)
+    chunks.foreach { case (docId, cs) =>
+      val toks = docs(docId)
+      val sorted = cs.sortBy(_._2)
+      // chunk_no is the dense 0..k lattice; starts stride by S=24
+      assert(sorted.map(_._2).toSeq === sorted.indices.map(_.toLong))
+      sorted.foreach { case (_, no, start, nTok, text) =>
+        assert(start === no * 24 + 1)
+        val expected = toks.slice((start - 1).toInt, (start - 1 + 32).toInt)
+        assert(text === expected.mkString(" "), s"doc $docId chunk $no")
+        assert(nTok === expected.length.toLong)
+      }
+      // coverage: the last chunk reaches the final token
+      val last = sorted.last
+      assert(last._3 - 1 + last._4 === toks.length.toLong,
+        s"doc $docId: tail token uncovered")
+      // every token index covered by >=1 chunk follows from stride<=W and
+      // the lattice being dense: W=32 >= S=24
+    }
+  }
+
+  test("priority sample is quality-biased and exactly K without replacement") {
+    val sample = Curation.prioritySample(spark, dir).collect()
+    assert(sample.length === 60)
+    assert(sample.map(_.getLong(0)).distinct.length === 60, "replacement!")
+    // keys nondecreasing in output order (it IS the bottom-K race)
+    val keys = sample.map(_.getDouble(3))
+    assert(keys.toSeq === keys.sorted.toSeq)
+    // E-S with w = quality must overselect high-quality docs. The fixture's
+    // quality band is narrow, so the sharp deterministic check is against
+    // the UNWEIGHTED race on the SAME uniform draws (w = 1): weighting by
+    // quality must lift the selected set's mean quality strictly.
+    val quality = graft.operators.TextAnalysis.qualityScore(spark, dir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def u(docId: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$docId:prio42".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967297.0
+    }
+    val unweighted = quality.keys.toSeq
+      .sortBy(d => (-math.log(u(d)), d)).take(60)
+    val unweightedQ = unweighted.map(quality).sum / 60
+    val sampleQ = sample.map(_.getDouble(2)).sum / sample.length
+    assert(sampleQ > unweightedQ,
+      s"weighting by quality did not lift mean quality: $sampleQ vs unweighted $unweightedQ")
+    val corpusQ = quality.values.sum / quality.size
+    assert(sampleQ > corpusQ,
+      s"weighted sample mean quality $sampleQ not above corpus mean $corpusQ")
+  }
 }
