@@ -227,6 +227,29 @@ class PlanSpec extends AnyFunSuite {
       s"range predicate must stay residual on the hash join:\n$plan")
   }
 
+  test("chunk overlap is map-only: no shuffle before the output sort") {
+    // chunking must run at scan speed: tokenize + explode the start
+    // lattice + slice, all narrow; the only exchange is the presentation
+    // orderBy
+    val plan = graft.operators.Curation.chunkOverlap(spark, dir)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size <= 1, s"expected at most the orderBy exchange:\n$plan")
+    exchanges.foreach(e => assert(
+      e.outputPartitioning.toString.toLowerCase.contains("range"),
+      s"the single exchange must be the orderBy range partition, got: $e"))
+  }
+
+  test("priority sample plans as TakeOrderedAndProject, not a global sort") {
+    // the weighted race's selection is ORDER BY key LIMIT K — per-partition
+    // heaps, K·P rows to the driver, no corpus shuffle
+    val s = graft.operators.Curation.prioritySample(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$s")
+  }
+
   test("bandedIntervalJoin plans as a broadcast equi-join for any interval set") {
     // the generalized operator (round-9): whatever the interval geometry,
     // the rewrite must broadcast the exploded band table and equi-join on
