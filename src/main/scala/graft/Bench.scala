@@ -44,7 +44,10 @@ object Bench {
     // spot-checks of in-suite numbers (SCALING.md "suite-overhead" table —
     // a query whose isolated time matches its in-suite time is not being
     // slowed by accumulated JVM/catalog state; one that diverges is).
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY names unknown query: $n")))
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
@@ -88,7 +91,10 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    val outPath = sys.env.getOrElse("BENCH_JSON_OUT", "BENCH_RESULT.json")
+    // a filtered spot-check must not silently overwrite the committed
+    // full-suite snapshot — give it its own default file
+    val outPath = sys.env.getOrElse("BENCH_JSON_OUT",
+      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_RESULT.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()

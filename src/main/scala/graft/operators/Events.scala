@@ -159,6 +159,12 @@ object Events {
   private val IncidentStepMs = 30L * 3600 * 1000 // one incident per 30 h
   private val EpochBaseMs = 1704067200000L // 2024-01-01T00:00:00Z
 
+  private[graft] def nextPow2(m0: Long): Long = {
+    val m = math.max(m0, 1L)
+    if (java.lang.Long.bitCount(m) == 1) m
+    else java.lang.Long.highestOneBit(m) << 1
+  }
+
   /** Band width for [[bandedIntervalJoin]], derived from the interval-span
     * distribution: the next power of two ≥ the median span. Median (not
     * max) so one outlier interval cannot widen every band — a long
@@ -166,14 +172,14 @@ object Events {
     * side of the tradeoff; a band much wider than typical spans would
     * instead make every EVENT probe intervals it cannot match. The result
     * is exact for ANY band width (the residual bound re-check below), so
-    * the dial is pure plan shaping. */
+    * the dial is pure plan shaping — which is also why the empty-interval
+    * fallback (1 h) is arbitrary: with no intervals the join is empty at
+    * any band. */
   private[graft] def derivedBandMs(intervals: DataFrame): Long = {
-    val median = intervals
+    val row = intervals
       .select(expr("CAST(percentile(e_ms - s_ms, 0.5) AS LONG)"))
-      .head().getLong(0)
-    val m = math.max(median, 1L)
-    if (java.lang.Long.bitCount(m) == 1) m
-    else java.lang.Long.highestOneBit(m) << 1
+      .head()
+    if (row.isNullAt(0)) 3600000L else nextPow2(row.getLong(0))
   }
 
   /** INTERVAL (range) JOIN as a reusable operator: match rows of `events`
@@ -198,6 +204,11 @@ object Events {
       bandMs: Option[Long] = None): DataFrame = {
     val band = bandMs.getOrElse(derivedBandMs(intervals))
     val bands = intervals
+      // half-open semantics: an empty or inverted interval matches nothing
+      // — and must be dropped BEFORE the explode, where Spark's sequence()
+      // would otherwise auto-step DOWNWARD through (s_ms-e_ms)/band rows
+      // and bloat the broadcast
+      .filter(col("e_ms") > col("s_ms"))
       .withColumn("band", explode(sequence(
         floor(col("s_ms") / band).cast("long"),
         floor((col("e_ms") - 1) / band).cast("long"))))
@@ -218,6 +229,25 @@ object Events {
     * intervals; the ORACLE runs DuckDB's native inequality join — the
     * banded rewrite must reproduce the reference range-join semantics row
     * for row, including empty incidents via LEFT semantics. */
+  private def md5Hex32(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+
+  /** [[derivedBandMs]] of the incident geometry, computed driver-side:
+    * the 24 windows are hash-derived CONSTANTS, so launching a percentile
+    * Spark job per query construction (every warmup + measured bench run,
+    * every flavor replay) just to rederive the same power of two is waste.
+    * Same arithmetic: median via the two middle order statistics (what
+    * percentile(…, 0.5) interpolates for an even count), truncated to
+    * long, next power of two. StatefulSpec pins this equal to the
+    * dataframe derivation. */
+  private[graft] lazy val incidentBandMs: Long = {
+    val durs = (0 until IncidentCount)
+      .map(k => (md5Hex32(s"inc:$k") % 120 + 30) * 60000L).sorted
+    nextPow2(((durs(IncidentCount / 2 - 1) + durs(IncidentCount / 2)) / 2.0).toLong)
+  }
+
   /** The hash-derived incident windows (30 h lattice, 30–149 min spans)
     * — shared by the batch query and the streaming twin's parity spec. */
   private[graft] def incidentWindows(spark: SparkSession): DataFrame =
@@ -234,7 +264,7 @@ object Events {
     val incidents = incidentWindows(spark)
     val ev = Tables.events(spark, dir)
       .select(unix_millis(col("ts")).as("ems"), col("user_id"))
-    val matched = bandedIntervalJoin(ev, incidents)
+    val matched = bandedIntervalJoin(ev, incidents, Some(incidentBandMs))
       .groupBy(col("incident_id"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"))

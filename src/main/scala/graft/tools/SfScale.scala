@@ -327,7 +327,10 @@ object SfScale {
         val t0 = System.nanoTime()
         val q = graft.streaming.StreamingJoin.startMemorySink(
           graft.streaming.StreamingJoin.attributionPairs(src, src), name, ckpt)
-        q.awaitTermination(600000L)
+        val finished = q.awaitTermination(600000L)
+        if (!finished)
+          // a timeout must not masquerade as a parity failure downstream
+          println(s"STREAMPARITY $tag: TIMEOUT after 600s — counts below are partial")
         val sec = (System.nanoTime() - t0) / 1e9
         val pairs = spark.table(name).count()
         val peakState = q.recentProgress

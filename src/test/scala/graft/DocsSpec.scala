@@ -35,10 +35,13 @@ class DocsSpec extends AnyFunSuite {
     // is always behind a lazy val) and sum expectedTestCount
     import scala.jdk.CollectionConverters._
     val classesDir = java.nio.file.Paths.get("target/scala-2.13/test-classes/graft")
-    val suiteClasses = java.nio.file.Files.list(classesDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.endsWith("Spec.class") && !n.contains("$"))
-      .map(n => "graft." + n.stripSuffix(".class")).toSeq.sorted
+    val listing = java.nio.file.Files.list(classesDir)
+    val suiteClasses =
+      try listing.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.endsWith("Spec.class") && !n.contains("$"))
+        .map(n => "graft." + n.stripSuffix(".class")).toSeq.sorted
+      finally listing.close()
     val suites = suiteClasses.map(n =>
       Class.forName(n).getDeclaredConstructor().newInstance().asInstanceOf[org.scalatest.Suite])
     assert(num(notes, "NOTES.md", "across (\\d+) suites") === suites.size,

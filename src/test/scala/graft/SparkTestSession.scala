@@ -28,7 +28,11 @@ object SparkTestSession {
     * the NTZ wall-clock and the instant agree). */
   def tsAt(r: org.apache.spark.sql.Row, i: Int): java.sql.Timestamp = r.get(i) match {
     case t: java.sql.Timestamp => t
-    case ldt: java.time.LocalDateTime => java.sql.Timestamp.valueOf(ldt)
+    // interpret the NTZ wall-clock in the pinned session zone (UTC), NOT
+    // the JVM default zone (Timestamp.valueOf would) — otherwise a
+    // non-UTC host skews NTZ reads against TimestampType reads
+    case ldt: java.time.LocalDateTime =>
+      java.sql.Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
     case inst: java.time.Instant => java.sql.Timestamp.from(inst)
     case other => throw new IllegalArgumentException(
       s"column $i is not a timestamp: $other (${if (other == null) "null" else other.getClass})")

@@ -79,6 +79,20 @@ class StatefulSpec extends AnyFunSuite {
     assert(got(Some(1 << 20)) === expected)   // much coarser than spans
     // derivation: next pow2 >= median span (median of 800,800,800,100,80000)
     assert(graft.operators.Events.derivedBandMs(intervals) === 1024L)
+    // the driver-side constant for the incident geometry must equal the
+    // dataframe derivation it replaced (same interpolated median, same pow2)
+    assert(graft.operators.Events.incidentBandMs ===
+      graft.operators.Events.derivedBandMs(
+        graft.operators.Events.incidentWindows(spark)))
+    // degenerate interval sets: empty set derives a fallback band and joins
+    // to nothing; inverted/empty-span intervals are dropped, not exploded
+    val none = Seq.empty[(Int, Long, Long)].toDF("iid", "s_ms", "e_ms")
+    assert(graft.operators.Events.bandedIntervalJoin(events, none).count() === 0L)
+    val bad = Seq((1, 900L, 100L), (2, 500L, 500L), (3, 100L, 900L))
+      .toDF("iid", "s_ms", "e_ms")
+    val got3 = graft.operators.Events.bandedIntervalJoin(events, bad)
+      .select(col("iid")).distinct().collect().map(_.getInt(0)).toSet
+    assert(got3 === Set(3), "inverted/empty intervals must match nothing")
   }
 
   test("salted block pair join returns exactly the unsalted pair set") {
