@@ -49,6 +49,24 @@ object Bench {
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY names unknown query: $n")))
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Subset-mode attribution guards (ADVICE r9): an empty subset writes a
+    // vacuous result file; a serve query spot-checked without its
+    // index_build_* sibling absorbs the whole build into its measured time
+    // whenever the sfDir artifact is absent (the full suite avoids this by
+    // ordering buildQs first). Warn loudly rather than auto-include — the
+    // subset mode exists precisely to measure queries in isolation.
+    only.foreach { o =>
+      if (selected.isEmpty)
+        System.err.println("[bench] SPARK_GRAFT_BENCH_ONLY selected ZERO queries — the result file will be vacuous")
+      else if (selected.keys.exists(!_.startsWith("index_build_")))
+        graft.operators.IndexBuild.artifactNames.foreach { case (buildQ, arts) =>
+          if (!o.contains(buildQ)) {
+            val missing = arts.filterNot(graft.tools.IndexStore.isCommitted(spark, sfDir, _))
+            if (missing.nonEmpty)
+              System.err.println(s"[bench] subset excludes $buildQ but artifacts ${missing.mkString(",")} are absent for $sfDir — any serve query reading them will absorb the build into its measured time")
+          }
+        }
+    }
     selected.foreach { case (_, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

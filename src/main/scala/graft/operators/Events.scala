@@ -174,9 +174,18 @@ object Events {
     * is exact for ANY band width (the residual bound re-check below), so
     * the dial is pure plan shaping — which is also why the empty-interval
     * fallback (1 h) is arbitrary: with no intervals the join is empty at
-    * any band. */
+    * any band.
+    *
+    * Derived over the same `e_ms > s_ms` population that
+    * [[bandedIntervalJoin]] actually explodes: a mostly-degenerate
+    * interval set (inverted/empty rows) would otherwise drive the median
+    * to ≤ 0, collapse the band to 1 ms, and turn each surviving hour-long
+    * interval into millions of broadcast band rows — the dial inverting
+    * its own purpose. Exactness is unaffected either way; this keeps the
+    * PLAN sane on hostile inputs. */
   private[graft] def derivedBandMs(intervals: DataFrame): Long = {
     val row = intervals
+      .filter(col("e_ms") > col("s_ms"))
       .select(expr("CAST(percentile(e_ms - s_ms, 0.5) AS LONG)"))
       .head()
     if (row.isNullAt(0)) 3600000L else nextPow2(row.getLong(0))

@@ -192,6 +192,24 @@ object IndexBuild {
        |FROM rpqlut
        |ORDER BY m, code""".stripMargin
 
+  /** IndexStore artifact names each build query commits — the Bench
+    * subset mode checks these to warn when a serve query is spot-checked
+    * without its build sibling and the artifact is absent (the serve time
+    * would silently absorb the build). */
+  val artifactNames: Map[String, Seq[String]] = Map(
+    "index_build_nsw" -> Seq("nsw-edges"),
+    "index_build_hnsw_l1" -> Seq("hnsw-l1"),
+    "index_build_nnd" -> Seq("nnd-edges"),
+    "index_build_ivf" -> Seq("ivf-centroids"),
+    "index_build_pq" -> Seq("pq-codebooks"),
+    "index_build_ivfadc" -> Seq("ivfadc-codebooks"),
+    "index_build_clustered" -> Seq("ivf-centroids-clustered",
+      "pq-codebooks-clustered", "ivfadc-codebooks-clustered",
+      "nsw-edges-clustered"),
+    "index_build_components" -> Seq("dedup-cc"),
+    "index_build_tokens" -> Seq("corpus-tokens")
+  )
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "index_build_nsw" -> buildNsw,
     "index_build_hnsw_l1" -> buildHnswL1,

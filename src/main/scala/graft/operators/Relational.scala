@@ -238,7 +238,12 @@ object Relational {
     * rsd dial) flips the column and fails the full hash gate, where the
     * previous rows-only convention would still have passed. The
     * deterministic sibling `q_kmv_distinct` hash-checks an estimate
-    * VALUE end-to-end. */
+    * VALUE end-to-end.
+    *
+    * BENCH SEMANTICS: the contract check makes this query pay BOTH the
+    * HLL sketch AND the exact `countDistinct` shuffle it exists to
+    * avoid — by design. Never cite its bench line as "HLL cost", and
+    * never "optimize" the exact column away: it IS the oracle. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.groupBy(col("l_returnflag"))

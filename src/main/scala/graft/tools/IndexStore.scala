@@ -120,6 +120,13 @@ object IndexStore {
     * first if absent — so standalone runs still work with no explicit
     * build step, and the first toucher leaves the artifact for the rest of
     * the process fleet. */
+  /** Whether `name`'s artifact for the CURRENT fingerprint of `dir` is
+    * already committed on disk — the Bench subset mode asks this before
+    * timing a serve query without its `index_build_*` sibling, because an
+    * absent artifact would make the serve line silently absorb a build. */
+  private[graft] def isCommitted(spark: SparkSession, dir: String, name: String): Boolean =
+    committed(spark, artifactPath(spark, dir, name))
+
   def readOrBuild(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val path = artifactPath(spark, dir, name)

@@ -30,11 +30,20 @@ class DocsSpec extends AnyFunSuite {
       === SparkEntry.queries.size, "COVERAGE.md query count is stale")
     assert(num(notes, "NOTES.md", "(\\d+) queries in `SparkEntry\\.queries`")
       === SparkEntry.queries.size, "NOTES.md query count is stale")
+    // ADVICE r9: README drifted in the very round this pin was added,
+    // because the pin didn't cover it — it does now
+    assert(num(read("README.md"), "README.md", "(\\d+) queries in `SparkEntry\\.queries`")
+      === SparkEntry.queries.size, "README.md query count is stale")
     // suite + test counts come from ScalaTest's own accounting: instantiate
     // every compiled *Spec class (constructors are side-effect-free; Spark
     // is always behind a lazy val) and sum expectedTestCount
     import scala.jdk.CollectionConverters._
-    val classesDir = java.nio.file.Paths.get("target/scala-2.13/test-classes/graft")
+    // derive the version segment (e.g. "scala-2.13") instead of hardcoding
+    // it, so a Scala bump can't silently point this at a stale dir
+    val binaryVersion = scala.util.Properties.versionNumberString
+      .split('.').take(2).mkString(".")
+    val classesDir = java.nio.file.Paths.get(
+      s"target/scala-$binaryVersion/test-classes/graft")
     val listing = java.nio.file.Files.list(classesDir)
     val suiteClasses =
       try listing.iterator().asScala

@@ -40,7 +40,8 @@ class StreamingIntervalSpec extends AnyFunSuite {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000L)
+    val finished = q.awaitTermination(120000L)
+    assert(finished, "stream did not drain within 120s")
 
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getInt(2))
     val streamed = spark.sql("SELECT * FROM iv_out").collect().map(key)
