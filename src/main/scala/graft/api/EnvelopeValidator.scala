@@ -27,77 +27,37 @@ object EnvelopeValidator {
 
   type Check = JValue => Boolean
 
-  private val num: Check = {
-    case _: JLong | _: JInt | _: JDouble | _: JDecimal => true
-    case _ => false
-  }
   private val str: Check = { case JString(_) => true; case _ => false }
-  private def nullable(c: Check): Check = v => v == JNull || c(v)
-  private def oneOf(vals: String*): Check =
-    { case JString(s) => vals.contains(s); case _ => false }
-  private def arrayOf(c: Check): Check =
-    { case JArray(items) => items.forall(c); case _ => false }
-  private val any: Check = _ => true
 
-  /** z.object: required fields must be present and match; optional fields
-    * must match when present; unknown keys pass (zod strips, not rejects). */
-  private def obj(required: Seq[(String, Check)], optional: Seq[(String, Check)] = Nil): Check = {
-    case JObject(fields) =>
-      val m = fields.toMap
-      required.forall { case (k, c) => m.get(k).exists(c) } &&
-        optional.forall { case (k, c) => m.get(k).forall(c) }
-    case _ => false
+  /** The AST interpreter — semantics unchanged from the hand-rolled
+    * checks this replaced (round 10 moved the shapes into [[ApiSchema]]
+    * so the OpenAPI doc derives from the same table). */
+  private[api] def check(s: ApiSchema.S): Check = s match {
+    case ApiSchema.SNum => {
+      case _: JLong | _: JInt | _: JDouble | _: JDecimal => true
+      case _ => false
+    }
+    case ApiSchema.SStr => str
+    case ApiSchema.SBool => { case JBool(_) => true; case _ => false }
+    case ApiSchema.SNullable(inner) =>
+      v => v == JNull || check(inner)(v)
+    case ApiSchema.SEnum(vals) =>
+      { case JString(x) => vals.contains(x); case _ => false }
+    case ApiSchema.SArr(item) =>
+      { case JArray(items) => items.forall(check(item)); case _ => false }
+    case ApiSchema.SObj(required, optional) => {
+      case JObject(fields) =>
+        val m = fields.toMap
+        required.forall { case (k, c) => m.get(k).exists(check(c)) } &&
+          optional.forall { case (k, c) => m.get(k).forall(check(c)) }
+      case _ => false
+    }
+    case ApiSchema.SAny => _ => true
   }
 
-  private val statusEnum = oneOf("pending", "running", "completed", "failed")
-
-  /** The 5-column game row shared by /games and the search endpoints
-    * (games.get.ts:6-14). */
-  private def gameRow(extra: (String, Check)*): Check = obj(
-    Seq("universeId" -> num, "rootPlaceId" -> num, "name" -> str,
-      "description" -> nullable(str), "gameplayDescription" -> nullable(str))
-      ++ extra)
-
-  /** jobSchema (jobsList.get.ts:6-22 / job.get.ts:5-21). */
-  private val job: Check = obj(
-    required = Seq("id" -> str, "command" -> str, "status" -> statusEnum,
-      "created_at" -> str),
-    optional = Seq(
-      "progress" -> obj(Seq("current" -> num, "total" -> num),
-        Seq("message" -> str)),
-      "result" -> any,
-      "error" -> nullable(str),
-      "started_at" -> str,
-      "completed_at" -> str))
-
-  private val jobStats: Check = obj(Seq(
-    "pending" -> num, "running" -> num, "completed" -> num,
-    "failed" -> num, "total" -> num))
-
-  private val postResult: Check =
-    obj(Seq("jobId" -> str, "message" -> str, "status" -> statusEnum))
-
-  /** Endpoint path → data schema (the zod `responseSchema` per file). */
+  /** Endpoint path → data schema check, from [[ApiSchema.endpoints]]. */
   private[api] def dataSchemaFor(method: String, path: String): Option[Check] =
-    (method, path) match {
-      case ("GET", "/games") => Some(arrayOf(gameRow()))
-      case ("GET", "/search") => Some(arrayOf(gameRow(
-        "matchType" -> oneOf("title", "description", "gameplayDescription"),
-        "relevanceScore" -> num)))
-      case ("GET", "/vector-search") => Some(arrayOf(gameRow("similarity" -> num)))
-      case ("GET", p) if p.startsWith("/similar-search/") =>
-        Some(arrayOf(gameRow("similarity" -> num)))
-      case ("GET", "/stats") => Some(obj(Seq(
-        "totalGames" -> num, "gamesLackingIcons" -> num,
-        "gamesLackingThumbnails" -> num, "gamesLackingDescriptions" -> num,
-        "gamesLackingGameplayDescriptions" -> num,
-        "gamesLackingEmbeddings" -> num)))
-      case ("GET", "/jobs") => Some(obj(Seq(
-        "jobs" -> arrayOf(job), "stats" -> jobStats)))
-      case ("GET", p) if p.startsWith("/jobs/") => Some(job)
-      case ("POST", _) => Some(postResult)
-      case _ => None
-    }
+    ApiSchema.endpointFor(method, path).map(e => check(e.data))
 
   /** safeParse of a rendered envelope: true iff the payload matches the
     * endpoint's response schema (or is a well-formed failure envelope).

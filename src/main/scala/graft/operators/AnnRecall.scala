@@ -53,7 +53,18 @@ object AnnRecall {
   private final case class MethodInputs(
       spark: SparkSession, e: DataFrame,
       assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
-      dir: String, clustered: Boolean) {
+      dir: String, clustered: Boolean,
+      // Set by the ×K recall probe ONLY: build the graph structures fresh
+      // at this explicit planes dial, bypassing the IndexStore artifacts —
+      // a pinned-dial probe must never overwrite the production (sized)
+      // artifact under the same name, and probe corpora are throwaway.
+      planesOverride: Option[Int] = None,
+      // Also probe-only: search the graphs at a size-derived hop budget
+      // (Nsw.sizedHops) instead of the fixture-pinned one.
+      hopsOverride: Option[Int] = None,
+      hops1Override: Option[Int] = None) {
+    val hops: Int = hopsOverride.getOrElse(Nsw.Hops)
+    val hops1: Int = hops1Override.getOrElse(Nsw.HopsL1)
     val tag: String = if (clustered) s"$dir#clustered" else dir
     private val sfx = if (clustered) "-clustered" else ""
     lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] =
@@ -64,18 +75,37 @@ object AnnRecall {
       CacheRegistry.sharedObject(s"ivfadc-codebooks:$tag")(
         graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, s"ivfadc-codebooks$sfx")(
           Ivfadc.residualCodebooks(assigned, centroids)))
-    lazy val nswEdges: DataFrame =
-      CacheRegistry.sharedTracked(s"nsw-edges:$tag")(
+    lazy val nswEdges: DataFrame = planesOverride match {
+      case Some(p) => CacheRegistry.persistTracked(Nsw.edgesOn(e, p))
+      case None => CacheRegistry.sharedTracked(s"nsw-edges:$tag")(
         graft.tools.IndexStore.readOrBuild(spark, dir, s"nsw-edges$sfx")(Nsw.edgesOnSized(e)))
-    lazy val hnswL1Edges: DataFrame =
-      CacheRegistry.sharedTracked(s"hnsw-l1:$tag")(
+    }
+    lazy val hnswL1Edges: DataFrame = planesOverride match {
+      case Some(p) => CacheRegistry.persistTracked(
+        Nsw.edgesOn(e.filter(col("vec_id") % Nsw.SampleMod === 0), p, Nsw.SampleMod))
+      case None => CacheRegistry.sharedTracked(s"hnsw-l1:$tag")(
         graft.tools.IndexStore.readOrBuild(spark, dir, s"hnsw-l1$sfx")(
           Nsw.edgesOnSized(e.filter(col("vec_id") % Nsw.SampleMod === 0),
             Nsw.SampleMod)))
-    lazy val nndEdges: DataFrame =
-      CacheRegistry.sharedTracked(s"nnd-edges:$tag")(
+    }
+    lazy val cellEdges: DataFrame = planesOverride match {
+      // the cell build carries its OWN dial (per-cell occupancy), derived
+      // from the corpus either way; probe mode only skips the store
+      case Some(_) => CacheRegistry.persistTracked(
+        Nsw.edgesOnCellsSized(assigned, IvfKMeans.numCells))
+      case None => CacheRegistry.sharedTracked(s"nsw-cell-edges:$tag")(
+        graft.tools.IndexStore.readOrBuild(spark, dir, s"nsw-cell-edges$sfx")(
+          Nsw.edgesOnCellsSized(assigned, IvfKMeans.numCells)))
+    }
+    lazy val nndEdges: DataFrame = planesOverride match {
+      // NN-descent has no planes dial — the probe build is identical, it
+      // just must not touch the store (same reason as above)
+      case Some(_) => CacheRegistry.persistTracked(
+        Nsw.symmetrizeWithLongLinks(e, Nsw.nnDescentKnn(e), 1))
+      case None => CacheRegistry.sharedTracked(s"nnd-edges:$tag")(
         graft.tools.IndexStore.readOrBuild(spark, dir, s"nnd-edges$sfx")(
           Nsw.symmetrizeWithLongLinks(e, Nsw.nnDescentKnn(e), 1)))
+    }
   }
 
   /** One approximate ANN method under test: its display name, its Spark
@@ -102,9 +132,15 @@ object AnnRecall {
       in => Ivfpq.searchOn(in.e, in.assigned, in.centroids, in.pqCodebooks), "ipranked"),
     Method("ivfadc",
       in => Ivfadc.searchOn(in.e, in.assigned, in.centroids, in.residualCodebooks), "adranked"),
-    Method("nsw", in => Nsw.searchWithEdges(in.e, in.nswEdges), "nswranked"),
-    Method("hnsw", in => Nsw.hnswWithEdges(in.e, in.hnswL1Edges, in.nswEdges), "hnswranked"),
-    Method("nsw_nnd", in => Nsw.searchWithEdges(in.e, in.nndEdges), "ndranked"))
+    Method("nsw",
+      in => Nsw.searchWithEdgesDials(in.e, in.nswEdges, in.hops, Nsw.Beam), "nswranked"),
+    Method("hnsw",
+      in => Nsw.hnswWithEdges(in.e, in.hnswL1Edges, in.nswEdges, in.hops, in.hops1),
+      "hnswranked"),
+    Method("nsw_nnd",
+      in => Nsw.searchWithEdgesDials(in.e, in.nndEdges, in.hops, Nsw.Beam), "ndranked"),
+    Method("nsw_cell",
+      in => Nsw.searchWithEdgesDials(in.e, in.cellEdges, in.hops, Nsw.Beam), "nccranked"))
 
   private[graft] def methodNames: Seq[String] = MethodSpecs.map(_.name)
 
@@ -224,6 +260,87 @@ object AnnRecall {
       graft.tools.IndexStore.readOrBuildCentroids(spark, dir, "ivf-centroids-clustered")(
         IvfKMeans.trainCentroids(e)))
 
+  // ---------------------------------------------------------------------
+  // ×K scale probe (graft.tools.RecallScale) — NOT oracle-checked; the
+  // oracle-checked recall queries stay ann_recall/_clustered at fixture
+  // size. Round-9 verdict #1: the size-derived planes dial (Nsw.sizedPlanes)
+  // holds build COST flat as N grows, but more planes ⇒ fewer collisions ⇒
+  // sparser candidate pools — recall at scale was asserted, not measured.
+  // This probe measures it: mean recall@3 of the graph/IVF/LSH paths over
+  // an arbitrary corpus with the graph builds at an EXPLICIT planes dial.
+  // ---------------------------------------------------------------------
+
+  /** The paths the ×K probe measures (verdict list: nsw/hnsw/nnd/ivf/lsh).
+    * The PQ family is excluded: its dial is the codebook, not planes, and
+    * its codebook training paths are welded to the IndexStore artifacts. */
+  private val ProbeMethodNames = Seq("ivf_kmeans", "ivf_nprobe",
+    "lsh", "lsh_multiprobe", "lsh_multitable", "nsw", "hnsw", "nsw_nnd",
+    "nsw_cell")
+
+  /** (fixture-pinned planes, size-derived planes for an N-vector corpus)
+    * — exposed for the tools runner, which cannot see the operators'
+    * private dials. */
+  private[graft] def probeDials(n: Long): (Int, Int) =
+    (Similarity.TablePlanes, Nsw.sizedPlanes(n))
+
+  private[graft] def probeCorpus(spark: SparkSession, dir: String): DataFrame =
+    Nsw.vectors(spark, dir)
+
+  /** Every search path hardwires query ids 0..4, and the whole harness is
+    * deterministic — identical inputs give identical recall, so only
+    * DISTINCT query sets add measurement resolution. Round `r` swaps id
+    * block [5r, 5r+5) with [0, 5): a bijection that promotes five fresh
+    * corpus vectors to query (and graph-entry) ids. r=0 is the identity. */
+  private def probeSwap(id: org.apache.spark.sql.Column, r: Int)
+      : org.apache.spark.sql.Column = {
+    val lo = 5L * r
+    when(id < 5, id + lit(lo))
+      .when(id >= lo && id < lo + 5, id - lit(lo))
+      .otherwise(id)
+  }
+
+  /** Mean recall@3 per probe method: `rounds` independent 5-query sets
+    * (15·rounds truth slots — resolution ≈0.022 at rounds=3), graph builds
+    * at the explicit `planes` dial, ground truth by brute force on the
+    * same corpus (the `ann_recall` protocol). Each round rebuilds the
+    * graphs — queries double as NSW entry points, so the query swap
+    * changes the build too; that is measurement, not waste. */
+  private[graft] def recallProbeMeans(
+      spark: SparkSession, e: DataFrame, planes: Int, rounds: Int,
+      sizedSearch: Boolean = false): Map[String, Double] = {
+    val methods = MethodSpecs.filter(m => ProbeMethodNames.contains(m.name))
+    val n = e.count()
+    val perRound = (0 until rounds).map { r =>
+      val er = CacheRegistry.persistTracked(
+        e.withColumn("vec_id", probeSwap(col("vec_id"), r)))
+      val centroids = IvfKMeans.trainCentroids(er)
+      val assigned = CacheRegistry.persistTracked(IvfKMeans.assign(er, centroids))
+      val in = MethodInputs(spark, er, assigned, centroids, dir = s"probe-r$r",
+        clustered = false, planesOverride = Some(planes),
+        hopsOverride = if (sizedSearch) Some(Nsw.sizedHops(n)) else None,
+        hops1Override = if (sizedSearch) Some(Nsw.sizedHops(n / Nsw.SampleMod)) else None)
+      // force the graph builds eagerly, timed per structure: the build
+      // wall is the dial's COST side (pinned vs sized should split hard at
+      // ×10 — that split is also the probe's proof the override is live)
+      def timed(label: String, df: => DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"RECALLBUILD planes=$planes%-3d round=$r $label%-8s " +
+          f"${(System.nanoTime() - t0) / 1e9}%7.1f s  $n%9d edges")
+      }
+      timed("nsw", in.nswEdges)
+      timed("hnsw_l1", in.hnswL1Edges)
+      timed("nnd", in.nndEdges)
+      timed("nsw_cell", in.cellEdges)
+      val rows = recallFrame(in, methods, Similarity.annBruteForceKOn(er, K))
+        .groupBy(col("method")).agg(avg(col("recall")).as("mean_recall"))
+        .collect().map(row => row.getString(0) -> row.getDouble(1)).toMap
+      CacheRegistry.release(blocking = true)
+      rows
+    }
+    methods.map(_.name).map(n => n -> perRound.map(_(n)).sum / rounds).toMap
+  }
+
   def annRecallClustered(spark: SparkSession, dir: String): DataFrame = {
     val e = clusteredCorpus(spark, dir)
     val centroids = clusteredCentroids(spark, dir, e)
@@ -320,6 +437,8 @@ object AnnRecall {
       blocks += Similarity.multitableBucketsSql("e", "mtb")
     if (needs("nsw", "hnsw"))
       blocks += Nsw.searchCtes("mtb")
+    if (needs("nsw_cell"))
+      blocks += Nsw.cellSearchCtes
     if (needs("hnsw"))
       blocks += Nsw.hnswCtes("mtb", "nwedges")
     if (needs("nsw_nnd"))

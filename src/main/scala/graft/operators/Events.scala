@@ -317,11 +317,14 @@ object Events {
     * Unlike `ev_interval_join` (no equi-key ⇒ banding required), the
     * user_id equi-key makes this a plain HASH JOIN with a residual time
     * filter — one shuffle of each side keyed by user, per-user fan-out
-    * bounded by rate × window. Hot users at 100 TB get the salting
-    * treatment `dedup_salted_skew` demonstrates; the streaming form keeps
-    * state bounded by the same window via watermarks. LEFT semantics keep
-    * zero-view purchases (`n_views = 0`, NULL lag — coalesced to -1 so the
-    * lag column stays non-null BIGINT in both engines). */
+    * bounded by rate × window. Hot users get [[attributionSalted]] —
+    * MEASURED on a skewed ×10 replay (one user owning 10 % of all views;
+    * SfScale `ev_attribution_skew` block, SCALING.md "attribution under
+    * skew" table) rather than argued by analogy to `dedup_salted_skew`.
+    * The streaming form keeps state bounded by the same window via
+    * watermarks. LEFT semantics keep zero-view purchases (`n_views = 0`,
+    * NULL lag — coalesced to -1 so the lag column stays non-null BIGINT
+    * in both engines). */
   def attribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val p = ev.filter(col("event_type") === "purchase")
@@ -330,6 +333,44 @@ object Events {
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
     p.join(v,
         col("user_id") === col("v_user") &&
+          col("v_ts") <= col("p_ts") &&
+          col("v_ts") >= col("p_ts") - expr(s"INTERVAL $AttribWindowHours HOURS"),
+        "left")
+      .groupBy(col("p_id"), col("user_id"), col("p_ts"))
+      .agg(count(col("v_ts")).as("n_views"), max(col("v_ts")).as("last_v"))
+      .select(col("p_id"), col("user_id"), col("n_views"),
+        coalesce(
+          expr("(unix_millis(p_ts) - unix_millis(last_v)) div 1000"),
+          lit(-1L)).as("last_view_lag_s"))
+      .orderBy(col("p_id"))
+  }
+
+  private[graft] val AttribSalts = 8
+
+  /** [[attribution]] with the VIEW side salted [[AttribSalts]] ways — the
+    * opt-in plan for hot-user skew: each view gets a deterministic salt
+    * from its timestamp hash, each purchase replicates to every salt, and
+    * the join key becomes (user_id, salt), so a user owning 10 % of all
+    * views splits across [[AttribSalts]] tasks instead of pinning one.
+    * The per-purchase aggregate then collapses the replication: every view
+    * of a purchase lands under exactly one of its salt copies, and a
+    * zero-view purchase contributes [[AttribSalts]] all-NULL rows that
+    * `count(v_ts)` ignores — so the result is EXACTLY [[attribution]]'s
+    * for ANY salt count, which is why the oracle is the SAME SQL. Cost:
+    * a ×salts blow-up of the (small) purchase side — pay it when key
+    * statistics say skew, not by default. Measured against stock AQE
+    * skew-join on the skewed ×10 replay: SCALING.md "attribution under
+    * skew". */
+  def attributionSalted(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+      .withColumn("p_salt", explode(sequence(lit(0), lit(AttribSalts - 1))))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withColumn("v_salt", pmod(hash(col("v_ts")), lit(AttribSalts)))
+    p.join(v,
+        col("user_id") === col("v_user") && col("p_salt") === col("v_salt") &&
           col("v_ts") <= col("p_ts") &&
           col("v_ts") >= col("p_ts") - expr(s"INTERVAL $AttribWindowHours HOURS"),
         "left")
@@ -363,6 +404,7 @@ object Events {
     "st_sessionize" -> sessionize,
     "ev_interval_join" -> intervalJoin,
     "ev_attribution" -> attribution,
+    "ev_attribution_salted" -> attributionSalted,
     "f16_json_extract" -> jsonExtract,
     "t_rolling_avg" -> rollingAvg,
     "a3_job_stats" -> jobStats
@@ -373,6 +415,8 @@ object Events {
     "st_sessionize" -> sessionizeSql,
     "ev_interval_join" -> intervalJoinSql,
     "ev_attribution" -> attributionSql,
+    // salted ≡ unsalted is the exactness claim, so the oracle IS the same SQL
+    "ev_attribution_salted" -> attributionSql,
     "f16_json_extract" -> jsonExtractSql,
     "t_rolling_avg" -> rollingAvgSql,
     "a3_job_stats" -> jobStatsSql

@@ -71,6 +71,18 @@ object IndexBuild {
     edgeSummary(CacheRegistry.primeShared(s"hnsw-l1:$dir", edges))
   }
 
+  /** Cell-local graph build (round-9 verdict #4): k-NN candidates from
+    * (IVF cell × LSH bucket) with half the hash tables — the trained
+    * splitter holds neighbor quality while the table count halves the
+    * dominant big-corpus costs. Shares the coarse quantizer with
+    * `index_build_ivf` through the store. */
+  def buildNswCell(spark: SparkSession, dir: String): DataFrame = {
+    val (_, assigned, _) = IvfKMeans.trained(spark, dir)
+    val edges = IndexStore.rebuild(spark, dir, "nsw-cell-edges")(
+      Nsw.edgesOnCellsSized(assigned, IvfKMeans.numCells))
+    edgeSummary(CacheRegistry.primeShared(s"nsw-cell-edges:$dir", edges))
+  }
+
   def buildNnd(spark: SparkSession, dir: String): DataFrame = {
     val e = Nsw.vectors(spark, dir)
     val edges = IndexStore.rebuild(spark, dir, "nnd-edges")(
@@ -198,6 +210,7 @@ object IndexBuild {
     * would silently absorb the build). */
   val artifactNames: Map[String, Seq[String]] = Map(
     "index_build_nsw" -> Seq("nsw-edges"),
+    "index_build_nsw_cell" -> Seq("nsw-cell-edges"),
     "index_build_hnsw_l1" -> Seq("hnsw-l1"),
     "index_build_nnd" -> Seq("nnd-edges"),
     "index_build_ivf" -> Seq("ivf-centroids"),
@@ -212,6 +225,7 @@ object IndexBuild {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "index_build_nsw" -> buildNsw,
+    "index_build_nsw_cell" -> buildNswCell,
     "index_build_hnsw_l1" -> buildHnswL1,
     "index_build_nnd" -> buildNnd,
     "index_build_ivf" -> buildIvf,
@@ -224,6 +238,7 @@ object IndexBuild {
 
   val oracles: Map[String, String] = Map(
     "index_build_nsw" -> Nsw.nswBuildSql,
+    "index_build_nsw_cell" -> Nsw.nswCellBuildSql,
     "index_build_hnsw_l1" -> Nsw.hnswL1BuildSql,
     "index_build_nnd" -> Nsw.nndBuildSql,
     "index_build_ivf" -> ivfBuildSql,

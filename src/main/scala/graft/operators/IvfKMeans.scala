@@ -35,6 +35,10 @@ import graft.functions.OracleParity.pround
 object IvfKMeans {
 
   private val K = 8
+
+  /** Cell count, for operators that partition work by the coarse
+    * quantizer (the cell-local graph build). */
+  private[operators] def numCells: Int = K
   private[operators] val Dim = 64
   private val Iterations = 2
 

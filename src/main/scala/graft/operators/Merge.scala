@@ -119,13 +119,169 @@ object Merge {
        |FROM existing e FULL OUTER JOIN fresh f ON e.universeId = f.universeId
        |ORDER BY universeId""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // Incremental merge at lake shape (round-9 verdict #5). The full-outer
+  // merges above produce a complete snapshot — correct, but at 100 TB an
+  // upsert of a few thousand fresh rows must not rewrite the table.
+  // ---------------------------------------------------------------------
+
+  /** Per-round accounting of [[upsertIncrementalRounds]] — the evidence
+    * for "rewritten bytes ∝ touched buckets, not table size". */
+  final case class IncRoundStats(
+      round: Int, touchedBuckets: Int, totalBuckets: Int,
+      rewrittenBytes: Long, tableBytes: Long)
+
+  /** Incremental merge-upsert over a bucket-partitioned parquet table:
+    * the snapshot lives at `tablePath` partitioned by `bucket = key mod
+    * buckets` (a stable, data-independent layout), and each merge round
+    *
+    *   1. computes the fresh batch's touched buckets (≤ batch size, and
+    *      ≤ `buckets` — a tiny driver list),
+    *   2. reads ONLY those partitions back (Catalyst prunes the scan to
+    *      the touched `bucket=` dirs — verified via PlanSpec),
+    *   3. applies the same per-column [[mergeUpsert]] policy within them,
+    *   4. stages the merged buckets and swaps them in with per-bucket
+    *      renames — the miniature of a lake-format commit: new files
+    *      written beside the table, then an O(touched) metadata swap,
+    *      never a table rewrite. (On Delta/Iceberg this whole method is
+    *      `MERGE` + their transactional commit; the bucket layout is
+    *      what makes the hand-rolled swap safe: merge is key-local, so
+    *      untouched buckets are byte-identical by construction.)
+    *
+    * Scale: rewritten bytes per round ≈ touched/total × table bytes.
+    * Bucket count is the dial — size it so one bucket's merge fits an
+    * executor (buckets ≈ tableBytes / 1 GiB); at 100 TB a 10⁵-bucket
+    * table absorbs a 10³-key batch by rewriting ≤10³ buckets ≈ 1 % of
+    * the data. Stats are returned (and printed as MERGEINC lines by the
+    * SfScale replay) rather than asserted, so SCALING.md rows are
+    * measurements. */
+  def upsertIncrementalRounds(
+      spark: SparkSession, tablePath: String,
+      initial: DataFrame, freshRounds: Seq[DataFrame], key: String,
+      overwriteCols: Seq[String], coalesceCols: Seq[String], keepCols: Seq[String],
+      buckets: Int): Seq[IncRoundStats] = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(hc)
+    // int, matching the type partition-discovery infers for `bucket=` dirs
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket", pmod(col(key), lit(buckets)).cast("int"))
+    def dirBytes(p: org.apache.hadoop.fs.Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map(st =>
+        if (st.isDirectory) dirBytes(st.getPath) else st.getLen).sum
+    fs.delete(table, true)
+    withBucket(initial).write.partitionBy("bucket").parquet(tablePath)
+    freshRounds.zipWithIndex.map { case (fresh0, i) =>
+      val fresh = withBucket(fresh0)
+      val touched = fresh.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val existingTouched = spark.read.parquet(tablePath)
+        .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+        .drop("bucket")
+      val merged = withBucket(mergeUpsert(
+        existingTouched, fresh.drop("bucket"), key,
+        overwriteCols, coalesceCols, keepCols))
+      val stage = new org.apache.hadoop.fs.Path(s"$tablePath.stage-r$i")
+      fs.delete(stage, true)
+      merged.write.partitionBy("bucket").parquet(stage.toString)
+      val rewritten = touched.map { b =>
+        val src = new org.apache.hadoop.fs.Path(stage, s"bucket=$b")
+        val dst = new org.apache.hadoop.fs.Path(table, s"bucket=$b")
+        val bytes = dirBytes(src)
+        fs.delete(dst, true)
+        fs.rename(src, dst)
+        bytes
+      }.sum
+      fs.delete(stage, true)
+      IncRoundStats(i + 1, touched.length, buckets, rewritten, dirBytes(table))
+    }
+  }
+
+  private val IncBuckets = 16
+  private val IncRounds = 3
+
+  /** Round-r fresh batch: a SMALL sparse key slice (`key % 97 == r`, ~1 %
+    * of the table) — the lake-shape regime, where the batch touches few
+    * buckets. Carries the round number into every overwritten/coalesced
+    * column so the final table proves ordering (later rounds win) and
+    * policy (KEEP columns survive from the initial snapshot). */
+  private def freshRound(spark: SparkSession, dir: String, r: Int): DataFrame =
+    Tables.games(spark, dir).filter(col("universeId") % 97 === r)
+      .select(
+        col("universeId"),
+        (col("universeId") + lit(1000000L) * r).as("rootPlaceId"),
+        concat(col("name"), lit(s" r$r")).as("name"),
+        when(col("universeId") % 2 === 0,
+          concat(lit(s"refresh$r "), col("universeId").cast("string"))).as("description"),
+        (col("universeId") % 100 + r).as("playerCount"))
+
+  private def freshRoundSql(r: Int): String =
+    s"""f$r AS (SELECT universeId,
+       |          universeId + ${1000000L * r} AS rootPlaceId,
+       |          name || ' r$r' AS name,
+       |          CASE WHEN universeId % 2 = 0
+       |               THEN 'refresh$r ' || CAST(universeId AS VARCHAR) END AS description,
+       |          universeId % 100 + $r AS playerCount
+       |        FROM games WHERE universeId % 97 = $r)""".stripMargin
+
+  /** `j1_merge_incremental`: THE gate for the incremental path — run
+    * [[IncRounds]] small merge rounds through the bucket-partitioned
+    * on-disk table (writes + per-bucket swaps included), read the final
+    * table back, and hash-compare it against the oracle's [[IncRounds]]
+    * UNROLLED full-outer merges over the whole snapshot. Incremental ≡
+    * full is exactly the claim: merge is key-local and the bucket
+    * function is on the key, so a global full-outer merge restricted to
+    * untouched buckets is the identity. Policy = the variants mix
+    * (overwrite + coalesce + keep), so per-column policy survival is part
+    * of the same hash. */
+  def mergeIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir).getName
+    val tablePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-merge-inc/$base/games"
+    val stats = upsertIncrementalRounds(
+      spark, tablePath,
+      existingSnapshot(spark, dir),
+      (1 to IncRounds).map(freshRound(spark, dir, _)), "universeId",
+      overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+      coalesceCols = Seq("description"),
+      keepCols = Seq("gameplayDescription"),
+      buckets = IncBuckets)
+    stats.foreach(s => println(
+      s"MERGEINC round=${s.round} touched=${s.touchedBuckets}/${s.totalBuckets} " +
+        s"rewritten_bytes=${s.rewrittenBytes} table_bytes=${s.tableBytes}"))
+    spark.read.parquet(tablePath)
+      .select(col("universeId"), col("rootPlaceId"), col("name"),
+        col("description"), col("gameplayDescription"), col("playerCount"))
+      .orderBy(col("universeId"))
+  }
+
+  val mergeIncrementalSql: String = OracleViews.withGames(
+    s""", existing AS (SELECT universeId, rootPlaceId, name, description,
+       |                      gameplayDescription, playerCount
+       |               FROM games WHERE universeId % 3 <> 1),
+       |${(1 to IncRounds).map(freshRoundSql).mkString(",\n")},
+       |${(1 to IncRounds).map { r =>
+           val prev = if (r == 1) "existing" else s"m${r - 1}"
+           s"""m$r AS (SELECT coalesce(e.universeId, f.universeId) AS universeId,
+              |  CASE WHEN f.universeId IS NOT NULL THEN f.rootPlaceId ELSE e.rootPlaceId END AS rootPlaceId,
+              |  CASE WHEN f.universeId IS NOT NULL THEN f.name ELSE e.name END AS name,
+              |  coalesce(f.description, e.description) AS description,
+              |  e.gameplayDescription AS gameplayDescription,
+              |  CASE WHEN f.universeId IS NOT NULL THEN f.playerCount ELSE e.playerCount END AS playerCount
+              |FROM $prev e FULL OUTER JOIN f$r f ON e.universeId = f.universeId)""".stripMargin
+         }.mkString(",\n")}
+       |SELECT * FROM m$IncRounds ORDER BY universeId""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_merge_upsert" -> mergeBase,
-    "j1bc_merge_variants" -> mergeVariants
+    "j1bc_merge_variants" -> mergeVariants,
+    "j1_merge_incremental" -> mergeIncremental
   )
 
   val oracles: Map[String, String] = Map(
     "j1_merge_upsert" -> mergeBaseSql,
-    "j1bc_merge_variants" -> mergeVariantsSql
+    "j1bc_merge_variants" -> mergeVariantsSql,
+    "j1_merge_incremental" -> mergeIncrementalSql
   )
 }

@@ -53,6 +53,22 @@ object Nsw {
   private[graft] val Entries = 4
   private val K = 3
 
+  /** Size-derived SEARCH hop budget — the serving-side twin of
+    * [[sizedPlanes]]. Path length in a navigable small world grows with
+    * log N, but the pinned [[Hops]] = 3 was tuned on ≤2000-vector
+    * fixtures: at ×10 the fixed-dial beam still visits only
+    * Entries + Hops·Beam·Degree ≈ 165 nodes — sub-1 % of the corpus —
+    * and the ×10 recall probe measured the damage (nsw 0.16 → 0.02,
+    * BOTH build dials; SCALING.md "recall at ×10", which also carries
+    * the measured recovery under this dial). Cost stays
+    * O(hops·beam·degree) per query — log-growing, never corpus-growing.
+    * Lands exactly
+    * on the pinned dial at every oracle fixture size (N ≤ 2000 → 3), so
+    * the hash-checked queries replay unchanged. */
+  private[graft] def sizedHops(n: Long): Int =
+    math.max(Hops,
+      math.ceil(math.log(math.max(n, 1L).toDouble / 250.0) / math.log(2.0)).toInt)
+
   /** Corpus vectors, cached per dir: beamLoop scans this frame once per
     * hop (seeds + Hops score jobs per search, twice that for the
     * hierarchy), so re-reading parquet + re-casting each time would be
@@ -136,6 +152,14 @@ object Nsw {
     val tb = graft.functions.VectorFunctions.hyperplaneBucketsT(
       col("v"), Similarity.TableMults, planes)
     val b = e.select(col("vec_id"), col("v"), posexplode(tb).as(Seq("t", "bucket")))
+    topDegreeFromBuckets(b, Similarity.TableMults.length)
+  }
+
+  /** The shared score-rank-dedup tail of every LSH-blocked k-NN build:
+    * bucketed relation `b(vec_id, v, t, bucket)` → top-[[Degree]] directed
+    * k-NN. `tables` bounds per-pair duplication (a pair co-buckets in at
+    * most that many tables), which sizes the pre-distinct cut. */
+  private def topDegreeFromBuckets(b: DataFrame, tables: Int): DataFrame = {
     // score DURING the bucket join (vectors ride the corpus-side exchange,
     // L rows per vector), then immediately drop to (src, dst, cos) — every
     // downstream shuffle carries ids + one scalar only
@@ -154,13 +178,66 @@ object Nsw {
     // provably equivalent to the oracle's distinct-then-rank.
     val w = Window.partitionBy(col("src")).orderBy(desc("cos"), col("dst"))
     scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= Degree * Similarity.TableMults.length)
+      .filter(col("rn") <= Degree * tables)
       .select(col("src"), col("dst"), col("cos"))
       .distinct()
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Degree)
       .select(col("src"), col("dst"))
   }
+
+  // ------------------------------------------------- cell-local build
+  //
+  // Round-9 verdict #4: the ×100 stored build is honest but big (370 s at
+  // 200k vectors). The corpus already carries a trained structure — the
+  // IVF coarse quantizer — so let the k-NN candidates come from
+  // (k-means cell × LSH bucket) instead of LSH bucket alone: the cell is
+  // a TRAINED splitter (cluster-pure buckets carry no cross-cluster
+  // noise pairs), which holds neighbor quality with HALF the hash tables
+  // — and the table count multiplies both the bucketed-corpus exchange
+  // and the candidate volume, the two terms that dominate the big-corpus
+  // wall. Cross-cell connectivity comes from the same long-link overlay
+  // every build gets ([[symmetrizeWithLongLinks]]).
+
+  /** Tables dial for the cell-local build: 2 of the 4 plane families
+    * (see above — the ×10/×100 walls and the recall probe are the
+    * evidence this trade holds; SCALING.md "cell-local build"). */
+  private[graft] val CellTableMults: Seq[Int] = Similarity.TableMults.take(2)
+
+  /** Planes dial within a cell: the [[PlanesTargetOccupancy]] target over
+    * the PER-CELL population. Lands exactly on [[Similarity.TablePlanes]]
+    * at every oracle fixture (≤2000 vectors / 8 cells → 4), keeping the
+    * DuckDB mirror's unrolled plane count correct. */
+  private[graft] def sizedCellPlanes(n: Long, cells: Int): Int =
+    sizedPlanes(math.max(1L, n / math.max(1, cells)))
+
+  /** CELL-LOCAL k-NN: candidate pairs restricted to (coarse cell × LSH
+    * bucket). The cell id is folded into a COMPOSITE bucket
+    * `cluster · 2^planes + bucket`, so the pair join keeps the exact
+    * shape (and codegen kernels) of [[knnEdgesOn]]'s. */
+  private[graft] def knnEdgesOnCells(assigned: DataFrame, planes: Int): DataFrame = {
+    val tb = graft.functions.VectorFunctions.hyperplaneBucketsT(
+      col("v"), CellTableMults, planes)
+    val b = assigned
+      .select(col("vec_id"), col("v"), col("cluster"),
+        posexplode(tb).as(Seq("t", "bucket")))
+      .select(col("vec_id"), col("v"), col("t"),
+        (col("cluster").cast("long") * (1L << planes) + col("bucket")).as("bucket"))
+    topDegreeFromBuckets(b, CellTableMults.length)
+  }
+
+  /** The full cell-local graph: cell-restricted k-NN + the standard
+    * symmetrize/long-link finishing — the `index_build_nsw_cell` payload.
+    * `assigned` = `(vec_id, v, cluster)` from the shared IVF quantizer. */
+  private[graft] def edgesOnCells(
+      assigned: DataFrame, planes: Int, idStep: Int = 1): DataFrame =
+    symmetrizeWithLongLinks(assigned.select(col("vec_id"), col("v")),
+      knnEdgesOnCells(assigned, planes), idStep)
+
+  /** [[edgesOnCells]] at the per-cell size-derived dial. */
+  private[graft] def edgesOnCellsSized(
+      assigned: DataFrame, cells: Int, idStep: Int = 1): DataFrame =
+    edgesOnCells(assigned, sizedCellPlanes(assigned.count(), cells), idStep)
 
   /** Affine-formula links `src → (src/idStep · mult + off) mod N · idStep`
     * for each (mult, off) — the deterministic stand-in for randomness both
@@ -243,7 +320,14 @@ object Nsw {
     * [[bulkSearchWithEdges]] (`ann_nsw_bulk`) wins, and is the shape to
     * reach for whenever Q is corpus-sized rather than request-sized.
     */
-  private[graft] def searchWithEdges(e: DataFrame, edges: DataFrame): DataFrame = {
+  private[graft] def searchWithEdges(e: DataFrame, edges: DataFrame): DataFrame =
+    searchWithEdgesDials(e, edges, Hops, Beam)
+
+  /** [[searchWithEdges]] at explicit search dials — the serving path for
+    * grown corpora, where [[sizedHops]] replaces the fixture-pinned hop
+    * budget (the ×10 recall probe is the measurement consumer). */
+  private[graft] def searchWithEdgesDials(
+      e: DataFrame, edges: DataFrame, hops: Int, beam: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val q = queryFrame(e)
@@ -251,7 +335,7 @@ object Nsw {
     val qIds = q.select(col("query_id")).as[Long].collect().sorted.toSeq
     val entryIds = qIds.filter(_ < Entries)
     val seeds = for (qid <- qIds; ent <- entryIds if ent != qid) yield (qid, ent)
-    rankTopK(spark, beamLoop(e, q, edges, seeds, Hops, Beam))
+    rankTopK(spark, beamLoop(e, q, edges, seeds, hops, beam))
   }
 
   private def queryFrame(e: DataFrame): DataFrame =
@@ -646,7 +730,8 @@ object Nsw {
     * serve path of [[graft.streaming.StreamingNswIndex]]'s maintained
     * hierarchy and the recall harness's hnsw row. */
   private[graft] def hnswWithEdges(
-      e: DataFrame, edges1: DataFrame, edges0: DataFrame): DataFrame = {
+      e: DataFrame, edges1: DataFrame, edges0: DataFrame,
+      hops0: Int = Hops, hops1: Int = HopsL1): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val e1 = e.filter(col("vec_id") % SampleMod === 0)
@@ -656,9 +741,9 @@ object Nsw {
     val entry1 = e1.filter(col("vec_id") < Entries * SampleMod)
       .select(col("vec_id")).as[Long].collect().sorted.toSeq
     val seeds1 = for (qid <- qIds; ent <- entry1 if ent != qid) yield (qid, ent)
-    val visited1 = beamLoop(e, q, edges1, seeds1, HopsL1, BeamL1)
+    val visited1 = beamLoop(e, q, edges1, seeds1, hops1, BeamL1)
     val seeds0 = topByQuery(visited1, Entries).map { case (qid, nid, _) => (qid, nid) }
-    rankTopK(spark, beamLoop(e, q, edges0, seeds0, Hops, Beam))
+    rankTopK(spark, beamLoop(e, q, edges0, seeds0, hops0, Beam))
   }
 
   def hnswSearch(spark: SparkSession, dir: String): DataFrame =
@@ -845,6 +930,31 @@ object Nsw {
     s"""${graphCtes("nw", "e", bRel)},
        |${entrySearchCtes("nw", "nwedges", "nswranked")}""".stripMargin
 
+  /** CTE block (no WITH): the composite (cell × bucket) relation the
+    * cell-local build blocks on — `cluster · 2^planes + bucket`, one arm
+    * per [[CellTableMults]] family. Assumes `aRel(vec_id, v, cluster)`
+    * (the k-means assignment) in scope. */
+  private def cellBucketsSql(aRel: String, bName: String, planes: Int): String = {
+    val parts = CellTableMults.zipWithIndex.map { case (m, t) =>
+      s"""SELECT vec_id, $t AS t,
+         |         cluster * ${1L << planes} + ${graft.functions.VectorFunctions.hyperplaneBucketTSql("v", m, planes)} AS bucket
+         |      FROM $aRel""".stripMargin
+    }.mkString("\n      UNION ALL\n      ")
+    s"$bName AS ($parts)"
+  }
+
+  /** CTE block (no WITH): cell-local graph build → `ncedges`. Assumes `e`
+    * and `afinal(vec_id, v, cluster)` in scope ([[IvfKMeans.trainingSql]]). */
+  private[operators] def cellGraphCtes: String =
+    s"""${cellBucketsSql("afinal", "ncb", Similarity.TablePlanes)},
+       |${graphCtes("nc", "e", "ncb")}""".stripMargin
+
+  /** [[cellGraphCtes]] + beam search → `nccranked` (the recall harness's
+    * nsw_cell row). */
+  private[operators] def cellSearchCtes: String =
+    s"""$cellGraphCtes,
+       |${entrySearchCtes("ncs", "ncedges", "nccranked")}""".stripMargin
+
   /** CTE block (no WITH): NN-descent graph build (`ng`-prefixed) + beam
     * (`nd`-prefixed) → `ndranked`. Assumes only `e(vec_id, v)` in scope —
     * no LSH buckets anywhere in this path. */
@@ -968,6 +1078,12 @@ object Nsw {
   val nndBuildSql: String = edgeSummarySql(
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |${nnDescentGraphCtes("ng", "e")}""".stripMargin, "ngedges")
+
+  /** `index_build_nsw_cell`'s mirror: the FULL k-means training replay
+    * (afinal), then the cell-blocked build. */
+  val nswCellBuildSql: String = edgeSummarySql(
+    s"""${IvfKMeans.trainingSql},
+       |$cellGraphCtes""".stripMargin, "ncedges")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_search" -> nswSearch,

@@ -1,0 +1,80 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.AnnRecall
+
+/** Measured answer to "does the size-derived planes dial erode recall?"
+  * (round-9 verdict #1). `Nsw.sizedPlanes` holds graph-build COST roughly
+  * flat as the corpus grows (SCALING.md: ×10 build ratio 20.0 → 5.0) by
+  * adding hyperplanes — but more planes ⇒ fewer bucket collisions ⇒
+  * sparser candidate pools per node, which could quietly trade recall for
+  * the cost win. SCALING.md's recall tables were fixture-size only, so
+  * the tradeoff was asserted, not measured.
+  *
+  * `runMain graft.tools.RecallScale [factor] [outDir]` (default 10; base
+  * from SPARK_GRAFT_SF_DIR, default sf0.1): builds or reuses the SfScale
+  * ×K embeddings replica, then prints mean recall@3 per ANN path for
+  *
+  *   - the base fixture at the pinned dial (where sized == pinned by
+  *     construction — the oracle-fixture anchor),
+  *   - the ×K corpus at the fixture-pinned dial (the cost-blind control),
+  *   - the ×K corpus at the production sized dial (the measurement).
+  *
+  * SPARK_GRAFT_RECALL_ROUNDS (default 3) controls how many disjoint
+  * 5-query sets are averaged — see [[AnnRecall.recallProbeMeans]].
+  * Results land in SCALING.md's "recall at ×10" table.
+  */
+object RecallScale {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.flatMap(_.toIntOption).getOrElse(10)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse(s"target/sfscale_x$factor")
+    val rounds = sys.env.get("SPARK_GRAFT_RECALL_ROUNDS")
+      .flatMap(_.toIntOption).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // reuse an existing SfScale replica (identical derivation), else build
+    val marker = new Path(s"$out/embeddings.parquet/_SUCCESS")
+    if (!marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker))
+      SfScale.writeScaledEmbeddings(spark, base, out, factor, cpus.toInt)
+
+    val eBase = AnnRecall.probeCorpus(spark, base)
+    val eX = AnnRecall.probeCorpus(spark, out)
+    val (pinned, sized) = AnnRecall.probeDials(eX.count())
+
+    def report(label: String, e: org.apache.spark.sql.DataFrame, planes: Int,
+        sizedSearch: Boolean = false): Map[String, Double] = {
+      val t0 = System.nanoTime()
+      val means = AnnRecall.recallProbeMeans(spark, e, planes, rounds, sizedSearch)
+      val wall = (System.nanoTime() - t0) / 1e9
+      means.toSeq.sortBy(_._1).foreach { case (m, r) =>
+        println(f"RECALL $label%-16s planes=$planes%-3d $m%-16s $r%6.4f")
+      }
+      println(f"RECALL $label%-16s planes=$planes%-3d (wall $wall%.1f s, rounds=$rounds)")
+      means
+    }
+
+    val b = report("base", eBase, pinned) // sized == pinned at fixture size
+    val xp = report(s"x$factor/pinned", eX, pinned)
+    val xs = report(s"x$factor/sized", eX, sized)
+    // the probe's finding: the BUILD dial doesn't move recall, the fixed
+    // SEARCH dials do — measure the sizedHops serving dial on the sized build
+    val xh = report(s"x$factor/sizedhops", eX, sized, sizedSearch = true)
+    xs.keys.toSeq.sorted.foreach { m =>
+      println(f"RECALLDELTA $m%-16s base=${b(m)}%6.4f x${factor}_pinned=${xp(m)}%6.4f " +
+        f"x${factor}_sized=${xs(m)}%6.4f x${factor}_sizedhops=${xh(m)}%6.4f " +
+        f"sized_minus_pinned=${xs(m) - xp(m)}%+7.4f hops_gain=${xh(m) - xs(m)}%+7.4f")
+    }
+    spark.stop()
+  }
+}

@@ -43,16 +43,8 @@ object SfScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // Replica ids offset by max(id)+1, NOT a fixed huge constant: the NSW
-    // long links are generated on the id lattice, and a sparse id space
-    // (ids clustered at k·10^7) would silently drop most of them — the
-    // scaled graph would not be the structure the base measurement ran on.
-    // With dense base ids (embeddings are 0..N-1) this keeps replicas dense.
-    def replicated(df: DataFrame, idCol: String): DataFrame = {
-      val offset = df.agg(max(col(idCol))).head().getLong(0) + 1L
-      df.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
-        .withColumn(idCol, col(idCol) + col("rep") * offset)
-    }
+    def replicated(df: DataFrame, idCol: String): DataFrame =
+      SfScale.replicated(df, idCol, factor)
 
     // documents: per-replica token suffix => replicas are unrelated texts
     val docs = spark.read.parquet(s"$base/documents.parquet")
@@ -65,16 +57,7 @@ object SfScale {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     // embeddings: rotate each replica's vector by rep positions
-    val emb = spark.read.parquet(s"$base/embeddings.parquet")
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    replicated(emb, "vec_id")
-      .withColumn("r", col("rep") % dim)
-      .withColumn("embedding",
-        concat(slice(col("embedding"), col("r") + 1, lit(dim) - col("r")),
-          slice(col("embedding"), lit(1), col("r"))))
-      .drop("rep", "r")
-      .repartition(cpus.toInt)
-      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+    writeScaledEmbeddings(spark, base, out, factor, cpus.toInt)
 
     // events: per-replica DISTINCT user ids over the SAME time range, so
     // the event stream gets K× denser but the per-user rate (what bounds the
@@ -230,6 +213,46 @@ object SfScale {
       println(f"SCALE ${"dedup_semantic/k8"}%-26s $tBase%8.2f $tPinned%8.2f ${tPinned / tBase}%7.2f")
       println(f"SCALE ${s"dedup_semantic/k${8 * factor}"}%-26s $tBase%8.2f $tScaled%8.2f ${tScaled / tBase}%7.2f")
     }
+    // Attribution-join skew (round-9 verdict #2): the operator scaladoc
+    // used to point at dedup_salted_skew by analogy; this block measures
+    // the real thing. Skewed replica: the ×K events with 10 % of ALL view
+    // rows reassigned to one hot user (per-user rate is otherwise flat by
+    // construction, so this single key IS the imbalance). Three plans over
+    // the same corpus: stock join with AQE off (the unhandled straggler),
+    // stock with AQE skew-join (runtime partition split), and the salted
+    // rewrite (static split; exact same result — oracle-checked at fixture
+    // scale as ev_attribution_salted). Skew is a TASK-BALANCE defect, so
+    // each run reports median and max task ms alongside wall.
+    if (only.forall(_.contains("ev_attribution_skew")) && factor > 1) {
+      val skewDir = s"$out-skew"
+      spark.read.parquet(s"$out/events.parquet")
+        .withColumn("user_id",
+          when(col("event_type") === "view" && col("event_id") % 10 === 0, lit(0L))
+            .otherwise(col("user_id")))
+        .repartition(cpus.toInt)
+        .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+      val bal = new TaskBalance
+      spark.sparkContext.addSparkListener(bal)
+      def runAttr(tag: String, aqe: Boolean,
+          f: (SparkSession, String) => DataFrame): Unit = {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        f(spark, skewDir).write.format("noop").mode("overwrite").save() // warm
+        bal.reset()
+        val t0 = System.nanoTime()
+        f(spark, skewDir).write.format("noop").mode("overwrite").save()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (all, join) = bal.snapshot()
+        println(f"SKEW $tag%-28s $wall%7.2f s  tasks=${all.tasks}%5d " +
+          f"join_stage: tasks=${join.tasks}%4d p50=${join.p50Ms}%6d ms " +
+          f"max=${join.maxMs}%7d ms imbalance=${join.imbalance}%7.1f")
+      }
+      runAttr("attribution/stock/aqe_off", aqe = false, graft.operators.Events.attribution)
+      runAttr("attribution/stock/aqe_on", aqe = true, graft.operators.Events.attribution)
+      runAttr("attribution/salted/aqe_on", aqe = true, graft.operators.Events.attributionSalted)
+      runAttr("attribution/salted/aqe_off", aqe = false, graft.operators.Events.attributionSalted)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sparkContext.removeSparkListener(bal)
+    }
     // The IVF family's dial: K cells partition the corpus, so pinned-K
     // single-cell scans grow linearly in N (N/K per cell). Production
     // sizing K ∝ √N balances probe cost K against scan cost N/K; the
@@ -350,5 +373,35 @@ object SfScale {
         s"peak_state=$stX state_ratio=${if (stB > 0) f"${stX.toDouble / stB}%.2f" else "n/a"}")
     }
     spark.stop()
+  }
+
+  /** Replica ids offset by max(id)+1, NOT a fixed huge constant: the NSW
+    * long links are generated on the id lattice, and a sparse id space
+    * (ids clustered at k·10^7) would silently drop most of them — the
+    * scaled graph would not be the structure the base measurement ran on.
+    * With dense base ids (embeddings are 0..N-1) this keeps replicas dense. */
+  private[tools] def replicated(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    val offset = df.agg(max(col(idCol))).head().getLong(0) + 1L
+    df.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn(idCol, col(idCol) + col("rep") * offset)
+  }
+
+  /** The ×K embeddings replica (per-replica vector rotation — decorrelated
+    * from the source with an unchanged value distribution; queries stay the
+    * original `vec_id < 5` rows because replica 0's rotation is the
+    * identity). Factored out so [[RecallScale]] can build or reuse just
+    * this table without a full SfScale run. */
+  private[tools] def writeScaledEmbeddings(
+      spark: SparkSession, base: String, out: String, factor: Int, parts: Int): Unit = {
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    replicated(emb, "vec_id", factor)
+      .withColumn("r", col("rep") % dim)
+      .withColumn("embedding",
+        concat(slice(col("embedding"), col("r") + 1, lit(dim) - col("r")),
+          slice(col("embedding"), lit(1), col("r"))))
+      .drop("rep", "r")
+      .repartition(parts)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 }

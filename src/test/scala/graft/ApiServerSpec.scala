@@ -274,4 +274,72 @@ class ApiServerSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(EnvelopeValidator.valid("GET", "/games",
       """{"success":true,"data":[{"universeId":1,"rootPlaceId":2,"name":"g","description":null,"gameplayDescription":"x"}]}"""))
   }
+
+  test("OpenAPI doc (S16): 12 endpoints, in sync with router and validator") {
+    import graft.api.{ApiSchema, EnvelopeValidator, OpenApi}
+    import org.json4s._
+
+    // the documented surface IS the reference's 12-endpoint API
+    assert(ApiSchema.endpoints.size === 12)
+    assert(ApiSchema.endpoints.map(e => (e.method, e.path)).distinct.size === 12)
+
+    // doc ↔ router: every documented endpoint, instantiated with a sample
+    // path parameter, resolves in the live route table (no phantom docs)
+    ApiSchema.endpoints.foreach { e =>
+      val concrete = e.path.replace("{universeId}", "8").replace("{id}", "nope")
+      val (code, _) = if (e.method == "get") get(concrete) else post(concrete)
+      assert(code !== 404, s"documented ${e.method} ${e.path} does not route")
+    }
+    // the POSTs above started real async jobs — drain them so suite
+    // teardown doesn't race their Spark actions
+    val drainDeadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    var active = true
+    while (active && System.nanoTime() < drainDeadline) {
+      val jobs = get("/jobs")._2
+      active = jobs.contains(""""status":"running"""") ||
+        jobs.contains(""""status":"pending"""")
+      if (active) Thread.sleep(300)
+    }
+    assert(!active, "spawned jobs did not drain in 120s")
+
+    // doc ↔ validator: every documented EXAMPLE envelope passes the live
+    // boundary check for its own endpoint — the schemas the doc publishes
+    // are the schemas the server enforces
+    ApiSchema.endpoints.foreach { e =>
+      val concrete = e.path.replace("{universeId}", "8").replace("{id}", "j1")
+      val rendered = org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(OpenApi.envelopeExample(e.data)))
+      assert(EnvelopeValidator.valid(e.method.toUpperCase, concrete, rendered),
+        s"documented example for ${e.method} ${e.path} fails its own schema")
+    }
+
+    // the rendered document has the generate-swagger.ts shape: openapi
+    // version, one path item per template, 200 + default per operation
+    val doc = OpenApi.document
+    val JString(ver) = doc \ "openapi"
+    assert(ver === "3.0.0")
+    val JObject(paths) = doc \ "paths"
+    assert(paths.map(_._1).toSet ===
+      ApiSchema.endpoints.map(_.path).toSet)
+    ApiSchema.endpoints.foreach { e =>
+      val op = doc \ "paths" \ e.path \ e.method
+      assert((op \ "responses" \ "200") !== JNothing,
+        s"${e.path} missing 200 response")
+      assert((op \ "responses" \ "default" \ "description") ===
+        JString("Global error response"))
+    }
+
+    // example derivation follows the reference's mechanical rules
+    // (string → "string", number → 0, nullable → null, arrays of one)
+    val gamesExample = OpenApi.example(ApiSchema.SArr(ApiSchema.gameRow()))
+    assert(gamesExample === JArray(List(JObject(
+      "universeId" -> JInt(0), "rootPlaceId" -> JInt(0),
+      "name" -> JString("string"), "description" -> JNull,
+      "gameplayDescription" -> JNull))))
+
+    // the writer is the script counterpart: emits the rendered doc
+    val out = java.nio.file.Files.createTempDirectory("swagger").resolve("swagger.json")
+    OpenApi.main(Array(out.toString))
+    assert(new String(java.nio.file.Files.readAllBytes(out), "UTF-8") === OpenApi.render)
+  }
 }

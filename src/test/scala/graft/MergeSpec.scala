@@ -52,4 +52,45 @@ class MergeSpec extends AnyFunSuite {
       keepCols = Seq("description", "gameplayDescription", "playerCount"))
     assert(out.orderBy("universeId").collect() === g.orderBy("universeId").collect())
   }
+
+  test("incremental bucket merge == unrolled full-outer merges, rewriting only touched buckets") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-inc-spec").toString
+    val table = s"$tmp/games"
+    // 60 keys; fresh rounds are small sparse slices so most buckets are idle
+    def mk(ids: Seq[Long], tag: String) = ids.map(id =>
+      (id, id * 10, s"$tag-$id", Option.when(id % 3 == 0)(s"d$tag$id"),
+        Option.when(id % 4 == 0)(s"g$id"), Some(id % 7)))
+      .toDF("universeId", "rootPlaceId", "name", "description", "gameplayDescription", "playerCount")
+    val initial = mk(0L until 60L, "base")
+    val rounds = Seq(mk(Seq(3L, 21L, 64L), "r1"), mk(Seq(7L, 35L), "r2"))
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    val stats = Merge.upsertIncrementalRounds(
+      spark, table, initial, rounds, "universeId", over, coal, keep, buckets = 16)
+
+    // locality: round 1 touches buckets {3, 5, 0} = 3 of 16; round 2
+    // touches {7, 3} = 2 — and rewritten bytes stay a minority of the table's
+    assert(stats.map(_.touchedBuckets) === Seq(3, 2))
+    stats.foreach(s => assert(s.rewrittenBytes < s.tableBytes,
+      s"round ${s.round} rewrote ${s.rewrittenBytes} of ${s.tableBytes} bytes"))
+
+    // equivalence: the on-disk result equals the same rounds applied as
+    // global full-outer merges with identical per-column policy
+    val expected = rounds.foldLeft(initial) { (acc, f) =>
+      Merge.mergeUpsert(acc, f, "universeId", over, coal, keep)
+    }
+    val cols = Seq("universeId", "rootPlaceId", "name", "description",
+      "gameplayDescription", "playerCount")
+    val got = spark.read.parquet(table)
+      .selectExpr(cols: _*).orderBy("universeId").collect()
+    assert(got === expected.selectExpr(cols: _*).orderBy("universeId").collect())
+
+    // the touched-bucket read prunes partitions at the scan (the at-scale
+    // point: an incremental round never scans the idle buckets)
+    val pruned = spark.read.parquet(table).filter($"bucket".isin(3, 0))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$scan")
+  }
 }

@@ -267,4 +267,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
       s"interval join must not plan as a product:\n$plan")
   }
+
+  test("salted attribution keeps the equi-join shape: no product, no nested loop") {
+    // the salt must ride INSIDE the hash-join key set — a planner that
+    // dropped the equi-conjuncts to a filter would devolve into the
+    // nested-loop the salting exists to avoid
+    val plan = graft.operators.Events
+      .attributionSalted(spark, SparkTestSession.Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
+      s"salted attribution must stay an equi-join:\n$plan")
+  }
 }

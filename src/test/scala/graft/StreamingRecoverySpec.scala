@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.model.Schemas
+import graft.streaming.{StreamingNswIndex, StreamingUpsert}
+
+/** Crash-recovery proof for the stateful streaming writers (round-9
+  * verdict #3): VersionedState's replay guard was batch-level tested, but
+  * nothing killed a streaming query and resumed it from its checkpoint.
+  *
+  * The crash window that matters is BETWEEN the two commits: foreachBatch
+  * has committed version batchId+1 to VersionedState, but the engine dies
+  * before writing `checkpoint/commits/<batchId>` — on restart Structured
+  * Streaming re-executes that batch from its offsets entry, and the
+  * writer's `latest >= target` guard must turn the replay into a no-op
+  * instead of double-applying (or corrupting the very dirs the merge
+  * reads). The specs simulate exactly that window deterministically:
+  * run to completion, DELETE the newest commit-log entry, drop more data,
+  * restart from the same checkpoint, and require the final state to equal
+  * an uninterrupted reference run — versions included, so a double-commit
+  * cannot hide behind an idempotent merge policy.
+  */
+class StreamingRecoverySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def gameRows(rows: Seq[(Long, Long, String)]) =
+    rows.map { case (id, rp, n) =>
+      (id, rp, n, Option.empty[String], Option.empty[String], Option.empty[Long])
+    }.toDF("universeId", "rootPlaceId", "name", "description",
+      "gameplayDescription", "playerCount")
+
+  /** Start a query and drain it. A restart on a just-terminated query's
+    * checkpoint can race Spark's ASYNC active-checkpoint cleanup (the
+    * registry entry is removed when the listener bus delivers the
+    * termination event, which awaitTermination does not wait for) — that
+    * transient "concurrently using" failure is retried; anything else
+    * propagates. */
+  private def runToCompletion(mk: () => org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long): Unit = {
+    var attempts = 0
+    while (attempts >= 0) {
+      try {
+        assert(mk().awaitTermination(timeoutMs), "stream did not drain in time")
+        return
+      } catch {
+        case e: org.apache.spark.sql.streaming.StreamingQueryException
+            if e.getMessage.contains("concurrently using") && attempts < 40 =>
+          attempts += 1
+          Thread.sleep(250L)
+      }
+    }
+  }
+
+  private def crashWindow(ckptDir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val commits = Paths.get(ckptDir, "commits")
+    val entries = Files.list(commits).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+    assert(entries.nonEmpty, s"no commit entries under $commits")
+    val latest = entries.maxBy(_.getFileName.toString.toLong)
+    assert(Files.deleteIfExists(latest), s"could not delete $latest")
+  }
+
+  test("StreamingUpsert resumes exactly-once from its checkpoint after a crash") {
+    val initial = gameRows(Seq((1L, 10L, "one"), (2L, 20L, "two")))
+    val dropA = gameRows(Seq((2L, 21L, "two v2")))
+    val dropB = gameRows(Seq((4L, 40L, "four"), (5L, 50L, "five")))
+    val dropC = gameRows(Seq((6L, 60L, "six")))
+
+    def stream(dropDir: String) = spark.readStream.schema(Schemas.game)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+
+    // reference: one uninterrupted run over all three drops
+    val refDrop = Files.createTempDirectory("rec-ref-drops").toString
+    val refSnap = Files.createTempDirectory("rec-ref-snap").toString
+    val refCkpt = Files.createTempDirectory("rec-ref-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$refDrop/a")
+    dropB.coalesce(1).write.parquet(s"$refDrop/b")
+    dropC.coalesce(1).write.parquet(s"$refDrop/c")
+    val ref = new StreamingUpsert(spark, refSnap, initial)
+    runToCompletion(() => ref.start(stream(refDrop), refCkpt), 120000L)
+    val want = ref.currentSnapshot().orderBy("universeId").collect()
+
+    // crashed run: two drops, complete, then the crash window — newest
+    // commit-log entry gone while VersionedState already holds v2
+    val drop = Files.createTempDirectory("rec-drops").toString
+    val snap = Files.createTempDirectory("rec-snap").toString
+    val ckpt = Files.createTempDirectory("rec-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$drop/a")
+    dropB.coalesce(1).write.parquet(s"$drop/b")
+    val u1 = new StreamingUpsert(spark, snap, initial)
+    runToCompletion(() => u1.start(stream(drop), ckpt), 120000L)
+    crashWindow(ckpt)
+    dropC.coalesce(1).write.parquet(s"$drop/c")
+
+    // restart from the same checkpoint: the engine re-executes the batch
+    // whose commit entry vanished, then processes drop C
+    val u2 = new StreamingUpsert(spark, snap, initial)
+    runToCompletion(() => u2.start(stream(drop), ckpt), 120000L)
+
+    assert(u2.currentSnapshot().orderBy("universeId").collect() === want,
+      "recovered snapshot diverges from the uninterrupted run")
+    // versions prove the replay was a no-op: 3 data batches → v3 exactly;
+    // a double-apply would have minted an extra version
+    val versions = new java.io.File(snap).list().toSeq
+      .filter(_.startsWith("snapshot-v")).sorted
+    assert(versions === Seq("snapshot-v1", "snapshot-v2", "snapshot-v3"))
+  }
+
+  test("StreamingNswIndex resumes exactly-once from its checkpoint after a crash") {
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < 400)
+    val initial = e.filter(col("vec_id") < 300)
+    val dropA = e.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    val dropB = e.filter(col("vec_id") >= 350)
+
+    def stream(dropDir: String) = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+    def edgeSet(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+    // reference: both drops, uninterrupted
+    val refDrop = Files.createTempDirectory("rec-nsw-ref-drops").toString
+    val refIdx = Files.createTempDirectory("rec-nsw-ref-idx").toString
+    val refCkpt = Files.createTempDirectory("rec-nsw-ref-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$refDrop/a")
+    dropB.coalesce(1).write.parquet(s"$refDrop/b")
+    val ref = new StreamingNswIndex(spark, refIdx, initial)
+    runToCompletion(() => ref.start(stream(refDrop), refCkpt), 240000L)
+    val wantKnn = edgeSet(ref.currentKnn())
+
+    // crashed run: drop A, complete, crash window, then drop B arrives
+    val drop = Files.createTempDirectory("rec-nsw-drops").toString
+    val idx = Files.createTempDirectory("rec-nsw-idx").toString
+    val ckpt = Files.createTempDirectory("rec-nsw-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$drop/a")
+    val i1 = new StreamingNswIndex(spark, idx, initial)
+    runToCompletion(() => i1.start(stream(drop), ckpt), 240000L)
+    crashWindow(ckpt)
+    dropB.coalesce(1).write.parquet(s"$drop/b")
+
+    val i2 = new StreamingNswIndex(spark, idx, initial)
+    runToCompletion(() => i2.start(stream(drop), ckpt), 240000L)
+
+    // the graph growth is deterministic, so exactly-once resume means the
+    // recovered k-NN state is EDGE-IDENTICAL to the uninterrupted run's —
+    // a replayed insertion would have duplicated (or re-derived) edges
+    assert(i2.currentVectors().count() === e.count())
+    assert(edgeSet(i2.currentKnn()) === wantKnn,
+      "recovered k-NN state diverges from the uninterrupted run")
+  }
+}
