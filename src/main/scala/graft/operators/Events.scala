@@ -316,15 +316,18 @@ object Events {
     *
     * Unlike `ev_interval_join` (no equi-key ⇒ banding required), the
     * user_id equi-key makes this a plain HASH JOIN with a residual time
-    * filter — one shuffle of each side keyed by user, per-user fan-out
-    * bounded by rate × window. Hot users get [[attributionSalted]] —
-    * MEASURED on a skewed ×10 replay (one user owning 10 % of all views;
-    * SfScale `ev_attribution_skew` block, SCALING.md "attribution under
-    * skew" table) rather than argued by analogy to `dedup_salted_skew`.
-    * The streaming form keeps state bounded by the same window via
-    * watermarks. LEFT semantics keep zero-view purchases (`n_views = 0`,
-    * NULL lag — coalesced to -1 so the lag column stays non-null BIGINT
-    * in both engines). */
+    * filter — broadcast while one side fits (skew-immune by
+    * construction), one shuffle of each side keyed by user beyond that,
+    * per-user fan-out bounded by rate × window. Hot users in the shuffle
+    * regime get [[attributionSalted]] — MEASURED on a skewed ×10 replay
+    * (one user owning 10 % of all events: forced-shuffle stock 54 s with
+    * a 107× straggler task, AQE unable to split it — byte-blind compute
+    * skew — salted 6 s; SfScale `ev_attribution_skew` block, SCALING.md
+    * "attribution under a hot key") rather than argued by analogy to
+    * `dedup_salted_skew`. The streaming form keeps state bounded by the
+    * same window via watermarks. LEFT semantics keep zero-view purchases
+    * (`n_views = 0`, NULL lag — coalesced to -1 so the lag column stays
+    * non-null BIGINT in both engines). */
   def attribution(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val p = ev.filter(col("event_type") === "purchase")
@@ -358,9 +361,13 @@ object Events {
     * `count(v_ts)` ignores — so the result is EXACTLY [[attribution]]'s
     * for ANY salt count, which is why the oracle is the SAME SQL. Cost:
     * a ×salts blow-up of the (small) purchase side — pay it when key
-    * statistics say skew, not by default. Measured against stock AQE
-    * skew-join on the skewed ×10 replay: SCALING.md "attribution under
-    * skew". */
+    * statistics say skew AND the join is past the broadcast threshold,
+    * not by default. Measured on the skewed ×10 replay (SCALING.md
+    * "attribution under a hot key"): forced-shuffle stock 54.2 s with a
+    * 107× straggler, AQE-on 32.8 s with the straggler intact (its
+    * skew-join splits on partition bytes; this is quadratic-OUTPUT
+    * compute skew those stats cannot see), salted 6.0 s with the max
+    * task 18.6 → 4.9 s. */
   def attributionSalted(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
     val p = ev.filter(col("event_type") === "purchase")

@@ -207,7 +207,11 @@ object Merge {
     * column so the final table proves ordering (later rounds win) and
     * policy (KEEP columns survive from the initial snapshot). */
   private def freshRound(spark: SparkSession, dir: String, r: Int): DataFrame =
-    Tables.games(spark, dir).filter(col("universeId") % 97 === r)
+    freshRoundMod(spark, dir, r, 97)
+
+  private def freshRoundMod(
+      spark: SparkSession, dir: String, r: Int, keyMod: Int): DataFrame =
+    Tables.games(spark, dir).filter(col("universeId") % keyMod === r)
       .select(
         col("universeId"),
         (col("universeId") + lit(1000000L) * r).as("rootPlaceId"),
@@ -215,6 +219,23 @@ object Merge {
         when(col("universeId") % 2 === 0,
           concat(lit(s"refresh$r "), col("universeId").cast("string"))).as("description"),
         (col("universeId") % 100 + r).as("playerCount"))
+
+  /** SCALING probe (SfScale's merge-inc block): the same three-round
+    * incremental merge at LAKE-REGIME dials — bucket count sized to the
+    * corpus and a fresh batch much smaller than it (`keyMod` ≫ buckets is
+    * the regime where rewritten-bytes ∝ touched-buckets shows; the
+    * oracle-checked query pins 16 buckets / ~1 % batches for the
+    * fixture-size equivalence proof instead). */
+  def incrementalProbe(spark: SparkSession, dir: String, tablePath: String,
+      buckets: Int, keyMod: Int): Seq[IncRoundStats] =
+    upsertIncrementalRounds(
+      spark, tablePath,
+      existingSnapshot(spark, dir),
+      (1 to IncRounds).map(freshRoundMod(spark, dir, _, keyMod)), "universeId",
+      overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+      coalesceCols = Seq("description"),
+      keepCols = Seq("gameplayDescription"),
+      buckets = buckets)
 
   private def freshRoundSql(r: Int): String =
     s"""f$r AS (SELECT universeId,

@@ -224,34 +224,77 @@ object SfScale {
     // scale as ev_attribution_salted). Skew is a TASK-BALANCE defect, so
     // each run reports median and max task ms alongside wall.
     if (only.forall(_.contains("ev_attribution_skew")) && factor > 1) {
+      // hot-user share dial: 1/N of ALL events → user 0 (default 10 %).
+      // Both event types must go hot: the join's fan-out is
+      // purchases(u) × views-in-window(u), so a user hot on views alone
+      // produces NO straggler (measured — top-3 stage imbalance 1.1 at
+      // 10 % of views); the realistic hot key (a bot account) is hot on
+      // both sides and its output fan-out is quadratic in its share.
+      val skewMod = sys.env.get("SPARK_GRAFT_SKEW_MOD")
+        .flatMap(_.toIntOption).getOrElse(10)
       val skewDir = s"$out-skew"
       spark.read.parquet(s"$out/events.parquet")
         .withColumn("user_id",
-          when(col("event_type") === "view" && col("event_id") % 10 === 0, lit(0L))
+          when(col("event_id") % skewMod === 0, lit(0L))
             .otherwise(col("user_id")))
         .repartition(cpus.toInt)
         .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+      // Three regimes, because the FIRST defense is not salting:
+      //   broadcast  — purchases fit the broadcast threshold, the join is
+      //                skew-IMMUNE by construction (no shuffle by key;
+      //                hot rows stream evenly through every scan task);
+      //   shuffle    — threshold forced to -1, the 100 TB regime where
+      //                both sides shuffle on user_id and the hot key
+      //                pins one task (the straggler to measure);
+      //   salted     — the rewrite, in the same forced-shuffle regime.
       val bal = new TaskBalance
       spark.sparkContext.addSparkListener(bal)
-      def runAttr(tag: String, aqe: Boolean,
+      def runAttr(tag: String, aqe: Boolean, broadcast: Boolean,
           f: (SparkSession, String) => DataFrame): Unit = {
         spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          if (broadcast) "10485760" else "-1")
         f(spark, skewDir).write.format("noop").mode("overwrite").save() // warm
         bal.reset()
         val t0 = System.nanoTime()
         f(spark, skewDir).write.format("noop").mode("overwrite").save()
         val wall = (System.nanoTime() - t0) / 1e9
-        val (all, join) = bal.snapshot()
-        println(f"SKEW $tag%-28s $wall%7.2f s  tasks=${all.tasks}%5d " +
-          f"join_stage: tasks=${join.tasks}%4d p50=${join.p50Ms}%6d ms " +
-          f"max=${join.maxMs}%7d ms imbalance=${join.imbalance}%7.1f")
+        val (all, _) = bal.snapshot()
+        val stages = bal.topStages(3).map { case (sid, st) =>
+          f"s$sid(n=${st.tasks},p50=${st.p50Ms},max=${st.maxMs},imb=${st.imbalance}%.1f)"
+        }.mkString(" ")
+        println(f"SKEW $tag%-32s $wall%7.2f s  tasks=${all.tasks}%5d  $stages")
       }
-      runAttr("attribution/stock/aqe_off", aqe = false, graft.operators.Events.attribution)
-      runAttr("attribution/stock/aqe_on", aqe = true, graft.operators.Events.attribution)
-      runAttr("attribution/salted/aqe_on", aqe = true, graft.operators.Events.attributionSalted)
-      runAttr("attribution/salted/aqe_off", aqe = false, graft.operators.Events.attributionSalted)
+      runAttr("attribution/broadcast", aqe = true, broadcast = true,
+        graft.operators.Events.attribution)
+      runAttr("attribution/shuffle/aqe_off", aqe = false, broadcast = false,
+        graft.operators.Events.attribution)
+      runAttr("attribution/shuffle/aqe_on", aqe = true, broadcast = false,
+        graft.operators.Events.attribution)
+      runAttr("attribution/salted/aqe_off", aqe = false, broadcast = false,
+        graft.operators.Events.attributionSalted)
+      runAttr("attribution/salted/aqe_on", aqe = true, broadcast = false,
+        graft.operators.Events.attributionSalted)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
       spark.sparkContext.removeSparkListener(bal)
+    }
+    // Incremental merge at lake dials (round-9 verdict #5): the
+    // oracle-checked j1_merge_incremental pins 16 buckets at fixture size;
+    // here bucket count scales with the corpus (256) and the fresh batch
+    // stays small (~keys/997), so the claim that matters at 100 TB —
+    // rewritten bytes ∝ touched buckets, NOT table size — is measured on
+    // the ×K corpus and printed as MERGEINC rows for SCALING.md.
+    if (only.forall(_.contains("j1_merge_incremental")) && factor > 1) {
+      val stats = graft.operators.Merge.incrementalProbe(
+        spark, out, s"$out/merge-inc-probe", buckets = 256, keyMod = 997)
+      stats.foreach { s =>
+        val byteFrac = s.rewrittenBytes.toDouble / s.tableBytes
+        val bucketFrac = s.touchedBuckets.toDouble / s.totalBuckets
+        println(f"MERGEINC x$factor round=${s.round} touched=${s.touchedBuckets}/${s.totalBuckets} " +
+          f"rewritten_bytes=${s.rewrittenBytes} table_bytes=${s.tableBytes} " +
+          f"byte_frac=$byteFrac%.3f bucket_frac=$bucketFrac%.3f")
+      }
     }
     // The IVF family's dial: K cells partition the corpus, so pinned-K
     // single-cell scans grow linearly in N (N/K per cell). Production

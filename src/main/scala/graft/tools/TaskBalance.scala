@@ -40,4 +40,13 @@ final class TaskBalance extends SparkListener {
       else statsOf(times.groupBy(_._1).values.maxBy(_.map(_._2).sum).map(_._2).toSeq)
     (all, heaviest)
   }
+
+  /** Top `n` stages by summed task time, heaviest first — (stageId,
+    * stats). For attributing WHICH stage carries an imbalance. */
+  def topStages(n: Int): Seq[(Int, Stats)] = synchronized {
+    times.groupBy(_._1).view
+      .mapValues(ts => (ts.map(_._2).sum, statsOf(ts.map(_._2).toSeq))).toSeq
+      .sortBy(-_._2._1).take(n)
+      .map { case (sid, (_, st)) => (sid, st) }
+  }
 }
