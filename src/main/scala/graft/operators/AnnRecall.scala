@@ -63,8 +63,11 @@ object AnnRecall {
       // (Nsw.sizedHops) instead of the fixture-pinned one.
       hopsOverride: Option[Int] = None,
       hops1Override: Option[Int] = None) {
-    val hops: Int = hopsOverride.getOrElse(Nsw.Hops)
-    val hops1: Int = hops1Override.getOrElse(Nsw.HopsL1)
+    // default = the serve-time sized dials (pinned values at oracle
+    // fixture sizes, so the hash-checked harness replays unchanged)
+    lazy val hops: Int = hopsOverride.getOrElse(Nsw.sizedHops(e.count()))
+    lazy val hops1: Int = hops1Override.getOrElse(
+      Nsw.sizedHopsFloor(e.count() / Nsw.SampleMod, Nsw.HopsL1))
     val tag: String = if (clustered) s"$dir#clustered" else dir
     private val sfx = if (clustered) "-clustered" else ""
     lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] =
@@ -315,10 +318,13 @@ object AnnRecall {
         e.withColumn("vec_id", probeSwap(col("vec_id"), r)))
       val centroids = IvfKMeans.trainCentroids(er)
       val assigned = CacheRegistry.persistTracked(IvfKMeans.assign(er, centroids))
+      // both dial states EXPLICIT: the probe's pinned rows must stay
+      // pinned even though the serve default is now the sized dial
       val in = MethodInputs(spark, er, assigned, centroids, dir = s"probe-r$r",
         clustered = false, planesOverride = Some(planes),
-        hopsOverride = if (sizedSearch) Some(Nsw.sizedHops(n)) else None,
-        hops1Override = if (sizedSearch) Some(Nsw.sizedHops(n / Nsw.SampleMod)) else None)
+        hopsOverride = Some(if (sizedSearch) Nsw.sizedHops(n) else Nsw.Hops),
+        hops1Override = Some(if (sizedSearch)
+          Nsw.sizedHopsFloor(n / Nsw.SampleMod, Nsw.HopsL1) else Nsw.HopsL1))
       // force the graph builds eagerly, timed per structure: the build
       // wall is the dial's COST side (pinned vs sized should split hard at
       // ×10 — that split is also the probe's proof the override is live)

@@ -190,7 +190,7 @@ object Merge {
         val dst = new org.apache.hadoop.fs.Path(table, s"bucket=$b")
         val bytes = dirBytes(src)
         fs.delete(dst, true)
-        fs.rename(src, dst)
+        require(fs.rename(src, dst), s"bucket swap failed: $src -> $dst")
         bytes
       }.sum
       fs.delete(stage, true)

@@ -65,8 +65,13 @@ object Nsw {
     * Lands exactly
     * on the pinned dial at every oracle fixture size (N ≤ 2000 → 3), so
     * the hash-checked queries replay unchanged. */
-  private[graft] def sizedHops(n: Long): Int =
-    math.max(Hops,
+  private[graft] def sizedHops(n: Long): Int = sizedHopsFloor(n, Hops)
+
+  /** [[sizedHops]] with an explicit floor — the routing layer keeps its
+    * own pinned [[HopsL1]] floor (2, below the layer-0 floor of 3), so
+    * its fixture-size dial must not inherit layer 0's. */
+  private[operators] def sizedHopsFloor(n: Long, floor: Int): Int =
+    math.max(floor,
       math.ceil(math.log(math.max(n, 1L).toDouble / 250.0) / math.log(2.0)).toInt)
 
   /** Corpus vectors, cached per dir: beamLoop scans this frame once per
@@ -320,8 +325,14 @@ object Nsw {
     * [[bulkSearchWithEdges]] (`ann_nsw_bulk`) wins, and is the shape to
     * reach for whenever Q is corpus-sized rather than request-sized.
     */
+  /** Serve-time default: hop budget from [[sizedHops]] over the corpus
+    * (one count() on the cached frame — the same cheap scalar the sized
+    * BUILD dial pays). At every oracle fixture this IS the pinned
+    * [[Hops]], so the hash-checked queries replay unchanged; on a grown
+    * corpus the beam deepens with log N — the ×10 probe's measured fix
+    * for the graph-recall collapse (SCALING.md "recall at ×10"). */
   private[graft] def searchWithEdges(e: DataFrame, edges: DataFrame): DataFrame =
-    searchWithEdgesDials(e, edges, Hops, Beam)
+    searchWithEdgesDials(e, edges, sizedHops(e.count()), Beam)
 
   /** [[searchWithEdges]] at explicit search dials — the serving path for
     * grown corpora, where [[sizedHops]] replaces the fixture-pinned hop
@@ -421,6 +432,20 @@ object Nsw {
 
   def nswSearch(spark: SparkSession, dir: String): DataFrame =
     searchOn(spark, dir)
+
+  private[operators] def storedCellEdges(spark: SparkSession, dir: String): DataFrame =
+    storedEdges(spark, dir, "nsw-cell-edges") {
+      val (_, assigned, _) = IvfKMeans.trained(spark, dir)
+      edgesOnCellsSized(assigned, IvfKMeans.numCells)
+    }
+
+  /** Serve over the CELL-LOCAL graph artifact (`index_build_nsw_cell`) —
+    * same beam core, same dials; the only difference is which edge table
+    * the store hands back. Ties the full build's recall at the fixture
+    * (0.60) and beats it at ×10 under the sized hop budget (SCALING.md
+    * "recall at ×10": 0.13 vs 0.07) at a third of the build cost. */
+  def nswCellSearch(spark: SparkSession, dir: String): DataFrame =
+    searchWithEdges(vectors(spark, dir), storedCellEdges(spark, dir))
 
   // --------------------------------------------------- bulk (all-corpus)
 
@@ -729,9 +754,18 @@ object Nsw {
   /** The 2-layer beam core over already-built layer graphs — also the
     * serve path of [[graft.streaming.StreamingNswIndex]]'s maintained
     * hierarchy and the recall harness's hnsw row. */
+  /** Serve-time default: both layers' hop budgets size with their node
+    * counts (pinned values at oracle fixtures — see [[searchWithEdges]]). */
+  private[graft] def hnswWithEdges(
+      e: DataFrame, edges1: DataFrame, edges0: DataFrame): DataFrame = {
+    val n = e.count()
+    hnswWithEdges(e, edges1, edges0,
+      sizedHops(n), sizedHopsFloor(n / SampleMod, HopsL1))
+  }
+
   private[graft] def hnswWithEdges(
       e: DataFrame, edges1: DataFrame, edges0: DataFrame,
-      hops0: Int = Hops, hops1: Int = HopsL1): DataFrame = {
+      hops0: Int, hops1: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val e1 = e.filter(col("vec_id") % SampleMod === 0)
@@ -1085,8 +1119,17 @@ object Nsw {
     s"""${IvfKMeans.trainingSql},
        |$cellGraphCtes""".stripMargin, "ncedges")
 
+  /** `ann_nsw_cell_search`'s mirror: the same replay + beam search. */
+  val nswCellSearchSql: String =
+    s"""WITH ${IvfKMeans.trainingSql},
+       |$cellSearchCtes
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
+       |FROM nccranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_search" -> nswSearch,
+    "ann_nsw_cell_search" -> nswCellSearch,
     "ann_hnsw_search" -> hnswSearch,
     "ann_nsw_nnd_search" -> nndSearch,
     "ann_nsw_bulk" -> bulkSearch,
@@ -1096,6 +1139,7 @@ object Nsw {
 
   val oracles: Map[String, String] = Map(
     "ann_nsw_search" -> nswSearchSql,
+    "ann_nsw_cell_search" -> nswCellSearchSql,
     "ann_hnsw_search" -> hnswSearchSql,
     "ann_nsw_nnd_search" -> nndSearchSql,
     "ann_nsw_bulk" -> bulkSearchSql,
