@@ -70,7 +70,7 @@ object Nsw {
   /** [[sizedHops]] with an explicit floor — the routing layer keeps its
     * own pinned [[HopsL1]] floor (2, below the layer-0 floor of 3), so
     * its fixture-size dial must not inherit layer 0's. */
-  private[operators] def sizedHopsFloor(n: Long, floor: Int): Int =
+  private[graft] def sizedHopsFloor(n: Long, floor: Int): Int =
     math.max(floor,
       math.ceil(math.log(math.max(n, 1L).toDouble / 250.0) / math.log(2.0)).toInt)
 

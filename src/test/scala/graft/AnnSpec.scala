@@ -420,4 +420,25 @@ class AnnSpec extends AnyFunSuite {
     val dials = Seq(2000L, 4000L, 8000L, 16000L, 32000L).map(Nsw.sizedPlanes)
     assert(dials === dials.sorted)
   }
+
+  test("size-derived SEARCH and cell dials: pinned at oracle fixture sizes, grow with log N") {
+    import graft.operators.Nsw
+    // the serve-time hop budget is the DEFAULT since round 10, so the
+    // hash gates depend on it landing exactly on the pinned dials at
+    // every oracle fixture size (≤ 2000 vectors; routing layer ≤ 250)
+    Seq(0L, 1L, 500L, 2000L).foreach { n =>
+      assert(Nsw.sizedHops(n) === 3, s"layer-0 hops at N=$n")
+      assert(Nsw.sizedHopsFloor(n / 8, 2) === 2, s"routing hops at N=$n")
+    }
+    // grown corpora deepen log-style — the ×10 probe's measured recovery
+    assert(Nsw.sizedHops(20000L) === 7)
+    assert(Nsw.sizedHopsFloor(20000L / 8, 2) === 4)
+    val hops = Seq(2000L, 8000L, 32000L, 128000L).map(Nsw.sizedHops)
+    assert(hops === hops.sorted)
+    // the cell build's per-cell planes dial: pinned at all fixtures for
+    // the 8-cell quantizer, +1 per corpus doubling past that
+    Seq(500L, 2000L).foreach(n =>
+      assert(Nsw.sizedCellPlanes(n, 8) === 4, s"cell planes at N=$n"))
+    assert(Nsw.sizedCellPlanes(20000L, 8) === Nsw.sizedPlanes(20000L / 8))
+  }
 }
