@@ -70,14 +70,19 @@ object AnnRecall {
       Nsw.sizedHopsFloor(e.count() / Nsw.SampleMod, Nsw.HopsL1))
     val tag: String = if (clustered) s"$dir#clustered" else dir
     private val sfx = if (clustered) "-clustered" else ""
-    lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] =
-      CacheRegistry.sharedObject(s"pq-codebooks:$tag")(
+    lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] = planesOverride match {
+      // probe mode trains directly (throwaway corpus, no store artifact)
+      case Some(_) => Pq.trainCodebooks(e)
+      case None => CacheRegistry.sharedObject(s"pq-codebooks:$tag")(
         graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, s"pq-codebooks$sfx")(
           Pq.trainCodebooks(e)))
-    lazy val residualCodebooks: Seq[Seq[(Int, Array[Double])]] =
-      CacheRegistry.sharedObject(s"ivfadc-codebooks:$tag")(
+    }
+    lazy val residualCodebooks: Seq[Seq[(Int, Array[Double])]] = planesOverride match {
+      case Some(_) => Ivfadc.residualCodebooks(assigned, centroids)
+      case None => CacheRegistry.sharedObject(s"ivfadc-codebooks:$tag")(
         graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, s"ivfadc-codebooks$sfx")(
           Ivfadc.residualCodebooks(assigned, centroids)))
+    }
     lazy val nswEdges: DataFrame = planesOverride match {
       case Some(p) => CacheRegistry.persistTracked(Nsw.edgesOn(e, p))
       case None => CacheRegistry.sharedTracked(s"nsw-edges:$tag")(
@@ -273,12 +278,15 @@ object AnnRecall {
   // an arbitrary corpus with the graph builds at an EXPLICIT planes dial.
   // ---------------------------------------------------------------------
 
-  /** The paths the ×K probe measures (verdict list: nsw/hnsw/nnd/ivf/lsh).
-    * The PQ family is excluded: its dial is the codebook, not planes, and
-    * its codebook training paths are welded to the IndexStore artifacts. */
+  /** The paths the ×K probe measures — the round-9 verdict list
+    * (nsw/hnsw/nnd/ivf/lsh) plus, since round 10, the cell build and the
+    * PQ family (probe-mode codebooks train directly on the throwaway
+    * corpus instead of through the store; their dial is the codebook, so
+    * their rows read the same at both planes dials — the measured axis
+    * is quantization loss vs corpus size). */
   private val ProbeMethodNames = Seq("ivf_kmeans", "ivf_nprobe",
     "lsh", "lsh_multiprobe", "lsh_multitable", "nsw", "hnsw", "nsw_nnd",
-    "nsw_cell")
+    "nsw_cell", "pq_adc", "ivfpq", "ivfadc")
 
   /** (fixture-pinned planes, size-derived planes for an N-vector corpus)
     * — exposed for the tools runner, which cannot see the operators'
