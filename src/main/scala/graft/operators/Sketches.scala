@@ -1,0 +1,346 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.OracleParity.pround
+import graft.io.Tables
+
+/** Sketch suite — the bounded-memory summaries a 100 TB pipeline leans on
+  * when exact answers would cost a corpus-wide shuffle: sample quantiles,
+  * count-min frequency estimation, and Bloom-filter join pruning. Extends
+  * the `q_kmv_distinct` / `q_approx_distinct` pattern (Relational.scala):
+  * every sketch here is DETERMINISTIC — built from md5-derived hashes of
+  * the input SET, never from partitioning, sampling RNGs, or merge order —
+  * so the DuckDB oracle replays the sketch EXACTLY and the full hash gate
+  * covers approximate operators that would otherwise get a weaker
+  * rows-only check.
+  *
+  * BENCH SEMANTICS (the `q_approx_distinct` convention): each query pays
+  * BOTH the sketch AND the exact computation it exists to avoid, because
+  * the exact side IS the oracle for the sketch's error contract. Never
+  * cite these bench lines as sketch cost, and never "optimize" the exact
+  * columns away.
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------------
+  // q_quantile_sketch — hash-rank bottom-k sample quantiles + ECDF contract
+  // ---------------------------------------------------------------------
+
+  private val SampleK = 1024
+  private val QuantProbes = Seq(0.5, 0.9, 0.99)
+  private val QuantEps = 0.05
+
+  /** Sample quantiles from a HASH-RANK bottom-k sample: keep the
+    * [[SampleK]] rows with the smallest md5(row key) — a uniform random
+    * sample that depends only on the input set (Bottom-k sampling,
+    * Cohen & Kaplan 2007; the same selection rule as the KMV sketch,
+    * reused here for values instead of distinct counts). The estimate for
+    * probe p is the type-1 order statistic of the sample (rank
+    * ⌈p·k⌉ — a stored data value, NO interpolation, so the output is
+    * float-exact in both engines); the contract column checks the
+    * Dvoretzky–Kiefer–Wolfowitz guarantee the sample is bought for:
+    * the EXACT empirical CDF at the estimate sits within [[QuantEps]] of
+    * p (k=1024 gives ε≈0.04 at 99% confidence; fixture max observed
+    * 0.019 across SFs). A broken sampler or estimator flips `within_eps`
+    * and fails the hash gate.
+    *
+    * Scale shape: the sample is a TakeOrderedAndProject — map-side
+    * partial bottom-k per partition, driver merge of 32×k rows — i.e.
+    * the mergeable sketch executed by Spark's own top-k machinery, no
+    * corpus shuffle. The exact side is ONE aggregate with conditional
+    * counts (no global sort, no window): at 100 TB you would drop the
+    * exact columns and keep the sample — they exist here as the oracle.
+    */
+  private[graft] def quantileSketchOn(li: DataFrame): DataFrame = {
+    val h = conv(substring(md5(concat(col("l_orderkey").cast("string"),
+      lit("-"), col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    val sample = li
+      .select(col("l_extendedprice").as("v"), h.as("h"),
+        col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("h"), col("l_orderkey"), col("l_linenumber"))
+      .limit(SampleK)
+    val ests = sample
+      .agg(sort_array(collect_list(col("v"))).as("arr"), count(lit(1)).as("ns"))
+      .select(QuantProbes.map { p =>
+        val tag = (p * 100).toInt
+        element_at(col("arr"),
+          greatest(lit(1L), ceil(lit(p) * col("ns"))).cast("int")).as(s"est_$tag")
+      }: _*)
+    val row = li.crossJoin(broadcast(ests)).groupBy()
+      .agg(count(lit(1)).as("n"),
+        QuantProbes.map { p =>
+          val tag = (p * 100).toInt
+          sum(when(col("l_extendedprice") <= col(s"est_$tag"), 1L).otherwise(0L))
+            .as(s"cnt_$tag")
+        } ++ QuantProbes.map { p =>
+          val tag = (p * 100).toInt
+          max(col(s"est_$tag")).as(s"est_$tag")
+        }: _*)
+    row
+      .select(explode(array(QuantProbes.map { p =>
+        val tag = (p * 100).toInt
+        struct(lit(p).as("p"), col(s"est_$tag").as("est_q"),
+          (col(s"cnt_$tag").cast("double") / col("n")).as("frac"))
+      }: _*)).as("r"))
+      .select(col("r.p").as("p"), col("r.est_q").as("est_q"),
+        pround(col("r.frac"), 4).as("exact_frac"),
+        pround(abs(col("r.frac") - col("r.p")), 4).as("abs_err"),
+        (abs(col("r.frac") - col("r.p")) <= QuantEps).as("within_eps"))
+      .orderBy(col("p"))
+  }
+
+  def quantileSketch(spark: SparkSession, dir: String): DataFrame =
+    quantileSketchOn(Tables.lineitem(spark, dir))
+
+  val quantileSketchSql: String = {
+    val probes = QuantProbes.map(p => s"$p::DOUBLE").mkString(", ")
+    s"""WITH s AS (
+       |  SELECT l_extendedprice AS v FROM lineitem
+       |  ORDER BY CAST('0x' || substring(md5(l_orderkey::VARCHAR || '-'
+       |             || l_linenumber::VARCHAR), 1, 8) AS BIGINT),
+       |           l_orderkey, l_linenumber
+       |  LIMIT $SampleK),
+       |a AS (SELECT list(v ORDER BY v) AS arr, count(*) AS ns FROM s),
+       |t AS (SELECT count(*) AS n FROM lineitem),
+       |probes AS (SELECT unnest([$probes]) AS p),
+       |e AS (SELECT p, arr[CAST(greatest(1, ceil(p * ns)) AS INT)] AS est_q
+       |      FROM probes, a),
+       |x AS (SELECT e.p, e.est_q,
+       |        (SELECT count(*) FROM lineitem
+       |         WHERE l_extendedprice <= e.est_q)::DOUBLE / t.n AS frac
+       |      FROM e, t)
+       |SELECT p, est_q,
+       |       floor(frac * 10000 + 0.5) / 10000.0 AS exact_frac,
+       |       floor(abs(frac - p) * 10000 + 0.5) / 10000.0 AS abs_err,
+       |       abs(frac - p) <= $QuantEps AS within_eps
+       |FROM x ORDER BY p""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_cms_heavy_hitters — count-min sketch frequency estimates, contract-checked
+  // ---------------------------------------------------------------------
+
+  private val CmsRows = 4
+  private val CmsW = 256L
+  private val CmsTopK = 10
+
+  private def cmsBucket(i: Int, tok: Column): Column =
+    conv(substring(md5(concat(lit(s"$i|"), tok)), 1, 8), 16, 10)
+      .cast("long") % CmsW
+
+  /** Count-min sketch [Cormode & Muthukrishnan 2005] over the document
+    * token stream: [[CmsRows]]×[[CmsW]] counters, bucket = md5(row‖token)
+    * mod w, estimate = min over rows — deterministic given the input
+    * multiset, so DuckDB replays the identical cells and the estimates
+    * hash-match end to end. The probes are the exact top-[[CmsTopK]]
+    * tokens; two contract columns pin the CMS guarantees: `never_under`
+    * (an estimate can only overcount — min of sums that each include the
+    * true count) and `within_eps` (overcount ≤ 4·N/w, the Markov bound
+    * with generous slack; exact at fixture scale where no top token
+    * collides in all four rows).
+    *
+    * Scale shape: the sketch is ONE groupBy over ≤ d·w = 1024 cells —
+    * map-side combine does the mass, the cells table broadcasts anywhere —
+    * so token/domain frequency tracking at 100 TB costs a fixed few KB of
+    * state per executor instead of a vocabulary-sized shuffle. The exact
+    * top-k probe list is the verification side (a TakeOrderedAndProject
+    * over the token counts); production would probe with a fixed watch
+    * list instead. */
+  private[graft] def cmsHeavyHittersOn(toks: DataFrame): DataFrame = {
+    val cells = toks
+      .select(posexplode(array((0 until CmsRows)
+        .map(i => cmsBucket(i, col("tok"))): _*)).as(Seq("i", "bucket")))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok").asc).limit(CmsTopK)
+    val nDf = toks.agg(count(lit(1)).as("nn"))
+    top
+      .select(col("tok"), col("n_exact"),
+        posexplode(array((0 until CmsRows)
+          .map(i => cmsBucket(i, col("tok"))): _*)).as(Seq("i", "bucket")))
+      .join(broadcast(cells), Seq("i", "bucket"))
+      .groupBy(col("tok"), col("n_exact"))
+      .agg(min(col("c")).as("n_cms"))
+      .crossJoin(broadcast(nDf))
+      .select(col("tok"), col("n_exact"), col("n_cms"),
+        (col("n_cms") >= col("n_exact")).as("never_under"),
+        (col("n_cms") <= col("n_exact") + lit(4.0) * col("nn") / lit(CmsW.toDouble))
+          .as("within_eps"))
+      .orderBy(col("n_exact").desc, col("tok"))
+  }
+
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    cmsHeavyHittersOn(Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok")))
+
+  val cmsHeavyHittersSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents),
+       |n AS (SELECT count(*) AS nn FROM toks),
+       |ii AS (SELECT unnest([0, 1, 2, 3]) AS i),
+       |cells AS (
+       |  SELECT ii.i AS i,
+       |         CAST('0x' || substring(md5(ii.i::VARCHAR || '|' || toks.tok),
+       |              1, 8) AS BIGINT) % $CmsW AS bucket,
+       |         count(*) AS c
+       |  FROM toks CROSS JOIN ii GROUP BY 1, 2),
+       |top AS (
+       |  SELECT tok, count(*) AS n_exact FROM toks GROUP BY tok
+       |  ORDER BY n_exact DESC, tok LIMIT $CmsTopK),
+       |pb AS (
+       |  SELECT t.tok, t.n_exact, ii.i AS i,
+       |         CAST('0x' || substring(md5(ii.i::VARCHAR || '|' || t.tok),
+       |              1, 8) AS BIGINT) % $CmsW AS bucket
+       |  FROM top t CROSS JOIN ii),
+       |est AS (
+       |  SELECT pb.tok, pb.n_exact, min(c.c) AS n_cms
+       |  FROM pb JOIN cells c ON c.i = pb.i AND c.bucket = pb.bucket
+       |  GROUP BY 1, 2)
+       |SELECT est.tok, est.n_exact, est.n_cms,
+       |       est.n_cms >= est.n_exact AS never_under,
+       |       est.n_cms <= est.n_exact + 4.0 * n.nn / $CmsW.0 AS within_eps
+       |FROM est, n ORDER BY n_exact DESC, tok""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // j_bloom_prune — Bloom-filter join pruning with exactness witness
+  // ---------------------------------------------------------------------
+
+  private val BloomBits = 65536L
+  private val BloomHashes = 4
+  private val WordBits = 32L
+  private val NumWords = (BloomBits / WordBits).toInt
+
+  private def bloomPos(i: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"$i|"), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % BloomBits
+
+  /** Bloom-filter join pruning — the runtime-filter pattern [Bloom 1970;
+    * the semi-join reduction of Bernstein & Chiu 1981]: build an
+    * [[BloomBits]]-bit filter over the join keys of the FILTERED dimension
+    * (customers in one segment), broadcast it, and test every fact row
+    * map-side BEFORE the join. At 100 TB this is the difference between
+    * shuffling the whole fact table into the join and shuffling only the
+    * ~matching fraction: the filter is a few KB regardless of dimension
+    * size (the dial is bits ∝ |dim|; 65536 bits carries ~3k keys at
+    * ~10 bits/key here, the standard sizing), the membership test is O(1)
+    * arithmetic per row, and false positives only cost wasted join work —
+    * never a wrong result, because the real join still runs behind the
+    * prune. The output pins exactly that contract: `no_false_neg` TRUE
+    * (every true match passes the filter — structural, but a broken hash
+    * or bit-packing bug flips it), the false-positive count, and the
+    * observed `fp_rate` among true negatives.
+    *
+    * Implementation is pure DataFrame arithmetic, deterministic in both
+    * engines: positions = md5(i‖key) mod m, bits packed 32-per-long via a
+    * ≤[[NumWords]]-row aggregate, the dense word array assembled once in a
+    * one-row frame and CROSS-JOIN-BROADCAST to the fact side, membership =
+    * O(1) element_at + shift per hash. DuckDB replays membership as
+    * position-set semi-joins — same semantics, so the counters hash-match.
+    */
+  private[graft] def bloomPruneOn(dim: DataFrame, ords: DataFrame): DataFrame = {
+    val pts = dim
+      .select(explode(array((0 until BloomHashes)
+        .map(i => bloomPos(i, col("c_custkey"))): _*)).as("pos"))
+      .distinct()
+    val words = pts
+      .groupBy((col("pos") / lit(WordBits)).cast("long").as("widx"))
+      .agg(sum(expr(s"shiftleft(1L, cast(pos % $WordBits as int))")).as("word"))
+    val warr = words
+      .agg(map_from_arrays(collect_list(col("widx")), collect_list(col("word")))
+        .as("wm"),
+        sum(bit_count(col("word"))).cast("long").as("bits_set"))
+      .select(transform(sequence(lit(0L), lit((NumWords - 1).toLong)),
+        i => coalesce(element_at(col("wm"), i), lit(0L))).as("warr"),
+        col("bits_set"))
+    var cur = ords.select(col("o_orderkey"), col("o_custkey"))
+      .crossJoin(broadcast(warr))
+    for (i <- 0 until BloomHashes) {
+      cur = cur
+        .withColumn(s"p$i", bloomPos(i, col("o_custkey")))
+        .withColumn(s"w$i", element_at(col("warr"),
+          ((col(s"p$i") / lit(WordBits)).cast("long") + 1L).cast("int")))
+    }
+    val pass = (0 until BloomHashes)
+      .map(i => expr(s"(shiftright(w$i, cast(p$i % $WordBits as int)) & 1) = 1"))
+      .reduce(_ && _)
+    val dimFlag = dim.select(col("c_custkey").as("o_custkey"), lit(1L).as("mt"))
+    cur
+      .withColumn("pass", pass)
+      .join(broadcast(dimFlag), Seq("o_custkey"), "left")
+      .withColumn("mt", col("mt").isNotNull)
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(col("mt"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("pass") && !col("mt"), 1L).otherwise(0L)).as("n_false_pos"),
+        sum(when(col("mt") && !col("pass"), 1L).otherwise(0L)).as("n_false_neg"),
+        max(col("bits_set")).as("bits_set"))
+      .select(col("n_orders"), col("n_pass"), col("n_match"),
+        col("n_false_pos"),
+        coalesce(pround(col("n_false_pos").cast("double")
+          / nullif(col("n_orders") - col("n_match"), lit(0L)), 4), lit(0.0))
+          .as("fp_rate"),
+        col("bits_set"),
+        (col("n_false_neg") === 0L).as("no_false_neg"))
+  }
+
+  def bloomPrune(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    bloomPruneOn(dim, Tables.orders(spark, dir))
+  }
+
+  val bloomPruneSql: String =
+    s"""WITH dim AS (
+       |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+       |ii AS (SELECT unnest([0, 1, 2, 3]) AS i),
+       |pts AS (
+       |  SELECT DISTINCT CAST('0x' || substring(md5(ii.i::VARCHAR || '|'
+       |           || dim.c_custkey::VARCHAR), 1, 8) AS BIGINT)
+       |           % $BloomBits AS pos
+       |  FROM dim CROSS JOIN ii),
+       |f AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    list_transform([0, 1, 2, 3],
+       |      i -> CAST('0x' || substring(md5(i::VARCHAR || '|'
+       |             || o_custkey::VARCHAR), 1, 8) AS BIGINT)
+       |             % $BloomBits) AS ps
+       |  FROM orders),
+       |p AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    (ps[1] IN (SELECT pos FROM pts) AND ps[2] IN (SELECT pos FROM pts)
+       |     AND ps[3] IN (SELECT pos FROM pts)
+       |     AND ps[4] IN (SELECT pos FROM pts)) AS pass,
+       |    (o_custkey IN (SELECT c_custkey FROM dim)) AS mt
+       |  FROM f),
+       |agg AS (
+       |  SELECT count(*) AS n_orders,
+       |    CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |    CAST(sum(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+       |    CAST(sum(CASE WHEN pass AND NOT mt THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_false_pos,
+       |    CAST(sum(CASE WHEN mt AND NOT pass THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_false_neg
+       |  FROM p)
+       |SELECT n_orders, n_pass, n_match, n_false_pos,
+       |       coalesce(floor(n_false_pos::DOUBLE / nullif(n_orders - n_match, 0)
+       |         * 10000 + 0.5) / 10000.0, 0.0) AS fp_rate,
+       |       (SELECT count(*) FROM pts) AS bits_set,
+       |       n_false_neg = 0 AS no_false_neg
+       |FROM agg""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quantile_sketch" -> quantileSketch,
+    "q_cms_heavy_hitters" -> cmsHeavyHitters,
+    "j_bloom_prune" -> bloomPrune
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_quantile_sketch" -> quantileSketchSql,
+    "q_cms_heavy_hitters" -> cmsHeavyHittersSql,
+    "j_bloom_prune" -> bloomPruneSql
+  )
+}

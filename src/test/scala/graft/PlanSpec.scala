@@ -278,4 +278,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("CartesianProduct"),
       s"salted attribution must stay an equi-join:\n$plan")
   }
+
+  test("quantile sketch samples via TakeOrderedAndProject, no shuffled join") {
+    // the bottom-k-by-hash sample must be per-partition heaps + driver
+    // merge (the mergeable-sketch execution), never a global sort; the
+    // exact ECDF side is one aggregate behind a one-row broadcast
+    val s = graft.operators.Sketches.quantileSketch(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s"expected bottom-k sample in:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
+  }
+
+  test("cms estimates join the 1024-cell table broadcast, probes via top-k") {
+    val s = graft.operators.Sketches.cmsHeavyHitters(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(s.contains("TakeOrderedAndProject"), s"expected top-k probe list in:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast cells join in:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
+  }
+
+  test("bloom prune tests membership map-side: pruned scan, no shuffled join") {
+    val s = graft.operators.Sketches.bloomPrune(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the truth-flag join must broadcast the dimension; membership itself
+    // is arithmetic against the one-row broadcast word array
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast dim join in:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
+    // the fact scan must read only the join key + row id (fresh frame:
+    // scans() needs to materialize the physical plan with AQE off)
+    val ordScans = scans(graft.operators.Sketches.bloomPrune(spark, dir))
+      .filter(_.requiredSchema.fieldNames.contains("o_custkey"))
+    assert(ordScans.nonEmpty)
+    ordScans.foreach { sc =>
+      val read = sc.requiredSchema.fieldNames.toSet
+      assert(!read.contains("o_totalprice") && !read.contains("o_orderdate"),
+        s"bloom prune reads unused fact columns: $read")
+    }
+  }
 }

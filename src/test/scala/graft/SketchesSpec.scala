@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sketches
+
+/** Behavioral properties of the sketch suite that the oracle hash cannot
+  * see: determinism under physical layout (the whole point of hash-derived
+  * sketches — a result that moves when partitioning moves would pass any
+  * single run and flake across clusters), and the structural guarantees on
+  * adversarial inputs the fixture corpus doesn't exercise.
+  */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.Sf0001
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+
+  test("quantile sketch is invariant under repartitioning") {
+    val li = graft.io.Tables.lineitem(spark, dir)
+    val base = rows(Sketches.quantileSketchOn(li))
+    val moved = rows(Sketches.quantileSketchOn(li.repartition(7)))
+    assert(base === moved, "bottom-k-by-hash sample must not depend on layout")
+    // and the contract holds on the fixture
+    assert(Sketches.quantileSketchOn(li).collect().forall(_.getAs[Boolean]("within_eps")))
+  }
+
+  test("cms estimates never undercount and are layout-invariant") {
+    val toks = graft.io.Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+    val base = Sketches.cmsHeavyHittersOn(toks).collect()
+    assert(base.nonEmpty)
+    assert(base.forall(_.getAs[Boolean]("never_under")),
+      "CMS min-of-rows can only overcount")
+    assert(rows(Sketches.cmsHeavyHittersOn(toks.repartition(5))) ===
+      base.map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq)
+  }
+
+  test("bloom prune never drops a true match, even fully saturated") {
+    import spark.implicits._
+    // a dim large enough to saturate many words plus facts that all match:
+    // every matching fact MUST pass regardless of collision pressure
+    val dim = spark.range(0, 3000).select((col("id") * 13L).as("c_custkey"))
+    val facts = spark.range(0, 500)
+      .select(col("id").as("o_orderkey"), (col("id") * 13L).as("o_custkey"))
+    val r = Sketches.bloomPruneOn(dim, facts).collect().head
+    assert(r.getAs[Boolean]("no_false_neg"))
+    assert(r.getAs[Long]("n_pass") === 500L, "all true matches must pass")
+    assert(r.getAs[Long]("n_match") === 500L)
+
+    // and on a disjoint fact set the filter actually prunes
+    val miss = spark.range(0, 2000)
+      .select(col("id").as("o_orderkey"), (col("id") * 13L + 7L).as("o_custkey"))
+    val m = Sketches.bloomPruneOn(dim, miss).collect().head
+    assert(m.getAs[Long]("n_match") === 0L)
+    assert(m.getAs[Long]("n_pass") < 2000L,
+      "a non-matching majority must be mostly pruned")
+    assert(m.getAs[Boolean]("no_false_neg"))
+  }
+}
