@@ -149,11 +149,19 @@ object Sketches {
     * top-k probe list is the verification side (a TakeOrderedAndProject
     * over the token counts); production would probe with a fixed watch
     * list instead. */
-  private[graft] def cmsHeavyHittersOn(toks: DataFrame): DataFrame = {
-    val cells = toks
+  /** The d×w counter table itself, shared with
+    * [[graft.streaming.StreamingCms]]: one groupBy over ≤ d·w cells, so
+    * under Structured Streaming the STATE is bounded by the sketch size —
+    * the same expression tree serves batch and continuous tracking
+    * (the StreamingFilterBattery convention, for an aggregate). */
+  private[graft] def cmsCellsOn(toks: DataFrame): DataFrame =
+    toks
       .select(posexplode(array((0 until CmsRows)
         .map(i => cmsBucket(i, col("tok"))): _*)).as(Seq("i", "bucket")))
       .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  private[graft] def cmsHeavyHittersOn(toks: DataFrame): DataFrame = {
+    val cells = cmsCellsOn(toks)
     val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
       .orderBy(col("n_exact").desc, col("tok").asc).limit(CmsTopK)
     val nDf = toks.agg(count(lit(1)).as("nn"))
@@ -212,11 +220,10 @@ object Sketches {
   private val BloomBits = 65536L
   private val BloomHashes = 4
   private val WordBits = 32L
-  private val NumWords = (BloomBits / WordBits).toInt
 
-  private def bloomPos(i: Int, key: Column): Column =
+  private def bloomPos(i: Int, key: Column, bits: Long): Column =
     conv(substring(md5(concat(lit(s"$i|"), key.cast("string"))), 1, 8), 16, 10)
-      .cast("long") % BloomBits
+      .cast("long") % bits
 
   /** Bloom-filter join pruning — the runtime-filter pattern [Bloom 1970;
     * the semi-join reduction of Bernstein & Chiu 1981]: build an
@@ -236,33 +243,37 @@ object Sketches {
     *
     * Implementation is pure DataFrame arithmetic, deterministic in both
     * engines: positions = md5(i‖key) mod m, bits packed 32-per-long via a
-    * ≤[[NumWords]]-row aggregate, the dense word array assembled once in a
-    * one-row frame and CROSS-JOIN-BROADCAST to the fact side, membership =
-    * O(1) element_at + shift per hash. DuckDB replays membership as
+    * ≤ bits/32-row aggregate broadcast to the fact side, membership = one
+    * broadcast hash-join lookup + O(1) shift per hash. DuckDB replays
+    * membership as
     * position-set semi-joins — same semantics, so the counters hash-match.
     */
-  private[graft] def bloomPruneOn(dim: DataFrame, ords: DataFrame): DataFrame = {
+  private[graft] def bloomPruneOn(dim: DataFrame, ords: DataFrame,
+      bits: Long = BloomBits): DataFrame = {
     val pts = dim
       .select(explode(array((0 until BloomHashes)
-        .map(i => bloomPos(i, col("c_custkey"))): _*)).as("pos"))
+        .map(i => bloomPos(i, col("c_custkey"), bits)): _*)).as("pos"))
       .distinct()
     val words = pts
       .groupBy((col("pos") / lit(WordBits)).cast("long").as("widx"))
       .agg(sum(expr(s"shiftleft(1L, cast(pos % $WordBits as int))")).as("word"))
-    val warr = words
-      .agg(map_from_arrays(collect_list(col("widx")), collect_list(col("word")))
-        .as("wm"),
-        sum(bit_count(col("word"))).cast("long").as("bits_set"))
-      .select(transform(sequence(lit(0L), lit((NumWords - 1).toLong)),
-        i => coalesce(element_at(col("wm"), i), lit(0L))).as("warr"),
-        col("bits_set"))
+    val nBits = words
+      .agg(sum(bit_count(col("word"))).cast("long").as("bits_set"))
     var cur = ords.select(col("o_orderkey"), col("o_custkey"))
-      .crossJoin(broadcast(warr))
+      .crossJoin(broadcast(nBits))
+    // membership = one BROADCAST HASH JOIN per hash function against the
+    // ≤ bits/32-row word table — an O(1) hash lookup per fact row. (A
+    // one-row broadcast array assembled via per-index map lookups was the
+    // first cut; Spark map access is a linear scan, so assembling a W-word
+    // array over an n-entry map is O(W·n) — 89 s at the ×10 sized dial vs
+    // 1.7 s for the joins. Measured in SCALING.md.)
     for (i <- 0 until BloomHashes) {
+      val wt = words.select(col("widx").as(s"widx$i"), col("word").as(s"w0$i"))
       cur = cur
-        .withColumn(s"p$i", bloomPos(i, col("o_custkey")))
-        .withColumn(s"w$i", element_at(col("warr"),
-          ((col(s"p$i") / lit(WordBits)).cast("long") + 1L).cast("int")))
+        .withColumn(s"p$i", bloomPos(i, col("o_custkey"), bits))
+        .withColumn(s"widx$i", (col(s"p$i") / lit(WordBits)).cast("long"))
+        .join(broadcast(wt), Seq(s"widx$i"), "left")
+        .withColumn(s"w$i", coalesce(col(s"w0$i"), lit(0L)))
     }
     val pass = (0 until BloomHashes)
       .map(i => expr(s"(shiftright(w$i, cast(p$i % $WordBits as int)) & 1) = 1"))
@@ -291,6 +302,17 @@ object Sketches {
     val dim = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
     bloomPruneOn(dim, Tables.orders(spark, dir))
+  }
+
+  /** SfScale probe: the bits ∝ |dim| production dial (standard sizing is
+    * ~10+ bits per key; the pinned 65536 carries the fixture's ~3k keys).
+    * A filter held at fixture size while the dimension grows K× saturates —
+    * fp_rate rises and the prune stops pruning; resizing restores it.
+    * Measured at ×10 in SCALING.md. */
+  def bloomPruneBits(spark: SparkSession, dir: String, bits: Long): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    bloomPruneOn(dim, Tables.orders(spark, dir), bits)
   }
 
   val bloomPruneSql: String =

@@ -96,14 +96,25 @@ object SfScale {
       .repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // customer: same per-replica key offset as orders.o_custkey, so the
+    // scaled orders keep referential integrity (the Bloom-prune dimension)
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    cust.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("c_custkey", col("c_custkey") + col("rep") * custOff)
+      .drop("rep")
+      .repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
     // SPARK_GRAFT_SCALE_QUERIES: comma-separated subset (e.g. to exclude
     // the intentionally-quadratic salted-skew demo from very large factors)
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES").map(_.split(",").toSet)
+    val sketchQs = Set("q_quantile_sketch", "q_cms_heavy_hitters", "j_bloom_prune")
     val names = graft.SparkEntry.queries.keys
       .filter(n => n.startsWith("dedup_") || n.startsWith("ann_")
         || n.startsWith("index_build_") || n.startsWith("cur_")
         || n.startsWith("flt_") || n.startsWith("mm_")
-        || n.startsWith("ev_") || n.startsWith("graph_"))
+        || n.startsWith("ev_") || n.startsWith("graph_")
+        || sketchQs.contains(n))
       .filter(n => only.forall(_.contains(n))).toSeq.sorted
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -414,6 +425,40 @@ object SfScale {
       println(s"STREAMPARITY base: pairs=$pB batch=$bB parity=${pB == bB} peak_state=$stB")
       println(s"STREAMPARITY x$factor: pairs=$pX batch=$bX parity=${pX == bX} " +
         s"peak_state=$stX state_ratio=${if (stB > 0) f"${stX.toDouble / stB}%.2f" else "n/a"}")
+    }
+    // Bloom-prune at lake dials: the oracle-pinned query carries 65536
+    // bits (fixture-sized, ~20 bits per dim key). On the ×K dimension the
+    // pinned filter saturates — fp_rate rises and n_pass drifts toward
+    // n_orders, so the prune stops paying for itself; the production dial
+    // bits ∝ |dim| restores the fixture's fp behavior at unchanged O(1)
+    // per-row test cost (the broadcast word array grows to K×8 KB — still
+    // broadcast-scale at any realistic dimension). Both dials print their
+    // measured fp stats as BLOOM rows for SCALING.md.
+    if (only.forall(_.contains("j_bloom_prune")) && factor > 1) {
+      def runBloom(dir: String, bits: Long): (Double, org.apache.spark.sql.Row) = {
+        val t0 = System.nanoTime()
+        val row = graft.operators.Sketches.bloomPruneBits(spark, dir, bits)
+          .collect().head
+        val s = (System.nanoTime() - t0) / 1e9
+        CacheRegistry.release(blocking = true)
+        CacheRegistry.releaseShared(blocking = true)
+        (s, row)
+      }
+      def nextPow2(x: Long): Long = { var p = 1L; while (p < x) p <<= 1; p }
+      val sized = nextPow2(65536L * factor)
+      def fmt(r: org.apache.spark.sql.Row) =
+        s"pass=${r.getAs[Long]("n_pass")}/${r.getAs[Long]("n_orders")} " +
+          s"match=${r.getAs[Long]("n_match")} fp=${r.getAs[Long]("n_false_pos")} " +
+          s"fp_rate=${r.getAs[Double]("fp_rate")} bits_set=${r.getAs[Long]("bits_set")}"
+      runBloom(base, 65536L)
+      val (tb, rb) = runBloom(base, 65536L)
+      val (tp, rp) = runBloom(out, 65536L)
+      val (ts2, rs) = runBloom(out, sized)
+      println(f"SCALE ${"j_bloom_prune/b64k"}%-26s $tb%8.2f $tp%8.2f ${tp / tb}%7.2f")
+      println(f"SCALE ${s"j_bloom_prune/b${sized / 1024}k"}%-26s $tb%8.2f $ts2%8.2f ${ts2 / tb}%7.2f")
+      println(s"BLOOM base/b64k: ${fmt(rb)}")
+      println(s"BLOOM x$factor/b64k: ${fmt(rp)}")
+      println(s"BLOOM x$factor/b${sized / 1024}k: ${fmt(rs)}")
     }
     spark.stop()
   }

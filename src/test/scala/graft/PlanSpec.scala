@@ -300,8 +300,8 @@ class PlanSpec extends AnyFunSuite {
   test("bloom prune tests membership map-side: pruned scan, no shuffled join") {
     val s = graft.operators.Sketches.bloomPrune(spark, dir)
       .queryExecution.executedPlan.toString
-    // the truth-flag join must broadcast the dimension; membership itself
-    // is arithmetic against the one-row broadcast word array
+    // the truth-flag join must broadcast the dimension; membership is
+    // broadcast hash lookups against the tiny word table
     assert(s.contains("BroadcastHashJoin"), s"expected broadcast dim join in:\n$s")
     assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
     // the fact scan must read only the join key + row id (fresh frame:
