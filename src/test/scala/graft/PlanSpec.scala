@@ -289,6 +289,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
   }
 
+  test("group quantile sketch partial-aggregates map-side, samples broadcast back") {
+    // the mergeable UDAF must run as a two-phase object-hash aggregate
+    // (k-row partial buffers combine map-side — the bounded-shuffle claim)
+    // and the 3-row sample table must broadcast into the exact-ECDF pass
+    val s = graft.operators.Sketches.quantileGroups(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(s).size >= 2,
+      s"expected two-phase object-hash aggregation in:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast sample join in:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
+  }
+
   test("cms estimates join the 1024-cell table broadcast, probes via top-k") {
     val s = graft.operators.Sketches.cmsHeavyHitters(spark, dir)
       .queryExecution.executedPlan.toString

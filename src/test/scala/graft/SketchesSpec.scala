@@ -27,6 +27,27 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.quantileSketchOn(li).collect().forall(_.getAs[Boolean]("within_eps")))
   }
 
+  test("group quantile sketch is layout-invariant and its merge is order-independent") {
+    val li = graft.io.Tables.lineitem(spark, dir)
+    val base = rows(Sketches.quantileGroupsOn(li))
+    assert(base === rows(Sketches.quantileGroupsOn(li.repartition(11))),
+      "per-group bottom-k must not depend on layout")
+    assert(Sketches.quantileGroupsOn(li).collect()
+      .forall(_.getAs[Boolean]("within_eps")))
+
+    // the Aggregator's algebra directly: merge commutes and respects K
+    import graft.functions.BottomKSketch
+    val r = new scala.util.Random(7)
+    def buf(n: Int) = (0 until n).foldLeft(BottomKSketch.zero) { (b, _) =>
+      BottomKSketch.reduce(b, (r.nextLong() & Long.MaxValue, r.nextDouble()))
+    }
+    val (a, b) = (buf(400), buf(300))
+    val ab = BottomKSketch.merge(a, b); val ba = BottomKSketch.merge(b, a)
+    assert(ab.h.toSeq === ba.h.toSeq && ab.v.toSeq === ba.v.toSeq)
+    assert(ab.h.length <= BottomKSketch.K)
+    assert(ab.h.toSeq === ab.h.sorted.toSeq, "buffer stays hash-sorted")
+  }
+
   test("cms estimates never undercount and are layout-invariant") {
     val toks = graft.io.Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
