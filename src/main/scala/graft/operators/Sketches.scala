@@ -143,15 +143,26 @@ object Sketches {
     * across SFs and groups). The DuckDB oracle replays the sketch as a
     * per-group `row_number() OVER (ORDER BY hash) <= k` — deterministic,
     * so estimates AND flags hash-match end to end. */
-  private[graft] def quantileGroupsOn(li: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    val bk = udaf(graft.functions.BottomKSketch, ExpressionEncoder[(Long, Double)]())
+  /** The (group, value, 60-bit row-key hash) projection both the batch
+    * query and [[graft.streaming.StreamingQuantiles]] aggregate over. */
+  private[graft] def quantileGroupBase(li: DataFrame): DataFrame = {
     val h60 = conv(substring(md5(concat(col("l_orderkey").cast("string"),
       lit("-"), col("l_linenumber").cast("string"))), 1, 15), 16, 10)
       .cast("long")
-    val base = li.select(col("l_returnflag").as("g"),
+    li.select(col("l_returnflag").as("g"),
       col("l_extendedprice").as("v"), h60.as("h"))
-    val samples = base
+  }
+
+  /** The per-group sample → estimate stage, shared with
+    * [[graft.streaming.StreamingQuantiles]] (the StreamingCms convention:
+    * one expression tree serves batch and continuous tracking). Under
+    * Structured Streaming the state per group is the BottomKSketch buffer
+    * — ≤ k (hash, value) pairs — so live per-group percentiles cost
+    * O(k·|groups|) state no matter how long the stream runs. */
+  private[graft] def quantileSamplesOn(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val bk = udaf(graft.functions.BottomKSketch, ExpressionEncoder[(Long, Double)]())
+    base
       .groupBy(col("g")).agg(bk(col("h"), col("v")).as("arr"))
       .select(col("g") +: GroupProbes.map { p =>
         val tag = (p * 100).toInt
@@ -159,6 +170,11 @@ object Sketches {
           greatest(lit(1L), ceil(lit(p) * size(col("arr")))).cast("int"))
           .as(s"est_p$tag")
       }: _*)
+  }
+
+  private[graft] def quantileGroupsOn(li: DataFrame): DataFrame = {
+    val base = quantileGroupBase(li)
+    val samples = quantileSamplesOn(base)
     val estCols = GroupProbes.map(p => s"est_p${(p * 100).toInt}")
     base
       .join(broadcast(samples), Seq("g"))
@@ -214,6 +230,141 @@ object Sketches {
        |       abs(f50 - 0.5) <= $GroupEps AND abs(f90 - 0.9) <= $GroupEps
        |         AS within_eps
        |FROM x ORDER BY g""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q_kmv_set_ops — Theta-sketch set algebra over two KMV hash samples
+  // ---------------------------------------------------------------------
+
+  private val SetEps = 0.15
+  private val PriA = "1-URGENT"
+  private val PriB = "2-HIGH"
+
+  /** Distinct-count estimate from a bottom-k hash array: exact when the
+    * sketch is unsaturated, else the unbiased KMV estimator
+    * (k−1)·2³² / h₍ₖ₎ over 32-bit hashes [Beyer et al. 2007]. */
+  private def kmvEst(arr: Column, k: Int): Column =
+    when(size(arr) < k, size(arr).cast("long"))
+      .otherwise(floor(lit((k - 1) * 4294967296.0) / element_at(arr, k)
+        + lit(0.5)).cast("long"))
+
+  /** Set-operation estimates from two KMV hash samples — the Theta-sketch
+    * pattern [Dasgupta et al. 2016, on Beyer et al. 2007's KMV]: sketch
+    * the customer sets behind two order-priority slices ([[PriA]], [[PriB]])
+    * with [[graft.functions.KmvValues]] (bottom-k=256 distinct md5 hashes,
+    * one pass, ObjectHashAggregate partial map-side), then estimate
+    * |A∪B| (union sketch = sorted-distinct-merge trimmed to k, same
+    * estimator), |A∩B| (inclusion ratio: the fraction of union-sketch
+    * hashes present in BOTH input sketches, scaled by the union estimate),
+    * and Jaccard — all from two ≤2 KB summaries, never joining the key
+    * sets themselves. At 100 TB this answers "how much do these corpora
+    * overlap" (cross-source dedup planning, join-size estimation before
+    * committing to a shuffle strategy) at the cost of two scans and a
+    * driver-sized merge.
+    *
+    * Everything is deterministic (hash-selected samples, fixed float op
+    * order), so the DuckDB oracle replays sketches AND estimates exactly:
+    * the full hash gate covers the approximate values. Exact counts ride
+    * alongside (one custkey-keyed aggregate) as the error oracle;
+    * `within_eps` pins every estimate within [[SetEps]] of exact
+    * (calibrated: max observed 0.108 across the three SFs at k=256;
+    * SE≈6%). The bench line pays sketch + exact by design
+    * (`q_approx_distinct` convention). */
+  private[graft] def kmvSetOpsOn(ords: DataFrame): DataFrame = {
+    val k = graft.functions.KmvValues.K
+    val kv = udaf(graft.functions.KmvValues)
+    val base = ords
+      .filter(col("o_orderpriority").isin(PriA, PriB))
+      .select(col("o_orderpriority").as("pri"), col("o_custkey"),
+        conv(substring(md5(col("o_custkey").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+    val sketches = base
+      .groupBy(col("pri")).agg(kv(col("h")).as("arr"))
+      .agg(max(when(col("pri") === PriA, col("arr"))).as("a"),
+        max(when(col("pri") === PriB, col("arr"))).as("b"))
+    val exact = base
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("pri") === PriA, 1L).otherwise(0L)).as("ia"),
+        max(when(col("pri") === PriB, 1L).otherwise(0L)).as("ib"))
+      .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
+        count(lit(1)).as("n_union"),
+        sum(col("ia") * col("ib")).as("n_inter"))
+    def relOk(est: Column, n: Column): Column =
+      abs(est - n).cast("double") / greatest(n, lit(1L)) <= SetEps
+    sketches.crossJoin(broadcast(exact))
+      .withColumn("u", slice(array_sort(array_union(col("a"), col("b"))), 1, k))
+      .withColumn("ku", size(col("u")))
+      .withColumn("ic",
+        size(array_intersect(array_intersect(col("u"), col("a")), col("b"))))
+      .withColumn("est_a", kmvEst(col("a"), k))
+      .withColumn("est_b", kmvEst(col("b"), k))
+      .withColumn("est_union", kmvEst(col("u"), k))
+      .withColumn("est_inter",
+        floor(col("ic").cast("double") * col("est_union").cast("double")
+          / col("ku").cast("double") + lit(0.5)).cast("long"))
+      .select(col("n_a"), col("est_a"), col("n_b"), col("est_b"),
+        col("n_union"), col("est_union"), col("n_inter"), col("est_inter"),
+        pround(col("n_inter").cast("double") / col("n_union"), 4)
+          .as("jaccard_exact"),
+        pround(col("ic").cast("double") / col("ku"), 4).as("jaccard_kmv"),
+        (relOk(col("est_a"), col("n_a")) && relOk(col("est_b"), col("n_b"))
+          && relOk(col("est_union"), col("n_union"))
+          && relOk(col("est_inter"), col("n_inter"))).as("within_eps"))
+  }
+
+  def kmvSetOps(spark: SparkSession, dir: String): DataFrame =
+    kmvSetOpsOn(Tables.orders(spark, dir))
+
+  val kmvSetOpsSql: String = {
+    val k = graft.functions.KmvValues.K
+    val num = s"${k - 1}*4294967296.0"
+    s"""WITH base AS (
+       |  SELECT o_orderpriority AS pri, o_custkey,
+       |         CAST('0x' || substring(md5(o_custkey::VARCHAR), 1, 8)
+       |              AS BIGINT) AS h
+       |  FROM orders WHERE o_orderpriority IN ('$PriA', '$PriB')),
+       |sa AS (SELECT DISTINCT h FROM base WHERE pri = '$PriA'
+       |       ORDER BY h LIMIT $k),
+       |sb AS (SELECT DISTINCT h FROM base WHERE pri = '$PriB'
+       |       ORDER BY h LIMIT $k),
+       |su AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+       |       ORDER BY h LIMIT $k),
+       |ka AS (SELECT count(*) AS n, max(h) AS hk FROM sa),
+       |kb AS (SELECT count(*) AS n, max(h) AS hk FROM sb),
+       |ku AS (SELECT count(*) AS n, max(h) AS hk FROM su),
+       |ic AS (SELECT count(*) AS c FROM su
+       |       WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+       |ex AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+       |              CAST(sum(ib) AS BIGINT) AS n_b,
+       |              count(*) AS n_union,
+       |              CAST(sum(ia * ib) AS BIGINT) AS n_inter
+       |       FROM (SELECT o_custkey,
+       |               max(CASE WHEN pri = '$PriA' THEN 1 ELSE 0 END) AS ia,
+       |               max(CASE WHEN pri = '$PriB' THEN 1 ELSE 0 END) AS ib
+       |             FROM base GROUP BY o_custkey)),
+       |est AS (SELECT ex.n_a, ex.n_b, ex.n_union, ex.n_inter,
+       |    CASE WHEN ka.n < $k THEN ka.n
+       |         ELSE CAST(floor($num / ka.hk + 0.5) AS BIGINT) END AS est_a,
+       |    CASE WHEN kb.n < $k THEN kb.n
+       |         ELSE CAST(floor($num / kb.hk + 0.5) AS BIGINT) END AS est_b,
+       |    CASE WHEN ku.n < $k THEN ku.n
+       |         ELSE CAST(floor($num / ku.hk + 0.5) AS BIGINT) END AS est_union,
+       |    ic.c AS ic, ku.n AS kn
+       |  FROM ex, ka, kb, ku, ic),
+       |fin AS (SELECT *,
+       |    CAST(floor(ic::DOUBLE * est_union::DOUBLE / kn::DOUBLE + 0.5)
+       |         AS BIGINT) AS est_inter
+       |  FROM est)
+       |SELECT n_a, est_a, n_b, est_b, n_union, est_union, n_inter, est_inter,
+       |  floor(n_inter::DOUBLE / n_union * 10000 + 0.5) / 10000.0
+       |    AS jaccard_exact,
+       |  floor(ic::DOUBLE / kn * 10000 + 0.5) / 10000.0 AS jaccard_kmv,
+       |  abs(est_a - n_a)::DOUBLE / greatest(n_a, 1) <= $SetEps
+       |    AND abs(est_b - n_b)::DOUBLE / greatest(n_b, 1) <= $SetEps
+       |    AND abs(est_union - n_union)::DOUBLE / greatest(n_union, 1) <= $SetEps
+       |    AND abs(est_inter - n_inter)::DOUBLE / greatest(n_inter, 1) <= $SetEps
+       |    AS within_eps
+       |FROM fin""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -454,6 +605,7 @@ object Sketches {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_quantile_sketch" -> quantileSketch,
     "q_quantile_groups" -> quantileGroups,
+    "q_kmv_set_ops" -> kmvSetOps,
     "q_cms_heavy_hitters" -> cmsHeavyHitters,
     "j_bloom_prune" -> bloomPrune
   )
@@ -461,6 +613,7 @@ object Sketches {
   val oracles: Map[String, String] = Map(
     "q_quantile_sketch" -> quantileSketchSql,
     "q_quantile_groups" -> quantileGroupsSql,
+    "q_kmv_set_ops" -> kmvSetOpsSql,
     "q_cms_heavy_hitters" -> cmsHeavyHittersSql,
     "j_bloom_prune" -> bloomPruneSql
   )

@@ -301,6 +301,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
   }
 
+  test("kmv set-ops sketches build via two-phase object-hash aggregate, no shuffled join") {
+    // the KmvValues UDAF must partial-aggregate map-side (k-row buffers on
+    // the shuffle, not the key sets), and the single-row exact/sketch
+    // frames must combine without a SortMergeJoin
+    val s = graft.operators.Sketches.kmvSetOps(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(s).size >= 2,
+      s"expected two-phase object-hash aggregation in:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
+  }
+
   test("cms estimates join the 1024-cell table broadcast, probes via top-k") {
     val s = graft.operators.Sketches.cmsHeavyHitters(spark, dir)
       .queryExecution.executedPlan.toString

@@ -48,6 +48,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(ab.h.toSeq === ab.h.sorted.toSeq, "buffer stays hash-sorted")
   }
 
+  test("kmv set ops are layout-invariant and the sketch algebra holds") {
+    val ords = graft.io.Tables.orders(spark, dir)
+    val base = rows(Sketches.kmvSetOpsOn(ords))
+    assert(base === rows(Sketches.kmvSetOpsOn(ords.repartition(13))),
+      "bottom-k hash sampling must not depend on layout")
+    assert(Sketches.kmvSetOpsOn(ords).collect()
+      .forall(_.getAs[Boolean]("within_eps")))
+
+    // the aggregator's algebra directly: merge commutes, trims to K, and
+    // an unsaturated sketch IS its input set (estimates turn exact)
+    import graft.functions.KmvValues
+    val r = new scala.util.Random(11)
+    def buf(n: Int) = (0 until n).foldLeft(KmvValues.zero) { (b, _) =>
+      KmvValues.reduce(b, r.nextInt(Int.MaxValue).toLong)
+    }
+    val (a, b) = (buf(500), buf(300))
+    val ab = KmvValues.merge(a, b); val ba = KmvValues.merge(b, a)
+    assert(ab.toSeq === ba.toSeq, "merge must be commutative")
+    assert(ab.length <= KmvValues.K)
+    assert(ab.toSeq === ab.sorted.toSeq, "buffer stays sorted")
+    val small = buf(40)
+    assert(small.length === KmvValues.merge(small, KmvValues.zero).length,
+      "zero is a merge identity")
+  }
+
   test("cms estimates never undercount and are layout-invariant") {
     val toks = graft.io.Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
