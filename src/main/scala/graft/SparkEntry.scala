@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{AnnRecall, Components, Curation, Dedup, Enrich, Events, Filtering, Graph, IndexBuild, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Quality, Relational, Similarity, Sketches, Sources, TextAnalysis, TextSearch}
+import graft.operators.{AnnRecall, Components, Curation, Dedup, Enrich, Events, Filtering, Graph, IndexBuild, Ivfadc, IvfKMeans, Ivfpq, Jobs, Merge, Multimodal, Nsw, Pq, Profile, Quality, Relational, Similarity, Sketches, Sources, TextAnalysis, TextSearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
     Seq(
       (Relational.queries, Relational.oracles),
       (Sketches.queries, Sketches.oracles),
+      (Profile.queries, Profile.oracles),
       (Similarity.queries, Similarity.oracles),
       (TextSearch.queries, TextSearch.oracles),
       (Merge.queries, Merge.oracles),

@@ -109,7 +109,8 @@ object SfScale {
     // the intentionally-quadratic salted-skew demo from very large factors)
     val only = sys.env.get("SPARK_GRAFT_SCALE_QUERIES").map(_.split(",").toSet)
     val sketchQs = Set("q_quantile_sketch", "q_quantile_groups",
-      "q_kmv_set_ops", "q_cms_heavy_hitters", "j_bloom_prune")
+      "q_kmv_set_ops", "q_cms_heavy_hitters", "j_bloom_prune",
+      "q_profile_games")
     val names = graft.SparkEntry.queries.keys
       .filter(n => n.startsWith("dedup_") || n.startsWith("ann_")
         || n.startsWith("index_build_") || n.startsWith("cur_")

@@ -301,6 +301,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
   }
 
+  test("column profile aggregates the exploded frame once, count-star broadcast back") {
+    // one generate (stack) feeding one two-phase aggregation — per-column
+    // profiling must NOT re-scan the table per column — and the scalar
+    // total joins back as a broadcast, never a shuffle
+    val s = graft.operators.Profile.profileGames(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("Generate explode".r.findAllIn(s).size === 1,
+      s"expected exactly one stacked explode in:\n$s")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"expected the count-star to broadcast in:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
+  }
+
   test("kmv set-ops sketches build via two-phase object-hash aggregate, no shuffled join") {
     // the KmvValues UDAF must partial-aggregate map-side (k-row buffers on
     // the shuffle, not the key sets), and the single-row exact/sketch
