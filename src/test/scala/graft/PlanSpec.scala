@@ -314,6 +314,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("SortMergeJoin"), s"no shuffled join in:\n$s")
   }
 
+  test("source-overlap sketches aggregate two-phase, pair algebra joins broadcast") {
+    // per-source KmvValues buffers must partial-aggregate map-side, and the
+    // |S|-row sketch/size tables must broadcast into the pair combine (the
+    // exact-intersection oracle side is allowed its hash-keyed self-join)
+    val s = graft.operators.Sketches.sourceOverlap(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(s).size >= 2,
+      s"expected two-phase object-hash aggregation in:\n$s")
+    assert(s.contains("BroadcastHashJoin"), s"expected broadcast pair joins in:\n$s")
+  }
+
   test("kmv set-ops sketches build via two-phase object-hash aggregate, no shuffled join") {
     // the KmvValues UDAF must partial-aggregate map-side (k-row buffers on
     // the shuffle, not the key sets), and the single-row exact/sketch

@@ -73,6 +73,25 @@ class SketchesSpec extends AnyFunSuite {
       "zero is a merge identity")
   }
 
+  test("source-overlap report is layout-invariant and honors its error contract") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val base = rows(Sketches.sourceOverlapOn(docs))
+    assert(base === rows(Sketches.sourceOverlapOn(docs.repartition(9))),
+      "per-source sketches must not depend on layout")
+    val all = Sketches.sourceOverlapOn(docs).collect()
+    assert(all.length === 190, "20 sources -> 190 unordered pairs")
+    assert(all.forall(_.getAs[Boolean]("within_eps")))
+    // signal, not just bounded error: estimates are non-degenerate and the
+    // MEAN absolute error sits well inside the per-pair contract (at
+    // sf0.001 the fixture's J spread (~0.06) is under the estimator's
+    // ~0.017 SE, so per-pair RANKING is not a guarantee the math makes —
+    // the contract is per-pair error, and in aggregate it's much tighter)
+    assert(all.map(_.getAs[Double]("jaccard_kmv")).max > 0.0)
+    val meanErr = all.map(r => math.abs(r.getAs[Double]("jaccard_kmv")
+      - r.getAs[Double]("jaccard_exact"))).sum / all.length
+    assert(meanErr < 0.05 / 2, s"mean |est - exact| should be small, got $meanErr")
+  }
+
   test("cms estimates never undercount and are layout-invariant") {
     val toks = graft.io.Tables.documents(spark, dir)
       .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
