@@ -406,8 +406,118 @@ object Events {
        |GROUP BY p.p_id, p.user_id, p.p_ts
        |ORDER BY p.p_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // ev_window_quantiles — per-window quantile sketch (streaming-ready)
+  // ---------------------------------------------------------------------
+
+  private val WqProbes = Seq(0.5, 0.9)
+  private val WqEps = 0.1
+
+  /** The per-(window, type) bottom-k sample aggregation, shared verbatim
+    * with [[graft.streaming.StreamingWindowedQuantiles]]: under Structured
+    * Streaming this exact expression runs watermarked in APPEND mode, so
+    * closed windows emit finalized samples and their k-row state evicts —
+    * per-window percentiles over an unbounded stream with
+    * O(k · active windows × types) state. */
+  private[graft] def windowSketchAgg(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    val bk = udaf(graft.functions.BottomKSketch, ExpressionEncoder[(Long, Double)]())
+    val h60 = conv(substring(md5(col("event_id").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    ev.select(col("ts"), col("event_type").as("et"), col("value").as("v"),
+        h60.as("h"))
+      .groupBy(window(col("ts"), "1 day").as("wd"), col("et"))
+      .agg(bk(col("h"), col("v")).as("arr"))
+      .select(col("wd.start").as("w"), col("et"), col("arr"))
+  }
+
+  /** Per-window-per-type p50/p90 over the event stream — `q_quantile_groups`
+    * on EVENT TIME: daily tumbling windows × event_type, each holding one
+    * [[graft.functions.BottomKSketch]] buffer (k=256 rows of state at any
+    * window volume; the same aggregation streams in append mode via
+    * [[windowSketchAgg]]). Estimates are type-1 order statistics of each
+    * window's hash-selected sample; the exact ECDF rides along and
+    * `within_eps` pins |frac − p| ≤ [[WqEps]] + 1/n — the DKW sketch bound
+    * PLUS the type-1 discretization term an n-row window cannot beat
+    * (a 2-event window's p50 lands at ECDF 0.5 or 1.0 by arithmetic, not
+    * by sketch error; calibrated: zero violations at any SF, max
+    * DKW-side slack 0.06 at sf0.1's 600-event saturated windows).
+    * Deterministic end to end — the oracle replays the sketch as
+    * row_number over hash per window. */
+  def windowQuantiles(spark: SparkSession, dir: String): DataFrame =
+    windowQuantilesOn(Tables.events(spark, dir))
+
+  private[graft] def windowQuantilesOn(ev: DataFrame): DataFrame = {
+    val samples = windowSketchAgg(ev)
+      .select(col("w") +: col("et") +: WqProbes.map { p =>
+        val tag = (p * 100).toInt
+        element_at(col("arr"),
+          greatest(lit(1L), ceil(lit(p) * size(col("arr")))).cast("int"))
+          .as(s"est_p$tag")
+      }: _*)
+    val base = ev.select(
+      window(col("ts"), "1 day").getField("start").as("w"),
+      col("event_type").as("et"), col("value").as("v"))
+    val estCols = WqProbes.map(p => s"est_p${(p * 100).toInt}")
+    base
+      .join(broadcast(samples), Seq("w", "et"))
+      .groupBy(col("w"), col("et"))
+      .agg(count(lit(1)).as("n"),
+        WqProbes.map { p =>
+          val tag = (p * 100).toInt
+          sum(when(col("v") <= col(s"est_p$tag"), 1L).otherwise(0L))
+            .as(s"cnt_$tag")
+        } ++ estCols.map(c => max(col(c)).as(c)): _*)
+      .select(col("w").as("window_start") +: col("et").as("event_type") +:
+        col("n") +: WqProbes.flatMap { p =>
+          val tag = (p * 100).toInt
+          val frac = col(s"cnt_$tag").cast("double") / col("n")
+          Seq(col(s"est_p$tag"), pround(frac, 4).as(s"frac_p$tag"))
+        } :+ WqProbes.map { p =>
+          val tag = (p * 100).toInt
+          abs(col(s"cnt_$tag").cast("double") / col("n") - p) <=
+            lit(WqEps) + lit(1.0) / col("n")
+        }.reduce(_ && _).as("within_eps"): _*)
+      .orderBy(col("window_start"), col("event_type"))
+  }
+
+  val windowQuantilesSql: String = {
+    val k = graft.functions.BottomKSketch.K
+    s"""WITH b0 AS (
+       |  SELECT date_trunc('day', ts)::TIMESTAMP AS w, event_type AS et,
+       |         value AS v,
+       |         CAST('0x' || substring(md5(event_id::VARCHAR), 1, 15)
+       |              AS BIGINT) AS h
+       |  FROM events),
+       |b AS (SELECT w, et, h, min(v) AS v FROM b0 GROUP BY w, et, h),
+       |r AS (SELECT w, et, v,
+       |        row_number() OVER (PARTITION BY w, et ORDER BY h) AS rn
+       |      FROM b),
+       |s AS (SELECT w, et, list(v ORDER BY v) AS arr
+       |      FROM r WHERE rn <= $k GROUP BY w, et),
+       |e AS (SELECT w, et,
+       |        arr[CAST(greatest(1, ceil(0.5 * len(arr))) AS INT)] AS est_p50,
+       |        arr[CAST(greatest(1, ceil(0.9 * len(arr))) AS INT)] AS est_p90
+       |      FROM s),
+       |x AS (SELECT b0.w, b0.et, count(*) AS n,
+       |        sum(CASE WHEN b0.v <= e.est_p50 THEN 1 ELSE 0 END)::DOUBLE
+       |          / count(*) AS f50,
+       |        sum(CASE WHEN b0.v <= e.est_p90 THEN 1 ELSE 0 END)::DOUBLE
+       |          / count(*) AS f90,
+       |        max(e.est_p50) AS est_p50, max(e.est_p90) AS est_p90
+       |      FROM b0 JOIN e ON b0.w = e.w AND b0.et = e.et GROUP BY 1, 2)
+       |SELECT w AS window_start, et AS event_type, n, est_p50,
+       |       floor(f50 * 10000 + 0.5) / 10000.0 AS frac_p50,
+       |       est_p90,
+       |       floor(f90 * 10000 + 0.5) / 10000.0 AS frac_p90,
+       |       abs(f50 - 0.5) <= $WqEps + 1.0 / n
+       |         AND abs(f90 - 0.9) <= $WqEps + 1.0 / n AS within_eps
+       |FROM x ORDER BY window_start, event_type""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st_window_agg" -> windowAgg,
+    "ev_window_quantiles" -> windowQuantiles,
     "st_sessionize" -> sessionize,
     "ev_interval_join" -> intervalJoin,
     "ev_attribution" -> attribution,
@@ -419,6 +529,7 @@ object Events {
 
   val oracles: Map[String, String] = Map(
     "st_window_agg" -> windowAggSql,
+    "ev_window_quantiles" -> windowQuantilesSql,
     "st_sessionize" -> sessionizeSql,
     "ev_interval_join" -> intervalJoinSql,
     "ev_attribution" -> attributionSql,
