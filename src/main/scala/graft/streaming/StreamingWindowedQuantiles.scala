@@ -34,4 +34,19 @@ object StreamingWindowedQuantiles {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .start()
+
+  /** Production shape: append finalized window samples to a parquet sink,
+    * whose `_spark_metadata` transaction log makes emission exactly-once
+    * across crashes — a replayed micro-batch's files are never re-listed
+    * (StreamingRecoverySpec pins this through the commit-log crash
+    * window). */
+  def startAppendParquet(out: DataFrame, path: String,
+      checkpointDir: String): StreamingQuery =
+    out.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }
