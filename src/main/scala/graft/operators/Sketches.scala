@@ -126,23 +126,6 @@ object Sketches {
   private val GroupProbes = Seq(0.5, 0.9)
   private val GroupEps = 0.1
 
-  /** PER-GROUP quantiles with bounded state — the `groupBy`-able form of
-    * [[quantileSketchOn]]'s sampling rule, executed by the
-    * [[graft.functions.BottomKSketch]] mergeable Aggregator: each group
-    * keeps the k=256 rows with the smallest 60-bit row-key hashes (partial
-    * aggregation map-side, sorted-merge-and-trim on the shuffle — the
-    * KmvSketch buffer discipline carrying a value per hash), so a group of
-    * ANY size costs k rows of shuffle and O(k) state. Exact per-group
-    * percentiles at 10^10 rows/group would need each group's values sorted
-    * somewhere; this needs 256.
-    *
-    * Estimates are type-1 order statistics of the per-group sample
-    * (stored data values, float-exact in both engines); the exact ECDF at
-    * each estimate rides along and `within_eps` pins the DKW contract at
-    * ε=[[GroupEps]] (k=256 ⇒ ~0.10 at 99%; fixture max observed 0.066
-    * across SFs and groups). The DuckDB oracle replays the sketch as a
-    * per-group `row_number() OVER (ORDER BY hash) <= k` — deterministic,
-    * so estimates AND flags hash-match end to end. */
   /** The (group, value, 60-bit row-key hash) projection both the batch
     * query and [[graft.streaming.StreamingQuantiles]] aggregate over. */
   private[graft] def quantileGroupBase(li: DataFrame): DataFrame = {
@@ -172,6 +155,23 @@ object Sketches {
       }: _*)
   }
 
+  /** PER-GROUP quantiles with bounded state — the `groupBy`-able form of
+    * [[quantileSketchOn]]'s sampling rule, executed by the
+    * [[graft.functions.BottomKSketch]] mergeable Aggregator: each group
+    * keeps the k=256 rows with the smallest 60-bit row-key hashes (partial
+    * aggregation map-side, sorted-merge-and-trim on the shuffle — the
+    * KmvSketch buffer discipline carrying a value per hash), so a group of
+    * ANY size costs k rows of shuffle and O(k) state. Exact per-group
+    * percentiles at 10^10 rows/group would need each group's values sorted
+    * somewhere; this needs 256.
+    *
+    * Estimates are type-1 order statistics of the per-group sample
+    * (stored data values, float-exact in both engines); the exact ECDF at
+    * each estimate rides along and `within_eps` pins the DKW contract at
+    * ε=[[GroupEps]] (k=256 ⇒ ~0.10 at 99%; fixture max observed 0.066
+    * across SFs and groups). The DuckDB oracle replays the sketch as a
+    * per-group `row_number() OVER (ORDER BY hash) <= k` — deterministic,
+    * so estimates AND flags hash-match end to end. */
   private[graft] def quantileGroupsOn(li: DataFrame): DataFrame = {
     val base = quantileGroupBase(li)
     val samples = quantileSamplesOn(base)
