@@ -62,12 +62,14 @@ object AnnRecall {
       // Also probe-only: search the graphs at a size-derived hop budget
       // (Nsw.sizedHops) instead of the fixture-pinned one.
       hopsOverride: Option[Int] = None,
-      hops1Override: Option[Int] = None) {
+      hops1Override: Option[Int] = None,
+      beamOverride: Option[Int] = None) {
     // default = the serve-time sized dials (pinned values at oracle
     // fixture sizes, so the hash-checked harness replays unchanged)
     lazy val hops: Int = hopsOverride.getOrElse(Nsw.sizedHops(e.count()))
     lazy val hops1: Int = hops1Override.getOrElse(
       Nsw.sizedHopsFloor(e.count() / Nsw.SampleMod, Nsw.HopsL1))
+    lazy val beam: Int = beamOverride.getOrElse(Nsw.sizedBeam(e.count()))
     val tag: String = if (clustered) s"$dir#clustered" else dir
     private val sfx = if (clustered) "-clustered" else ""
     lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] = planesOverride match {
@@ -141,14 +143,14 @@ object AnnRecall {
     Method("ivfadc",
       in => Ivfadc.searchOn(in.e, in.assigned, in.centroids, in.residualCodebooks), "adranked"),
     Method("nsw",
-      in => Nsw.searchWithEdgesDials(in.e, in.nswEdges, in.hops, Nsw.Beam), "nswranked"),
+      in => Nsw.searchWithEdgesDials(in.e, in.nswEdges, in.hops, in.beam), "nswranked"),
     Method("hnsw",
-      in => Nsw.hnswWithEdges(in.e, in.hnswL1Edges, in.nswEdges, in.hops, in.hops1),
-      "hnswranked"),
+      in => Nsw.hnswWithEdges(in.e, in.hnswL1Edges, in.nswEdges, in.hops, in.hops1,
+        in.beam), "hnswranked"),
     Method("nsw_nnd",
-      in => Nsw.searchWithEdgesDials(in.e, in.nndEdges, in.hops, Nsw.Beam), "ndranked"),
+      in => Nsw.searchWithEdgesDials(in.e, in.nndEdges, in.hops, in.beam), "ndranked"),
     Method("nsw_cell",
-      in => Nsw.searchWithEdgesDials(in.e, in.cellEdges, in.hops, Nsw.Beam), "nccranked"))
+      in => Nsw.searchWithEdgesDials(in.e, in.cellEdges, in.hops, in.beam), "nccranked"))
 
   private[graft] def methodNames: Seq[String] = MethodSpecs.map(_.name)
 
@@ -332,7 +334,8 @@ object AnnRecall {
         clustered = false, planesOverride = Some(planes),
         hopsOverride = Some(if (sizedSearch) Nsw.sizedHops(n) else Nsw.Hops),
         hops1Override = Some(if (sizedSearch)
-          Nsw.sizedHopsFloor(n / Nsw.SampleMod, Nsw.HopsL1) else Nsw.HopsL1))
+          Nsw.sizedHopsFloor(n / Nsw.SampleMod, Nsw.HopsL1) else Nsw.HopsL1),
+        beamOverride = Some(if (sizedSearch) Nsw.sizedBeam(n) else Nsw.Beam))
       // force the graph builds eagerly, timed per structure: the build
       // wall is the dial's COST side (pinned vs sized should split hard at
       // ×10 — that split is also the probe's proof the override is live)

@@ -74,6 +74,21 @@ object Nsw {
     math.max(floor,
       math.ceil(math.log(math.max(n, 1L).toDouble / 250.0) / math.log(2.0)).toInt)
 
+  /** Size-derived BEAM width — the dial the ×100 recall probe proved
+    * necessary (SCALING.md "recall at ×100"): with hops already
+    * log-growing, all graph paths still read 0.00 at 200 k vectors
+    * because the visited set (Entries + hops·beam·degree ≈ 500 at
+    * beam=[[Beam]]) is ~0.2 % of the corpus — the fixed beam, not the
+    * hop budget, had become the binding constraint. HNSW's own serving
+    * guidance scales ef with corpus size for the same reason; here beam
+    * widens by [[Beam]] per doubling beyond fixture scale
+    * (8 at ≤2 k — every oracle fixture, so hash gates replay
+    * unchanged — 32 at 20 k, 56 at 200 k). Per-query cost stays
+    * O(hops·beam·degree): (log N)² growth against a corpus growing N. */
+  private[graft] def sizedBeam(n: Long): Int =
+    math.max(Beam, Beam * math.ceil(
+      math.log(math.max(n, 1L).toDouble / 2000.0) / math.log(2.0)).toInt)
+
   /** Corpus vectors, cached per dir: beamLoop scans this frame once per
     * hop (seeds + Hops score jobs per search, twice that for the
     * hierarchy), so re-reading parquet + re-casting each time would be
@@ -331,8 +346,10 @@ object Nsw {
     * [[Hops]], so the hash-checked queries replay unchanged; on a grown
     * corpus the beam deepens with log N — the ×10 probe's measured fix
     * for the graph-recall collapse (SCALING.md "recall at ×10"). */
-  private[graft] def searchWithEdges(e: DataFrame, edges: DataFrame): DataFrame =
-    searchWithEdgesDials(e, edges, sizedHops(e.count()), Beam)
+  private[graft] def searchWithEdges(e: DataFrame, edges: DataFrame): DataFrame = {
+    val n = e.count()
+    searchWithEdgesDials(e, edges, sizedHops(n), sizedBeam(n))
+  }
 
   /** [[searchWithEdges]] at explicit search dials — the serving path for
     * grown corpora, where [[sizedHops]] replaces the fixture-pinned hop
@@ -760,12 +777,12 @@ object Nsw {
       e: DataFrame, edges1: DataFrame, edges0: DataFrame): DataFrame = {
     val n = e.count()
     hnswWithEdges(e, edges1, edges0,
-      sizedHops(n), sizedHopsFloor(n / SampleMod, HopsL1))
+      sizedHops(n), sizedHopsFloor(n / SampleMod, HopsL1), sizedBeam(n))
   }
 
   private[graft] def hnswWithEdges(
       e: DataFrame, edges1: DataFrame, edges0: DataFrame,
-      hops0: Int, hops1: Int): DataFrame = {
+      hops0: Int, hops1: Int, beam0: Int = Beam): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val e1 = e.filter(col("vec_id") % SampleMod === 0)
@@ -777,7 +794,7 @@ object Nsw {
     val seeds1 = for (qid <- qIds; ent <- entry1 if ent != qid) yield (qid, ent)
     val visited1 = beamLoop(e, q, edges1, seeds1, hops1, BeamL1)
     val seeds0 = topByQuery(visited1, Entries).map { case (qid, nid, _) => (qid, nid) }
-    rankTopK(spark, beamLoop(e, q, edges0, seeds0, hops0, Beam))
+    rankTopK(spark, beamLoop(e, q, edges0, seeds0, hops0, beam0))
   }
 
   def hnswSearch(spark: SparkSession, dir: String): DataFrame =
