@@ -290,6 +290,19 @@ object AnnRecall {
     "lsh", "lsh_multiprobe", "lsh_multitable", "nsw", "hnsw", "nsw_nnd",
     "nsw_cell", "pq_adc", "ivfpq", "ivfadc")
 
+  /** Experimental search variants measured by the ×K probe ONLY — not in
+    * [[MethodSpecs]], so the oracle-checked `ann_recall` query and its
+    * DuckDB mirror are untouched. Currently: IVF-routed graph entries
+    * ([[Nsw.searchWithRoutedEntries]]) on the flat and cell-local graphs
+    * — the entry-quality experiment the ×100 probe queued. */
+  private val ProbeOnlyMethods: Seq[Method] = Seq(
+    Method("nsw_routed", in => Nsw.searchWithRoutedEntries(
+      in.e, in.nswEdges, in.centroids, in.assigned, in.hops, in.beam),
+      "probe-only"),
+    Method("nsw_cell_routed", in => Nsw.searchWithRoutedEntries(
+      in.e, in.cellEdges, in.centroids, in.assigned, in.hops, in.beam),
+      "probe-only"))
+
   /** (fixture-pinned planes, size-derived planes for an N-vector corpus)
     * — exposed for the tools runner, which cannot see the operators'
     * private dials. */
@@ -321,7 +334,8 @@ object AnnRecall {
   private[graft] def recallProbeMeans(
       spark: SparkSession, e: DataFrame, planes: Int, rounds: Int,
       sizedSearch: Boolean = false): Map[String, Double] = {
-    val methods = MethodSpecs.filter(m => ProbeMethodNames.contains(m.name))
+    val methods = MethodSpecs.filter(m => ProbeMethodNames.contains(m.name)) ++
+      ProbeOnlyMethods
     val n = e.count()
     val perRound = (0 until rounds).map { r =>
       val er = CacheRegistry.persistTracked(

@@ -370,6 +370,49 @@ object Nsw {
     e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
+  /** Graph search with IVF-ROUTED entries — the entry-quality experiment
+    * the ×100 recall probe queued: instead of the fixed low-id entry set
+    * (which at 200 k vectors starts the beam nowhere near most queries),
+    * route each query through the trained coarse quantizer — nearest
+    * `probeCells` centroids, seeded with each chosen cell's [[Entries]]
+    * lowest member ids (deterministic) — then run the identical beam.
+    * Routing is driver-scale arithmetic (≤5 query vectors × K centroids)
+    * plus one tiny member-lookup job; the beam cost is unchanged. This is
+    * HNSW's entry-hierarchy idea with the hierarchy replaced by the IVF
+    * structure the engine already builds and stores. PROBE-ONLY for now:
+    * measured by RecallScale (SCALING.md), not yet an oracle-checked
+    * serve query. */
+  private[graft] def searchWithRoutedEntries(
+      e: DataFrame, edges: DataFrame,
+      centroids: Seq[(Int, Array[Double])], assigned: DataFrame,
+      hops: Int, beam: Int, probeCells: Int = 2): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val q = queryFrame(e)
+    val qVecs = q.as[(Long, Seq[Double])].collect()
+    def cosL(a: Seq[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length && i < b.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val chosen: Seq[(Long, Seq[Int])] = qVecs.toSeq.map { case (qid, qv) =>
+      qid -> centroids.map { case (c, cv) => (c, cosL(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(probeCells).map(_._1)
+    }
+    val cells = chosen.flatMap(_._2).distinct
+    val members = assigned.filter(col("cluster").isin(cells: _*))
+      .groupBy(col("cluster"))
+      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, Entries).as("ids"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val seeds = (for {
+      (qid, cs) <- chosen; c <- cs
+      ent <- members.getOrElse(c, Seq.empty) if ent != qid
+    } yield (qid, ent)).distinct
+    rankTopK(spark, beamLoop(e, q, edges, seeds, hops, beam))
+  }
+
   /** The deterministic beam expansion both layers share: score the seed
     * (query, node) pairs, then `hops` rounds of expand-top-`beam`-frontier /
     * anti-join-visited / score-fresh. Returns every visited (query, node)
