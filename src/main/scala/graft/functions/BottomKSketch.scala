@@ -73,6 +73,16 @@ object BottomKSketch extends Aggregator[(Long, Double), BottomKBuf, Array[Double
       if (n == 0 || h(n - 1) != th) { h(n) = th; v(n) = tv; n += 1 }
       else v(n - 1) = math.min(v(n - 1), tv) // collision: same min-value rule
     }
+    // K-boundary collision (ADVICE r10): when the trim stops the loop at
+    // n == cap, a duplicate of the LAST kept hash may still sit unconsumed
+    // at the head of either input (inputs are sorted and internally
+    // distinct, so it can only be at position i / j) — apply the same
+    // min-value rule there, or the merge result depends on which side the
+    // duplicate arrived from.
+    if (n > 0) {
+      if (i < a.h.length && a.h(i) == h(n - 1)) v(n - 1) = math.min(v(n - 1), a.v(i))
+      if (j < b.h.length && b.h(j) == h(n - 1)) v(n - 1) = math.min(v(n - 1), b.v(j))
+    }
     if (n == cap) Buf(h, v)
     else Buf(java.util.Arrays.copyOf(h, n), java.util.Arrays.copyOf(v, n))
   }

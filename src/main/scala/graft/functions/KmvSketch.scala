@@ -59,9 +59,7 @@ object KmvSketch extends Aggregator[Long, Array[Long], Long] {
     if (n == out.length) out else java.util.Arrays.copyOf(out, n)
   }
 
-  override def finish(b: Array[Long]): Long =
-    if (b.length < K || b(K - 1) <= 0L) b.length.toLong
-    else math.floor((K - 1) * 4294967296.0 / b(K - 1) + 0.5).toLong
+  override def finish(b: Array[Long]): Long = KmvValues.estimate(b, K)
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

@@ -1,7 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.{Column, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
 
 /** Bottom-k distinct-HASH sketch that returns the kept hashes themselves
   * (a Theta-sketch sample in the sense of Dasgupta et al. 2016, built on
@@ -64,6 +65,29 @@ object KmvValues extends Aggregator[Long, Array[Long], Array[Long]] {
   }
 
   override def finish(b: Array[Long]): Array[Long] = b
+
+  /** 2³² — the hash space of the 32-bit md5-prefix hashes every KMV
+    * consumer feeds these sketches. */
+  val HashSpace: Double = 4294967296.0
+
+  /** THE scalar KMV estimator (single source — ADVICE r10 flagged the
+    * drift risk of per-site copies): exact when the sketch is
+    * unsaturated or its k-th hash is non-positive (degenerate input —
+    * the estimator would divide by ≤0), else the unbiased
+    * (k−1)·2³²/h₍ₖ₎ of Beyer et al. 2007. Used by the streaming
+    * set-ops reader; [[estimateColumn]] is its Column twin. */
+  def estimate(arr: Array[Long], k: Int = K): Long =
+    if (arr.length < k || arr(k - 1) <= 0L) arr.length.toLong
+    else math.floor((k - 1) * HashSpace / arr(k - 1) + 0.5).toLong
+
+  /** Column twin of [[estimate]] — same guard, same constants, same
+    * rounding, so the batch queries (`q_kmv_set_ops` et al.) and the
+    * driver-side scalar can only change together. KmvEstimatorSpec pins
+    * the two equal over saturated / unsaturated / zero-hash buffers. */
+  def estimateColumn(arr: Column, k: Int): Column =
+    when(size(arr) < k || element_at(arr, k) <= 0L, size(arr).cast("long"))
+      .otherwise(floor(lit((k - 1) * HashSpace) / element_at(arr, k) + lit(0.5))
+        .cast("long"))
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()

@@ -244,9 +244,7 @@ object Sketches {
     * sketch is unsaturated, else the unbiased KMV estimator
     * (k−1)·2³² / h₍ₖ₎ over 32-bit hashes [Beyer et al. 2007]. */
   private def kmvEst(arr: Column, k: Int): Column =
-    when(size(arr) < k, size(arr).cast("long"))
-      .otherwise(floor(lit((k - 1) * 4294967296.0) / element_at(arr, k)
-        + lit(0.5)).cast("long"))
+    graft.functions.KmvValues.estimateColumn(arr, k)
 
   /** Set-operation estimates from two KMV hash samples — the Theta-sketch
     * pattern [Dasgupta et al. 2016, on Beyer et al. 2007's KMV]: sketch

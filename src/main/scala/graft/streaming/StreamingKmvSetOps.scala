@@ -50,10 +50,9 @@ object StreamingKmvSetOps {
     * ratio inside the union sketch), exposed for reading the complete-
     * mode sink. Returns (est_a, est_b, est_union, est_inter). */
   def estimates(a: Array[Long], b: Array[Long]): (Long, Long, Long, Long) = {
-    val k = graft.functions.KmvValues.K
-    def est(arr: Array[Long]): Long =
-      if (arr.length < k || arr(k - 1) <= 0L) arr.length.toLong
-      else math.floor((k - 1) * 4294967296.0 / arr(k - 1) + 0.5).toLong
+    // the shared scalar estimator (KmvValues.estimate) — ADVICE r10:
+    // a per-site copy here could drift from the batch column's arithmetic
+    def est(arr: Array[Long]): Long = graft.functions.KmvValues.estimate(arr)
     val u = graft.functions.KmvValues.merge(a, b)
     val aSet = a.toSet; val bSet = b.toSet
     val ic = u.count(h => aSet.contains(h) && bSet.contains(h))

@@ -80,7 +80,14 @@ object SfScale {
     // the honest scale axis for the iterative graph ops
     val ord = spark.read.parquet(s"$base/orders.parquet")
     val okOff = ord.agg(max(col("o_orderkey"))).head().getLong(0) + 1L
-    val custOff = ord.agg(max(col("o_custkey"))).head().getLong(0) + 1L
+    // offset spans BOTH key populations (ADVICE r10): a customer key
+    // above max(o_custkey) — an eligible customer with no sampled order —
+    // would otherwise collide with the next replica's range and duplicate
+    // c_custkey in the scaled dimension, fanning out the Bloom-prune join
+    val custOff = math.max(
+      ord.agg(max(col("o_custkey"))).head().getLong(0),
+      spark.read.parquet(s"$base/customer.parquet")
+        .agg(max(col("c_custkey"))).head().getLong(0)) + 1L
     ord.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("o_orderkey", col("o_orderkey") + col("rep") * okOff)
       .withColumn("o_custkey", col("o_custkey") + col("rep") * custOff)
