@@ -63,7 +63,11 @@ object AnnRecall {
       // (Nsw.sizedHops) instead of the fixture-pinned one.
       hopsOverride: Option[Int] = None,
       hops1Override: Option[Int] = None,
-      beamOverride: Option[Int] = None) {
+      beamOverride: Option[Int] = None,
+      // Probe-only: train the PQ codebooks at the fixture-pinned budget
+      // instead of the sized default (the pinned-dial control rows —
+      // Pq.sizedCodes is the serve default everywhere else).
+      pinnedCodes: Boolean = false) {
     // default = the serve-time sized dials (pinned values at oracle
     // fixture sizes, so the hash-checked harness replays unchanged)
     lazy val hops: Int = hopsOverride.getOrElse(Nsw.sizedHops(e.count()))
@@ -74,16 +78,19 @@ object AnnRecall {
     private val sfx = if (clustered) "-clustered" else ""
     lazy val pqCodebooks: Seq[Seq[(Int, Array[Double])]] = planesOverride match {
       // probe mode trains directly (throwaway corpus, no store artifact)
-      case Some(_) => Pq.trainCodebooks(e)
+      case Some(_) =>
+        if (pinnedCodes) Pq.trainCodebooks(e) else Pq.trainCodebooksSized(e)
       case None => CacheRegistry.sharedObject(s"pq-codebooks:$tag")(
         graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, s"pq-codebooks$sfx")(
-          Pq.trainCodebooks(e)))
+          Pq.trainCodebooksSized(e)))
     }
     lazy val residualCodebooks: Seq[Seq[(Int, Array[Double])]] = planesOverride match {
-      case Some(_) => Ivfadc.residualCodebooks(assigned, centroids)
+      case Some(_) =>
+        if (pinnedCodes) Ivfadc.residualCodebooks(assigned, centroids)
+        else Ivfadc.residualCodebooksSized(assigned, centroids)
       case None => CacheRegistry.sharedObject(s"ivfadc-codebooks:$tag")(
         graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, s"ivfadc-codebooks$sfx")(
-          Ivfadc.residualCodebooks(assigned, centroids)))
+          Ivfadc.residualCodebooksSized(assigned, centroids)))
     }
     lazy val nswEdges: DataFrame = planesOverride match {
       case Some(p) => CacheRegistry.persistTracked(Nsw.edgesOn(e, p))
@@ -290,11 +297,14 @@ object AnnRecall {
     "lsh", "lsh_multiprobe", "lsh_multitable", "nsw", "hnsw", "nsw_nnd",
     "nsw_cell", "pq_adc", "ivfpq", "ivfadc")
 
-  /** Experimental search variants measured by the ×K probe ONLY — not in
+  /** Search variants measured by the ×K probe ONLY — not in
     * [[MethodSpecs]], so the oracle-checked `ann_recall` query and its
-    * DuckDB mirror are untouched. Currently: IVF-routed graph entries
-    * ([[Nsw.searchWithRoutedEntries]]) on the flat and cell-local graphs
-    * — the entry-quality experiment the ×100 probe queued. */
+    * DuckDB mirror are untouched. IVF-routed graph entries
+    * ([[Nsw.searchWithRoutedEntries]]): `nsw_cell_routed` is now the
+    * PROMOTED serve shape (`ann_nsw_routed_search`, and the sized
+    * default of `ann_nsw_cell_search` above fixture size) — kept here so
+    * the probe keeps reporting it beside the fixed-entry control;
+    * `nsw_routed` (routing over the FLAT graph) stays experimental. */
   private val ProbeOnlyMethods: Seq[Method] = Seq(
     Method("nsw_routed", in => Nsw.searchWithRoutedEntries(
       in.e, in.nswEdges, in.centroids, in.assigned, in.hops, in.beam),
@@ -302,6 +312,28 @@ object AnnRecall {
     Method("nsw_cell_routed", in => Nsw.searchWithRoutedEntries(
       in.e, in.cellEdges, in.centroids, in.assigned, in.hops, in.beam),
       "probe-only"))
+
+  /** Recall of the PRODUCTION graph-serve tier over the corpus at `dir`,
+    * FROM STORED ARTIFACTS (the round-10 verdict's done-criterion for the
+    * routed promotion): no planes/codebook overrides — the IndexStore
+    * artifacts under `dir` are read (or built at the sized dials exactly
+    * as `index_build_*` would), and the measured paths are the fixed-entry
+    * control, the routed search, and the ACTUAL `ann_nsw_cell_search`
+    * serve default, so a regression in the default's routing switch shows
+    * up as a recall split against `nsw_cell_routed`. Single query block
+    * (ids 0..4 — stored artifacts bake the entry ids in, so the probe's
+    * query-swap rounds don't apply; resolution 1/15). */
+  private[graft] def servedGraphRecall(spark: SparkSession, dir: String): DataFrame = {
+    val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
+    val in = MethodInputs(spark, e, assigned, centroids, dir, clustered = false)
+    val served = Seq(
+      Method("nsw_cell_fixed",
+        i => Nsw.searchWithEdgesDials(i.e, i.cellEdges, i.hops, i.beam), "served"),
+      Method("nsw_cell_routed", i => Nsw.searchWithRoutedEntries(
+        i.e, i.cellEdges, i.centroids, i.assigned, i.hops, i.beam), "served"),
+      Method("serve_default", i => Nsw.nswCellSearch(i.spark, i.dir), "served"))
+    recallFrame(in, served, Similarity.annBruteForceKOn(e, K))
+  }
 
   /** (fixture-pinned planes, size-derived planes for an N-vector corpus)
     * — exposed for the tools runner, which cannot see the operators'
@@ -333,7 +365,7 @@ object AnnRecall {
     * changes the build too; that is measurement, not waste. */
   private[graft] def recallProbeMeans(
       spark: SparkSession, e: DataFrame, planes: Int, rounds: Int,
-      sizedSearch: Boolean = false): Map[String, Double] = {
+      sizedSearch: Boolean = false, pinnedCodes: Boolean = false): Map[String, Double] = {
     val methods = MethodSpecs.filter(m => ProbeMethodNames.contains(m.name)) ++
       ProbeOnlyMethods
     val n = e.count()
@@ -349,7 +381,8 @@ object AnnRecall {
         hopsOverride = Some(if (sizedSearch) Nsw.sizedHops(n) else Nsw.Hops),
         hops1Override = Some(if (sizedSearch)
           Nsw.sizedHopsFloor(n / Nsw.SampleMod, Nsw.HopsL1) else Nsw.HopsL1),
-        beamOverride = Some(if (sizedSearch) Nsw.sizedBeam(n) else Nsw.Beam))
+        beamOverride = Some(if (sizedSearch) Nsw.sizedBeam(n) else Nsw.Beam),
+        pinnedCodes = pinnedCodes)
       // force the graph builds eagerly, timed per structure: the build
       // wall is the dial's COST side (pinned vs sized should split hard at
       // ×10 — that split is also the probe's proof the override is live)

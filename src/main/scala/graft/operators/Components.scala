@@ -250,8 +250,9 @@ object Components {
   }
 
   /** Bottom-k KMV replay over `SELECT $keyExpr FROM $rel` — same hash,
-    * same estimator arithmetic as [[graft.functions.KmvSketch]]. */
-  private def kmvEstCte(name: String, rel: String, keyExpr: String): String = {
+    * same estimator arithmetic as [[graft.functions.KmvSketch]]. Shared
+    * with the curation pipeline's funnel oracle. */
+  private[operators] def kmvEstCte(name: String, rel: String, keyExpr: String): String = {
     val k = graft.functions.KmvSketch.K
     s"""${name}_h AS (
        |  SELECT DISTINCT CAST('0x' || substring(md5($keyExpr), 1, 8) AS BIGINT) AS hv

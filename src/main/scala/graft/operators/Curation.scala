@@ -860,7 +860,191 @@ object Curation {
        |ORDER BY prio_key, doc_id
        |LIMIT $PrioK""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // cur_pipeline_report — the end-to-end corpus → training-shards funnel
+  // ---------------------------------------------------------------------
+
+  /** Round-10 verdict #3: every stage existed as its own oracle row, but no
+    * single query chained them corpus → training shards — the artifact a
+    * data lead reads first. This is that funnel, each stage running on the
+    * SURVIVORS of the previous:
+    *
+    *   1. raw          — the dedup fixture corpus ([[Dedup.corpus]]);
+    *   2. exact        — keep min doc_id per text hash;
+    *   3. near_cc      — the shared CC membership artifact's survivors
+    *                     (exact dups are jaccard-1 pairs, so this subsumes
+    *                     stage 2 — the funnel is monotone by construction);
+    *   4. quality      — the Gopher battery ([[Filtering.withQualityMetrics]]);
+    *   5. domain_mix   — sqrt-weighted per-source quotas, hash-rank top-quota
+    *                     (the `cur_domain_mix` arithmetic, over survivors);
+    *   6. pack         — [[ChunkBudget]]-token sequence packing; n_out is
+    *                     the CHUNK count (reduction here reads as the
+    *                     docs-per-chunk compression, not a drop rate).
+    *
+    * Each row carries the exact survivor count AND its KMV estimate
+    * (`n_out_kmv`) — at 100 TB the funnel is reported from sketches
+    * (distinct-count shuffles cost more than the dedup), and KMV being
+    * deterministic, the estimates hash-check against the oracle's bottom-k
+    * replay, the `dedup_pipeline_report` convention. Per-stage cost: one
+    * aggregate over each stage frame; the membership table rides the
+    * `dedup-cc` IndexStore artifact, and the quality/mix frames persist for
+    * their double use (stage count + next stage's input). */
+  def curPipelineReport(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(graft.functions.KmvSketch)
+    def hh(c: Column): Column = conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+    val c0 = Dedup.corpus(spark, dir)
+    val exactIds = c0.groupBy(md5(col("text")).as("th"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    val cleanIds = Components.membership(spark, dir)
+      .filter(col("doc_id") === col("component")).select(col("doc_id"))
+    val clean = c0.join(cleanIds, Seq("doc_id"), "left_semi")
+    val quality = graft.tools.CacheRegistry.persistTracked(
+      Filtering.withQualityMetrics(clean, col("text"))
+        .filter(col("keep") === 1)
+        .select(col("doc_id"), col("text"), col("source")))
+
+    // domain mix over the quality survivors — cur_domain_mix's arithmetic
+    val perSrc = quality.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val total = perSrc.agg(sum(col("n_docs")).as("n_total"))
+    val weighted = perSrc.crossJoin(broadcast(total))
+      .withColumn("w", sqrt(col("n_docs").cast("double") / col("n_total").cast("double")))
+    val norm = weighted.agg(
+      aggregate(
+        transform(sort_array(collect_list(struct(col("source"), col("w")))),
+          s => s.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("norm"))
+    val quotas = weighted.crossJoin(broadcast(norm))
+      .select(col("source"),
+        floor(lit(MixTarget.toDouble) * col("w") / col("norm") + 0.5)
+          .cast("long").as("quota"))
+    val rankW = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val mixed = graft.tools.CacheRegistry.persistTracked(
+      quality.select(col("source"), col("doc_id"), col("text"),
+          h32(col("doc_id"), "mix42").as("h"))
+        .withColumn("rn", row_number().over(rankW))
+        .join(broadcast(quotas), "source")
+        .filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("text")))
+
+    // pack the mix — cur_pack_chunks's distributed prefix sum
+    val hsh = h32(col("doc_id"), "shuf42")
+    val docs = mixed.select(col("doc_id"), hsh.as("h"),
+      floor(hsh / BucketShift).as("bucket"), wsTokens(col("text")).as("n_tok"))
+    val intraW = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = docs.groupBy(col("bucket")).agg(sum(col("n_tok")).as("tot"))
+      .withColumn("off", sum(col("tot")).over(offW) - col("tot"))
+      .select(col("bucket"), col("off"))
+    val chunks = docs.withColumn("intra", sum(col("n_tok")).over(intraW))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("chunk_id",
+        floor((col("off") + col("intra") - col("n_tok")) / ChunkBudget))
+      .select(col("chunk_id")).distinct()
+
+    def cnt(df: DataFrame, key: Column, i: Int): DataFrame =
+      df.agg(count(lit(1)).as(s"n$i"), kmv(hh(key)).as(s"k$i"))
+    val agg = Seq(
+      cnt(c0, col("doc_id").cast("string"), 0),
+      cnt(exactIds, col("doc_id").cast("string"), 1),
+      cnt(cleanIds, col("doc_id").cast("string"), 2),
+      cnt(quality, col("doc_id").cast("string"), 3),
+      cnt(mixed, col("doc_id").cast("string"), 4),
+      cnt(chunks, col("chunk_id").cast("string"), 5))
+      .map(broadcast).reduce(_ crossJoin _)
+    def stage(no: Long, name: String, in: Column, out: Column, est: Column) =
+      struct(lit(no).as("stage_no"), lit(name).as("stage"),
+        in.as("n_in"), out.as("n_out"), est.as("n_out_kmv"))
+    agg.select(explode(array(
+        stage(1L, "raw", col("n0"), col("n0"), col("k0")),
+        stage(2L, "exact", col("n0"), col("n1"), col("k1")),
+        stage(3L, "near_cc", col("n1"), col("n2"), col("k2")),
+        stage(4L, "quality", col("n2"), col("n3"), col("k3")),
+        stage(5L, "domain_mix", col("n3"), col("n4"), col("k4")),
+        stage(6L, "pack", col("n4"), col("n5"), col("k5")))).as("r"))
+      .select(col("r.stage_no"), col("r.stage"), col("r.n_in"), col("r.n_out"),
+        col("r.n_out_kmv"),
+        pround(lit(1.0) - col("r.n_out").cast("double") / col("r.n_in"), 4)
+          .as("reduction"))
+      .orderBy(col("stage_no"))
+  }
+
+  val curPipelineReportSql: String = {
+    val stages = Seq(
+      (1, "raw", "n0", "n0", "k0"), (2, "exact", "n0", "n1", "k1"),
+      (3, "near_cc", "n1", "n2", "k2"), (4, "quality", "n2", "n3", "k3"),
+      (5, "domain_mix", "n3", "n4", "k4"), (6, "pack", "n4", "n5", "k5"))
+      .map { case (no, nm, nin, nout, k) =>
+        s"""  SELECT CAST($no AS BIGINT) AS stage_no, '$nm' AS stage,
+           |         $nin AS n_in, $nout AS n_out, $k.est AS n_out_kmv,
+           |         floor((1.0 - $nout::DOUBLE / $nin) * 10000 + 0.5) / 10000.0
+           |           AS reduction
+           |  FROM sc, $k""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+    s"""WITH RECURSIVE ${Components.membershipCtes},
+       |exact AS MATERIALIZED (
+       |  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+       |cleanids AS MATERIALIZED (SELECT doc_id FROM member WHERE doc_id = component),
+       |cleandocs AS MATERIALIZED (
+       |  SELECT c.doc_id, c.text, c.source
+       |  FROM corpus c JOIN cleanids k ON c.doc_id = k.doc_id),
+       |${Filtering.qualityKeepSql("cleandocs", "qk")},
+       |qdocs AS MATERIALIZED (
+       |  SELECT c.doc_id, c.text, c.source
+       |  FROM cleandocs c JOIN qk ON qk.doc_id = c.doc_id
+       |  WHERE qk.keep = 1),
+       |ms AS (SELECT source, count(*) AS n_docs FROM qdocs GROUP BY source),
+       |mtot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM ms),
+       |mwgt AS (
+       |  SELECT source, n_docs, sqrt(n_docs::DOUBLE / n_total::DOUBLE) AS w
+       |  FROM ms, mtot),
+       |mnrm AS (
+       |  SELECT list_reduce(list_prepend(0.0, list(w ORDER BY source)),
+       |                     (a, b) -> a + b) AS norm
+       |  FROM mwgt),
+       |mq AS (
+       |  SELECT source, CAST(floor($MixTarget.0 * w / norm + 0.5) AS BIGINT) AS quota
+       |  FROM mwgt, mnrm),
+       |mr AS (
+       |  SELECT source, doc_id, text,
+       |         row_number() OVER (PARTITION BY source
+       |                            ORDER BY ${h32Sql("doc_id", "mix42")}, doc_id) AS rn
+       |  FROM qdocs),
+       |mixed AS MATERIALIZED (
+       |  SELECT mr.doc_id, mr.text FROM mr
+       |  JOIN mq ON mr.source = mq.source WHERE mr.rn <= mq.quota),
+       |pk AS (
+       |  SELECT doc_id, ${h32Sql("doc_id", "shuf42")} AS h, $wsTokensSql AS n_tok
+       |  FROM mixed),
+       |pc AS (
+       |  SELECT sum(n_tok) OVER (ORDER BY h, doc_id
+       |                          ROWS UNBOUNDED PRECEDING) - n_tok AS start
+       |  FROM pk),
+       |chunks AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(floor(start / $ChunkBudget) AS BIGINT) AS chunk_id
+       |  FROM pc),
+       |sc AS (
+       |  SELECT (SELECT count(*) FROM corpus) AS n0,
+       |         (SELECT count(*) FROM exact) AS n1,
+       |         (SELECT count(*) FROM cleanids) AS n2,
+       |         (SELECT count(*) FROM qdocs) AS n3,
+       |         (SELECT count(*) FROM mixed) AS n4,
+       |         (SELECT count(*) FROM chunks) AS n5),
+       |${Components.kmvEstCte("k0", "corpus", "doc_id::VARCHAR")},
+       |${Components.kmvEstCte("k1", "exact", "doc_id::VARCHAR")},
+       |${Components.kmvEstCte("k2", "cleanids", "doc_id::VARCHAR")},
+       |${Components.kmvEstCte("k3", "qdocs", "doc_id::VARCHAR")},
+       |${Components.kmvEstCte("k4", "mixed", "doc_id::VARCHAR")},
+       |${Components.kmvEstCte("k5", "chunks", "chunk_id::VARCHAR")}
+       |SELECT * FROM (
+       |$stages)
+       |ORDER BY stage_no""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_pipeline_report" -> curPipelineReport,
     "cur_chunk_overlap" -> chunkOverlap,
     "cur_priority_sample" -> prioritySample,
     "cur_split" -> split9055,
@@ -876,6 +1060,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "cur_pipeline_report" -> curPipelineReportSql,
     "cur_chunk_overlap" -> chunkOverlapSql,
     "cur_priority_sample" -> prioritySampleSql,
     "cur_split" -> split9055Sql,

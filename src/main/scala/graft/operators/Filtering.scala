@@ -272,6 +272,27 @@ object Filtering {
       .withColumn("keep", when(keep, 1L).otherwise(0L))
   }
 
+  /** CTE block (no WITH): [[withQualityMetrics]]'s keep flag over
+    * `$rel(doc_id, text, …)` → `$out(doc_id, keep)` — the reusable SQL
+    * form of the Gopher battery the curation pipeline's quality stage
+    * composes (same thresholds, same unrounded comparisons). */
+  private[operators] def qualityKeepSql(rel: String, out: String): String =
+    s"""${out}_m AS (
+       |  SELECT doc_id,
+       |    ' ' || replace(text, ' ', '  ') || ' ' AS padded,
+       |    len(string_split_regex(text, '\\s+'))::DOUBLE AS n,
+       |    length(replace(text, ' ', ''))::DOUBLE AS chars
+       |  FROM $rel),
+       |$out AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n BETWEEN $QMinWords AND $QMaxWords
+       |          AND chars / n BETWEEN $QMinMeanWordLen AND $QMaxMeanWordLen
+       |          AND len(regexp_extract_all(padded, ' (#|\\.\\.\\.) '))::DOUBLE / n <= $QMaxSymbolRatio
+       |          AND len(regexp_extract_all(padded, ' [^ ]*[a-z][^ ]* '))::DOUBLE / n >= $QMinAlphaFrac
+       |          AND len(regexp_extract_all(padded, ' (the|a|of|to|and) ')) >= $QMinStopwords
+       |     THEN 1 ELSE 0 END AS keep
+       |  FROM ${out}_m)""".stripMargin
+
   def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     val dirty = concat(

@@ -68,12 +68,19 @@ object Ivfadc {
       : Seq[Seq[(Int, Array[Double])]] =
     Pq.trainCodebooks(residuals(assigned, centroids).select(col("vec_id"), col("v")))
 
+  /** [[residualCodebooks]] at the size-derived code budget
+    * ([[Pq.sizedCodes]]) — the STORED default, pinned at oracle fixtures. */
+  private[graft] def residualCodebooksSized(
+      assigned: DataFrame, centroids: Seq[(Int, Array[Double])])
+      : Seq[Seq[(Int, Array[Double])]] =
+    Pq.trainCodebooksSized(residuals(assigned, centroids).select(col("vec_id"), col("v")))
+
   def ivfadcSearch(spark: SparkSession, dir: String): DataFrame = {
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
     searchOn(e, assigned, centroids,
       graft.tools.CacheRegistry.sharedObject(s"ivfadc-codebooks:$dir")(
         graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, "ivfadc-codebooks")(
-          residualCodebooks(assigned, centroids))))
+          residualCodebooksSized(assigned, centroids))))
   }
 
   private[graft] def searchOn(

@@ -24,7 +24,7 @@ object Ivfpq {
     searchOn(e, assigned, centroids,
       graft.tools.CacheRegistry.sharedObject(s"pq-codebooks:$dir")(
         graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, "pq-codebooks")(
-          Pq.trainCodebooks(e))))
+          Pq.trainCodebooksSized(e))))
   }
 
   private[graft] def searchOn(

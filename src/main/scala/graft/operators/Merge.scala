@@ -131,35 +131,54 @@ object Merge {
       round: Int, touchedBuckets: Int, totalBuckets: Int,
       rewrittenBytes: Long, tableBytes: Long)
 
-  /** Incremental merge-upsert over a bucket-partitioned parquet table:
-    * the snapshot lives at `tablePath` partitioned by `bucket = key mod
-    * buckets` (a stable, data-independent layout), and each merge round
+  /** Crash-window hooks for [[upsertIncrementalRounds]] — injectable by
+    * MergeSpec to kill the writer at each commit boundary. Production
+    * callers use [[IncHooks.none]]. */
+  final case class IncHooks(
+      beforeCommit: Int => Unit = _ => (),
+      afterCommit: Int => Unit = _ => ())
+  object IncHooks { val none: IncHooks = IncHooks() }
+
+  /** Incremental merge-upsert over a bucket-partitioned parquet table
+    * with a MANIFEST-COMMITTED layout (round-10 verdict #7 closed the
+    * crash window the bare per-bucket rename swap had): the snapshot
+    * lives at `tablePath/bucket=<b>/gen=<g>/` (bucket = key mod
+    * `buckets`, a stable data-independent layout; gen = the merge round
+    * that produced the bucket's current files), and the SINGLE source of
+    * truth for what is committed is the latest manifest under
+    * `tablePath/_manifests/` — one `bucket,gen` line per bucket, written
+    * to a temp name and renamed in (one-file rename = the atomic commit
+    * point, exactly a lake format's metadata-pointer swap). Each round:
     *
-    *   1. computes the fresh batch's touched buckets (≤ batch size, and
-    *      ≤ `buckets` — a tiny driver list),
-    *   2. reads ONLY those partitions back (Catalyst prunes the scan to
-    *      the touched `bucket=` dirs — verified via PlanSpec),
+    *   1. computes the fresh batch's touched buckets (a tiny driver list),
+    *   2. reads ONLY those buckets back through the manifest
+    *      ([[readTable]] — explicit committed-gen paths, so the scan never
+    *      touches idle buckets OR uncommitted files),
     *   3. applies the same per-column [[mergeUpsert]] policy within them,
-    *   4. stages the merged buckets and swaps them in with per-bucket
-    *      renames — the miniature of a lake-format commit: new files
-    *      written beside the table, then an O(touched) metadata swap,
-    *      never a table rewrite. (On Delta/Iceberg this whole method is
-    *      `MERGE` + their transactional commit; the bucket layout is
-    *      what makes the hand-rolled swap safe: merge is key-local, so
-    *      untouched buckets are byte-identical by construction.)
+    *   4. APPENDS the merged buckets as `gen=<round>` dirs (never mutating
+    *      committed files; leftover same-gen dirs from a crashed prior
+    *      attempt are cleared first — they are uncommitted by definition),
+    *   5. commits the new manifest (touched buckets now point at the new
+    *      gen), then garbage-collects the replaced gen dirs.
     *
-    * Scale: rewritten bytes per round ≈ touched/total × table bytes.
-    * Bucket count is the dial — size it so one bucket's merge fits an
-    * executor (buckets ≈ tableBytes / 1 GiB); at 100 TB a 10⁵-bucket
-    * table absorbs a 10³-key batch by rewriting ≤10³ buckets ≈ 1 % of
-    * the data. Stats are returned (and printed as MERGEINC lines by the
-    * SfScale replay) rather than asserted, so SCALING.md rows are
-    * measurements. */
+    * Crash anywhere before (5)'s rename → the table reads as the previous
+    * version (new gen dirs exist but no manifest names them); crash after
+    * → the table reads as the new version and the stale gens are ignored
+    * until the next round's GC. MergeSpec drives both windows through
+    * [[IncHooks]] and asserts the read.
+    *
+    * Scale: rewritten bytes per round ≈ touched/total × table bytes, and
+    * the manifest is O(buckets) lines — the dial is bucket count (size it
+    * so one bucket's merge fits an executor, buckets ≈ tableBytes/1 GiB;
+    * at 100 TB a 10⁵-bucket table absorbs a 10³-key batch by rewriting
+    * ≈1 % of the data and rewriting a 10⁵-line manifest). Stats are
+    * returned (and printed as MERGEINC lines by the SfScale replay)
+    * rather than asserted, so SCALING.md rows are measurements. */
   def upsertIncrementalRounds(
       spark: SparkSession, tablePath: String,
       initial: DataFrame, freshRounds: Seq[DataFrame], key: String,
       overwriteCols: Seq[String], coalesceCols: Seq[String], keepCols: Seq[String],
-      buckets: Int): Seq[IncRoundStats] = {
+      buckets: Int, hooks: IncHooks = IncHooks.none): Seq[IncRoundStats] = {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
@@ -170,32 +189,118 @@ object Merge {
       if (!fs.exists(p)) 0L
       else fs.listStatus(p).map(st =>
         if (st.isDirectory) dirBytes(st.getPath) else st.getLen).sum
+    def genPath(b: Int, g: Int) =
+      new org.apache.hadoop.fs.Path(table, s"bucket=$b/gen=$g")
     fs.delete(table, true)
-    withBucket(initial).write.partitionBy("bucket").parquet(tablePath)
-    freshRounds.zipWithIndex.map { case (fresh0, i) =>
-      val fresh = withBucket(fresh0)
-      val touched = fresh.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted
-      val existingTouched = spark.read.parquet(tablePath)
-        .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
-        .drop("bucket")
-      val merged = withBucket(mergeUpsert(
+    withBucket(initial).withColumn("gen", lit(0))
+      .write.partitionBy("bucket", "gen").parquet(tablePath)
+    // v0 manifest: every bucket the initial write produced, at gen 0
+    val initialBuckets = fs.listStatus(table).map(_.getPath.getName)
+      .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+    commitManifest(fs, table, 0, initialBuckets.map(_ -> 0).toMap)
+    freshRounds.map(fresh0 =>
+      upsertRound(spark, tablePath, fresh0, key,
+        overwriteCols, coalesceCols, keepCols, buckets, hooks))
+  }
+
+  /** One incremental round against an EXISTING manifest-committed table —
+    * the resume entry point: the round number is derived from the latest
+    * committed manifest (version + 1), so re-running after a crash (any
+    * window) picks up exactly where the last commit left off, clearing
+    * that round's uncommitted leftovers before re-appending. */
+  def upsertRound(
+      spark: SparkSession, tablePath: String, fresh0: DataFrame, key: String,
+      overwriteCols: Seq[String], coalesceCols: Seq[String], keepCols: Seq[String],
+      buckets: Int, hooks: IncHooks = IncHooks.none): IncRoundStats = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(hc)
+    def dirBytes(p: org.apache.hadoop.fs.Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).map(st =>
+        if (st.isDirectory) dirBytes(st.getPath) else st.getLen).sum
+    def genPath(b: Int, g: Int) =
+      new org.apache.hadoop.fs.Path(table, s"bucket=$b/gen=$g")
+    val (version, current) = readManifest(fs, table)
+    val round = version + 1
+    val fresh = fresh0.withColumn("bucket",
+      pmod(col(key), lit(buckets)).cast("int"))
+    val touched = fresh.select(col("bucket")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existingTouched = readTable(spark, tablePath)
+      .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+      .drop("bucket", "gen")
+    val merged = mergeUpsert(
         existingTouched, fresh.drop("bucket"), key,
-        overwriteCols, coalesceCols, keepCols))
-      val stage = new org.apache.hadoop.fs.Path(s"$tablePath.stage-r$i")
-      fs.delete(stage, true)
-      merged.write.partitionBy("bucket").parquet(stage.toString)
-      val rewritten = touched.map { b =>
-        val src = new org.apache.hadoop.fs.Path(stage, s"bucket=$b")
-        val dst = new org.apache.hadoop.fs.Path(table, s"bucket=$b")
-        val bytes = dirBytes(src)
-        fs.delete(dst, true)
-        require(fs.rename(src, dst), s"bucket swap failed: $src -> $dst")
-        bytes
-      }.sum
-      fs.delete(stage, true)
-      IncRoundStats(i + 1, touched.length, buckets, rewritten, dirBytes(table))
-    }
+        overwriteCols, coalesceCols, keepCols)
+      .withColumn("bucket", pmod(col(key), lit(buckets)).cast("int"))
+    // clear uncommitted leftovers of a crashed prior attempt at this gen,
+    // then append the merged buckets as the new generation — committed
+    // files are never touched
+    touched.foreach(b => fs.delete(genPath(b, round), true))
+    merged.withColumn("gen", lit(round))
+      .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
+    val rewritten = touched.map(b => dirBytes(genPath(b, round))).sum
+    hooks.beforeCommit(round)
+    val committed = current ++ touched.map(_ -> round)
+    commitManifest(fs, table, round, committed)
+    hooks.afterCommit(round)
+    // GC the replaced generations (post-commit; a crash here only leaves
+    // stale dirs the reader already ignores)
+    touched.foreach(b => current.get(b).foreach(g => fs.delete(genPath(b, g), true)))
+    val tableBytes = committed.map { case (b, g) => dirBytes(genPath(b, g)) }.sum
+    IncRoundStats(round, touched.length, buckets, rewritten, tableBytes)
+  }
+
+  private def manifestDir(table: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(table, "_manifests")
+
+  /** Atomic commit: write `bucket,gen` lines to a temp file, rename to
+    * `manifest-v<version>` — the one-file rename that makes the version
+    * visible. */
+  private def commitManifest(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
+      version: Int, state: Map[Int, Int]): Unit = {
+    val dir = manifestDir(table)
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-manifest-v$version")
+    val out = fs.create(tmp, true)
+    try out.write(state.toSeq.sorted.map { case (b, g) => s"$b,$g" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(dir, s"manifest-v$version")
+    fs.delete(fin, false)
+    require(fs.rename(tmp, fin), s"manifest commit failed: $fin")
+  }
+
+  /** Latest committed (version, bucket → gen). */
+  private def readManifest(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path)
+      : (Int, Map[Int, Int]) = {
+    val dir = manifestDir(table)
+    val versions = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("manifest-v")).map(_.stripPrefix("manifest-v").toInt)
+    require(versions.nonEmpty, s"no committed manifest under $dir")
+    val v = versions.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-v$v"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    (v, text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(b, g) = l.split(','); b.toInt -> g.toInt
+    }.toMap)
+  }
+
+  /** The manifest-aware reader — the ONLY correct way to read the
+    * incremental table (a bare `spark.read.parquet(tablePath)` would see
+    * uncommitted or not-yet-GC'd generations): loads exactly the latest
+    * manifest's `bucket=<b>/gen=<g>` dirs, with `basePath` so `bucket`
+    * (and `gen`) stay partition columns and bucket filters still prune. */
+  def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (_, state) = readManifest(fs, table)
+    val paths = state.toSeq.sorted.map { case (b, g) => s"$tablePath/bucket=$b/gen=$g" }
+    spark.read.option("basePath", tablePath).parquet(paths: _*)
   }
 
   private val IncBuckets = 16
@@ -271,7 +376,7 @@ object Merge {
     stats.foreach(s => println(
       s"MERGEINC round=${s.round} touched=${s.touchedBuckets}/${s.totalBuckets} " +
         s"rewritten_bytes=${s.rewrittenBytes} table_bytes=${s.tableBytes}"))
-    spark.read.parquet(tablePath)
+    readTable(spark, tablePath)
       .select(col("universeId"), col("rootPlaceId"), col("name"),
         col("description"), col("gameplayDescription"), col("playerCount"))
       .orderBy(col("universeId"))

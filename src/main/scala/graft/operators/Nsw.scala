@@ -71,8 +71,7 @@ object Nsw {
     * own pinned [[HopsL1]] floor (2, below the layer-0 floor of 3), so
     * its fixture-size dial must not inherit layer 0's. */
   private[graft] def sizedHopsFloor(n: Long, floor: Int): Int =
-    math.max(floor,
-      math.ceil(math.log(math.max(n, 1L).toDouble / 250.0) / math.log(2.0)).toInt)
+    math.max(floor, SizingPolicy.doublings(n, 250.0))
 
   /** Size-derived BEAM width — the dial the ×100 recall probe proved
     * necessary (SCALING.md "recall at ×100"): with hops already
@@ -86,8 +85,7 @@ object Nsw {
     * unchanged — 32 at 20 k, 56 at 200 k). Per-query cost stays
     * O(hops·beam·degree): (log N)² growth against a corpus growing N. */
   private[graft] def sizedBeam(n: Long): Int =
-    math.max(Beam, Beam * math.ceil(
-      math.log(math.max(n, 1L).toDouble / 2000.0) / math.log(2.0)).toInt)
+    math.max(Beam, Beam * SizingPolicy.doublings(n, SizingPolicy.FixtureMaxN.toDouble))
 
   /** Corpus vectors, cached per dir: beamLoop scans this frame once per
     * hop (seeds + Hops score jobs per search, twice that for the
@@ -141,8 +139,7 @@ object Nsw {
     * planes, the dial SCALING.md measured). */
   private[graft] def sizedPlanes(n: Long): Int =
     math.max(Similarity.TablePlanes,
-      math.ceil(math.log(math.max(n, 1L).toDouble / PlanesTargetOccupancy) /
-        math.log(2.0)).toInt)
+      SizingPolicy.doublings(n, PlanesTargetOccupancy.toDouble))
 
   /** [[edgesOn]] at the size-derived dial — the STORED default for every
     * persisted graph artifact (round-8 verdict: the pinned-dial build was
@@ -370,22 +367,30 @@ object Nsw {
     e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
-  /** Graph search with IVF-ROUTED entries — the entry-quality experiment
-    * the ×100 recall probe queued: instead of the fixed low-id entry set
-    * (which at 200 k vectors starts the beam nowhere near most queries),
-    * route each query through the trained coarse quantizer — nearest
-    * `probeCells` centroids, seeded with each chosen cell's [[Entries]]
-    * lowest member ids (deterministic) — then run the identical beam.
-    * Routing is driver-scale arithmetic (≤5 query vectors × K centroids)
-    * plus one tiny member-lookup job; the beam cost is unchanged. This is
-    * HNSW's entry-hierarchy idea with the hierarchy replaced by the IVF
-    * structure the engine already builds and stores. PROBE-ONLY for now:
-    * measured by RecallScale (SCALING.md), not yet an oracle-checked
-    * serve query. */
+  /** How many nearest cells route each query's entry seeds — the nprobe
+    * of the entry router. 2 at every scale (the ×100 probe's measured
+    * winning configuration); widening it trades seed-scoring cost for
+    * entry diversity exactly like IVF's nprobe. */
+  private[graft] val RouteProbeCells = 2
+
+  /** Graph search with IVF-ROUTED entries — promoted from the ×100 recall
+    * probe (round-10 verdict #1; the probe-only form measured 0.20
+    * recall@3 at 200 k vectors, 3× the fixed entry set): instead of the
+    * fixed low-id entry set (which at 200 k vectors starts the beam
+    * nowhere near most queries), route each query through the trained
+    * coarse quantizer — nearest [[RouteProbeCells]] centroids by cosine,
+    * seeded with each chosen cell's [[Entries]] lowest member ids
+    * (deterministic) — then run the identical beam. Routing is
+    * driver-scale arithmetic (≤5 query vectors × K centroids) plus one
+    * tiny member-lookup job; the beam cost is unchanged. This is HNSW's
+    * entry-hierarchy idea with the hierarchy replaced by the IVF
+    * structure the engine already builds and stores. Oracle-checked as
+    * `ann_nsw_routed_search`, and the serve DEFAULT of the cell graph
+    * above fixture size ([[SizingPolicy.useRoutedEntries]]). */
   private[graft] def searchWithRoutedEntries(
       e: DataFrame, edges: DataFrame,
       centroids: Seq[(Int, Array[Double])], assigned: DataFrame,
-      hops: Int, beam: Int, probeCells: Int = 2): DataFrame = {
+      hops: Int, beam: Int, probeCells: Int = RouteProbeCells): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val q = queryFrame(e)
@@ -503,9 +508,39 @@ object Nsw {
     * same beam core, same dials; the only difference is which edge table
     * the store hands back. Ties the full build's recall at the fixture
     * (0.60) and beats it at ×10 under the sized hop budget (SCALING.md
-    * "recall at ×10": 0.13 vs 0.07) at a third of the build cost. */
-  def nswCellSearch(spark: SparkSession, dir: String): DataFrame =
-    searchWithEdges(vectors(spark, dir), storedCellEdges(spark, dir))
+    * "recall at ×10": 0.13 vs 0.07) at a third of the build cost.
+    * Above fixture size the entry set ALSO sizes: fixed low-id entries
+    * flip to IVF-routed ones ([[SizingPolicy.useRoutedEntries]] — the
+    * ×100 probe's measured 3× recall win), exactly the way
+    * [[sizedHops]]/[[sizedBeam]] already replace their pinned dials. At
+    * every oracle fixture this is the pinned fixed-entry search, so the
+    * hash gate replays unchanged. */
+  def nswCellSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val edges = storedCellEdges(spark, dir)
+    val n = e.count()
+    if (SizingPolicy.useRoutedEntries(n)) {
+      val (_, assigned, centroids) = IvfKMeans.trained(spark, dir)
+      searchWithRoutedEntries(e, edges, centroids, assigned,
+        sizedHops(n), sizedBeam(n))
+    } else searchWithEdgesDials(e, edges, sizedHops(n), sizedBeam(n))
+  }
+
+  /** The always-routed serve query (`ann_nsw_routed_search`): IVF-routed
+    * entries over the stored cell-local graph at the sized search dials —
+    * at oracle fixtures those are the pinned [[Hops]]/[[Beam]], so the
+    * DuckDB mirror replays routing + beam exactly; at scale this IS what
+    * [[nswCellSearch]] serves. Reads three stored artifacts
+    * (`ivf-centroids`, its assignment, `nsw-cell-edges`) — no builds in
+    * the serve path. */
+  def nswRoutedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    val (_, assigned, centroids) = IvfKMeans.trained(spark, dir)
+    val edges = storedCellEdges(spark, dir)
+    val n = e.count()
+    searchWithRoutedEntries(e, edges, centroids, assigned,
+      sizedHops(n), sizedBeam(n))
+  }
 
   // --------------------------------------------------- bulk (all-corpus)
 
@@ -1187,9 +1222,58 @@ object Nsw {
        |FROM nccranked WHERE rank <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** CTE block (no WITH): [[searchWithRoutedEntries]]'s routing as SQL —
+    * nearest-[[RouteProbeCells]] centroids per query by cosine (zero-norm
+    * guard → 0.0, ties → lowest cluster, replaying the driver-side
+    * routing arithmetic exactly), each chosen cell seeding its
+    * [[Entries]] lowest member ids — scored into `${p}s0` for the shared
+    * beam CTEs. Assumes `e`, `afinal`, and the final-centroid CTE from
+    * [[IvfKMeans.trainingSql]] in scope. */
+  private def routedSeedCtes(p: String): String =
+    s"""${p}route AS (
+       |  SELECT query_id, cluster FROM (
+       |    SELECT q.vec_id AS query_id, c.cluster,
+       |           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |             (CASE WHEN list_dot_product(q.v, q.v) = 0 OR list_dot_product(c.cv, c.cv) = 0
+       |                   THEN 0.0
+       |                   ELSE list_dot_product(q.v, c.cv)
+       |                        / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.cv, c.cv))) END) DESC,
+       |             c.cluster) AS rn
+       |    FROM e q CROSS JOIN ${IvfKMeans.finalCentroidsRel} c WHERE q.vec_id < 5)
+       |  WHERE rn <= $RouteProbeCells),
+       |${p}members AS (
+       |  SELECT cluster, vec_id FROM (
+       |    SELECT cluster, vec_id,
+       |           row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
+       |    FROM afinal)
+       |  WHERE rn <= $Entries),
+       |${p}ids0 AS (
+       |  SELECT DISTINCT r.query_id, m.vec_id AS node_id
+       |  FROM ${p}route r JOIN ${p}members m ON m.cluster = r.cluster
+       |  WHERE m.vec_id <> r.query_id),
+       |${scoreSql(s"${p}ids0", s"${p}s0")}""".stripMargin
+
+  /** `ann_nsw_routed_search`'s mirror: full k-means replay, cell-local
+    * graph build, ROUTED entry seeding, then the identical unrolled beam
+    * rounds over `ncedges`. */
+  val nswRoutedSearchSql: String =
+    s"""WITH ${IvfKMeans.trainingSql},
+       |$cellGraphCtes,
+       |${routedSeedCtes("rt")},
+       |${beamCtes("rt", "ncedges", Hops, Beam)},
+       |rtranked AS (
+       |  SELECT query_id, node_id AS neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos DESC, node_id) AS rank
+       |  FROM rts$Hops)
+       |SELECT query_id, neighbor_id, rank, floor(cos * 10000 + 0.5) / 10000.0 AS cosine
+       |FROM rtranked WHERE rank <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ann_nsw_search" -> nswSearch,
     "ann_nsw_cell_search" -> nswCellSearch,
+    "ann_nsw_routed_search" -> nswRoutedSearch,
     "ann_hnsw_search" -> hnswSearch,
     "ann_nsw_nnd_search" -> nndSearch,
     "ann_nsw_bulk" -> bulkSearch,
@@ -1200,6 +1284,7 @@ object Nsw {
   val oracles: Map[String, String] = Map(
     "ann_nsw_search" -> nswSearchSql,
     "ann_nsw_cell_search" -> nswCellSearchSql,
+    "ann_nsw_routed_search" -> nswRoutedSearchSql,
     "ann_hnsw_search" -> hnswSearchSql,
     "ann_nsw_nnd_search" -> nndSearchSql,
     "ann_nsw_bulk" -> bulkSearchSql,

@@ -37,8 +37,29 @@ object Pq {
 
   private[operators] val M = 4
   private[operators] val SubDim = 16
-  private val Codes = 16
+  private[graft] val Codes = 16
   private val Iterations = 1
+
+  /** Per-subspace codebook ceiling: 256 codes = the one-byte codes of
+    * Jégou et al.'s reference configuration — past it the code stops
+    * fitting the "4 bytes per vector" ADC storage shape this family
+    * exists for, and the broadcast LUT starts growing noticeably. */
+  private[graft] val MaxCodes = 256
+
+  /** Size-derived code budget — the dial the ×10 recall probe proved
+    * missing (round-10 verdict #2: with M×K pinned at 4×16 the total
+    * code space is 16⁴ ≈ 65 k cells, so at ×10 the corpus outnumbers the
+    * cells and quantization error doubles — pq_adc recall 0.24 → 0.11).
+    * K doubles per corpus doubling past fixture scale — code BITS grow
+    * with log N, the same growth law as [[Nsw.sizedPlanes]]/[[
+    * Nsw.sizedBeam]] — capped at [[MaxCodes]]. Lands exactly on the
+    * pinned [[Codes]] at every oracle fixture size (N ≤ 2000 →
+    * 16), so the hash-gated queries and their DuckDB mirrors (which
+    * unroll K at SQL-generation time) replay unchanged. Training cost
+    * scales with N·M·K — the build-side price, measured in SCALING.md. */
+  private[graft] def sizedCodes(n: Long): Int =
+    math.min(MaxCodes,
+      Codes << SizingPolicy.doublings(n, SizingPolicy.FixtureMaxN.toDouble))
 
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -56,8 +77,18 @@ object Pq {
     * per-subspace groupings produce (identical rows, identical decimal
     * sums). M·Codes·SubDim doubles on the driver — the same legitimate
     * boundary as k-means centroids. */
-  private[graft] def trainCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
-    val init = e.filter(col("vec_id") < Codes).orderBy(col("vec_id")).collect()
+  private[graft] def trainCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] =
+    trainCodebooksK(e, Codes)
+
+  /** [[trainCodebooks]] at the size-derived code budget — the STORED
+    * default for the codebook artifacts (pinned [[Codes]] at every
+    * oracle fixture, more codes as the corpus outgrows the code space).
+    * One count() on the cached frame, as every sized dial pays. */
+  private[graft] def trainCodebooksSized(e: DataFrame): Seq[Seq[(Int, Array[Double])]] =
+    trainCodebooksK(e, sizedCodes(e.count()))
+
+  private[graft] def trainCodebooksK(e: DataFrame, codes: Int): Seq[Seq[(Int, Array[Double])]] = {
+    val init = e.filter(col("vec_id") < codes).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
     var cbs: Seq[Seq[(Int, Array[Double])]] = (0 until M).map(m =>
       init.map { case (id, arr) => (id, arr.slice(m * SubDim, (m + 1) * SubDim)) }.toSeq)
@@ -137,7 +168,7 @@ object Pq {
     val e = vectors(spark, dir)
     searchOn(e, graft.tools.CacheRegistry.sharedObject(s"pq-codebooks:$dir")(
       graft.tools.IndexStore.readOrBuildCodebooks(spark, dir, "pq-codebooks")(
-        trainCodebooks(e))))
+        trainCodebooksSized(e))))
   }
 
   /** Table-injected form — shared with the recall harness so the codebooks

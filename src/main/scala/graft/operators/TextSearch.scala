@@ -210,6 +210,70 @@ object TextSearch {
 
   private val BatchQueries = Seq("merge", "table value", "spark", "the line")
 
+  // ---------------------------------------------------- posting-list index
+  //
+  // Round-10 verdict #6: the f6 queries scan every game per query — the
+  // reference's own semantics (search.get.ts scans the full table), correct
+  // but the wrong 100 TB shape. The substrate for the fix already exists in
+  // the engine's index discipline: materialize an inverted token index once
+  // (`index_build_postings`), then serve a query by scanning the DICTIONARY
+  // (|vocab| rows, tiny against the corpus) for words containing q,
+  // equi-joining the matched words against the postings table (narrow
+  // (word, id) rows — broadcast the matched word set, never the corpus),
+  // and running the UNCHANGED scoring cascade on the candidate docs only.
+  //
+  // Candidate completeness is the same token equivalence scoredSearch
+  // documents: a whitespace-free q occurs in `text` iff it occurs inside
+  // some \s+-token of `text` — so "docs with a token containing q" is
+  // EXACTLY "docs where some field contains q" = matchType IS NOT NULL,
+  // and the indexed query returns byte-identical rows to
+  // `f6_text_search_word` (they share the oracle SQL).
+
+  /** The distinct (word, universeId) postings over all three searchable
+    * fields — the materialized inverted index. Repartitioned by range on
+    * `word` and sorted within partitions so the stored parquet carries
+    * word-ordered row groups (min/max pruning for equi-lookups at scale). */
+  private[operators] def postingsFrame(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.games(spark, dir)
+    Seq(col("name"), col("description"), col("gameplayDescription"))
+      .map(c => g.select(col("universeId"),
+        explode(split(lower(coalesce(c, lit(""))), "\\s+")).as("word")))
+      .reduce(_ unionByName _)
+      .filter(col("word") =!= "")
+      .distinct()
+      .repartitionByRange(col("word"))
+      .sortWithinPartitions(col("word"))
+  }
+
+  private[operators] def storedPostings(spark: SparkSession, dir: String): DataFrame =
+    graft.tools.CacheRegistry.sharedTracked(s"text-postings:$dir")(
+      graft.tools.IndexStore.readOrBuild(spark, dir, "text-postings")(
+        postingsFrame(spark, dir)))
+
+  /** The dictionary artifact: just the distinct words. |vocab| rows — the
+    * only thing a query's substring match ever scans. */
+  private[operators] def storedDictionary(spark: SparkSession, dir: String): DataFrame =
+    graft.tools.CacheRegistry.sharedTracked(s"text-dictionary:$dir")(
+      graft.tools.IndexStore.readOrBuild(spark, dir, "text-dictionary")(
+        postingsFrame(spark, dir).select(col("word")).distinct()))
+
+  /** Index-served search: dictionary scan → postings equi-join → cascade
+    * scoring on candidates only. Same results as [[search]] (shared
+    * oracle); sub-scan cost whenever the query is selective. */
+  def searchIndexedOn(spark: SparkSession, dir: String,
+      normalizedQuery: String, limit: Int): DataFrame = {
+    val nq = normalizedQuery.toLowerCase.trim
+    val words = storedDictionary(spark, dir).filter(col("word").contains(nq))
+    val cand = storedPostings(spark, dir)
+      .join(broadcast(words), Seq("word"))
+      .select(col("universeId")).distinct()
+    search(Tables.games(spark, dir).join(cand, Seq("universeId"), "left_semi"),
+      nq, limit)
+  }
+
+  def searchIndexed(spark: SparkSession, dir: String): DataFrame =
+    searchIndexedOn(spark, dir, "merge", 10)
+
   def searchBatch(spark: SparkSession, dir: String): DataFrame =
     searchMany(Tables.games(spark, dir), BatchQueries, 5)
 
@@ -224,12 +288,16 @@ object TextSearch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "f6_text_search_word" -> searchSingleWord,
     "f6_text_search_phrase" -> searchPhrase,
-    "f6_text_search_batch" -> searchBatch
+    "f6_text_search_batch" -> searchBatch,
+    "f6_text_search_indexed" -> searchIndexed
   )
 
   val oracles: Map[String, String] = Map(
     "f6_text_search_word" -> oracleFor("merge", 10),
     "f6_text_search_phrase" -> oracleFor("table value", 10),
-    "f6_text_search_batch" -> batchOracle(BatchQueries, 5)
+    "f6_text_search_batch" -> batchOracle(BatchQueries, 5),
+    // the point of the index: IDENTICAL results to the scan query — the
+    // two literally share the oracle SQL
+    "f6_text_search_indexed" -> oracleFor("merge", 10)
   )
 }

@@ -53,9 +53,10 @@ object RecallScale {
     val (pinned, sized) = AnnRecall.probeDials(eX.count())
 
     def report(label: String, e: org.apache.spark.sql.DataFrame, planes: Int,
-        sizedSearch: Boolean = false): Map[String, Double] = {
+        sizedSearch: Boolean = false, pinnedCodes: Boolean = false): Map[String, Double] = {
       val t0 = System.nanoTime()
-      val means = AnnRecall.recallProbeMeans(spark, e, planes, rounds, sizedSearch)
+      val means = AnnRecall.recallProbeMeans(spark, e, planes, rounds, sizedSearch,
+        pinnedCodes)
       val wall = (System.nanoTime() - t0) / 1e9
       means.toSeq.sortBy(_._1).foreach { case (m, r) =>
         println(f"RECALL $label%-16s planes=$planes%-3d $m%-16s $r%6.4f")
@@ -64,7 +65,7 @@ object RecallScale {
       means
     }
 
-    val b = report("base", eBase, pinned) // sized == pinned at fixture size
+    val b = report("base", eBase, pinned) // sized == pinned at fixture size (codes too)
     // The cost-blind pinned-dial control is only measurable while it is
     // merely SLOW: at planes=4 a 200k-vector corpus packs ~12.5k vectors
     // per bucket → ~10⁹ candidate pairs, which spills past local disk
@@ -72,7 +73,10 @@ object RecallScale {
     // already answered the dial question (sized ≥ pinned everywhere), so
     // at factor ≥ 100 the probe measures only the production dials.
     val withPinned = factor < 100
-    val xp = if (withPinned) Some(report(s"x$factor/pinned", eX, pinned)) else None
+    // pinned rows also pin the PQ code budget — the sized-codes delta
+    // (Pq.sizedCodes, round-10 verdict #2) reads off sized − pinned
+    val xp = if (withPinned)
+      Some(report(s"x$factor/pinned", eX, pinned, pinnedCodes = true)) else None
     val xs = report(s"x$factor/sized", eX, sized)
     // the probe's finding: the BUILD dial doesn't move recall, the fixed
     // SEARCH dials do — measure the sizedHops serving dial on the sized build
@@ -84,6 +88,22 @@ object RecallScale {
         f"x${factor}_sized=${xs(m)}%6.4f x${factor}_sizedhops=${xh(m)}%6.4f " +
         f"hops_gain=${xh(m) - xs(m)}%+7.4f")
     }
+
+    // The SERVE-TIER row (round-10 verdict #1's done-criterion): recall of
+    // the production cell-graph serving off the scaled dir's STORED
+    // IndexStore artifacts — fixed-entry control vs routed vs the actual
+    // ann_nsw_cell_search default. First touch builds the sized artifacts
+    // exactly as index_build_* would; the measured rows then serve reads.
+    import org.apache.spark.sql.functions.{avg, col}
+    CacheRegistry.release(blocking = true)
+    CacheRegistry.releaseShared(blocking = true)
+    val t0 = System.nanoTime()
+    AnnRecall.servedGraphRecall(spark, out)
+      .groupBy(col("method")).agg(avg(col("recall")).as("mean_recall"))
+      .collect().sortBy(_.getString(0)).foreach { r =>
+        println(f"RECALLSERVED x$factor ${r.getString(0)}%-16s ${r.getDouble(1)}%6.4f")
+      }
+    println(f"RECALLSERVED x$factor (wall ${(System.nanoTime() - t0) / 1e9}%.1f s, stored artifacts at $out)")
     spark.stop()
   }
 }

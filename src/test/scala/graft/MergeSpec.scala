@@ -82,15 +82,72 @@ class MergeSpec extends AnyFunSuite {
     }
     val cols = Seq("universeId", "rootPlaceId", "name", "description",
       "gameplayDescription", "playerCount")
-    val got = spark.read.parquet(table)
+    val got = Merge.readTable(spark, table)
       .selectExpr(cols: _*).orderBy("universeId").collect()
     assert(got === expected.selectExpr(cols: _*).orderBy("universeId").collect())
 
     // the touched-bucket read prunes partitions at the scan (the at-scale
     // point: an incremental round never scans the idle buckets)
-    val pruned = spark.read.parquet(table).filter($"bucket".isin(3, 0))
+    val pruned = Merge.readTable(spark, table).filter($"bucket".isin(3, 0))
     val scan = pruned.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
       s"expected bucket partition pruning in:\n$scan")
+  }
+
+  test("manifest commit makes each round atomic: a crash on either side of the commit leaves a consistent table") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-inc-crash").toString
+    def mk(ids: Seq[Long], tag: String) = ids.map(id =>
+      (id, id * 10, s"$tag-$id", Option.when(id % 3 == 0)(s"d$tag$id"),
+        Option.when(id % 4 == 0)(s"g$id"), Some(id % 7)))
+      .toDF("universeId", "rootPlaceId", "name", "description", "gameplayDescription", "playerCount")
+    val initial = mk(0L until 60L, "base")
+    val rounds = Seq(mk(Seq(3L, 21L), "r1"), mk(Seq(7L, 35L), "r2"))
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    val cols = Seq("universeId", "rootPlaceId", "name", "description",
+      "gameplayDescription", "playerCount")
+    def state(acc: Seq[org.apache.spark.sql.DataFrame]) =
+      acc.foldLeft(initial)((a, f) => Merge.mergeUpsert(a, f, "universeId", over, coal, keep))
+        .selectExpr(cols: _*).orderBy("universeId").collect()
+
+    // crash BEFORE round 2's manifest commit: its gen dirs are on disk but
+    // unnamed by any manifest — the table must read as after round 1
+    val t1 = s"$tmp/pre"
+    val boom = new RuntimeException("kill before commit")
+    val thrown = intercept[RuntimeException] {
+      Merge.upsertIncrementalRounds(spark, t1, initial, rounds, "universeId",
+        over, coal, keep, buckets = 16,
+        hooks = Merge.IncHooks(beforeCommit = r => if (r == 2) throw boom))
+    }
+    assert(thrown eq boom)
+    assert(Merge.readTable(spark, t1).selectExpr(cols: _*)
+      .orderBy("universeId").collect() === state(rounds.take(1)))
+
+    // crash AFTER round 2's commit (before GC): stale gen dirs linger but
+    // the manifest already names the new version — the table reads round 2,
+    // and the raw dir listing really does carry the un-GC'd generation
+    // (proving the reader, not the GC, is what keeps the view consistent)
+    val t2 = s"$tmp/post"
+    val thrown2 = intercept[RuntimeException] {
+      Merge.upsertIncrementalRounds(spark, t2, initial, rounds, "universeId",
+        over, coal, keep, buckets = 16,
+        hooks = Merge.IncHooks(afterCommit = r => if (r == 2) throw boom))
+    }
+    assert(thrown2 eq boom)
+    assert(Merge.readTable(spark, t2).selectExpr(cols: _*)
+      .orderBy("universeId").collect() === state(rounds))
+    val rawRows = spark.read.parquet(t2).count()
+    val liveRows = Merge.readTable(spark, t2).count()
+    assert(rawRows > liveRows, "expected stale generations on disk after the post-commit crash")
+
+    // and the crashed run RESUMES: upsertRound derives the round from the
+    // last committed manifest (t1 stopped at version 1), clears round 2's
+    // uncommitted leftover gen dirs, and converges to the same final state
+    val resumed = Merge.upsertRound(spark, t1, rounds(1), "universeId",
+      over, coal, keep, buckets = 16)
+    assert(resumed.round === 2)
+    assert(Merge.readTable(spark, t1).selectExpr(cols: _*)
+      .orderBy("universeId").collect() === state(rounds))
   }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Nsw, Pq, SizingPolicy}
+
+/** The one table every size-derived dial must satisfy (round-10 verdict
+  * #8): at every oracle-fixture corpus size the sized dial EQUALS its
+  * pinned value — the DuckDB mirrors unroll the pinned dials at
+  * SQL-generation time, so a dial that moved at fixture size would break
+  * every hash gate — and above fixture scale each dial actually grows.
+  * Pinned values are LITERALS here on purpose: a spec that re-derived
+  * them from the same constants could not catch a constant drifting. */
+class SizingPolicySpec extends AnyFunSuite {
+
+  // embeddings row counts of the three oracle fixtures, plus the ceiling
+  private val fixtureSizes =
+    Seq(1L, 500L, 1000L, SizingPolicy.FixtureMaxN)
+
+  // (dial name, sized rule, pinned literal)
+  private val dials: Seq[(String, Long => Int, Int)] = Seq(
+    ("planes", Nsw.sizedPlanes _, 4),
+    ("hops", Nsw.sizedHops _, 3),
+    ("hopsL1", n => Nsw.sizedHopsFloor(n / Nsw.SampleMod, 2), 2),
+    ("beam", Nsw.sizedBeam _, 8),
+    ("pq_codes", Pq.sizedCodes _, 16))
+
+  test("every sized dial lands on its pinned value at all fixture sizes") {
+    for ((name, rule, pinned) <- dials; n <- fixtureSizes)
+      assert(rule(n) === pinned, s"dial $name moved at fixture size $n")
+    for (n <- fixtureSizes)
+      assert(!SizingPolicy.useRoutedEntries(n),
+        s"routed-entry switch flipped at fixture size $n")
+  }
+
+  test("every sized dial grows above fixture scale (x10 and x100)") {
+    for ((name, rule, pinned) <- dials) {
+      assert(rule(20000L) > pinned, s"dial $name flat at x10")
+      assert(rule(200000L) >= rule(20000L), s"dial $name shrank x10 -> x100")
+    }
+    assert(SizingPolicy.useRoutedEntries(20000L))
+    // the measured x10 values SCALING.md records
+    assert(Nsw.sizedPlanes(20000L) === 8)
+    assert(Nsw.sizedHops(20000L) === 7)
+    assert(Nsw.sizedBeam(20000L) === 32)
+    assert(Pq.sizedCodes(20000L) === 256)
+    // the cap: codes stop at one byte
+    assert(Pq.sizedCodes(2000000L) === Pq.MaxCodes)
+  }
+
+  test("the growth term floors at zero below its reference population") {
+    assert(SizingPolicy.doublings(1L, 2000.0) === 0)
+    assert(SizingPolicy.doublings(2000L, 2000.0) === 0)
+    assert(SizingPolicy.doublings(2001L, 2000.0) === 1)
+    assert(SizingPolicy.doublings(8000L, 2000.0) === 2)
+  }
+}

@@ -214,4 +214,74 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(rows(out) === want,
       "recovered append output diverges from the uninterrupted run")
   }
+
+  test("StreamingIvfIndex survives a crash in the retrain commit window") {
+    import graft.streaming.StreamingIvfIndex
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("v", ArrayType(DoubleType))))
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val initial = e.filter(col("vec_id") < 300)
+    val dropA = e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+    // drop B trips the drift trigger → its batch is the corpus-sized
+    // RETRAIN, the one index mutation that had no kill/resume proof
+    // (round-10 verdict #4)
+    val dropB = e.filter(col("vec_id") >= 400)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        org.apache.spark.sql.functions.expr("transform(v, x -> x + 5.0D)").as("v"))
+    val dropC = e.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+
+    def stream(dropDir: String) = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+    def centroidMap(i: StreamingIvfIndex) =
+      i.currentCentroids().toMap.map { case (c, v) => (c, v.toSeq) }
+    def assignedSet(i: StreamingIvfIndex) =
+      i.currentAssigned().select("vec_id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+
+    // reference: A (assign), B (retrain), C (assign on retrained centroids),
+    // uninterrupted
+    val refDrop = Files.createTempDirectory("rec-ivf-ref-drops").toString
+    val refIdx = Files.createTempDirectory("rec-ivf-ref-idx").toString
+    val refCkpt = Files.createTempDirectory("rec-ivf-ref-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$refDrop/a")
+    dropB.coalesce(1).write.parquet(s"$refDrop/b")
+    val ref = new StreamingIvfIndex(spark, refIdx, initial)
+    runToCompletion(() => ref.start(stream(refDrop), refCkpt), 240000L)
+    assert(ref.retrains === 1, "drop B must trip the drift trigger")
+    dropC.coalesce(1).write.parquet(s"$refDrop/c")
+    runToCompletion(() => ref.start(stream(refDrop), refCkpt), 240000L)
+    // whatever batch C does in the reference (expected: plain assignment on
+    // the retrained centroids) is what the resumed run may do — and no more
+    val refRetrainsFromC = ref.retrains - 1
+    val wantCentroids = centroidMap(ref)
+    val wantAssigned = assignedSet(ref)
+
+    // crashed run: die exactly in the retrain's commit window — the
+    // VersionedState version holding the retrained quantizer is committed,
+    // the streaming commit-log entry for that batch is not
+    val drop = Files.createTempDirectory("rec-ivf-drops").toString
+    val idx = Files.createTempDirectory("rec-ivf-idx").toString
+    val ckpt = Files.createTempDirectory("rec-ivf-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$drop/a")
+    dropB.coalesce(1).write.parquet(s"$drop/b")
+    val i1 = new StreamingIvfIndex(spark, idx, initial)
+    runToCompletion(() => i1.start(stream(drop), ckpt), 240000L)
+    assert(i1.retrains === 1)
+    crashWindow(ckpt)
+    dropC.coalesce(1).write.parquet(s"$drop/c")
+
+    // restart: resume must reload the RETRAINED quantizer + baseline from
+    // the pointer, replay batch B as a no-op (no second corpus-sized
+    // retrain), then process C on the retrained centroids
+    val i2 = new StreamingIvfIndex(spark, idx, initial)
+    runToCompletion(() => i2.start(stream(drop), ckpt), 240000L)
+    assert(i2.retrains === refRetrainsFromC,
+      "the replayed retrain batch must be a no-op on resume (only batch C's own work may run)")
+    assert(centroidMap(i2) === wantCentroids,
+      "recovered centroids diverge from the uninterrupted run")
+    assert(assignedSet(i2) === wantAssigned,
+      "recovered assignment diverges from the uninterrupted run")
+  }
 }
