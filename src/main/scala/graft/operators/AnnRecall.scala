@@ -320,19 +320,33 @@ object AnnRecall {
     * as `index_build_*` would), and the measured paths are the fixed-entry
     * control, the routed search, and the ACTUAL `ann_nsw_cell_search`
     * serve default, so a regression in the default's routing switch shows
-    * up as a recall split against `nsw_cell_routed`. Single query block
-    * (ids 0..4 — stored artifacts bake the entry ids in, so the probe's
-    * query-swap rounds don't apply; resolution 1/15). */
+    * up as a recall split against `nsw_cell_routed`. The probe's
+    * query-swap rounds don't apply here (stored artifacts bake the corpus
+    * ids in), but neither routing nor the fixed entry NODES depend on
+    * which ids are queries — so the row averages [[ServedQueryBlocks]]
+    * disjoint 5-query blocks off the SAME artifacts (45 truth slots,
+    * ±0.022 resolution) instead of the single hardwired block. */
+  private val ServedQueryBlocks = Seq(0L, 600L, 1200L)
+
   private[graft] def servedGraphRecall(spark: SparkSession, dir: String): DataFrame = {
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
     val in = MethodInputs(spark, e, assigned, centroids, dir, clustered = false)
-    val served = Seq(
-      Method("nsw_cell_fixed",
-        i => Nsw.searchWithEdgesDials(i.e, i.cellEdges, i.hops, i.beam), "served"),
-      Method("nsw_cell_routed", i => Nsw.searchWithRoutedEntries(
-        i.e, i.cellEdges, i.centroids, i.assigned, i.hops, i.beam), "served"),
-      Method("serve_default", i => Nsw.nswCellSearch(i.spark, i.dir), "served"))
-    recallFrame(in, served, Similarity.annBruteForceKOn(e, K))
+    ServedQueryBlocks.map { lo =>
+      val served = Seq(
+        Method("nsw_cell_fixed",
+          i => Nsw.searchWithEdgesDials(i.e, i.cellEdges, i.hops, i.beam,
+            queryLo = lo), "served"),
+        Method("nsw_cell_routed", i => Nsw.searchWithRoutedEntries(
+          i.e, i.cellEdges, i.centroids, i.assigned, i.hops, i.beam,
+          queryLo = lo), "served")) ++
+        // the literal ann_nsw_cell_search entry point (hardwired block 0):
+        // proves the sized default actually routes — its row must equal
+        // nsw_cell_routed's block-0 slice
+        (if (lo == 0L)
+          Seq(Method("serve_default", i => Nsw.nswCellSearch(i.spark, i.dir), "served"))
+        else Seq.empty)
+      recallFrame(in, served, Similarity.annBruteForceKOn(e, K, queryLo = lo))
+    }.reduce(_ unionByName _)
   }
 
   /** (fixture-pinned planes, size-derived planes for an N-vector corpus)

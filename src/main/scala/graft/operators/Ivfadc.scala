@@ -101,35 +101,37 @@ object Ivfadc {
     // per (cell, m, code): c_m·r_m[code] — K_cells·M·K rows, driver-side
     // from the two trained codebooks (the same left-to-right fold as the
     // oracle's list_dot_product over the centroid slice)
+    val subDim = rcbs.head.head._2.length
     val crDf = (for {
       (cid, c) <- cents
       (cb, m) <- rcbs.zipWithIndex
       (code, r) <- cb
-    } yield (cid, m, code, dotLR(c.slice(m * SubDim, (m + 1) * SubDim), r)))
+    } yield (cid, m, code, dotLR(c.slice(m * subDim, (m + 1) * subDim), r)))
       .toDF("cluster", "m", "code", "cr")
     val cand = enc.join(broadcast(probeTerms), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-    val terms = Pq.explodeCodes(cand, Seq("query_id", "vec_id", "cluster", "qc", "cnorm2c"))
+    val terms = Pq.explodeCodes(cand, Seq("query_id", "vec_id", "cluster", "qc", "cnorm2c"),
+        rcbs.length)
       .join(broadcast(Pq.qlutFor(e, rcbs)), Seq("query_id", "m", "code"))
       .join(broadcast(crDf), Seq("cluster", "m", "code"))
-    rankResidual(terms)
+    rankResidual(terms, rcbs.length)
   }
 
   /** Pivot the per-(query, candidate) terms to fixed subspace columns and
     * add in FIXED order (same association as the oracle — see the class
     * scaladoc), score, rank top-3 per query. */
-  private def rankResidual(terms: DataFrame): DataFrame = {
+  private def rankResidual(terms: DataFrame, mCount: Int = M): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pivots =
-      (0 until M).map(m => max(when(col("m") === m, col("qdot"))).as(s"qd_$m")) ++
-        (0 until M).map(m => max(when(col("m") === m, col("cnorm2"))).as(s"rn_$m")) ++
-        (0 until M).map(m => max(when(col("m") === m, col("cr"))).as(s"cr_$m"))
+      (0 until mCount).map(m => max(when(col("m") === m, col("qdot"))).as(s"qd_$m")) ++
+        (0 until mCount).map(m => max(when(col("m") === m, col("cnorm2"))).as(s"rn_$m")) ++
+        (0 until mCount).map(m => max(when(col("m") === m, col("cr"))).as(s"cr_$m"))
     val g = terms
       .groupBy(col("query_id"), col("vec_id"), col("qnorm"), col("qc"), col("cnorm2c"))
       .agg(pivots.head, pivots.tail: _*)
-    val qdSum = (0 until M).map(m => col(s"qd_$m")).reduce(_ + _)
-    val rnSum = (0 until M).map(m => col(s"rn_$m")).reduce(_ + _)
-    val crSum = (0 until M).map(m => col(s"cr_$m")).reduce(_ + _)
+    val qdSum = (0 until mCount).map(m => col(s"qd_$m")).reduce(_ + _)
+    val rnSum = (0 until mCount).map(m => col(s"rn_$m")).reduce(_ + _)
+    val crSum = (0 until mCount).map(m => col(s"cr_$m")).reduce(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
     g.withColumn("cos",
         (col("qc") + qdSum)

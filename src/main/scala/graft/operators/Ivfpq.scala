@@ -36,10 +36,10 @@ object Ivfpq {
     val candCodes = Pq.explodeCodes(
       enc.join(broadcast(probes), Seq("cluster"))
         .filter(col("vec_id") =!= col("query_id")),
-      Seq("query_id", "vec_id"))
+      Seq("query_id", "vec_id"), cbs.length)
     val terms = candCodes
       .join(broadcast(Pq.qlutFor(e, cbs)), Seq("query_id", "m", "code"))
-    Pq.adcRank(terms)
+    Pq.adcRank(terms, cbs.length)
   }
 
   /** CTE block (no WITH): candidates from the probed cells, scored by the

@@ -350,21 +350,28 @@ object Nsw {
 
   /** [[searchWithEdges]] at explicit search dials — the serving path for
     * grown corpora, where [[sizedHops]] replaces the fixture-pinned hop
-    * budget (the ×10 recall probe is the measurement consumer). */
+    * budget (the ×10 recall probe is the measurement consumer). `queryLo`
+    * shifts the 5-query block (default the canonical 0..4; the entry
+    * NODES stay the fixed low ids regardless) so stored-artifact recall
+    * rows can average disjoint query sets. */
   private[graft] def searchWithEdgesDials(
-      e: DataFrame, edges: DataFrame, hops: Int, beam: Int): DataFrame = {
+      e: DataFrame, edges: DataFrame, hops: Int, beam: Int,
+      queryLo: Long = 0L): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val q = queryFrame(e)
-    // one tiny job: the data-derived query and entry id sets (both < 5)
+    val q = queryFrame(e, queryLo)
+    // two tiny jobs: the data-derived query and entry id sets (both ≤ 5)
     val qIds = q.select(col("query_id")).as[Long].collect().sorted.toSeq
-    val entryIds = qIds.filter(_ < Entries)
+    val entryIds = e.filter(col("vec_id") < Entries)
+      .select(col("vec_id")).as[Long].collect().sorted.toSeq
     val seeds = for (qid <- qIds; ent <- entryIds if ent != qid) yield (qid, ent)
     rankTopK(spark, beamLoop(e, q, edges, seeds, hops, beam))
   }
 
-  private def queryFrame(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < 5)
+  private def queryFrame(e: DataFrame): DataFrame = queryFrame(e, 0L)
+
+  private def queryFrame(e: DataFrame, lo: Long): DataFrame =
+    e.filter(col("vec_id") >= lo && col("vec_id") < lo + 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   /** How many nearest cells route each query's entry seeds — the nprobe
@@ -390,10 +397,11 @@ object Nsw {
   private[graft] def searchWithRoutedEntries(
       e: DataFrame, edges: DataFrame,
       centroids: Seq[(Int, Array[Double])], assigned: DataFrame,
-      hops: Int, beam: Int, probeCells: Int = RouteProbeCells): DataFrame = {
+      hops: Int, beam: Int, probeCells: Int = RouteProbeCells,
+      queryLo: Long = 0L): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val q = queryFrame(e)
+    val q = queryFrame(e, queryLo)
     val qVecs = q.as[(Long, Seq[Double])].collect()
     def cosL(a: Seq[Double], b: Array[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
@@ -877,6 +885,44 @@ object Nsw {
 
   def hnswSearch(spark: SparkSession, dir: String): DataFrame =
     hnswSearchOn(spark, dir)
+
+  /** Instrumented decomposition of [[hnswBulkSearch]] — the SfScale ratio
+    * investigation probe (round-10 verdict #5: ann_hnsw_bulk's ×10 ratio
+    * read 12.3 where the other bulk searches sit at 7.8–8.7). Identical
+    * plan, each phase forced (count) and timed so the superlinear term can
+    * be NAMED instead of suspected. Tools-only — not a query. */
+  private[graft] def hnswBulkPhases(
+      spark: SparkSession, dir: String): Seq[(String, Double, Long)] = {
+    val out = Seq.newBuilder[(String, Double, Long)]
+    def timed(label: String)(body: => DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val df = body
+      val n = df.count()
+      out += ((label, (System.nanoTime() - t0) / 1e9, n))
+      df
+    }
+    val e = vectors(spark, dir)
+    val e1 = e.filter(col("vec_id") % SampleMod === 0)
+    val edges1 = timed("edges1_read")(storedHnswL1Edges(spark, dir))
+    val edges0 = timed("edges0_read")(storedNswEdges(spark, dir))
+    val q = e.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val seeds1 = q.select(col("query_id"))
+      .crossJoin(e1.filter(col("vec_id") < Entries * SampleMod)
+        .select(col("vec_id").as("node_id")))
+      .filter(col("node_id") =!= col("query_id"))
+    val s1 = timed("seeds1_score")(
+      CacheRegistry.checkpointTracked(bulkScore(e, q, seeds1)))
+    val v1 = timed("layer1_hops")(bulkBeamLoop(e, edges1, q, s1, HopsL1, BeamL1))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("node_id"))
+    val seeds0 = timed("seeds0_window")(CacheRegistry.checkpointTracked(
+      v1.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= Entries)
+        .select(col("query_id"), col("node_id"), col("cos"))))
+    val v0 = timed("layer0_hops")(bulkBeamLoop(e, edges0, q, seeds0, Hops, Beam))
+    timed("rank")(
+      v0.withColumn("rank", row_number().over(w)).filter(col("rank") <= K))
+    out.result()
+  }
 
   /** Production-dial variant for scale measurement, as [[nswSearchPlanes]]
     * (same deliberate non-store semantics — each run pays both builds):

@@ -37,6 +37,7 @@ object Pq {
 
   private[operators] val M = 4
   private[operators] val SubDim = 16
+  private[operators] val Dim = M * SubDim
   private[graft] val Codes = 16
   private val Iterations = 1
 
@@ -65,7 +66,10 @@ object Pq {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v"))
 
-  private def sub(v: Column, m: Int): Column = slice(v, m * SubDim + 1, SubDim)
+  private def sub(v: Column, m: Int): Column = subD(v, m, SubDim)
+
+  private def subD(v: Column, m: Int, subDim: Int): Column =
+    slice(v, m * subDim + 1, subDim)
 
   /** Train ALL M codebooks together: init is one collect of the first
     * `Codes` vectors (sliced driver-side), and each Lloyd step is ONE pass
@@ -87,25 +91,36 @@ object Pq {
   private[graft] def trainCodebooksSized(e: DataFrame): Seq[Seq[(Int, Array[Double])]] =
     trainCodebooksK(e, sizedCodes(e.count()))
 
-  private[graft] def trainCodebooksK(e: DataFrame, codes: Int): Seq[Seq[(Int, Array[Double])]] = {
+  private[graft] def trainCodebooksK(e: DataFrame, codes: Int): Seq[Seq[(Int, Array[Double])]] =
+    trainCodebooksMK(e, M, codes)
+
+  /** Fully dialed trainer: `mCount` subspaces of 64/mCount dims, `codes`
+    * codewords each — the (M, K) sweep instrument (the round-11 ×10
+    * measurement showed K alone does NOT move recall: quantization error
+    * in a 16-dim subspace scales as K^(−2/16), so code-count growth is
+    * nearly flat — subspace COUNT is the dial with leverage, error
+    * ∝ K^(−2·M/64) at fixed per-subspace K). */
+  private[graft] def trainCodebooksMK(
+      e: DataFrame, mCount: Int, codes: Int): Seq[Seq[(Int, Array[Double])]] = {
+    val subDim = Dim / mCount
     val init = e.filter(col("vec_id") < codes).orderBy(col("vec_id")).collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1).toArray))
-    var cbs: Seq[Seq[(Int, Array[Double])]] = (0 until M).map(m =>
-      init.map { case (id, arr) => (id, arr.slice(m * SubDim, (m + 1) * SubDim)) }.toSeq)
+    var cbs: Seq[Seq[(Int, Array[Double])]] = (0 until mCount).map(m =>
+      init.map { case (id, arr) => (id, arr.slice(m * subDim, (m + 1) * subDim)) }.toSeq)
     for (_ <- 0 until Iterations) {
-      val assigned = e.select(explode(array((0 until M).map(m =>
+      val assigned = e.select(explode(array((0 until mCount).map(m =>
           struct(lit(m).as("m"),
-            graft.functions.NearestCentroid.column(sub(col("v"), m), cbs(m)).as("code"),
-            sub(col("v"), m).as("sv"))): _*)).as("a"))
+            graft.functions.NearestCentroid.column(subD(col("v"), m, subDim), cbs(m)).as("code"),
+            subD(col("v"), m, subDim).as("sv"))): _*)).as("a"))
         .select(col("a.m").as("m"), col("a.code").as("code"), col("a.sv").as("sv"))
-      val sums = (0 until SubDim).map(p =>
+      val sums = (0 until subDim).map(p =>
         sum(element_at(col("sv"), p + 1).cast("decimal(30,12)")).as(s"s_$p"))
       val rows = assigned.groupBy(col("m"), col("code"))
         .agg(count(lit(1)).as("n"), sums: _*)
         .collect()
-      cbs = (0 until M).map(m => rows.filter(_.getInt(0) == m).map { r =>
+      cbs = (0 until mCount).map(m => rows.filter(_.getInt(0) == m).map { r =>
         val n = r.getLong(2)
-        (r.getInt(1), Array.tabulate(SubDim)(p => r.getDecimal(p + 3).doubleValue() / n))
+        (r.getInt(1), Array.tabulate(subDim)(p => r.getDecimal(p + 3).doubleValue() / n))
       }.toSeq)
     }
     cbs
@@ -113,31 +128,38 @@ object Pq {
 
   /** Add the M code columns to any frame carrying `v` — one map-side pass,
     * M codegen'd argmin kernels. */
-  private[operators] def withCodes(df: DataFrame, cbs: Seq[Seq[(Int, Array[Double])]]): DataFrame =
-    df.select(df.columns.map(col) ++ (0 until M).map(m =>
-      graft.functions.NearestCentroid.column(sub(col("v"), m), cbs(m)).as(s"code_$m")): _*)
+  private[operators] def withCodes(df: DataFrame, cbs: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+    // subspace geometry derives from the codebooks themselves, so a stored
+    // artifact with a different M serves through the same code unchanged
+    val subDim = cbs.head.head._2.length
+    df.select(df.columns.map(col) ++ cbs.indices.map(m =>
+      graft.functions.NearestCentroid.column(subD(col("v"), m, subDim), cbs(m)).as(s"code_$m")): _*)
+  }
 
-  private[operators] def explodeCodes(df: DataFrame, keep: Seq[String]): DataFrame =
+  private[operators] def explodeCodes(df: DataFrame, keep: Seq[String],
+      mCount: Int = M): DataFrame =
     df.select(keep.map(col) :+
-      explode(array((0 until M).map(m =>
+      explode(array((0 until mCount).map(m =>
         struct(lit(m).as("m"), col(s"code_$m").as("code"))): _*)).as("mc"): _*)
       .select(keep.map(col) :+ col("mc.m").as("m") :+ col("mc.code").as("code"): _*)
 
   /** The ADC lookup table: M·K rows of (query_id, m, code, q·c, ‖c‖², ‖q‖)
     * — tiny, broadcast at every use site. */
-  private[operators] def qlutFor(e: DataFrame, cbs: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
+  private[operators] def qlutFor(e: DataFrame, cbs: Seq[Seq[(Int, Array[Double])]],
+      queryLo: Long = 0L): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     val lut = cbs.zipWithIndex.flatMap { case (cb, m) =>
       cb.map { case (code, arr) => (m, code, arr.toSeq) }
     }.toDF("m", "code", "cvec")
       .withColumn("cnorm2", VectorFunctions.dot(col("cvec"), col("cvec")))
-    e.filter(col("vec_id") < 5)
+    val subDim = cbs.head.head._2.length
+    e.filter(col("vec_id") >= queryLo && col("vec_id") < queryLo + 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         sqrt(VectorFunctions.dot(col("v"), col("v"))).as("qnorm"))
       .crossJoin(lut)
       .withColumn("qdot", VectorFunctions.dot(
-        slice(col("qv"), col("m") * SubDim + 1, lit(SubDim)), col("cvec")))
+        slice(col("qv"), col("m") * subDim + 1, lit(subDim)), col("cvec")))
       .select(col("query_id"), col("qnorm"), col("m"), col("code"),
         col("qdot"), col("cnorm2"))
   }
@@ -145,14 +167,14 @@ object Pq {
   /** Pivot a (query_id, vec_id, qnorm, m, qdot, cnorm2) term set to the M
     * subspace columns, add in FIXED order (a plain sum() over doubles would
     * be partition-order-dependent), score, and rank top-3 per query. */
-  private[operators] def adcRank(terms: DataFrame): DataFrame = {
+  private[operators] def adcRank(terms: DataFrame, mCount: Int = M): DataFrame = {
     val pivots =
-      (0 until M).map(m => max(when(col("m") === m, col("qdot"))).as(s"qd_$m")) ++
-        (0 until M).map(m => max(when(col("m") === m, col("cnorm2"))).as(s"cn_$m"))
+      (0 until mCount).map(m => max(when(col("m") === m, col("qdot"))).as(s"qd_$m")) ++
+        (0 until mCount).map(m => max(when(col("m") === m, col("cnorm2"))).as(s"cn_$m"))
     val g = terms.groupBy(col("query_id"), col("vec_id"), col("qnorm"))
       .agg(pivots.head, pivots.tail: _*)
-    val qdSum = (0 until M).map(m => col(s"qd_$m")).reduce(_ + _)
-    val cnSum = (0 until M).map(m => col(s"cn_$m")).reduce(_ + _)
+    val qdSum = (0 until mCount).map(m => col(s"qd_$m")).reduce(_ + _)
+    val cnSum = (0 until mCount).map(m => col(s"cn_$m")).reduce(_ + _)
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("vec_id"))
     g.withColumn("cos", qdSum / (col("qnorm") * sqrt(cnSum)))
       .withColumn("rank", row_number().over(w))
@@ -175,11 +197,38 @@ object Pq {
     * train once per plan, like the IVF training (the harness compares
     * search policies, not training runs). */
   private[operators] def searchOn(
-      e: DataFrame, codebooks: Seq[Seq[(Int, Array[Double])]]): DataFrame = {
-    val codeRows = explodeCodes(withCodes(e, codebooks).drop("v"), Seq("vec_id"))
-    val terms = codeRows.join(broadcast(qlutFor(e, codebooks)), Seq("m", "code"))
+      e: DataFrame, codebooks: Seq[Seq[(Int, Array[Double])]],
+      queryLo: Long = 0L): DataFrame = {
+    val codeRows = explodeCodes(withCodes(e, codebooks).drop("v"), Seq("vec_id"),
+      codebooks.length)
+    val terms = codeRows.join(broadcast(qlutFor(e, codebooks, queryLo)), Seq("m", "code"))
       .filter(col("vec_id") =!= col("query_id"))
-    adcRank(terms)
+    adcRank(terms, codebooks.length)
+  }
+
+  /** (M, K) recall@3 sweep over an arbitrary `(vec_id, v)` corpus — the
+    * round-11 measurement instrument behind the sized-codes finding: the
+    * ×10 probe showed K growth alone does NOT recover PQ recall
+    * (quantization error in a d-dim subspace scales as K^(−2/d) — nearly
+    * flat at d=16), so the candidate dial with leverage is the subspace
+    * COUNT. Each dial trains fresh on `e` and scores the standard 5-query
+    * blocks; recall averaged over `queryBlocks`. Probe-only — the
+    * oracle-checked queries keep the pinned 4×16 geometry at fixtures. */
+  private[graft] def dialSweep(e: DataFrame, dials: Seq[(Int, Int)],
+      queryBlocks: Seq[Long] = Seq(0L, 600L, 1200L)): Seq[((Int, Int), Double)] = {
+    dials.map { case (m, k) =>
+      val cbs = trainCodebooksMK(e, m, k)
+      val recalls = queryBlocks.map { lo =>
+        val truth = Similarity.annBruteForceKOn(e, 3, lo)
+          .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+        val nTruth = truth.count()
+        val hits = searchOn(e, cbs, lo)
+          .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .count()
+        hits.toDouble / math.max(nTruth, 1L)
+      }
+      ((m, k), recalls.sum / recalls.length)
+    }
   }
 
   // ------------------------------------------------------------- oracle SQL
