@@ -66,7 +66,7 @@ object AnnRecall {
       beamOverride: Option[Int] = None,
       // Probe-only: train the PQ codebooks at the fixture-pinned budget
       // instead of the sized default (the pinned-dial control rows —
-      // Pq.sizedCodes is the serve default everywhere else).
+      // Pq.sizedDials is the serve default everywhere else).
       pinnedCodes: Boolean = false) {
     // default = the serve-time sized dials (pinned values at oracle
     // fixture sizes, so the hash-checked harness replays unchanged)

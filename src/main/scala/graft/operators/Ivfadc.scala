@@ -69,7 +69,7 @@ object Ivfadc {
     Pq.trainCodebooks(residuals(assigned, centroids).select(col("vec_id"), col("v")))
 
   /** [[residualCodebooks]] at the size-derived code budget
-    * ([[Pq.sizedCodes]]) — the STORED default, pinned at oracle fixtures. */
+    * ([[Pq.sizedDials]]) — the STORED default, pinned at oracle fixtures. */
   private[graft] def residualCodebooksSized(
       assigned: DataFrame, centroids: Seq[(Int, Array[Double])])
       : Seq[Seq[(Int, Array[Double])]] =

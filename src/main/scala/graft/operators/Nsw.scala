@@ -429,7 +429,13 @@ object Nsw {
   /** The deterministic beam expansion both layers share: score the seed
     * (query, node) pairs, then `hops` rounds of expand-top-`beam`-frontier /
     * anti-join-visited / score-fresh. Returns every visited (query, node)
-    * with its exact distributed-computed cosine. */
+    * with its exact distributed-computed cosine.
+    *
+    * Driver memory is O(Q · visited) ≈ O(Q · hops · beam · degree) — the
+    * request-scale contract (Q ≤ 5 here; ~2 jobs/hop, measured 3× faster
+    * than the all-DataFrame variant at this Q). A caller with corpus-scale
+    * Q must use [[bulkSearchWithEdges]], whose visited set lives in a
+    * checkpointed DataFrame instead of this driver map. */
   private def beamLoop(
       e: DataFrame, q: DataFrame, edges: DataFrame,
       seeds: Seq[(Long, Long)], hops: Int, beam: Int)

@@ -47,20 +47,40 @@ object Pq {
     * exists for, and the broadcast LUT starts growing noticeably. */
   private[graft] val MaxCodes = 256
 
-  /** Size-derived code budget — the dial the ×10 recall probe proved
-    * missing (round-10 verdict #2: with M×K pinned at 4×16 the total
-    * code space is 16⁴ ≈ 65 k cells, so at ×10 the corpus outnumbers the
-    * cells and quantization error doubles — pq_adc recall 0.24 → 0.11).
-    * K doubles per corpus doubling past fixture scale — code BITS grow
-    * with log N, the same growth law as [[Nsw.sizedPlanes]]/[[
-    * Nsw.sizedBeam]] — capped at [[MaxCodes]]. Lands exactly on the
-    * pinned [[Codes]] at every oracle fixture size (N ≤ 2000 →
-    * 16), so the hash-gated queries and their DuckDB mirrors (which
-    * unroll K at SQL-generation time) replay unchanged. Training cost
-    * scales with N·M·K — the build-side price, measured in SCALING.md. */
-  private[graft] def sizedCodes(n: Long): Int =
-    math.min(MaxCodes,
-      Codes << SizingPolicy.doublings(n, SizingPolicy.FixtureMaxN.toDouble))
+  /** Subspace-count ceiling: 16 subspaces of 4 dims each — below 4 dims
+    * per subspace the per-subspace geometry carries too little signal for
+    * a codeword to mean anything, and the measured curve (PqDialSweep)
+    * already flattens between 96 and 128 bits. */
+  private[graft] val MaxM = 16
+
+  /** Size-derived (M, K) code dials — the dial the ×10 recall probe
+    * proved missing (round-10 verdict #2: with M×K pinned at 4×16 the
+    * total code space is 16⁴ ≈ 65 k cells, so at ×10 the corpus
+    * outnumbers the cells and quantization error doubles — pq_adc recall
+    * 0.24 → 0.11), SHAPED by the round-11 sweep (PqDialSweep): growing K
+    * alone is nearly flat (error ∝ K^(−2/d), d=16 — measured 0.067 →
+    * 0.044 at ×10 going K 16→256), while growing the total code BUDGET
+    * through both dials is strongly monotone (×10 recall 0.067 @16 bits
+    * → 0.156 @48 → 0.333 @96 → 0.400 @128). So the corpus doublings past
+    * fixture scale split between the two dials — M doubles on the odd
+    * doublings (capped [[MaxM]]), K on the even ones (capped
+    * [[MaxCodes]]), and once M caps its remaining doublings SPILL into K
+    * (the ×100 sweep measured the spill worth +0.22 recall: 16×128 reads
+    * 0.400, 16×256 reads 0.622 on the 200 k corpus): fixture → 4×16
+    * (16 bits), ×10 → 16×64 (96 bits, recall 3× the pinned-dial base),
+    * ×100 → 16×256 (128 bits). Lands exactly on the pinned 4×16 at every
+    * oracle fixture size (N ≤ 2000), so the hash-gated queries and their
+    * DuckDB mirrors (which unroll M and K at SQL-generation time) replay
+    * unchanged. Training cost scales with N·M·K — the build-side price,
+    * measured in SCALING.md. */
+  private[graft] def sizedDials(n: Long): (Int, Int) = {
+    val d = SizingPolicy.doublings(n, SizingPolicy.FixtureMaxN.toDouble)
+    val mDoublings = (d + 1) / 2
+    val mCapDoublings = Integer.numberOfTrailingZeros(MaxM / M) // 4 → 16: 2
+    val spill = math.max(0, mDoublings - mCapDoublings)
+    (math.min(MaxM, M << mDoublings),
+      math.min(MaxCodes, Codes << (d / 2 + spill)))
+  }
 
   private def vectors(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -84,12 +104,14 @@ object Pq {
   private[graft] def trainCodebooks(e: DataFrame): Seq[Seq[(Int, Array[Double])]] =
     trainCodebooksK(e, Codes)
 
-  /** [[trainCodebooks]] at the size-derived code budget — the STORED
-    * default for the codebook artifacts (pinned [[Codes]] at every
-    * oracle fixture, more codes as the corpus outgrows the code space).
-    * One count() on the cached frame, as every sized dial pays. */
-  private[graft] def trainCodebooksSized(e: DataFrame): Seq[Seq[(Int, Array[Double])]] =
-    trainCodebooksK(e, sizedCodes(e.count()))
+  /** [[trainCodebooks]] at the size-derived (M, K) dials — the STORED
+    * default for the codebook artifacts (pinned 4×16 at every oracle
+    * fixture, a bigger code budget as the corpus outgrows the code
+    * space). One count() on the cached frame, as every sized dial pays. */
+  private[graft] def trainCodebooksSized(e: DataFrame): Seq[Seq[(Int, Array[Double])]] = {
+    val (m, k) = sizedDials(e.count())
+    trainCodebooksMK(e, m, k)
+  }
 
   private[graft] def trainCodebooksK(e: DataFrame, codes: Int): Seq[Seq[(Int, Array[Double])]] =
     trainCodebooksMK(e, M, codes)

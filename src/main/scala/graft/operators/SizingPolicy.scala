@@ -7,7 +7,7 @@ package graft.operators
   * unchanged while grown corpora get the dials the SfScale/RecallScale
   * replays measured. The rules themselves stay with their operators
   * ([[Nsw.sizedPlanes]], [[Nsw.sizedHops]], [[Nsw.sizedBeam]],
-  * [[Pq.sizedCodes]]) — this object owns the shared growth term and the
+  * [[Pq.sizedDials]]) — this object owns the shared growth term and the
   * fixture ceiling, and SizingPolicySpec pins the whole
   * "fixture sizes ⇒ pinned dials" table in one place, so a new dial
   * cannot silently miss the hash-gate constraint. */

@@ -35,8 +35,10 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object IndexStore {
 
   /** Bump when an index-building algorithm changes in a way the artifact
-    * name doesn't encode. */
-  val FormatVersion = 1
+    * name doesn't encode. v2: `Pq.sizedDials` replaced the K-only sized
+    * code budget — stored codebook artifacts for grown corpora now carry
+    * a different (M, K) geometry. */
+  val FormatVersion = 2
 
   private def root: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     s"${System.getProperty("java.io.tmpdir")}/graft-index-store")

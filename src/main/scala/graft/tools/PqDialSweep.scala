@@ -7,11 +7,12 @@ import graft.functions.VectorFunctions
 import graft.operators.Pq
 
 /** The (M, K) product-quantization dial sweep — round-11 follow-up to the
-  * sized-codes measurement: `Pq.sizedCodes` (K ∝ N) was implemented per
+  * sized-codes measurement: a K-only dial (K ∝ N) was implemented per
   * the round-10 verdict and the ×10 recall probe showed it does NOT move
   * recall (K^(−2/d) error decay is nearly flat in d=16 subspaces). This
   * sweeps both dials on the base fixture and a scaled replica so the dial
-  * with actual leverage is measured, not argued.
+  * with actual leverage is measured, not argued — the measurement that
+  * shaped `Pq.sizedDials` (doublings split between M and K).
   *
   * `runMain graft.tools.PqDialSweep [xDir]` (default target/sfscale_x10;
   * base from SPARK_GRAFT_SF_DIR, default sf0.1). Each (M, K) trains fresh
@@ -31,8 +32,19 @@ object PqDialSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val dials = Seq((4, 16), (4, 256), (8, 16), (8, 64), (16, 16))
-    Seq("base" -> base, "x" -> xDir).foreach { case (label, dir) =>
+    // SPARK_GRAFT_PQ_DIALS="4x16,8x64,16x64" overrides; SPARK_GRAFT_PQ_CORPORA
+    // ("base", "x", or "base,x") picks the corpora (the ×100 follow-up only
+    // needs the scaled one)
+    val dials = sys.env.get("SPARK_GRAFT_PQ_DIALS")
+      .map(_.split(",").toSeq.map { s =>
+        val Array(m, k) = s.split("x"); (m.toInt, k.toInt)
+      })
+      .getOrElse(Seq((4, 16), (4, 256), (8, 16), (8, 64), (16, 16)))
+    val corpora = sys.env.get("SPARK_GRAFT_PQ_CORPORA")
+      .map(_.split(",").toSet).getOrElse(Set("base", "x"))
+    Seq("base" -> base, "x" -> xDir)
+      .filter { case (label, _) => corpora.contains(label) }
+      .foreach { case (label, dir) =>
       val e = CacheRegistry.persistTracked(
         spark.read.parquet(s"$dir/embeddings.parquet")
           .select(col("vec_id"), VectorFunctions.asDouble(col("embedding")).as("v")))

@@ -74,7 +74,7 @@ object RecallScale {
     // at factor ≥ 100 the probe measures only the production dials.
     val withPinned = factor < 100
     // pinned rows also pin the PQ code budget — the sized-codes delta
-    // (Pq.sizedCodes, round-10 verdict #2) reads off sized − pinned
+    // (Pq.sizedDials, round-10 verdict #2) reads off sized − pinned
     val xp = if (withPinned)
       Some(report(s"x$factor/pinned", eX, pinned, pinnedCodes = true)) else None
     val xs = report(s"x$factor/sized", eX, sized)

@@ -23,7 +23,8 @@ class SizingPolicySpec extends AnyFunSuite {
     ("hops", Nsw.sizedHops _, 3),
     ("hopsL1", n => Nsw.sizedHopsFloor(n / Nsw.SampleMod, 2), 2),
     ("beam", Nsw.sizedBeam _, 8),
-    ("pq_codes", Pq.sizedCodes _, 16))
+    ("pq_subspaces", n => Pq.sizedDials(n)._1, 4),
+    ("pq_codes", n => Pq.sizedDials(n)._2, 16))
 
   test("every sized dial lands on its pinned value at all fixture sizes") {
     for ((name, rule, pinned) <- dials; n <- fixtureSizes)
@@ -43,9 +44,12 @@ class SizingPolicySpec extends AnyFunSuite {
     assert(Nsw.sizedPlanes(20000L) === 8)
     assert(Nsw.sizedHops(20000L) === 7)
     assert(Nsw.sizedBeam(20000L) === 32)
-    assert(Pq.sizedCodes(20000L) === 256)
-    // the cap: codes stop at one byte
-    assert(Pq.sizedCodes(2000000L) === Pq.MaxCodes)
+    // the measured sweep winners: x10 -> 16x64 (96 bits); x100 -> 16x256
+    // (128 bits — M's capped doublings spill into K, worth +0.22 recall)
+    assert(Pq.sizedDials(20000L) === ((16, 64)))
+    assert(Pq.sizedDials(200000L) === ((16, 256)))
+    // the caps: 16 subspaces of 4 dims, one-byte codes
+    assert(Pq.sizedDials(2000000000L) === ((Pq.MaxM, Pq.MaxCodes)))
   }
 
   test("the growth term floors at zero below its reference population") {
