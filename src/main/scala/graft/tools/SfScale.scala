@@ -122,6 +122,7 @@ object SfScale {
       .filter(n => n.startsWith("dedup_") || n.startsWith("ann_")
         || n.startsWith("index_build_") || n.startsWith("cur_")
         || n.startsWith("flt_") || n.startsWith("mm_")
+        || n.startsWith("f6_")
         || n.startsWith("ev_") || n.startsWith("graph_")
         || sketchQs.contains(n))
       .filter(n => only.forall(_.contains(n))).toSeq.sorted
