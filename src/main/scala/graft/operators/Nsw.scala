@@ -386,12 +386,16 @@ object Nsw {
     * fixed low-id entry set (which at 200 k vectors starts the beam
     * nowhere near most queries), route each query through the trained
     * coarse quantizer — nearest [[RouteProbeCells]] centroids by cosine,
-    * seeded with each chosen cell's [[Entries]] lowest member ids
-    * (deterministic) — then run the identical beam. Routing is
-    * driver-scale arithmetic (≤5 query vectors × K centroids) plus one
-    * tiny member-lookup job; the beam cost is unchanged. This is HNSW's
-    * entry-hierarchy idea with the hierarchy replaced by the IVF
-    * structure the engine already builds and stores. Oracle-checked as
+    * seeded with each chosen cell's [[Entries]] members NEAREST THE QUERY
+    * (round 11: per-(query, cell) cosine top-k over the probed cells'
+    * members — one bounded scoring job over ~probeCells·N/K_cells rows
+    * per batch; the round-10 form seeded each cell's lowest member ids,
+    * which at ×100 started the beam a full cell-diameter from the answer)
+    * — then run the identical beam. Routing is driver-scale arithmetic
+    * (≤5 query vectors × K centroids) plus one member-scoring job; the
+    * beam cost is unchanged. This is the quantizer-routes / graph-refines
+    * serving stack (DiskANN-style), built from the IVF structure the
+    * engine already builds and stores. Oracle-checked as
     * `ann_nsw_routed_search`, and the serve DEFAULT of the cell graph
     * above fixture size ([[SizingPolicy.useRoutedEntries]]). */
   private[graft] def searchWithRoutedEntries(
@@ -414,15 +418,22 @@ object Nsw {
       qid -> centroids.map { case (c, cv) => (c, cosL(qv, cv)) }
         .sortBy { case (c, s) => (-s, c) }.take(probeCells).map(_._1)
     }
-    val cells = chosen.flatMap(_._2).distinct
-    val members = assigned.filter(col("cluster").isin(cells: _*))
-      .groupBy(col("cluster"))
-      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, Entries).as("ids"))
-      .as[(Int, Seq[Long])].collect().toMap
-    val seeds = (for {
-      (qid, cs) <- chosen; c <- cs
-      ent <- members.getOrElse(c, Seq.empty) if ent != qid
-    } yield (qid, ent)).distinct
+    // one bounded job: score the probed cells' members against their
+    // queries, keep each (query, cell)'s top-Entries by cosine (query
+    // self-match excluded BEFORE ranking, so every probed cell yields a
+    // full seed set). Same cosine + tiebreak semantics as the beam.
+    val routeDf = chosen.flatMap { case (qid, cs) => cs.map(c => (qid, c)) }
+      .toDF("query_id", "cluster")
+    val w = Window.partitionBy(col("query_id"), col("cluster"))
+      .orderBy(desc("cos"), col("vec_id"))
+    val seeds = assigned.join(broadcast(routeDf), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosineSimilarity(col("v"), col("qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Entries)
+      .select(col("query_id"), col("vec_id")).distinct()
+      .as[(Long, Long)].collect().toSeq.sorted
     rankTopK(spark, beamLoop(e, q, edges, seeds, hops, beam))
   }
 
@@ -1277,10 +1288,12 @@ object Nsw {
   /** CTE block (no WITH): [[searchWithRoutedEntries]]'s routing as SQL —
     * nearest-[[RouteProbeCells]] centroids per query by cosine (zero-norm
     * guard → 0.0, ties → lowest cluster, replaying the driver-side
-    * routing arithmetic exactly), each chosen cell seeding its
-    * [[Entries]] lowest member ids — scored into `${p}s0` for the shared
-    * beam CTEs. Assumes `e`, `afinal`, and the final-centroid CTE from
-    * [[IvfKMeans.trainingSql]] in scope. */
+    * routing arithmetic exactly), each chosen (query, cell) seeding the
+    * cell's [[Entries]] members nearest the query (cosine desc, vec_id
+    * tiebreak — the same NaN-first window semantics as the beam; query
+    * self-match excluded before ranking) — scored into `${p}s0` for the
+    * shared beam CTEs. Assumes `e`, `afinal`, and the final-centroid CTE
+    * from [[IvfKMeans.trainingSql]] in scope. */
   private def routedSeedCtes(p: String): String =
     s"""${p}route AS (
        |  SELECT query_id, cluster FROM (
@@ -1294,15 +1307,18 @@ object Nsw {
        |    FROM e q CROSS JOIN ${IvfKMeans.finalCentroidsRel} c WHERE q.vec_id < 5)
        |  WHERE rn <= $RouteProbeCells),
        |${p}members AS (
-       |  SELECT cluster, vec_id FROM (
-       |    SELECT cluster, vec_id,
-       |           row_number() OVER (PARTITION BY cluster ORDER BY vec_id) AS rn
-       |    FROM afinal)
+       |  SELECT query_id, vec_id FROM (
+       |    SELECT r.query_id, a.vec_id,
+       |           row_number() OVER (PARTITION BY r.query_id, r.cluster ORDER BY
+       |             ${cosSql("a.v", "qv.v")} DESC,
+       |             a.vec_id) AS rn
+       |    FROM ${p}route r
+       |    JOIN afinal a ON a.cluster = r.cluster
+       |    JOIN e qv ON qv.vec_id = r.query_id
+       |    WHERE a.vec_id <> r.query_id)
        |  WHERE rn <= $Entries),
        |${p}ids0 AS (
-       |  SELECT DISTINCT r.query_id, m.vec_id AS node_id
-       |  FROM ${p}route r JOIN ${p}members m ON m.cluster = r.cluster
-       |  WHERE m.vec_id <> r.query_id),
+       |  SELECT DISTINCT query_id, vec_id AS node_id FROM ${p}members),
        |${scoreSql(s"${p}ids0", s"${p}s0")}""".stripMargin
 
   /** `ann_nsw_routed_search`'s mirror: full k-means replay, cell-local

@@ -65,6 +65,13 @@ object RecallScale {
       means
     }
 
+    // SPARK_GRAFT_SERVED_ONLY=1 skips the in-probe reports and measures
+    // only the serve-tier row off stored artifacts — the fast re-measure
+    // path when a serve-time policy (entry seeding, dials) changed but
+    // the stored builds did not.
+    val servedOnly = sys.env.get("SPARK_GRAFT_SERVED_ONLY").contains("1")
+
+    if (!servedOnly) {
     val b = report("base", eBase, pinned) // sized == pinned at fixture size (codes too)
     // The cost-blind pinned-dial control is only measurable while it is
     // merely SLOW: at planes=4 a 200k-vector corpus packs ~12.5k vectors
@@ -87,6 +94,7 @@ object RecallScale {
       println(f"RECALLDELTA $m%-16s base=${b(m)}%6.4f " + pinnedCol +
         f"x${factor}_sized=${xs(m)}%6.4f x${factor}_sizedhops=${xh(m)}%6.4f " +
         f"hops_gain=${xh(m) - xs(m)}%+7.4f")
+    }
     }
 
     // The SERVE-TIER row (round-10 verdict #1's done-criterion): recall of
