@@ -70,6 +70,7 @@ object AnnRecall {
       pinnedCodes: Boolean = false) {
     // default = the serve-time sized dials (pinned values at oracle
     // fixture sizes, so the hash-checked harness replays unchanged)
+    lazy val n: Long = e.count()
     lazy val hops: Int = hopsOverride.getOrElse(Nsw.sizedHops(e.count()))
     lazy val hops1: Int = hops1Override.getOrElse(
       Nsw.sizedHopsFloor(e.count() / Nsw.SampleMod, Nsw.HopsL1))
@@ -338,13 +339,33 @@ object AnnRecall {
             queryLo = lo), "served"),
         Method("nsw_cell_routed", i => Nsw.searchWithRoutedEntries(
           i.e, i.cellEdges, i.centroids, i.assigned, i.hops, i.beam,
-          queryLo = lo), "served")) ++
+          probeCells = Nsw.sizedProbeCells(i.n), queryLo = lo), "served")) ++
         // the literal ann_nsw_cell_search entry point (hardwired block 0):
         // proves the sized default actually routes — its row must equal
         // nsw_cell_routed's block-0 slice
         (if (lo == 0L)
           Seq(Method("serve_default", i => Nsw.nswCellSearch(i.spark, i.dir), "served"))
         else Seq.empty)
+      recallFrame(in, served, Similarity.annBruteForceKOn(e, K, queryLo = lo))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The probeCells dial on the SERVED routed path — the next dial the
+    * query-nearest seeding measurement named: blocks whose true
+    * neighbors fall outside the routed cells cap recall exactly like
+    * IVF's nprobe. One row per (probeCells, block), same stored
+    * artifacts and truth as [[servedGraphRecall]]. */
+  private[graft] def servedRoutedSweep(
+      spark: SparkSession, dir: String,
+      probeCellsList: Seq[Int]): DataFrame = {
+    val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
+    val in = MethodInputs(spark, e, assigned, centroids, dir, clustered = false)
+    ServedQueryBlocks.map { lo =>
+      val served = probeCellsList.map { pc =>
+        Method(f"nsw_cell_routed_p$pc%02d", i => Nsw.searchWithRoutedEntries(
+          i.e, i.cellEdges, i.centroids, i.assigned, i.hops, i.beam,
+          probeCells = pc, queryLo = lo), "served")
+      }
       recallFrame(in, served, Similarity.annBruteForceKOn(e, K, queryLo = lo))
     }.reduce(_ unionByName _)
   }

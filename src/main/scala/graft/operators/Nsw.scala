@@ -380,6 +380,23 @@ object Nsw {
     * entry diversity exactly like IVF's nprobe. */
   private[graft] val RouteProbeCells = 2
 
+  /** probeCells ceiling: 8 of the quantizer's 64 cells — the measured
+    * saturation point of the served probeCells sweep (recall 1.00 at
+    * BOTH the ×10 and ×100 replicas; 0.51–0.84 below it). */
+  private[graft] val MaxRouteProbeCells = 8
+
+  /** Size-derived probeCells — the dial the query-nearest seeding
+    * measurement named next (blocks whose true neighbors fall outside
+    * the routed cells cap recall exactly like IVF's nprobe). Pinned
+    * [[RouteProbeCells]] at every oracle fixture (the routed mirror
+    * unrolls 2 cells at SQL-generation time); above fixture scale it
+    * doubles per two corpus doublings to the measured [[
+    * MaxRouteProbeCells]] ceiling: ×10 → 8, ×100 → 8 (both read served
+    * recall 1.00 on their replicas — the RECALLROUTESWEEP rows). */
+  private[graft] def sizedProbeCells(n: Long): Int =
+    math.min(MaxRouteProbeCells, RouteProbeCells <<
+      ((SizingPolicy.doublings(n, SizingPolicy.FixtureMaxN.toDouble) + 1) / 2))
+
   /** Graph search with IVF-ROUTED entries — promoted from the ×100 recall
     * probe (round-10 verdict #1; the probe-only form measured 0.20
     * recall@3 at 200 k vectors, 3× the fixed entry set): instead of the
@@ -547,7 +564,7 @@ object Nsw {
     if (SizingPolicy.useRoutedEntries(n)) {
       val (_, assigned, centroids) = IvfKMeans.trained(spark, dir)
       searchWithRoutedEntries(e, edges, centroids, assigned,
-        sizedHops(n), sizedBeam(n))
+        sizedHops(n), sizedBeam(n), sizedProbeCells(n))
     } else searchWithEdgesDials(e, edges, sizedHops(n), sizedBeam(n))
   }
 
@@ -564,7 +581,7 @@ object Nsw {
     val edges = storedCellEdges(spark, dir)
     val n = e.count()
     searchWithRoutedEntries(e, edges, centroids, assigned,
-      sizedHops(n), sizedBeam(n))
+      sizedHops(n), sizedBeam(n), sizedProbeCells(n))
   }
 
   // --------------------------------------------------- bulk (all-corpus)

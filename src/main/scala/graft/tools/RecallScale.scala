@@ -112,6 +112,19 @@ object RecallScale {
         println(f"RECALLSERVED x$factor ${r.getString(0)}%-16s ${r.getDouble(1)}%6.4f")
       }
     println(f"RECALLSERVED x$factor (wall ${(System.nanoTime() - t0) / 1e9}%.1f s, stored artifacts at $out)")
+
+    // SPARK_GRAFT_ROUTE_SWEEP="1,2,4,8": the probeCells dial on the served
+    // routed path (per-(dial, block) rows + the blocks-averaged table)
+    sys.env.get("SPARK_GRAFT_ROUTE_SWEEP").foreach { spec =>
+      val dials = spec.split(",").toSeq.flatMap(_.trim.toIntOption)
+      val t1 = System.nanoTime()
+      AnnRecall.servedRoutedSweep(spark, out, dials)
+        .groupBy(col("method")).agg(avg(col("recall")).as("mean_recall"))
+        .collect().sortBy(_.getString(0)).foreach { r =>
+          println(f"RECALLROUTESWEEP x$factor ${r.getString(0)}%-20s ${r.getDouble(1)}%6.4f")
+        }
+      println(f"RECALLROUTESWEEP x$factor (wall ${(System.nanoTime() - t1) / 1e9}%.1f s)")
+    }
     spark.stop()
   }
 }

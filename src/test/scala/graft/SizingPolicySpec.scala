@@ -23,6 +23,7 @@ class SizingPolicySpec extends AnyFunSuite {
     ("hops", Nsw.sizedHops _, 3),
     ("hopsL1", n => Nsw.sizedHopsFloor(n / Nsw.SampleMod, 2), 2),
     ("beam", Nsw.sizedBeam _, 8),
+    ("route_probe_cells", Nsw.sizedProbeCells _, 2),
     ("pq_subspaces", n => Pq.sizedDials(n)._1, 4),
     ("pq_codes", n => Pq.sizedDials(n)._2, 16))
 
@@ -44,6 +45,9 @@ class SizingPolicySpec extends AnyFunSuite {
     assert(Nsw.sizedPlanes(20000L) === 8)
     assert(Nsw.sizedHops(20000L) === 7)
     assert(Nsw.sizedBeam(20000L) === 32)
+    // probeCells saturates at the measured ceiling on both replicas
+    assert(Nsw.sizedProbeCells(20000L) === Nsw.MaxRouteProbeCells)
+    assert(Nsw.sizedProbeCells(200000L) === Nsw.MaxRouteProbeCells)
     // the measured sweep winners: x10 -> 16x64 (96 bits); x100 -> 16x256
     // (128 bits — M's capped doublings spill into K, worth +0.22 recall)
     assert(Pq.sizedDials(20000L) === ((16, 64)))
