@@ -621,6 +621,56 @@ object Nsw {
         col("rank").cast("long").as("rank"), pround(col("cos"), 4).as("cosine"))
   }
 
+  /** [[serveTopK]] with IVF-ROUTED query-nearest seeding, entirely in
+    * DataFrames — the request-batch twin of [[searchWithRoutedEntries]]
+    * (which routes driver-side at Q ≤ 5): route every query of `q` through
+    * the broadcast centroid table (same zero-norm guard and
+    * lowest-cluster tiebreak as the driver arithmetic), seed each
+    * (query, probed cell) with the cell's [[Entries]] members nearest the
+    * query (same cosine + vec_id tiebreak, self excluded before ranking),
+    * then the shared bulk beam. Query vectors need NOT be corpus members;
+    * for corpus-member queries the output is row-identical to the batch
+    * routed search (NswIndexServerSpec pins it). `assigned` is the served
+    * corpus with its cluster column — computed once per index version by
+    * the caller, NOT per request batch. */
+  private[graft] def routedServeTopK(
+      e: DataFrame, edges: DataFrame, q: DataFrame,
+      centroids: Seq[(Int, Array[Double])], assigned: DataFrame,
+      hops: Int = Hops, beam: Int = Beam,
+      probeCells: Int = RouteProbeCells): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val cents = centroids.map { case (c, cv) => (c, cv.toSeq) }
+      .toDF("cluster", "cv")
+    val qn = graft.functions.VectorFunctions.dot(col("qv"), col("qv"))
+    val cn = graft.functions.VectorFunctions.dot(col("cv"), col("cv"))
+    val routeW = Window.partitionBy(col("query_id"))
+      .orderBy(desc("ccos"), col("cluster"))
+    val routes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", when(qn === 0.0 || cn === 0.0, 0.0)
+        .otherwise(graft.functions.VectorFunctions.dot(col("qv"), col("cv"))
+          / (sqrt(qn) * sqrt(cn))))
+      .withColumn("rn", row_number().over(routeW))
+      .filter(col("rn") <= probeCells)
+      .select(col("query_id"), col("cluster"))
+    val seedW = Window.partitionBy(col("query_id"), col("cluster"))
+      .orderBy(desc("cos"), col("vec_id"))
+    val seeds = assigned.join(broadcast(routes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos", cosineSimilarity(col("v"), col("qv")))
+      .withColumn("srn", row_number().over(seedW))
+      .filter(col("srn") <= Entries)
+      .select(col("query_id"), col("vec_id").as("node_id"), col("cos"))
+    val visited = bulkBeamLoop(e, edges, q,
+      CacheRegistry.checkpointTracked(seeds), hops, beam)
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("node_id"))
+    visited.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("node_id").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), pround(col("cos"), 4).as("cosine"))
+  }
+
   /** The DataFrame-frontier beam core: visited `(query_id, node_id, cos)`
     * for an arbitrary query frame `q(query_id, qv)` — the query vectors
     * need NOT be corpus members (streaming insertion searches the current

@@ -85,4 +85,46 @@ class NswIndexServerSpec extends AnyFunSuite {
     assert(top1.forall(r => r.getLong(1) === r.getLong(0) - 2000000L))
     assert(server.refreshCount === 1L, "no commits between batches → one load")
   }
+
+  test("with a quantizer attached, serving routes and matches the batch routed search") {
+    import graft.operators.{IvfKMeans, Nsw}
+    import graft.streaming.{StreamingIvfIndex, VersionedState}
+    val idxDir = Files.createTempDirectory("graft-srv-idx3").toString
+    val qDir = Files.createTempDirectory("graft-srv-ivf").toString
+
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    new StreamingNswIndex(spark, idxDir, e)  // graph v0
+    new StreamingIvfIndex(spark, qDir, e)    // centroids v0
+    val server = new NswIndexServer(spark, idxDir, Some(qDir))
+
+    // corpus-member queries (the batch routed search's own query frame)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val got = server.answer(q)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+
+    // batch reference over the SAME served graph + quantizer artifacts
+    val vs = new VersionedState(spark, idxDir)
+    val vectors = vs.read("vectors")
+    val edges = Nsw.symmetrizeWithLongLinks(vectors, vs.read("knn"), 1)
+    val cents = new VersionedState(spark, qDir).read("centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+    val assigned = IvfKMeans.assign(vectors, cents)
+    val n = vectors.count()
+    val want = Nsw.searchWithRoutedEntries(vectors, edges, cents, assigned,
+        Nsw.sizedHops(n), Nsw.sizedBeam(n), Nsw.sizedProbeCells(n))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._3))
+
+    assert(got.nonEmpty && got.toSeq === want.toSeq,
+      "streaming routed serving must be row-identical to the batch routed search")
+
+    // no quantizer commit between answers → assignment is not recomputed
+    val before = server.refreshCount
+    server.answer(q)
+    assert(server.refreshCount === before,
+      "unmoved pointers must not recompute routing state")
+  }
 }
