@@ -397,10 +397,13 @@ object Sketches {
         expr("transform(sequence(0, size(ts) - 3), " +
           "i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))"))
         .otherwise(array().cast("array<string>"))).as("g"))
-    val sh = grams
+    // Persisted: the distinct shingle-hash set feeds four consumers (the
+    // KMV groupBy, the size groupBy, and both sides of the verification
+    // self-join) — without the cache each re-pays the md5-shingle scan.
+    val sh = graft.tools.CacheRegistry.persistTracked(grams
       .select(col("source"),
         conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long").as("h"))
-      .distinct()
+      .distinct())
     val sk = sh.groupBy(col("source")).agg(kv(col("h")).as("arr"))
     val pairs = sk.select(col("source").as("sa"), col("arr").as("aa"))
       .join(broadcast(sk.select(col("source").as("sb"), col("arr").as("bb"))),

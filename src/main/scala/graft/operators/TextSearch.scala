@@ -229,21 +229,28 @@ object TextSearch {
   // and the indexed query returns byte-identical rows to
   // `f6_text_search_word` (they share the oracle SQL).
 
-  /** The distinct (word, universeId) postings over all three searchable
-    * fields — the materialized inverted index. Repartitioned by range on
-    * `word` and sorted within partitions so the stored parquet carries
-    * word-ordered row groups (min/max pruning for equi-lookups at scale). */
-  private[operators] def postingsFrame(spark: SparkSession, dir: String): DataFrame = {
-    val g = Tables.games(spark, dir)
+  /** The distinct (word, universeId) postings of an arbitrary games frame —
+    * the tokenization core shared by the stored batch artifact below and
+    * the streaming maintainer ([[graft.streaming.StreamingPostingsIndex]]),
+    * which re-tokenizes only each micro-batch's touched docs through this
+    * same definition (one tokenizer, so streamed ≡ rebuilt postings is a
+    * set equality, not a convention). */
+  private[graft] def postingsOf(games: DataFrame): DataFrame =
     Seq(col("name"), col("description"), col("gameplayDescription"))
-      .map(c => g.select(col("universeId"),
+      .map(c => games.select(col("universeId"),
         explode(split(lower(coalesce(c, lit(""))), "\\s+")).as("word")))
       .reduce(_ unionByName _)
       .filter(col("word") =!= "")
       .distinct()
+
+  /** The materialized inverted index over the full table. Repartitioned by
+    * range on `word` and sorted within partitions so the stored parquet
+    * carries word-ordered row groups (min/max pruning for equi-lookups at
+    * scale). */
+  private[operators] def postingsFrame(spark: SparkSession, dir: String): DataFrame =
+    postingsOf(Tables.games(spark, dir))
       .repartitionByRange(col("word"))
       .sortWithinPartitions(col("word"))
-  }
 
   private[operators] def storedPostings(spark: SparkSession, dir: String): DataFrame =
     graft.tools.CacheRegistry.sharedTracked(s"text-postings:$dir")(
@@ -257,19 +264,28 @@ object TextSearch {
       graft.tools.IndexStore.readOrBuild(spark, dir, "text-dictionary")(
         postingsFrame(spark, dir).select(col("word")).distinct()))
 
+  /** The frames-based indexed-search core: dictionary scan → postings
+    * equi-join → cascade scoring on candidates only. Callers supply the
+    * three tables — the batch path reads the stored artifacts, the
+    * streaming server reads one committed [[graft.streaming
+    * .VersionedState]] version — so both serve tiers share one plan. */
+  private[graft] def searchIndexedFrames(games: DataFrame, postings: DataFrame,
+      dictionary: DataFrame, normalizedQuery: String, limit: Int): DataFrame = {
+    val nq = normalizedQuery.toLowerCase.trim
+    val words = dictionary.filter(col("word").contains(nq))
+    val cand = postings
+      .join(broadcast(words), Seq("word"))
+      .select(col("universeId")).distinct()
+    search(games.join(cand, Seq("universeId"), "left_semi"), nq, limit)
+  }
+
   /** Index-served search: dictionary scan → postings equi-join → cascade
     * scoring on candidates only. Same results as [[search]] (shared
     * oracle); sub-scan cost whenever the query is selective. */
   def searchIndexedOn(spark: SparkSession, dir: String,
-      normalizedQuery: String, limit: Int): DataFrame = {
-    val nq = normalizedQuery.toLowerCase.trim
-    val words = storedDictionary(spark, dir).filter(col("word").contains(nq))
-    val cand = storedPostings(spark, dir)
-      .join(broadcast(words), Seq("word"))
-      .select(col("universeId")).distinct()
-    search(Tables.games(spark, dir).join(cand, Seq("universeId"), "left_semi"),
-      nq, limit)
-  }
+      normalizedQuery: String, limit: Int): DataFrame =
+    searchIndexedFrames(Tables.games(spark, dir), storedPostings(spark, dir),
+      storedDictionary(spark, dir), normalizedQuery, limit)
 
   def searchIndexed(spark: SparkSession, dir: String): DataFrame =
     searchIndexedOn(spark, dir, "merge", 10)

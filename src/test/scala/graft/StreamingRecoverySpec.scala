@@ -284,4 +284,53 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(assignedSet(i2) === wantAssigned,
       "recovered assignment diverges from the uninterrupted run")
   }
+
+  test("StreamingPostingsIndex resumes exactly-once from its checkpoint after a crash") {
+    import graft.streaming.StreamingPostingsIndex
+    val initial = gameRows(Seq((1L, 10L, "one alpha"), (2L, 20L, "two beta")))
+    val dropA = gameRows(Seq((2L, 21L, "two gamma"))) // update: beta → gamma
+    val dropB = gameRows(Seq((4L, 40L, "four delta")))
+    val dropC = gameRows(Seq((5L, 50L, "five epsilon")))
+
+    def stream(dropDir: String) = spark.readStream.schema(Schemas.game)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+    def postingsSet(i: StreamingPostingsIndex): Set[(Long, String)] =
+      i.currentPostings().select("universeId", "word").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    // reference: all three drops, uninterrupted
+    val refDrop = Files.createTempDirectory("rec-pidx-ref-drops").toString
+    val refIdx = Files.createTempDirectory("rec-pidx-ref-idx").toString
+    val refCkpt = Files.createTempDirectory("rec-pidx-ref-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$refDrop/a")
+    dropB.coalesce(1).write.parquet(s"$refDrop/b")
+    dropC.coalesce(1).write.parquet(s"$refDrop/c")
+    val ref = new StreamingPostingsIndex(spark, refIdx, initial)
+    runToCompletion(() => ref.start(stream(refDrop), refCkpt), 120000L)
+    val wantPostings = postingsSet(ref)
+
+    // crashed run: two drops, complete, crash window, then drop C arrives.
+    // The replay danger here is the delete-then-insert: a double-applied
+    // batch A would anti-join game 2's postings against an already-updated
+    // snapshot — versions pin that it never runs twice.
+    val drop = Files.createTempDirectory("rec-pidx-drops").toString
+    val idx = Files.createTempDirectory("rec-pidx-idx").toString
+    val ckpt = Files.createTempDirectory("rec-pidx-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$drop/a")
+    dropB.coalesce(1).write.parquet(s"$drop/b")
+    val p1 = new StreamingPostingsIndex(spark, idx, initial)
+    runToCompletion(() => p1.start(stream(drop), ckpt), 120000L)
+    crashWindow(ckpt)
+    dropC.coalesce(1).write.parquet(s"$drop/c")
+
+    val p2 = new StreamingPostingsIndex(spark, idx, initial)
+    runToCompletion(() => p2.start(stream(drop), ckpt), 120000L)
+
+    assert(postingsSet(p2) === wantPostings,
+      "recovered postings diverge from the uninterrupted run")
+    assert(p2.searchCurrent("gamma", 10).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(p2.searchCurrent("beta", 10).isEmpty)
+    // 3 data batches → v3 exactly; a double-apply would have minted v4
+    assert(p2.postingsVersions().max === 3L)
+  }
 }
