@@ -1043,7 +1043,128 @@ object Curation {
        |ORDER BY stage_no""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // cur_bpe_train — distributed BPE vocabulary induction
+  // ---------------------------------------------------------------------
+
+  /** Merge steps to learn. The oracle pins this fixture dial; production
+    * vocabularies run the same loop to 32k–100k merges — the per-step cost
+    * does not change, only the step count. */
+  private val BpeMerges = 12
+
+  /** Greedy left-to-right merge application — one literal `replace` over a
+    * DOUBLE-space-delimited symbol string. The pattern ` A␣␣B ` consumes
+    * only ONE space of each double boundary, so consecutive occurrences
+    * (`a a a a`) never share a consumed character and a single
+    * left-to-right non-overlapping replace IS exactly the greedy BPE merge
+    * (a single-space pattern would eat the boundary and skip every other
+    * pair in a run). Token safety: a pattern symbol can only match a
+    * COMPLETE token, because the pattern requires the full double space on
+    * its interior side and the remaining boundary space on its outer side.
+    * Both engines' `replace` scans left-to-right non-overlapping, so Spark
+    * and DuckDB compute the identical merge. */
+  private[graft] def bpeApplyMerge(seq: Column, pair: String, merged: String): Column =
+    trim(replace(replace(
+      concat(lit("  "), replace(seq, lit(" "), lit("  ")), lit("  ")),
+      lit(" " + pair.replace(" ", "  ") + " "),
+      lit(" " + merged + " ")), lit("  "), lit(" ")))
+
+  /** Byte-pair-encoding vocabulary induction — the tokenizer-training step
+    * of an LLM data pipeline (Sennrich et al. 2016, the construction behind
+    * GPT-2/RoBERTa vocabularies). Output: one row per merge step with the
+    * chosen pair, its corpus frequency, and the corpus token count after
+    * the merge (the compression curve a tokenizer team reads).
+    *
+    * The 100 TB shape is the whole point: BPE training never iterates over
+    * the corpus. The single corpus-sized pass is the word-frequency
+    * groupBy (map-side combined — the same shape as a word count); every
+    * merge step then runs on the UNIQUE-WORD table (∼millions of rows at
+    * web scale, vs billions of documents), exploding each word's current
+    * symbol sequence into adjacent pairs and summing `freq` per pair —
+    * another map-side-combined agg, vocab-sized. The only driver state is
+    * the argmax pair per step (1 row — the same driver boundary as the
+    * k-row centroid pulls). Tie-break is deterministic: highest count,
+    * then lexicographically smallest pair, so the learned table is
+    * byte-reproducible on any cluster layout.
+    *
+    * The per-step vocab frame is persisted and replaces its parent (the
+    * lineage would otherwise deepen by one `replace` chain per step) —
+    * tiny at fixture scale, and at production vocab sizes still a few
+    * hundred MB, far below executor memory. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    var vocab = graft.tools.CacheRegistry.persistTracked(
+      words.select(col("word"), col("freq"),
+        concat(concat_ws(" ", split(col("word"), "")), lit(" </w>")).as("seq")))
+    val steps = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (i <- 1 to BpeMerges) {
+      val best = vocab
+        .withColumn("l", split(col("seq"), " "))
+        .select(explode(expr(
+          "transform(sequence(0, size(l) - 2), j -> concat(l[j], ' ', l[j+1]))"))
+          .as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect()(0)
+      val pair = best.getString(0)
+      val merged = pair.replace(" ", "")
+      val next = graft.tools.CacheRegistry.persistTracked(
+        vocab.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged)))
+      val toks = next
+        .agg(sum(col("freq") * size(split(col("seq"), " ")).cast("long")))
+        .collect()(0).getLong(0)
+      steps += ((i, pair, merged, best.getLong(1), toks))
+      vocab = next
+    }
+    import spark.implicits._
+    steps.result()
+      .toDF("step", "pair", "merged", "pair_count", "corpus_tokens")
+      .orderBy(col("step"))
+  }
+
+  /** The same K greedy merges unrolled as chained MATERIALIZED CTEs (one
+    * pair-count + argmax + replace stage per step; scalar subqueries carry
+    * the argmax into the replaces — MATERIALIZED so DuckDB evaluates each
+    * stage once instead of inlining the recursion). */
+  val bpeTrainSql: String = {
+    def rep(b: String): String =
+      s"trim(replace(replace('  ' || replace(seq, ' ', '  ') || '  ', " +
+        s"' ' || (SELECT replace(pair, ' ', '  ') FROM $b) || ' ', " +
+        s"' ' || (SELECT replace(pair, ' ', '') FROM $b) || ' '), '  ', ' '))"
+    val stages = (1 to BpeMerges).map { i =>
+      val prev = s"v${i - 1}"
+      s"""p$i AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+         |  SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, freq
+         |  FROM (SELECT string_split(seq, ' ') AS l, freq FROM $prev)) GROUP BY pair),
+         |b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |v$i AS MATERIALIZED (SELECT word, freq, ${rep(s"b$i")} AS seq FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to BpeMerges).map { i =>
+      s"""  SELECT $i AS step, (SELECT pair FROM b$i) AS pair,
+         |         (SELECT replace(pair, ' ', '') FROM b$i) AS merged,
+         |         (SELECT c FROM b$i) AS pair_count,
+         |         (SELECT CAST(sum(freq * len(string_split(seq, ' '))) AS BIGINT)
+         |          FROM v$i) AS corpus_tokens""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
+       |  WHERE word != '' GROUP BY word),
+       |v0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |         array_to_string(string_split(word, ''), ' ') || ' </w>' AS seq
+       |  FROM w),
+       |$stages
+       |SELECT step, pair, merged, pair_count, corpus_tokens FROM (
+       |$rows)
+       |ORDER BY step""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_bpe_train" -> bpeTrain,
     "cur_pipeline_report" -> curPipelineReport,
     "cur_chunk_overlap" -> chunkOverlap,
     "cur_priority_sample" -> prioritySample,
@@ -1060,6 +1181,7 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
+    "cur_bpe_train" -> bpeTrainSql,
     "cur_pipeline_report" -> curPipelineReportSql,
     "cur_chunk_overlap" -> chunkOverlapSql,
     "cur_priority_sample" -> prioritySampleSql,

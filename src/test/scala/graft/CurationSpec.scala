@@ -346,4 +346,46 @@ class CurationSpec extends AnyFunSuite {
     assert(sampleQ > corpusQ,
       s"weighted sample mean quality $sampleQ not above corpus mean $corpusQ")
   }
+
+  test("bpe merge application is greedy left-to-right, token-boundary safe") {
+    import spark.implicits._
+    // (seq, expected after merging pair "a a" -> "aa")
+    val cases = Seq(
+      ("a a a", "aa a"),        // odd run: greedy takes the leftmost pair
+      ("a a a a", "aa aa"),     // consecutive occurrences share a boundary
+                                // space — needs the multi-pass replace
+      ("a a a a a a a a", "aa aa aa aa"),
+      ("x a b", "x a b"),       // no occurrence
+      ("xa b a a", "xa b aa"),  // token ENDING in 'a' must not half-match
+      ("a ab a a b", "a ab aa b")) // token 'ab' is not the pair 'a a'
+    val got = cases.map(_._1).toDF("seq")
+      .select(Curation.bpeApplyMerge(col("seq"), "a a", "aa"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === cases.map(_._2))
+  }
+
+  test("bpe training: monotone compression curve, deterministic replay") {
+    val r = Curation.bpeTrain(spark, dir).collect()
+    assert(r.length === 12)
+    assert(r.map(_.getInt(0)).toSeq === (1 to 12))
+    r.foreach { row =>
+      assert(row.getString(2) === row.getString(1).replace(" ", ""),
+        "merged symbol must be the pair with its space removed")
+    }
+    val counts = r.map(_.getLong(3))
+    assert(counts.forall(_ > 0))
+    // a pair created by an earlier merge can never outnumber the pair that
+    // was chosen over it — greedy argmax counts are non-increasing
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"pair counts not non-increasing: ${counts.toSeq}")
+    // each merge removes one token per merged occurrence: 0 < delta <= count
+    val toks = r.map(_.getLong(4))
+    toks.zip(toks.tail).zip(counts.tail).foreach { case ((prev, next), c) =>
+      assert(next < prev && prev - next <= c,
+        s"token delta ${prev - next} outside (0, $c]")
+    }
+    val again = Curation.bpeTrain(spark, dir).collect()
+    assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
+      "bpe training must be byte-reproducible")
+  }
 }
