@@ -1092,44 +1092,98 @@ object Curation {
     * tiny at fixture scale, and at production vocab sizes still a few
     * hundred MB, far below executor memory. */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    val words = Tables.documents(spark, dir)
-      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-    var vocab = graft.tools.CacheRegistry.persistTracked(
-      words.select(col("word"), col("freq"),
-        concat(concat_ws(" ", split(col("word"), "")), lit(" </w>")).as("seq")))
-    val steps = Seq.newBuilder[(Int, String, String, Long, Long)]
-    for (i <- 1 to BpeMerges) {
-      val best = vocab
-        .withColumn("l", split(col("seq"), " "))
-        .select(explode(expr(
-          "transform(sequence(0, size(l) - 2), j -> concat(l[j], ' ', l[j+1]))"))
-          .as("pair"), col("freq"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("pair"))
-        .limit(1).collect()(0)
-      val pair = best.getString(0)
-      val merged = pair.replace(" ", "")
-      val next = graft.tools.CacheRegistry.persistTracked(
-        vocab.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged)))
-      val toks = next
-        .agg(sum(col("freq") * size(split(col("seq"), " ")).cast("long")))
-        .collect()(0).getLong(0)
-      steps += ((i, pair, merged, best.getLong(1), toks))
-      vocab = next
-    }
     import spark.implicits._
-    steps.result()
+    bpeTrained(spark, dir)._1
       .toDF("step", "pair", "merged", "pair_count", "corpus_tokens")
       .orderBy(col("step"))
   }
 
-  /** The same K greedy merges unrolled as chained MATERIALIZED CTEs (one
+  /** The initial vocab: unique words with frequency and the char-level
+    * symbol sequence (space-joined, `</w>` end marker). */
+  private def bpeVocab0(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(concat_ws(" ", split(col("word"), "")), lit(" </w>")).as("seq"))
+
+  /** Learned merge steps per corpus dir, memoized on the driver (K tiny
+    * rows), so the fertility query rides the train query's work instead of
+    * re-paying the K argmax jobs — the same pays-once convention as the
+    * sketch queries. The final vocab is NOT memoized as a frame: it is
+    * re-derivable as one chained-replace plan over vocab0 (no iteration
+    * jobs), shared via the cache registry. */
+  private val bpeStepsMemo =
+    scala.collection.mutable.Map.empty[String, Seq[(Int, String, String, Long, Long)]]
+
+  private[graft] def bpeTrained(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
+    val steps = bpeStepsMemo.synchronized(bpeStepsMemo.getOrElseUpdate(dir, {
+      var vocab = graft.tools.CacheRegistry.persistTracked(bpeVocab0(spark, dir))
+      val acc = Seq.newBuilder[(Int, String, String, Long, Long)]
+      for (i <- 1 to BpeMerges) {
+        val best = vocab
+          .withColumn("l", split(col("seq"), " "))
+          .select(explode(expr(
+            "transform(sequence(0, size(l) - 2), j -> concat(l[j], ' ', l[j+1]))"))
+            .as("pair"), col("freq"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("pair"))
+          .limit(1).collect()(0)
+        val pair = best.getString(0)
+        val merged = pair.replace(" ", "")
+        val next = graft.tools.CacheRegistry.persistTracked(
+          vocab.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged)))
+        val toks = next
+          .agg(sum(col("freq") * size(split(col("seq"), " ")).cast("long")))
+          .collect()(0).getLong(0)
+        acc += ((i, pair, merged, best.getLong(1), toks))
+        vocab = next
+      }
+      acc.result()
+    }))
+    val vocab = graft.tools.CacheRegistry.sharedTracked(s"bpe-vocab:$dir") {
+      steps.foldLeft(bpeVocab0(spark, dir)) { case (v, (_, pair, merged, _, _)) =>
+        v.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged))
+      }
+    }
+    (steps, vocab)
+  }
+
+  /** Tokenizer APPLY — the serving half of [[bpeTrain]]: tokenize the
+    * corpus with the learned vocabulary and report per-source fertility
+    * (tokens per word), the number a tokenizer team watches per domain and
+    * language. The apply shape is the 100 TB story: token counts come from
+    * a BROADCAST join of the (word → token count) vocabulary against the
+    * exploded corpus — map-only over the corpus, one map-side-combined
+    * rollup per source; no shuffle of document text, ever. (A production
+    * 100k-merge vocab is a few MB — comfortably broadcastable.) OOV is
+    * impossible by construction here (the vocab was trained on this
+    * corpus); an inference-time corpus would LEFT join with a char-count
+    * fallback. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeTrained(spark, dir)
+    val wordTok = vocab.select(col("word"),
+      size(split(col("seq"), " ")).cast("long").as("n_tok"))
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(wordTok), "word")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .select(col("source"), col("n_words"), col("n_tokens"),
+        pround(col("n_tokens").cast("double") / col("n_words"), 4)
+          .as("tokens_per_word"))
+      .orderBy(col("source"))
+  }
+
+  /** The K greedy merges unrolled as chained MATERIALIZED CTEs (one
     * pair-count + argmax + replace stage per step; scalar subqueries carry
     * the argmax into the replaces — MATERIALIZED so DuckDB evaluates each
-    * stage once instead of inlining the recursion). */
-  val bpeTrainSql: String = {
+    * stage once instead of inlining the recursion). Shared by the train
+    * and fertility oracles. */
+  private val bpeCtesSql: String = {
     def rep(b: String): String =
       s"trim(replace(replace('  ' || replace(seq, ' ', '  ') || '  ', " +
         s"' ' || (SELECT replace(pair, ' ', '  ') FROM $b) || ' ', " +
@@ -1142,14 +1196,7 @@ object Curation {
          |b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
          |v$i AS MATERIALIZED (SELECT word, freq, ${rep(s"b$i")} AS seq FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val rows = (1 to BpeMerges).map { i =>
-      s"""  SELECT $i AS step, (SELECT pair FROM b$i) AS pair,
-         |         (SELECT replace(pair, ' ', '') FROM b$i) AS merged,
-         |         (SELECT c FROM b$i) AS pair_count,
-         |         (SELECT CAST(sum(freq * len(string_split(seq, ' '))) AS BIGINT)
-         |          FROM v$i) AS corpus_tokens""".stripMargin
-    }.mkString("\n  UNION ALL\n")
-    s"""WITH w AS MATERIALIZED (
+    s"""w AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word FROM documents)
        |  WHERE word != '' GROUP BY word),
@@ -1157,14 +1204,41 @@ object Curation {
        |  SELECT word, freq,
        |         array_to_string(string_split(word, ''), ' ') || ' </w>' AS seq
        |  FROM w),
-       |$stages
+       |$stages""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val rows = (1 to BpeMerges).map { i =>
+      s"""  SELECT $i AS step, (SELECT pair FROM b$i) AS pair,
+         |         (SELECT replace(pair, ' ', '') FROM b$i) AS merged,
+         |         (SELECT c FROM b$i) AS pair_count,
+         |         (SELECT CAST(sum(freq * len(string_split(seq, ' '))) AS BIGINT)
+         |          FROM v$i) AS corpus_tokens""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $bpeCtesSql
        |SELECT step, pair, merged, pair_count, corpus_tokens FROM (
        |$rows)
        |ORDER BY step""".stripMargin
   }
 
+  val bpeFertilitySql: String =
+    s"""WITH $bpeCtesSql,
+       |wt AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tok
+       |       FROM v$BpeMerges),
+       |dw AS (SELECT source, unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |       FROM documents)
+       |SELECT dw.source, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(wt.n_tok) AS BIGINT) AS n_tokens,
+       |       floor(sum(wt.n_tok)::DOUBLE / count(*) * 10000 + 0.5) / 10000.0
+       |         AS tokens_per_word
+       |FROM dw JOIN wt ON dw.word = wt.word
+       |WHERE dw.word != ''
+       |GROUP BY dw.source
+       |ORDER BY dw.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_bpe_train" -> bpeTrain,
+    "cur_bpe_fertility" -> bpeFertility,
     "cur_pipeline_report" -> curPipelineReport,
     "cur_chunk_overlap" -> chunkOverlap,
     "cur_priority_sample" -> prioritySample,
@@ -1182,6 +1256,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "cur_bpe_train" -> bpeTrainSql,
+    "cur_bpe_fertility" -> bpeFertilitySql,
     "cur_pipeline_report" -> curPipelineReportSql,
     "cur_chunk_overlap" -> chunkOverlapSql,
     "cur_priority_sample" -> prioritySampleSql,

@@ -388,4 +388,21 @@ class CurationSpec extends AnyFunSuite {
     assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
       "bpe training must be byte-reproducible")
   }
+
+  test("bpe fertility: covers every source and reconciles with the train curve") {
+    val train = Curation.bpeTrain(spark, dir).collect()
+    val finalTokens = train.map(_.getLong(4)).last
+    val f = Curation.bpeFertility(spark, dir).collect()
+    val sources = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source").distinct().count()
+    assert(f.length === sources, "one fertility row per source")
+    f.foreach { row =>
+      val (nWords, nTokens, tpw) = (row.getLong(1), row.getLong(2), row.getDouble(3))
+      assert(nTokens >= nWords, "every word is at least one token")
+      assert(tpw >= 1.0 && tpw === math.floor(nTokens.toDouble / nWords * 1e4 + 0.5) / 1e4)
+    }
+    // the apply side must conserve the train side's final corpus token count
+    assert(f.map(_.getLong(2)).sum === finalTokens,
+      "per-source token totals must sum to the final corpus_tokens")
+  }
 }
