@@ -1044,7 +1044,8 @@ object Curation {
   }
 
   // ---------------------------------------------------------------------
-  // cur_bpe_train — distributed BPE vocabulary induction
+  // index_build_bpe / cur_bpe_fertility — distributed BPE vocabulary
+  // induction (train = build, fertility = serve)
   // ---------------------------------------------------------------------
 
   /** Merge steps to learn. The oracle pins this fixture dial; production
@@ -1090,13 +1091,11 @@ object Curation {
     * The per-step vocab frame is persisted and replaces its parent (the
     * lineage would otherwise deepen by one `replace` chain per step) —
     * tiny at fixture scale, and at production vocab sizes still a few
-    * hundred MB, far below executor memory. */
-  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    bpeTrained(spark, dir)._1
-      .toDF("step", "pair", "merged", "pair_count", "corpus_tokens")
-      .orderBy(col("step"))
-  }
+    * hundred MB, far below executor memory.
+    *
+    * Build/serve split: `index_build_bpe` (IndexBuild.buildBpe) trains and
+    * stores BOTH artifacts — the merge table and the tokenized vocab — in
+    * the IndexStore; [[bpeFertility]] serves off the stored vocab. */
 
   /** The initial vocab: unique words with frequency and the char-level
     * symbol sequence (space-joined, `</w>` end marker). */
@@ -1108,48 +1107,56 @@ object Curation {
       .select(col("word"), col("freq"),
         concat(concat_ws(" ", split(col("word"), "")), lit(" </w>")).as("seq"))
 
-  /** Learned merge steps per corpus dir, memoized on the driver (K tiny
-    * rows), so the fertility query rides the train query's work instead of
-    * re-paying the K argmax jobs — the same pays-once convention as the
-    * sketch queries. The final vocab is NOT memoized as a frame: it is
-    * re-derivable as one chained-replace plan over vocab0 (no iteration
-    * jobs), shared via the cache registry. */
-  private val bpeStepsMemo =
-    scala.collection.mutable.Map.empty[String, Seq[(Int, String, String, Long, Long)]]
-
-  private[graft] def bpeTrained(spark: SparkSession, dir: String)
-      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
-    val steps = bpeStepsMemo.synchronized(bpeStepsMemo.getOrElseUpdate(dir, {
-      var vocab = graft.tools.CacheRegistry.persistTracked(bpeVocab0(spark, dir))
-      val acc = Seq.newBuilder[(Int, String, String, Long, Long)]
-      for (i <- 1 to BpeMerges) {
-        val best = vocab
-          .withColumn("l", split(col("seq"), " "))
-          .select(explode(expr(
-            "transform(sequence(0, size(l) - 2), j -> concat(l[j], ' ', l[j+1]))"))
-            .as("pair"), col("freq"))
-          .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
-          .orderBy(col("c").desc, col("pair"))
-          .limit(1).collect()(0)
-        val pair = best.getString(0)
-        val merged = pair.replace(" ", "")
-        val next = graft.tools.CacheRegistry.persistTracked(
-          vocab.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged)))
-        val toks = next
-          .agg(sum(col("freq") * size(split(col("seq"), " ")).cast("long")))
-          .collect()(0).getLong(0)
-        acc += ((i, pair, merged, best.getLong(1), toks))
-        vocab = next
-      }
-      acc.result()
-    }))
-    val vocab = graft.tools.CacheRegistry.sharedTracked(s"bpe-vocab:$dir") {
-      steps.foldLeft(bpeVocab0(spark, dir)) { case (v, (_, pair, merged, _, _)) =>
-        v.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged))
-      }
+  /** The training loop — `index_build_bpe`'s build body. One iteration =
+    * pair-count agg over the vocab + a 1-row argmax collect (the driver
+    * boundary) + the greedy replace; each round's vocab frame is persisted
+    * and replaces its parent so lineage stays one replace deep. */
+  private[graft] def bpeBuildSteps(spark: SparkSession, dir: String)
+      : Seq[(Int, String, String, Long, Long)] = {
+    var vocab = graft.tools.CacheRegistry.persistTracked(bpeVocab0(spark, dir))
+    val acc = Seq.newBuilder[(Int, String, String, Long, Long)]
+    for (i <- 1 to BpeMerges) {
+      val best = vocab
+        .withColumn("l", split(col("seq"), " "))
+        .select(explode(expr(
+          "transform(sequence(0, size(l) - 2), j -> concat(l[j], ' ', l[j+1]))"))
+          .as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("pair"))
+        .limit(1).collect()(0)
+      val pair = best.getString(0)
+      val merged = pair.replace(" ", "")
+      val next = graft.tools.CacheRegistry.persistTracked(
+        vocab.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged)))
+      val toks = next
+        .agg(sum(col("freq") * size(split(col("seq"), " ")).cast("long")))
+        .collect()(0).getLong(0)
+      acc += ((i, pair, merged, best.getLong(1), toks))
+      vocab = next
     }
-    (steps, vocab)
+    acc.result()
   }
+
+  private[graft] def bpeStepsDf(spark: SparkSession,
+      steps: Seq[(Int, String, String, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    steps.toDF("step", "pair", "merged", "pair_count", "corpus_tokens")
+  }
+
+  /** The tokenized vocab after `steps` — one chained-replace plan over
+    * vocab0 (no iteration jobs once the merge table is known). */
+  private[graft] def bpeFinalVocab(spark: SparkSession, dir: String,
+      steps: Seq[(Int, String, String, Long, Long)]): DataFrame =
+    steps.foldLeft(bpeVocab0(spark, dir)) { case (v, (_, pair, merged, _, _)) =>
+      v.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged))
+    }
+
+  /** Serve path: the stored tokenized vocab (built by `index_build_bpe`;
+    * a standalone first touch trains and leaves the artifact behind). */
+  private def storedBpeVocab(spark: SparkSession, dir: String): DataFrame =
+    graft.tools.CacheRegistry.sharedTracked(s"bpe-vocab:$dir")(
+      graft.tools.IndexStore.readOrBuild(spark, dir, "bpe-vocab")(
+        bpeFinalVocab(spark, dir, bpeBuildSteps(spark, dir))))
 
   /** Tokenizer APPLY — the serving half of [[bpeTrain]]: tokenize the
     * corpus with the learned vocabulary and report per-source fertility
@@ -1163,7 +1170,7 @@ object Curation {
     * corpus); an inference-time corpus would LEFT join with a char-count
     * fallback. */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val (_, vocab) = bpeTrained(spark, dir)
+    val vocab = storedBpeVocab(spark, dir)
     val wordTok = vocab.select(col("word"),
       size(split(col("seq"), " ")).cast("long").as("n_tok"))
     Tables.documents(spark, dir)
@@ -1237,7 +1244,6 @@ object Curation {
        |ORDER BY dw.source""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "cur_bpe_train" -> bpeTrain,
     "cur_bpe_fertility" -> bpeFertility,
     "cur_pipeline_report" -> curPipelineReport,
     "cur_chunk_overlap" -> chunkOverlap,
@@ -1255,7 +1261,6 @@ object Curation {
   )
 
   val oracles: Map[String, String] = Map(
-    "cur_bpe_train" -> bpeTrainSql,
     "cur_bpe_fertility" -> bpeFertilitySql,
     "cur_pipeline_report" -> curPipelineReportSql,
     "cur_chunk_overlap" -> chunkOverlapSql,

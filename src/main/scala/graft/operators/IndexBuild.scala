@@ -180,6 +180,21 @@ object IndexBuild {
       countDistinct(col("word")).as("n_words"))
   }
 
+  /** BPE tokenizer training (Curation.bpeBuildSteps): learn the greedy
+    * merge table and store BOTH artifacts — the K-row merge table and the
+    * tokenized final vocab `cur_bpe_fertility` serves from. Output IS the
+    * merge table (the compression curve), checked against DuckDB's
+    * from-scratch unrolled training. */
+  def buildBpe(spark: SparkSession, dir: String): DataFrame = {
+    val steps = Curation.bpeBuildSteps(spark, dir)
+    val m = IndexStore.rebuild(spark, dir, "bpe-merges")(
+      Curation.bpeStepsDf(spark, steps))
+    val v = IndexStore.rebuild(spark, dir, "bpe-vocab")(
+      Curation.bpeFinalVocab(spark, dir, steps))
+    CacheRegistry.primeShared(s"bpe-vocab:$dir", v)
+    m.orderBy(col("step"))
+  }
+
   // ------------------------------------------------------------- oracle SQL
 
   val postingsBuildSql: String =
@@ -248,7 +263,8 @@ object IndexBuild {
       "nsw-edges-clustered"),
     "index_build_components" -> Seq("dedup-cc"),
     "index_build_tokens" -> Seq("corpus-tokens"),
-    "index_build_postings" -> Seq("text-postings", "text-dictionary")
+    "index_build_postings" -> Seq("text-postings", "text-dictionary"),
+    "index_build_bpe" -> Seq("bpe-merges", "bpe-vocab")
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,7 +278,8 @@ object IndexBuild {
     "index_build_clustered" -> buildClustered,
     "index_build_components" -> buildComponents,
     "index_build_tokens" -> buildTokens,
-    "index_build_postings" -> buildPostings
+    "index_build_postings" -> buildPostings,
+    "index_build_bpe" -> buildBpe
   )
 
   val oracles: Map[String, String] = Map(
@@ -276,6 +293,7 @@ object IndexBuild {
     "index_build_clustered" -> clusteredBuildSql,
     "index_build_components" -> componentsBuildSql,
     "index_build_tokens" -> tokensBuildSql,
-    "index_build_postings" -> postingsBuildSql
+    "index_build_postings" -> postingsBuildSql,
+    "index_build_bpe" -> Curation.bpeTrainSql
   )
 }

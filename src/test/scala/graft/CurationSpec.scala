@@ -365,7 +365,7 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("bpe training: monotone compression curve, deterministic replay") {
-    val r = Curation.bpeTrain(spark, dir).collect()
+    val r = graft.operators.IndexBuild.buildBpe(spark, dir).collect()
     assert(r.length === 12)
     assert(r.map(_.getInt(0)).toSeq === (1 to 12))
     r.foreach { row =>
@@ -384,13 +384,13 @@ class CurationSpec extends AnyFunSuite {
       assert(next < prev && prev - next <= c,
         s"token delta ${prev - next} outside (0, $c]")
     }
-    val again = Curation.bpeTrain(spark, dir).collect()
+    val again = graft.operators.IndexBuild.buildBpe(spark, dir).collect()
     assert(r.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq,
       "bpe training must be byte-reproducible")
   }
 
   test("bpe fertility: covers every source and reconciles with the train curve") {
-    val train = Curation.bpeTrain(spark, dir).collect()
+    val train = graft.operators.IndexBuild.buildBpe(spark, dir).collect()
     val finalTokens = train.map(_.getLong(4)).last
     val f = Curation.bpeFertility(spark, dir).collect()
     val sources = spark.read.parquet(s"$dir/documents.parquet")
