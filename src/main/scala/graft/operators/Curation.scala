@@ -1112,7 +1112,7 @@ object Curation {
     * boundary) + the greedy replace; each round's vocab frame is persisted
     * and replaces its parent so lineage stays one replace deep. */
   private[graft] def bpeBuildSteps(spark: SparkSession, dir: String)
-      : Seq[(Int, String, String, Long, Long)] = {
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     var vocab = graft.tools.CacheRegistry.persistTracked(bpeVocab0(spark, dir))
     val acc = Seq.newBuilder[(Int, String, String, Long, Long)]
     for (i <- 1 to BpeMerges) {
@@ -1134,7 +1134,9 @@ object Curation {
       acc += ((i, pair, merged, best.getLong(1), toks))
       vocab = next
     }
-    acc.result()
+    // the last round's persisted frame IS the final vocab — hand it back so
+    // the build stores it instead of re-deriving the chained-replace plan
+    (acc.result(), vocab)
   }
 
   private[graft] def bpeStepsDf(spark: SparkSession,
@@ -1143,20 +1145,12 @@ object Curation {
     steps.toDF("step", "pair", "merged", "pair_count", "corpus_tokens")
   }
 
-  /** The tokenized vocab after `steps` — one chained-replace plan over
-    * vocab0 (no iteration jobs once the merge table is known). */
-  private[graft] def bpeFinalVocab(spark: SparkSession, dir: String,
-      steps: Seq[(Int, String, String, Long, Long)]): DataFrame =
-    steps.foldLeft(bpeVocab0(spark, dir)) { case (v, (_, pair, merged, _, _)) =>
-      v.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged))
-    }
-
   /** Serve path: the stored tokenized vocab (built by `index_build_bpe`;
     * a standalone first touch trains and leaves the artifact behind). */
   private def storedBpeVocab(spark: SparkSession, dir: String): DataFrame =
     graft.tools.CacheRegistry.sharedTracked(s"bpe-vocab:$dir")(
       graft.tools.IndexStore.readOrBuild(spark, dir, "bpe-vocab")(
-        bpeFinalVocab(spark, dir, bpeBuildSteps(spark, dir))))
+        bpeBuildSteps(spark, dir)._2))
 
   /** Tokenizer APPLY — the serving half of [[bpeTrain]]: tokenize the
     * corpus with the learned vocabulary and report per-source fertility

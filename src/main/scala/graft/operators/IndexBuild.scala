@@ -186,11 +186,10 @@ object IndexBuild {
     * merge table (the compression curve), checked against DuckDB's
     * from-scratch unrolled training. */
   def buildBpe(spark: SparkSession, dir: String): DataFrame = {
-    val steps = Curation.bpeBuildSteps(spark, dir)
+    val (steps, finalVocab) = Curation.bpeBuildSteps(spark, dir)
     val m = IndexStore.rebuild(spark, dir, "bpe-merges")(
       Curation.bpeStepsDf(spark, steps))
-    val v = IndexStore.rebuild(spark, dir, "bpe-vocab")(
-      Curation.bpeFinalVocab(spark, dir, steps))
+    val v = IndexStore.rebuild(spark, dir, "bpe-vocab")(finalVocab)
     CacheRegistry.primeShared(s"bpe-vocab:$dir", v)
     m.orderBy(col("step"))
   }
