@@ -1147,10 +1147,26 @@ object Curation {
 
   /** Serve path: the stored tokenized vocab (built by `index_build_bpe`;
     * a standalone first touch trains and leaves the artifact behind). */
-  private def storedBpeVocab(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def storedBpeVocab(spark: SparkSession, dir: String): DataFrame =
     graft.tools.CacheRegistry.sharedTracked(s"bpe-vocab:$dir")(
       graft.tools.IndexStore.readOrBuild(spark, dir, "bpe-vocab")(
         bpeBuildSteps(spark, dir)._2))
+
+  /** The shared tokenize-and-look-up projection: exploded corpus words
+    * LEFT-joined to the broadcast (word → token count) vocabulary. The
+    * batch fertility query and the streaming drift monitor
+    * ([[graft.streaming.StreamingBpeMonitor]]) both aggregate over THIS
+    * tree (the StreamingQualityFilter convention), so their parity is a
+    * property of one expression, not of two copies. The left join is what
+    * lets the stream see out-of-vocabulary words (null n_tok) — on the
+    * training corpus itself OOV is impossible, so the batch aggregate is
+    * unchanged by the outer-ness. */
+  private[graft] def fertilityTokens(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(vocab.select(col("word"),
+        size(split(col("seq"), " ")).cast("long").as("n_tok"))), Seq("word"), "left")
 
   /** Tokenizer APPLY — the serving half of [[bpeTrain]]: tokenize the
     * corpus with the learned vocabulary and report per-source fertility
@@ -1164,13 +1180,7 @@ object Curation {
     * corpus); an inference-time corpus would LEFT join with a char-count
     * fallback. */
   def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
-    val vocab = storedBpeVocab(spark, dir)
-    val wordTok = vocab.select(col("word"),
-      size(split(col("seq"), " ")).cast("long").as("n_tok"))
-    Tables.documents(spark, dir)
-      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .join(broadcast(wordTok), "word")
+    fertilityTokens(Tables.documents(spark, dir), storedBpeVocab(spark, dir))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
       .select(col("source"), col("n_words"), col("n_tokens"),
