@@ -1085,7 +1085,7 @@ object Curation {
     * another map-side-combined agg, vocab-sized. The only driver state is
     * the argmax pair per step (1 row — the same driver boundary as the
     * k-row centroid pulls). Tie-break is deterministic: highest count,
-    * then lexicographically smallest pair, so the learned table is
+    * then lexicographically largest pair, so the learned table is
     * byte-reproducible on any cluster layout.
     *
     * The per-step vocab frame is persisted and replaces its parent (the
@@ -1111,32 +1111,61 @@ object Curation {
     * pair-count agg over the vocab + a 1-row argmax collect (the driver
     * boundary) + the greedy replace; each round's vocab frame is persisted
     * and replaces its parent so lineage stays one replace deep. */
+  /** One fused agg per step: argmax pair AND total pair mass in one
+    * collect. The argmax is `max(struct(c, pair))` — highest count, ties
+    * to the lexicographically LARGEST pair (the direction is arbitrary;
+    * what matters is that it is deterministic and the oracle orders the
+    * same way). The pair mass gives the token curve for free via
+    * Σ freq·len(seq) = Σ_pairs c + Σ freq (every word has one more symbol
+    * than it has adjacent pairs), so the per-step token-count agg —
+    * formerly a second driver-synchronized job per step, the exact
+    * "driver job count dominates small iterative training" cost the PQ
+    * trainer hit — disappears: K+2 jobs total instead of 2K. */
+  private def bpePairAgg(vocab: DataFrame): (String, Long, Long) = {
+    val row = vocab
+      .withColumn("l", split(col("seq"), " "))
+      .select(explode(expr(
+        "transform(sequence(0, size(l) - 2), j -> concat(l[j], ' ', l[j+1]))"))
+        .as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
+      .agg(max(struct(col("c"), col("pair"))).as("m"), sum(col("c")).as("mass"))
+      .collect()(0)
+    val m = row.getStruct(0)
+    (m.getString(1), m.getLong(0), row.getLong(1))
+  }
+
   private[graft] def bpeBuildSteps(spark: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
     var vocab = graft.tools.CacheRegistry.persistTracked(bpeVocab0(spark, dir))
-    val acc = Seq.newBuilder[(Int, String, String, Long, Long)]
+    val totalFreq = vocab.agg(sum(col("freq"))).collect()(0).getLong(0)
+    val steps = Array.ofDim[(Int, String, String, Long, Long)](BpeMerges)
     for (i <- 1 to BpeMerges) {
-      val best = vocab
-        .withColumn("l", split(col("seq"), " "))
-        .select(explode(expr(
-          "transform(sequence(0, size(l) - 2), j -> concat(l[j], ' ', l[j+1]))"))
-          .as("pair"), col("freq"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
-        .orderBy(col("c").desc, col("pair"))
-        .limit(1).collect()(0)
-      val pair = best.getString(0)
+      val (pair, c, mass) = bpePairAgg(vocab)
+      // this step's pair mass prices the PREVIOUS step's result: tokens of
+      // vocab_{i-1} = mass_i + totalFreq (backfilled; step K pays one
+      // final sum below)
+      if (i >= 2) {
+        val (s, p, m2, cc, _) = steps(i - 2)
+        steps(i - 2) = (s, p, m2, cc, mass + totalFreq)
+      }
       val merged = pair.replace(" ", "")
-      val next = graft.tools.CacheRegistry.persistTracked(
+      // checkpointTracked, not persistTracked: round i+1's ANALYSIS cost
+      // grows with the chained-replace lineage even when execution reads
+      // the cache (measured 0.2 s -> 0.9 s/round by round 12 at sf0.1);
+      // the eager localCheckpoint truncates the plan — the pagerank /
+      // connected-components discipline
+      vocab = graft.tools.CacheRegistry.checkpointTracked(
         vocab.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged)))
-      val toks = next
-        .agg(sum(col("freq") * size(split(col("seq"), " ")).cast("long")))
-        .collect()(0).getLong(0)
-      acc += ((i, pair, merged, best.getLong(1), toks))
-      vocab = next
+      steps(i - 1) = (i, pair, merged, c, 0L)
     }
+    val finalTokens = vocab
+      .agg(sum(col("freq") * size(split(col("seq"), " ")).cast("long")))
+      .collect()(0).getLong(0)
+    val (s, p, m2, cc, _) = steps(BpeMerges - 1)
+    steps(BpeMerges - 1) = (s, p, m2, cc, finalTokens)
     // the last round's persisted frame IS the final vocab — hand it back so
     // the build stores it instead of re-deriving the chained-replace plan
-    (acc.result(), vocab)
+    (steps.toSeq, vocab)
   }
 
   private[graft] def bpeStepsDf(spark: SparkSession,
@@ -1204,7 +1233,7 @@ object Curation {
       s"""p$i AS MATERIALIZED (SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
          |  SELECT unnest(list_transform(range(1, len(l)), j -> l[j] || ' ' || l[j+1])) AS pair, freq
          |  FROM (SELECT string_split(seq, ' ') AS l, freq FROM $prev)) GROUP BY pair),
-         |b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair DESC LIMIT 1),
          |v$i AS MATERIALIZED (SELECT word, freq, ${rep(s"b$i")} AS seq FROM $prev)""".stripMargin
     }.mkString(",\n")
     s"""w AS MATERIALIZED (
