@@ -180,6 +180,19 @@ object IndexBuild {
       countDistinct(col("word")).as("n_words"))
   }
 
+  /** The base corpus's banded minhash signatures (Dedup.bandsFrame) — the
+    * table incremental dedup joins each new crawl against, so the existing
+    * corpus is never re-shingled. Summary = row/doc/signature counts,
+    * checked against a from-scratch DuckDB signature rebuild. */
+  def buildMinhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val b = IndexStore.rebuild(spark, dir, "minhash-bands")(
+      Dedup.bandsFrame(spark, dir))
+    CacheRegistry.primeShared(s"minhash-bands:$dir", b)
+    b.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("doc_id")).as("n_docs"),
+      countDistinct(col("sig")).as("n_sigs"))
+  }
+
   /** BPE tokenizer training (Curation.bpeBuildSteps): learn the greedy
     * merge table and store BOTH artifacts — the K-row merge table and the
     * tokenized final vocab `cur_bpe_fertility` serves from. Output IS the
@@ -263,7 +276,8 @@ object IndexBuild {
     "index_build_components" -> Seq("dedup-cc"),
     "index_build_tokens" -> Seq("corpus-tokens"),
     "index_build_postings" -> Seq("text-postings", "text-dictionary"),
-    "index_build_bpe" -> Seq("bpe-merges", "bpe-vocab")
+    "index_build_bpe" -> Seq("bpe-merges", "bpe-vocab"),
+    "index_build_minhash_bands" -> Seq("minhash-bands")
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -278,7 +292,8 @@ object IndexBuild {
     "index_build_components" -> buildComponents,
     "index_build_tokens" -> buildTokens,
     "index_build_postings" -> buildPostings,
-    "index_build_bpe" -> buildBpe
+    "index_build_bpe" -> buildBpe,
+    "index_build_minhash_bands" -> buildMinhashBands
   )
 
   val oracles: Map[String, String] = Map(
@@ -293,6 +308,7 @@ object IndexBuild {
     "index_build_components" -> componentsBuildSql,
     "index_build_tokens" -> tokensBuildSql,
     "index_build_postings" -> postingsBuildSql,
-    "index_build_bpe" -> Curation.bpeTrainSql
+    "index_build_bpe" -> Curation.bpeTrainSql,
+    "index_build_minhash_bands" -> Dedup.bandsBuildSql
   )
 }

@@ -268,14 +268,28 @@ object TextSearch {
     * equi-join → cascade scoring on candidates only. Callers supply the
     * three tables — the batch path reads the stored artifacts, the
     * streaming server reads one committed [[graft.streaming
-    * .VersionedState]] version — so both serve tiers share one plan. */
+    * .VersionedState]] version — so both serve tiers share one plan.
+    *
+    * Multi-word queries intersect per-word candidate sets: if a field
+    * contains the whole phrase, then EVERY whitespace-free query word lies
+    * inside some single token of that field (an occurrence of a
+    * whitespace-free word cannot span a token boundary), so the doc is in
+    * every word's posting set. The intersection is a superset of the true
+    * matches (words may hit different fields of one doc, or hit without
+    * adjacency) — exactness comes from re-running the UNCHANGED cascade on
+    * the candidates, whose `matchType IS NOT NULL` filter re-checks the
+    * whole-phrase containment per field. Per-word candidate frames are
+    * small (selective words) so the intersect is cheap; the corpus-sized
+    * postings table is only ever equi-joined against a broadcast matched-
+    * word set, once per query word. */
   private[graft] def searchIndexedFrames(games: DataFrame, postings: DataFrame,
       dictionary: DataFrame, normalizedQuery: String, limit: Int): DataFrame = {
     val nq = normalizedQuery.toLowerCase.trim
-    val words = dictionary.filter(col("word").contains(nq))
-    val cand = postings
-      .join(broadcast(words), Seq("word"))
-      .select(col("universeId")).distinct()
+    val cand = nq.split("\\s+").toSeq.map { w =>
+      postings
+        .join(broadcast(dictionary.filter(col("word").contains(w))), Seq("word"))
+        .select(col("universeId")).distinct()
+    }.reduce(_ intersect _)
     search(games.join(cand, Seq("universeId"), "left_semi"), nq, limit)
   }
 
@@ -289,6 +303,12 @@ object TextSearch {
 
   def searchIndexed(spark: SparkSession, dir: String): DataFrame =
     searchIndexedOn(spark, dir, "merge", 10)
+
+  /** Index-served PHRASE search: per-word posting intersection, then the
+    * unchanged whole-phrase cascade on the (small) intersected candidate
+    * set. Identical rows to [[searchPhrase]] — shares its oracle SQL. */
+  def searchIndexedPhrase(spark: SparkSession, dir: String): DataFrame =
+    searchIndexedOn(spark, dir, "table value", 10)
 
   def searchBatch(spark: SparkSession, dir: String): DataFrame =
     searchMany(Tables.games(spark, dir), BatchQueries, 5)
@@ -305,15 +325,17 @@ object TextSearch {
     "f6_text_search_word" -> searchSingleWord,
     "f6_text_search_phrase" -> searchPhrase,
     "f6_text_search_batch" -> searchBatch,
-    "f6_text_search_indexed" -> searchIndexed
+    "f6_text_search_indexed" -> searchIndexed,
+    "f6_text_search_phrase_indexed" -> searchIndexedPhrase
   )
 
   val oracles: Map[String, String] = Map(
     "f6_text_search_word" -> oracleFor("merge", 10),
     "f6_text_search_phrase" -> oracleFor("table value", 10),
     "f6_text_search_batch" -> batchOracle(BatchQueries, 5),
-    // the point of the index: IDENTICAL results to the scan query — the
-    // two literally share the oracle SQL
-    "f6_text_search_indexed" -> oracleFor("merge", 10)
+    // the point of the index: IDENTICAL results to the scan queries — each
+    // indexed variant literally shares its scan twin's oracle SQL
+    "f6_text_search_indexed" -> oracleFor("merge", 10),
+    "f6_text_search_phrase_indexed" -> oracleFor("table value", 10)
   )
 }

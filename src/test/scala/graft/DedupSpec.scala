@@ -104,6 +104,55 @@ class DedupSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("incremental dedup: every planted re-crawl doc resolves against the base") {
+    val out = Dedup.dedupIncremental(spark, SparkTestSession.Sf0001).collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getString(3))).toMap
+    // the delta batch is exactly the fixture's synthetic re-crawl: 125
+    // exact copies (+100000) and 100 near-dups (+200000)
+    assert(out.length === 225)
+    // every exact copy matches its base original at jaccard 1.0
+    (0L until 500L by 4).foreach { d =>
+      val (m, j, v) = byId(d + 100000L)
+      assert(m === Some(d), s"delta ${d + 100000} should match base $d")
+      assert(j === Some(1.0))
+      assert(v === "dup_of_base")
+    }
+    // near-dups (3 appended tokens): banding is probabilistic (collision
+    // prob ≈ 1−(1−s⁴)⁴ ≈ 0.99 at their jaccard), so a FEW may miss
+    // candidate generation — same contract as the full dedup_minhash_lsh.
+    // Those that match must resolve to their base original (min-id
+    // tiebreak beats the equal-jaccard in-batch twin), below 1.0 but
+    // above the 0.5 verify threshold; misses read as 'new'.
+    val nearVerdicts = (0L until 500L by 5).map { d =>
+      val (m, j, v) = byId(d + 200000L)
+      if (v == "dup_of_base") {
+        assert(m === Some(d), s"delta ${d + 200000} should match base $d")
+        assert(j.exists(x => x >= 0.5 && x < 1.0))
+      } else assert(v === "new", s"unexpected verdict $v for ${d + 200000}")
+      v
+    }
+    assert(nearVerdicts.count(_ == "dup_of_base") >= 90,
+      "banding should catch the overwhelming majority of near-dups")
+  }
+
+  test("incremental dedup verdicts agree with the full minhash pair set") {
+    // every (base, delta) pair the FULL dedup finds must also be found by
+    // the incremental path (same bands, same threshold) — the incremental
+    // query is a restriction of the pair set, never a weaker one
+    val full = Dedup.dedupMinhashLsh(spark, SparkTestSession.Sf0001).collect()
+      .filter(r => r.getLong(0) < Dedup.DeltaIdFloor && r.getLong(1) >= Dedup.DeltaIdFloor)
+      .map(r => (r.getLong(1), r.getLong(0))).toSet
+    val inc = Dedup.dedupIncremental(spark, SparkTestSession.Sf0001).collect()
+      .filter(_.getString(3) == "dup_of_base")
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // inc keeps only the BEST match per delta doc; it must be one of full's
+    assert(inc.subsetOf(full))
+    // and every delta doc with any base pair in full got a verdict
+    assert(full.map(_._1).subsetOf(inc.map(_._1)))
+  }
+
   test("429 retry: succeeds after rate-limited attempts without sleeping") {
     var calls = 0
     var slept = 0L

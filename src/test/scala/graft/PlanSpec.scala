@@ -362,4 +362,16 @@ class PlanSpec extends AnyFunSuite {
         s"bloom prune reads unused fact columns: $read")
     }
   }
+
+  test("incremental dedup probes the stored base bands by broadcast, never a shuffled join") {
+    // the delta batch is one crawl — small by definition — so every join
+    // that touches base-corpus-sized data (band probe, verify shingle
+    // fetch) must broadcast the delta-derived side; a SortMergeJoin
+    // anywhere would shuffle the 100 TB base
+    val plan = graft.operators.Dedup.dedupIncremental(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast band probe in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffled join in:\n$plan")
+  }
 }

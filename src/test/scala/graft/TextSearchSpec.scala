@@ -56,4 +56,36 @@ class TextSearchSpec extends AnyFunSuite {
     val scores = out.map(_.getDouble(4))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  // ------------------------------------------------- posting-list serving
+
+  /** games plus a doc whose fields contain the phrase WORDS but never the
+    * phrase — and in DIFFERENT fields — so the per-word posting
+    * intersection admits it as a candidate and the cascade must prune it. */
+  private def phraseGames = games.unionByName(Seq(
+    (8L, 18L, "tower defense", Some("an obby here"), None: Option[String], Some(0L))
+  ).toDF("universeId", "rootPlaceId", "name", "description", "gameplayDescription", "playerCount"))
+
+  private def indexed(g: org.apache.spark.sql.DataFrame, q: String) = {
+    val postings = TextSearch.postingsOf(g)
+    TextSearch.searchIndexedFrames(
+      g, postings, postings.select($"word").distinct(), q, 100)
+  }
+
+  test("indexed single-word search ≡ full-scan search") {
+    val scan = TextSearch.search(phraseGames, "obby", 100).collect().toSeq
+    val idx = indexed(phraseGames, "obby").collect().toSeq
+    assert(idx === scan)
+  }
+
+  test("indexed phrase search ≡ full-scan search; cross-field candidate pruned") {
+    val scan = TextSearch.search(phraseGames, "obby tower", 100).collect().toSeq
+    val idx = indexed(phraseGames, "obby tower").collect().toSeq
+    assert(idx === scan)
+    // doc 1 ("mega obby tower") matches; doc 8 has both words but split
+    // across fields — a candidate, but the cascade must reject it
+    val ids = idx.map(_.getLong(0)).toSet
+    assert(ids.contains(1L))
+    assert(!ids.contains(8L))
+  }
 }
