@@ -221,7 +221,7 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.sig").as("sig"))
   }
 
-  private def bandedCandidates(sh: DataFrame): DataFrame = {
+  private[graft] def bandedCandidates(sh: DataFrame): DataFrame = {
     val banded = bandedSignatures(sh)
     banded.as("x")
       .join(banded.as("y"),
@@ -404,7 +404,13 @@ object Dedup {
     val toks = corpusTokens(spark, dir)
     incrementalVerdictFrames(
       storedBands(spark, dir),
-      shingledOf(toks.filter(col("doc_id") < DeltaIdFloor)),
+      // shingle base docs AFTER the candidate-id prune (ids => frame), so
+      // only docs actually named by a candidate pair are ever shingled —
+      // the 100 TB base contributes a narrow id-pruned token fetch, not a
+      // corpus re-shingle
+      candIds => shingledOf(
+        toks.filter(col("doc_id") < DeltaIdFloor)
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi")),
       // three consumers (banding, both verify sides): persist the small
       // delta shingle frame for the query's duration
       CacheRegistry.persistTracked(
@@ -419,11 +425,22 @@ object Dedup {
     * VersionedState tables — one pipeline, two serve tiers, the postings
     * pattern. Base/in-batch attribution travels WITH the candidate (which
     * generator produced it), so the core never assumes anything about id
-    * ranges. The delta frame feeds three plan branches (banding, both
-    * verify sides): callers persist it for the query's duration and own
-    * the release. */
+    * ranges.
+    *
+    * `fetchBaseShingles` maps a (doc_id) frame of candidate matched ids to
+    * their `(doc_id, hs)` shingle sets — a FUNCTION rather than a frame
+    * because the prune must happen BELOW the shingle computation: Catalyst
+    * does not push a semi-join under a projection, so a pre-shingled
+    * corpus frame would compute every base doc's shingles before the
+    * filter (measured: the ×10 replay's verify stage re-shingled 100% of
+    * the base). The batch query prunes the token fetch; the streaming
+    * maintainer semi-joins its STORED shingle table.
+    *
+    * The delta frame feeds three plan branches (banding, both verify
+    * sides): callers persist it for the query's duration and own the
+    * release. */
   private[graft] def incrementalVerdictFrames(baseBands: DataFrame,
-      baseShingles: DataFrame, deltaSh: DataFrame): DataFrame = {
+      fetchBaseShingles: DataFrame => DataFrame, deltaSh: DataFrame): DataFrame = {
     val deltaBands = bandedSignatures(deltaSh)
     val candBase = baseBands.as("b")
       .join(broadcast(deltaBands).as("d"),
@@ -435,9 +452,9 @@ object Dedup {
         lit(true).as("in_batch"))
     val cand = candBase.unionByName(candDelta).distinct()
 
-    val matchedSh = baseShingles.unionByName(deltaSh)
-      .join(broadcast(cand.select(col("matched_id").as("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
+    val candIds = cand.select(col("matched_id").as("doc_id")).distinct()
+    val matchedSh = fetchBaseShingles(candIds)
+      .unionByName(deltaSh.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
     val verified = cand
       .join(deltaSh.select(col("doc_id").as("delta_id"), col("hs").as("sd")), "delta_id")
       .join(matchedSh.select(col("doc_id").as("matched_id"), col("hs").as("sm")), "matched_id")

@@ -74,10 +74,20 @@ class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
     // persist)
     val deltaSh = Dedup.shingledOf(Dedup.toksOf(batch.toDF()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the verdict pipeline (band probe + verify + window) feeds all three
+    // committed tables; persist its |batch|-row result so the commit's
+    // three writes replay a cached frame instead of re-probing the band
+    // state three times
+    val verdicts = Dedup.incrementalVerdictFrames(
+        currentBands(),
+        // stored shingle sets, narrowed to the candidate ids — no
+        // re-shingling of admitted docs, ever
+        candIds => currentShingles()
+          .join(broadcast(candIds), Seq("doc_id"), "left_semi"),
+        deltaSh)
+      .withColumn("batch_id", lit(batchId))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val verdicts = Dedup.incrementalVerdictFrames(
-          currentBands(), currentShingles(), deltaSh)
-        .withColumn("batch_id", lit(batchId))
       val admitted = verdicts.filter(col("verdict") === "new")
         .select(col("delta_id").as("doc_id"))
       val newSh = deltaSh.join(broadcast(admitted), Seq("doc_id"), "left_semi")
@@ -85,7 +95,10 @@ class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
         "shingles" -> currentShingles().unionByName(newSh),
         "bands" -> currentBands().unionByName(Dedup.bandedSignatures(newSh)),
         "verdicts" -> currentVerdicts().unionByName(verdicts)))
-    } finally deltaSh.unpersist()
+    } finally {
+      verdicts.unpersist()
+      deltaSh.unpersist()
+    }
   }
 
   /** Attach to a stream of crawl docs; one admission round per batch. */

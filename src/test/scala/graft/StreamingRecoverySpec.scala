@@ -333,4 +333,68 @@ class StreamingRecoverySpec extends AnyFunSuite {
     // 3 data batches → v3 exactly; a double-apply would have minted v4
     assert(p2.postingsVersions().max === 3L)
   }
+
+  test("StreamingIncrementalDedup resumes exactly-once from its checkpoint after a crash") {
+    import graft.streaming.StreamingIncrementalDedup
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val base1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val fresh = "completely fresh crawl content with many unseen tokens"
+    val initial = docs(Seq(
+      1L -> base1, 2L -> "one two three four five six seven eight"))
+    // A: a rejected re-crawl + an admitted doc; B: another admitted doc;
+    // C (post-crash): a near-dup of A's ADMITTED doc — its verdict depends
+    // on doc 102 being in the state exactly once
+    val dropA = docs(Seq(101L -> base1, 102L -> fresh))
+    val dropB = docs(Seq(201L -> "unrelated ninth tenth eleventh twelfth words here now"))
+    val dropC = docs(Seq(301L -> (fresh + " plus tail")))
+
+    def stream(dropDir: String) = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+    def stateOf(i: StreamingIncrementalDedup) = (
+      i.currentShingles().select("doc_id").as[Long].collect().sorted.toSeq,
+      i.currentBands().select("doc_id", "band", "sig").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet,
+      i.currentVerdicts().collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]),
+          r.getString(3), r.getLong(4))).sorted.toSeq)
+
+    // reference: all three drops, uninterrupted
+    val refDrop = Files.createTempDirectory("rec-sinc-ref-drops").toString
+    val refIdx = Files.createTempDirectory("rec-sinc-ref-idx").toString
+    val refCkpt = Files.createTempDirectory("rec-sinc-ref-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$refDrop/a")
+    dropB.coalesce(1).write.parquet(s"$refDrop/b")
+    dropC.coalesce(1).write.parquet(s"$refDrop/c")
+    val ref = new StreamingIncrementalDedup(spark, refIdx, initial)
+    runToCompletion(() => ref.start(stream(refDrop), refCkpt), 120000L)
+    val want = stateOf(ref)
+
+    // crashed run: A+B, complete, commit-log crash window, then C. The
+    // replay danger: a double-applied admission would re-judge batch A
+    // against a state that already CONTAINS doc 102 — it would read as
+    // dup_of_base of itself and the verdict log would double-append.
+    val drop = Files.createTempDirectory("rec-sinc-drops").toString
+    val idx = Files.createTempDirectory("rec-sinc-idx").toString
+    val ckpt = Files.createTempDirectory("rec-sinc-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$drop/a")
+    dropB.coalesce(1).write.parquet(s"$drop/b")
+    val d1 = new StreamingIncrementalDedup(spark, idx, initial)
+    runToCompletion(() => d1.start(stream(drop), ckpt), 120000L)
+    crashWindow(ckpt)
+    dropC.coalesce(1).write.parquet(s"$drop/c")
+
+    val d2 = new StreamingIncrementalDedup(spark, idx, initial)
+    runToCompletion(() => d2.start(stream(drop), ckpt), 120000L)
+
+    assert(stateOf(d2) === want,
+      "recovered admission state diverges from the uninterrupted run")
+    // the post-crash near-dup resolved against the admitted doc, once
+    val v301 = d2.currentVerdicts().filter(col("delta_id") === 301L).collect()
+    assert(v301.length === 1)
+    assert(v301.head.getLong(1) === 102L && v301.head.getString(3) === "dup_of_base")
+    // 3 data batches → v3 exactly; a double-apply would have minted v4
+    assert(d2.bandsVersions().max === 3L)
+  }
 }
