@@ -359,7 +359,17 @@ object Dedup {
     * "re-crawl" docs (the +100000 exact copies and +200000 near-dups in
     * [[corpus]]) — the incremental dedup's DELTA batch. Everything below is
     * the BASE corpus (= the documents table), whose band signatures are a
-    * stored artifact. */
+    * stored artifact.
+    *
+    * Valid only while base doc_ids stay below 100000 — the same bound
+    * [[corpus]]'s +100000 re-crawl offsets already impose on every dedup
+    * fixture query (above it the synthetic copies collide with real ids).
+    * Replicated corpora satisfy it up to ×20 of sf0.1's 5000 docs; larger
+    * replay factors must exclude the id-split dedup queries, the same way
+    * the ×100 recall replay excludes the pinned-planes control
+    * (SCALING.md "Known scale limits"). The core
+    * ([[incrementalVerdictFrames]]) carries no floor at all — the
+    * streaming maintainer splits base/delta by state membership, not id. */
   private[graft] val DeltaIdFloor = 100000L
 
   /** The base corpus's banded minhash signatures — what

@@ -26,11 +26,13 @@ import graft.operators.Dedup
   *     fetches, one keep-first verdict row per doc;
   *   - docs with verdict `new` are ADMITTED: their shingle sets and band
   *     signatures append to the state tables. Rejected docs
-  *     (`dup_of_base` / `dup_in_batch`) add NOTHING — state growth is
-  *     bounded by admitted mass, not crawl volume (a re-crawl storm of
-  *     known docs costs verdict compute only);
-  *   - the verdict log appends, stamped with the batch id — the audit
-  *     trail a crawl pipeline reads to account for rejected volume.
+  *     (`dup_of_base` / `dup_in_batch`) add NOTHING to the state — the
+  *     STATE tables grow with admitted mass, not crawl volume (a re-crawl
+  *     storm of known docs costs verdict compute only);
+  *   - every verdict lands in a separate append-only AUDIT LOG (one
+  *     parquet dir per batch — see [[currentVerdicts]]), the trail a
+  *     crawl pipeline reads to account for rejected volume. The log, like
+  *     any log, grows with judged volume; it is never rewritten.
   *
   * Storage is [[VersionedState]]: retry-safe overwrite writes at
   * batchId-derived versions, an atomic commit pointer, keep-last-K
@@ -46,38 +48,77 @@ class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
     val sh = Dedup.shingledOf(Dedup.toksOf(initialDocs))
     state.commit(0L, Map(
       "shingles" -> sh,
-      "bands" -> Dedup.bandedSignatures(sh),
-      "verdicts" -> emptyVerdicts))
+      "bands" -> Dedup.bandedSignatures(sh)))
   }
 
-  private def emptyVerdicts: DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(Seq(
-      StructField("delta_id", LongType), StructField("matched_id", LongType),
-      StructField("jaccard", DoubleType), StructField("verdict", StringType),
-      StructField("batch_id", LongType))))
+  private val verdictSchema = StructType(Seq(
+    StructField("delta_id", LongType), StructField("matched_id", LongType),
+    StructField("jaccard", DoubleType), StructField("verdict", StringType),
+    StructField("batch_id", LongType)))
+
+  private def verdictsDir = s"$baseDir/verdicts"
 
   def currentShingles(): DataFrame = state.read("shingles")
   def currentBands(): DataFrame = state.read("bands")
-  def currentVerdicts(): DataFrame = state.read("verdicts")
+
+  /** The verdict AUDIT LOG — deliberately NOT a VersionedState table: a
+    * log keyed by batch grows with crawl volume (every judged doc leaves a
+    * row), so folding it into the copy-on-write state would rewrite
+    * O(total-judged) per commit and break the state bound. It lives as
+    * one append-only parquet dir per batch, overwrite-idempotent on
+    * replay; retention is the log owner's call (ship/compact/expire),
+    * independent of the state tables' keep-last-K. Reads are pinned to
+    * COMMITTED batches only (`batch_id < latest`), so a crash between the
+    * verdict write and the state commit can never surface a torn batch. */
+  def currentVerdicts(): DataFrame = {
+    val committed = state.latest.getOrElse(0L)
+    val path = new org.apache.hadoop.fs.Path(verdictsDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (committed == 0L || !fs.exists(path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], verdictSchema)
+    else spark.read.option("recursiveFileLookup", "true")
+      .schema(verdictSchema).parquet(verdictsDir)
+      .filter(col("batch_id") < committed)
+  }
 
   /** Judge one micro-batch of `(doc_id, text)` rows against the admitted
     * corpus; admit the new, log every verdict. A batch whose version is
     * already committed (foreachBatch replay after a post-commit failure)
-    * is a no-op — re-running it would double-admit. */
+    * is a no-op — re-running it would double-admit.
+    *
+    * Crawl input is arbitrary, so two redelivery shapes are normalized
+    * before judging (they would otherwise corrupt the state tables —
+    * duplicate doc_ids fan out every later verify join):
+    *
+    *   - the same id twice IN one batch collapses to one row (min(text) —
+    *     deterministic, order-free);
+    *   - an id already IN the admitted state is dropped: it is a
+    *     redelivery, not a new doc (idempotent re-ingest). Ids that were
+    *     previously REJECTED are not in the state and get re-judged — a
+    *     new verdict row per delivery, which is what an audit log wants.
+    *
+    * The already-admitted drop also keeps the base and delta id sets
+    * disjoint — the precondition under which a candidate pair carries
+    * exactly one `in_batch` attribution in [[Dedup.incrementalVerdictFrames]]. */
   def admitBatch(batch: Dataset[Row], batchId: Long): Unit = {
     val target = batchId + 1
     if (state.latest.exists(_ >= target)) return
     if (batch.isEmpty) return
+    val docs = batch.toDF()
+      .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+      // fixture-scale membership probe; at corpus scale this anti-join
+      // wants the same Bloom-filter prune the batch engine ships
+      // (j_bloom_prune) in front of it
+      .join(currentShingles().select(col("doc_id")), Seq("doc_id"), "left_anti")
     // the batch shingle frame feeds banding, both verify sides, and the
     // admission append: persist for the batch's duration, release after
     // the commit (the streaming analogue of the batch query's tracked
     // persist)
-    val deltaSh = Dedup.shingledOf(Dedup.toksOf(batch.toDF()))
+    val deltaSh = Dedup.shingledOf(Dedup.toksOf(docs))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the verdict pipeline (band probe + verify + window) feeds all three
-    // committed tables; persist its |batch|-row result so the commit's
-    // three writes replay a cached frame instead of re-probing the band
-    // state three times
+    // the verdict pipeline (band probe + verify + window) feeds the log
+    // write and both state tables; persist its |batch|-row result so the
+    // writes replay a cached frame instead of re-probing the band state
     val verdicts = Dedup.incrementalVerdictFrames(
         currentBands(),
         // stored shingle sets, narrowed to the candidate ids — no
@@ -88,13 +129,20 @@ class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
       .withColumn("batch_id", lit(batchId))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // a batch that was entirely redeliveries judges nothing: no log
+      // entry, no version minted
+      if (verdicts.isEmpty) return
+      // log BEFORE the state commit: a crash in between replays the batch,
+      // which overwrites this same dir with the identical deterministic
+      // result — exactly-once either way; readers never see it until the
+      // commit lands (currentVerdicts pins batch_id < latest)
+      verdicts.write.mode("overwrite").parquet(s"$verdictsDir/batch-$batchId")
       val admitted = verdicts.filter(col("verdict") === "new")
         .select(col("delta_id").as("doc_id"))
       val newSh = deltaSh.join(broadcast(admitted), Seq("doc_id"), "left_semi")
       state.commit(target, Map(
         "shingles" -> currentShingles().unionByName(newSh),
-        "bands" -> currentBands().unionByName(Dedup.bandedSignatures(newSh)),
-        "verdicts" -> currentVerdicts().unionByName(verdicts)))
+        "bands" -> currentBands().unionByName(Dedup.bandedSignatures(newSh))))
     } finally {
       verdicts.unpersist()
       deltaSh.unpersist()

@@ -89,5 +89,24 @@ class StreamingIncrementalDedupSpec extends AnyFunSuite {
 
     // keep-last-1 retention
     assert(idx.bandsVersions() === Seq(before))
+
+    // crawl input is arbitrary: the same id twice in one batch collapses
+    // to ONE deterministic row (min text) — one verdict, one admission,
+    // exactly 4 band rows; a duplicate would fan out every later verify
+    idx.admitBatch(docsDf(Seq(
+      400L -> "zz duplicate delivery of the very same doc id right here",
+      400L -> "zz duplicate delivery of the very same doc id right here")), batchId = 6L)
+    assert(idx.currentVerdicts().filter(col("delta_id") === 400L).count() === 1L)
+    assert(idx.currentBands().filter(col("doc_id") === 400L).count() === 4L)
+    assert(idx.currentShingles().filter(col("doc_id") === 400L).count() === 1L)
+
+    // an id already ADMITTED is a redelivery, not a new doc: dropped
+    // before judging (idempotent re-ingest — no verdict row, no state
+    // change, no version minted, since the whole batch was redeliveries)
+    val vBefore = idx.bandsVersions().max
+    idx.admitBatch(docsDf(Seq(400L -> "zz changed text under a known id")), batchId = 7L)
+    assert(idx.currentVerdicts().filter(col("batch_id") === 7L).isEmpty)
+    assert(idx.currentBands().filter(col("doc_id") === 400L).count() === 4L)
+    assert(idx.bandsVersions().max === vBefore)
   }
 }
