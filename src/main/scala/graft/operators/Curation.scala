@@ -109,6 +109,58 @@ object Curation {
        |SELECT shard, pos, doc_id FROM p WHERE pos <= 5 ORDER BY shard, pos""".stripMargin
 
   // ---------------------------------------------------------------------
+  // cur_shard_manifest — the reproducibility contract per training shard
+  // ---------------------------------------------------------------------
+
+  /** Per-shard manifest over the [[shuffleShards]] assignment — the
+    * artifact a trainer's data loader VALIDATES before an epoch (and the
+    * thing that catches a silently re-materialized or partially-written
+    * shard): doc count, token count, id range, and a content fingerprint.
+    *
+    * The fingerprint is a bit_xor over a 60-bit md5 prefix per document —
+    * order-INDEPENDENT by choice: xor is commutative/associative, so the
+    * aggregate is mergeable with bounded state and map-side combines like
+    * any sum (one shuffle of 8 narrow rows at any corpus size; an
+    * md5-of-ordered-concat fingerprint would need a per-shard sequential
+    * fold — a collect_list holding the whole shard). Byte ORDER within a
+    * shard is already pinned separately: it is deterministic from (h,
+    * doc_id), and `cur_shuffle_shards` emits the replayable order witness.
+    * A flipped doc, a dropped doc, or a doc swapped across shards all
+    * flip the xor; only a same-shard permutation doesn't, and that cannot
+    * happen without violating the order rule the witness checks. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestOf(Tables.documents(spark, dir))
+
+  private[graft] def shardManifestOf(d: DataFrame): DataFrame = {
+    val h = h32(col("doc_id"), "shuf42")
+    d.select(col("doc_id"), (h % Shards).as("shard"),
+        wsTokens(col("text")).as("n_tok"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("dhp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(dhp)").as("content_xor"))
+      .orderBy(col("shard"))
+  }
+
+  val shardManifestSql: String =
+    s"""WITH k AS (
+       |  SELECT doc_id,
+       |         ${h32Sql("doc_id", "shuf42")} % $Shards AS shard,
+       |         $wsTokensSql AS n_tok,
+       |         CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS dhp
+       |  FROM documents)
+       |SELECT shard, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       |       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+       |       bit_xor(dhp) AS content_xor
+       |FROM k
+       |GROUP BY shard
+       |ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------------
   // cur_pack_chunks — fixed-budget sequence packing (distributed prefix sum)
   // ---------------------------------------------------------------------
 
@@ -1286,6 +1338,7 @@ object Curation {
     "cur_hard_negatives" -> hardNegatives,
     "cur_span_corrupt" -> spanCorrupt,
     "cur_shuffle_shards" -> shuffleShards,
+    "cur_shard_manifest" -> shardManifest,
     "cur_pack_chunks" -> packChunks,
     "cur_stratified_sample" -> stratifiedSample,
     "cur_domain_mix" -> domainMix,
@@ -1303,6 +1356,7 @@ object Curation {
     "cur_hard_negatives" -> hardNegativesSql,
     "cur_span_corrupt" -> spanCorruptSql,
     "cur_shuffle_shards" -> shuffleShardsSql,
+    "cur_shard_manifest" -> shardManifestSql,
     "cur_pack_chunks" -> packChunksSql,
     "cur_stratified_sample" -> stratifiedSampleSql,
     "cur_domain_mix" -> domainMixSql,

@@ -43,6 +43,28 @@ class CurationSpec extends AnyFunSuite {
     assert(a.length === 40)
   }
 
+  test("shard manifest: totals reconcile with the corpus, fingerprint catches a flipped doc") {
+    val docs = graft.io.Tables.documents(spark, dir)
+    val m = Curation.shardManifest(spark, dir).collect()
+    assert(m.length === 8)
+    assert(m.map(_.getLong(1)).sum === docs.count())
+    assert(m.map(_.getLong(2)).sum ===
+      docs.select(sum(size(split(lower(col("text")), "\\s+"))))
+        .head().getLong(0))
+    // one flipped document changes EXACTLY its own shard's content_xor,
+    // with counts unchanged — the validation a loader runs per shard
+    val flipped = Curation.shardManifestOf(
+      docs.withColumn("text",
+        when(col("doc_id") === 7L, concat(col("text"), lit(" corrupted")))
+          .otherwise(col("text"))))
+      .collect()
+    val changed = m.zip(flipped).filter { case (a, b) =>
+      a.getLong(5) != b.getLong(5) }
+    assert(changed.length === 1)
+    // n_docs identical everywhere; n_tokens differs only on that shard
+    assert(m.map(_.getLong(1)).toSeq === flipped.map(_.getLong(1)).toSeq)
+  }
+
   test("pack: distributed prefix sum equals the flat single-window packing") {
     // the scale claim — bucketed cumsum + offsets ≡ one global window
     val d = graft.io.Tables.documents(spark, dir)
