@@ -520,22 +520,106 @@ object Dedup {
        |    JOIN sh_all sm ON sm.doc_id = matched_id)
        |  WHERE jacc >= 0.5)""".stripMargin
 
-  val dedupIncrementalSql: String =
-    s"""WITH $incrementalCtes,
+  /** CTE chain ending in `vrows(delta_id, matched_id, jacc, verdict)` —
+    * shared by the incremental query's oracle and the admission-funnel
+    * report's. */
+  private val incrementalVerdictCtes: String =
+    s"""$incrementalCtes,
        |best AS (
        |  SELECT delta_id, matched_id, jacc FROM (
        |    SELECT delta_id, matched_id, jacc,
        |           row_number() OVER (PARTITION BY delta_id
        |                              ORDER BY jacc DESC, matched_id) AS rn
        |    FROM ver)
-       |  WHERE rn = 1)
-       |SELECT d.doc_id AS delta_id, b.matched_id,
-       |       floor(b.jacc * 10000 + 0.5) / 10000.0 AS jaccard,
-       |       CASE WHEN b.matched_id IS NULL THEN 'new'
-       |            WHEN b.matched_id < $DeltaIdFloor THEN 'dup_of_base'
-       |            ELSE 'dup_in_batch' END AS verdict
-       |FROM corpus_delta d LEFT JOIN best b ON b.delta_id = d.doc_id
+       |  WHERE rn = 1),
+       |vrows AS (
+       |  SELECT d.doc_id AS delta_id, b.matched_id, b.jacc,
+       |         CASE WHEN b.matched_id IS NULL THEN 'new'
+       |              WHEN b.matched_id < $DeltaIdFloor THEN 'dup_of_base'
+       |              ELSE 'dup_in_batch' END AS verdict
+       |  FROM corpus_delta d LEFT JOIN best b ON b.delta_id = d.doc_id)""".stripMargin
+
+  val dedupIncrementalSql: String =
+    s"""WITH $incrementalVerdictCtes
+       |SELECT delta_id, matched_id,
+       |       floor(jacc * 10000 + 0.5) / 10000.0 AS jaccard,
+       |       verdict
+       |FROM vrows
        |ORDER BY delta_id""".stripMargin
+
+  /** The per-crawl ADMISSION FUNNEL — the report a crawl pipeline's
+    * on-call reads after each ingest: crawl size → survivors after the
+    * base-corpus check → survivors after the in-batch check (= admitted),
+    * one row per stage with reduction rate and the KMV estimate of the
+    * same count (the [[Components.dedupPipelineReport]] convention: at
+    * 100 TB funnels report FROM sketches, and KMV's determinism makes the
+    * estimates hash-checkable, not just tolerance-checked). Three 1-row
+    * aggregates over the verdict frame the incremental query already
+    * computes — nothing here costs more than the judging itself. */
+  def dedupIncrementalReport(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = udaf(graft.functions.KmvSketch)
+    def h(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val v = CacheRegistry.persistTracked(dedupIncremental(spark, dir))
+    val s = v.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("verdict") === "dup_of_base", 1L).otherwise(0L)).as("nb"),
+      kmv(h(col("delta_id").cast("string"))).as("k0"))
+    val s1 = v.filter(col("verdict") =!= "dup_of_base")
+      .agg(kmv(h(col("delta_id").cast("string"))).as("k1"))
+    val s2 = v.filter(col("verdict") === "new")
+      .agg(count(lit(1)).as("nn"),
+        kmv(h(col("delta_id").cast("string"))).as("k2"))
+    def stage(no: Long, name: String, in: Column, out: Column, est: Column) =
+      struct(lit(no).as("stage_no"), lit(name).as("stage"),
+        in.as("n_in"), out.as("n_out"), est.as("n_out_kmv"))
+    s.crossJoin(s1).crossJoin(s2)
+      .select(explode(array(
+        stage(1L, "crawl", col("n0"), col("n0"), col("k0")),
+        stage(2L, "vs_base", col("n0"), col("n0") - col("nb"), col("k1")),
+        stage(3L, "in_batch", col("n0") - col("nb"), col("nn"), col("k2")))).as("r"))
+      .select(col("r.stage_no"), col("r.stage"), col("r.n_in"), col("r.n_out"),
+        col("r.n_out_kmv"),
+        // a crawl that is ALL base re-deliveries leaves stage 3 with
+        // n_in = 0: report reduction 0 instead of tripping ANSI's
+        // divide-by-zero
+        when(col("r.n_in") === 0L, 0.0).otherwise(
+          pround(lit(1.0) - col("r.n_out").cast("double") / col("r.n_in"), 4))
+          .as("reduction"))
+      .orderBy(col("stage_no"))
+  }
+
+  val dedupIncrementalReportSql: String =
+    s"""WITH $incrementalVerdictCtes,
+       |v_all AS (SELECT delta_id FROM vrows),
+       |v_nb AS (SELECT delta_id FROM vrows WHERE verdict <> 'dup_of_base'),
+       |v_new AS (SELECT delta_id FROM vrows WHERE verdict = 'new'),
+       |${Components.kmvEstCte("k0", "v_all", "delta_id::VARCHAR")},
+       |${Components.kmvEstCte("k1", "v_nb", "delta_id::VARCHAR")},
+       |${Components.kmvEstCte("k2", "v_new", "delta_id::VARCHAR")},
+       |s AS (
+       |  SELECT count(*) AS n0,
+       |         CAST(sum(CASE WHEN verdict = 'dup_of_base' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |         CAST(sum(CASE WHEN verdict = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS nn
+       |  FROM vrows)
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS BIGINT) AS stage_no, 'crawl' AS stage,
+       |         n0 AS n_in, n0 AS n_out, k0.est AS n_out_kmv,
+       |         CASE WHEN n0 = 0 THEN 0.0
+       |              ELSE floor((1.0 - n0::DOUBLE / n0) * 10000 + 0.5) / 10000.0 END
+       |           AS reduction
+       |  FROM s, k0
+       |  UNION ALL
+       |  SELECT CAST(2 AS BIGINT), 'vs_base', n0, n0 - nb, k1.est,
+       |         CASE WHEN n0 = 0 THEN 0.0
+       |              ELSE floor((1.0 - (n0 - nb)::DOUBLE / n0) * 10000 + 0.5) / 10000.0 END
+       |  FROM s, k1
+       |  UNION ALL
+       |  SELECT CAST(3 AS BIGINT), 'in_batch', n0 - nb, nn, k2.est,
+       |         CASE WHEN n0 - nb = 0 THEN 0.0
+       |              ELSE floor((1.0 - nn::DOUBLE / (n0 - nb)) * 10000 + 0.5) / 10000.0 END
+       |  FROM s, k2)
+       |ORDER BY stage_no""".stripMargin
 
   /** Oracle for `index_build_minhash_bands`: from-scratch base-signature
     * rebuild, summarized. */
@@ -1104,6 +1188,7 @@ object Dedup {
     "dedup_semantic" -> dedupSemantic,
     "dedup_semantic_clean" -> dedupSemanticClean,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_incremental_report" -> dedupIncrementalReport,
     "ann_ivf_label" -> annIvfLabel
   )
 
@@ -1120,6 +1205,7 @@ object Dedup {
     "dedup_semantic" -> dedupSemanticSql,
     "dedup_semantic_clean" -> dedupSemanticCleanSql,
     "dedup_incremental" -> dedupIncrementalSql,
+    "dedup_incremental_report" -> dedupIncrementalReportSql,
     "ann_ivf_label" -> annIvfLabelSql
   )
 }
