@@ -126,6 +126,19 @@ object TextSearch {
     * column-driven, then a per-query top-k window). */
   def searchMany(games: DataFrame, queriesIn: Seq[String], limitPerQuery: Int): DataFrame = {
     val qs = queriesIn.map(_.toLowerCase.trim)
+    val session = games.sparkSession
+    import session.implicits._
+    scoreManyPairs(games.crossJoin(broadcast(qs.toDF("query"))), limitPerQuery)
+  }
+
+  /** The column-driven cascade over an already-paired (game-cols, query)
+    * frame — factored out of [[searchMany]] so the indexed batch path can
+    * feed CANDIDATE pairs instead of the full cross join. The per-query
+    * rank is computed within whatever pairs arrive; that is sound for the
+    * indexed caller because its candidate set is a superset of the
+    * matches per query (the [[searchIndexedFrames]] argument), so the
+    * post-filter rows — and hence the ranks — are identical. */
+  private def scoreManyPairs(paired: DataFrame, limitPerQuery: Int): DataFrame = {
     val pop = popularityFactor(col("playerCount"))
     val nameL = lower(col("name"))
     val descL = lower(coalesce(col("description"), lit("")))
@@ -152,10 +165,7 @@ object TextSearch {
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query")).orderBy(desc("score"), col("universeId"))
-    val session = games.sparkSession
-    import session.implicits._
-    games
-      .crossJoin(broadcast(qs.toDF("query")))
+    paired
       .withColumn("matchType",
         when(titleCond, "title").when(descCond, "description")
           .when(gpCond, "gameplayDescription"))
@@ -167,6 +177,28 @@ object TextSearch {
       .select(col("query"), col("universeId"), col("matchType"),
         col("rank").cast("long").as("rank"), pround(col("score"), 2).as("relevanceScore"))
       .orderBy(col("query"), col("rank"))
+  }
+
+  /** Index-served BATCH search: per-query candidate ids from the posting
+    * intersection (queries are plan-time literals, so each word's
+    * dictionary probe is a broadcast), unioned into (query, universeId)
+    * candidate pairs, then the UNCHANGED column-driven cascade. Replaces
+    * the games × queries cross join with |candidates| pairs — at 100 TB
+    * the cross join scores every doc against every query, while this
+    * scores only docs that can match. Identical rows to [[searchMany]]
+    * (shared oracle). */
+  def searchManyIndexed(games: DataFrame, postings: DataFrame,
+      dictionary: DataFrame, queriesIn: Seq[String], limitPerQuery: Int): DataFrame = {
+    val session = games.sparkSession
+    import session.implicits._
+    val cand = queriesIn.map(_.toLowerCase.trim).map { q =>
+      q.split("\\s+").toSeq.map { w =>
+        postings
+          .join(broadcast(dictionary.filter(col("word").contains(w))), Seq("word"))
+          .select(col("universeId")).distinct()
+      }.reduce(_ intersect _).withColumn("query", lit(q))
+    }.reduce(_ unionByName _)
+    scoreManyPairs(games.join(cand, Seq("universeId")), limitPerQuery)
   }
 
   private def batchOracle(qs: Seq[String], limit: Int): String = {
@@ -313,6 +345,10 @@ object TextSearch {
   def searchBatch(spark: SparkSession, dir: String): DataFrame =
     searchMany(Tables.games(spark, dir), BatchQueries, 5)
 
+  def searchBatchIndexed(spark: SparkSession, dir: String): DataFrame =
+    searchManyIndexed(Tables.games(spark, dir), storedPostings(spark, dir),
+      storedDictionary(spark, dir), BatchQueries, 5)
+
   /** Single-word query: broad match, exercises the full cascade. */
   def searchSingleWord(spark: SparkSession, dir: String): DataFrame =
     search(Tables.games(spark, dir), "merge", 10)
@@ -326,7 +362,8 @@ object TextSearch {
     "f6_text_search_phrase" -> searchPhrase,
     "f6_text_search_batch" -> searchBatch,
     "f6_text_search_indexed" -> searchIndexed,
-    "f6_text_search_phrase_indexed" -> searchIndexedPhrase
+    "f6_text_search_phrase_indexed" -> searchIndexedPhrase,
+    "f6_text_search_batch_indexed" -> searchBatchIndexed
   )
 
   val oracles: Map[String, String] = Map(
@@ -336,6 +373,7 @@ object TextSearch {
     // the point of the index: IDENTICAL results to the scan queries — each
     // indexed variant literally shares its scan twin's oracle SQL
     "f6_text_search_indexed" -> oracleFor("merge", 10),
-    "f6_text_search_phrase_indexed" -> oracleFor("table value", 10)
+    "f6_text_search_phrase_indexed" -> oracleFor("table value", 10),
+    "f6_text_search_batch_indexed" -> batchOracle(BatchQueries, 5)
   )
 }

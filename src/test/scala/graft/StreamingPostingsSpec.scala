@@ -53,8 +53,10 @@ class StreamingPostingsSpec extends AnyFunSuite {
       rebuilt.map(_._2))
 
     // indexed serving off the committed version ≡ the full-scan cascade on
-    // the final snapshot (same guarantee f6_text_search_indexed pins)
-    for (q <- Seq("merge", "uniqnewname", "desc2", "arena")) {
+    // the final snapshot (same guarantee f6_text_search_indexed pins);
+    // "merge empire" exercises the multi-word posting-intersection path
+    // the server inherits from searchIndexedFrames
+    for (q <- Seq("merge", "uniqnewname", "desc2", "arena", "merge empire")) {
       val servedRows = idx.searchCurrent(q, 10).collect().toSeq
       val scanRows = TextSearch.search(fin, q, 10).collect().toSeq
       assert(servedRows === scanRows, s"query '$q'")

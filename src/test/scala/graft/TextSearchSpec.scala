@@ -78,6 +78,15 @@ class TextSearchSpec extends AnyFunSuite {
     assert(idx === scan)
   }
 
+  test("indexed batch search ≡ cross-join batch search (mixed single- and multi-word queries)") {
+    val qs = Seq("obby", "obby tower", "racing")
+    val scan = TextSearch.searchMany(phraseGames, qs, 5).collect().toSeq
+    val postings = TextSearch.postingsOf(phraseGames)
+    val idx = TextSearch.searchManyIndexed(phraseGames, postings,
+      postings.select($"word").distinct(), qs, 5).collect().toSeq
+    assert(idx === scan)
+  }
+
   test("indexed phrase search ≡ full-scan search; cross-field candidate pruned") {
     val scan = TextSearch.search(phraseGames, "obby tower", 100).collect().toSeq
     val idx = indexed(phraseGames, "obby tower").collect().toSeq
