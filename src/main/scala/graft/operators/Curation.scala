@@ -131,19 +131,32 @@ object Curation {
   def shardManifest(spark: SparkSession, dir: String): DataFrame =
     shardManifestOf(Tables.documents(spark, dir))
 
-  private[graft] def shardManifestOf(d: DataFrame): DataFrame = {
+  /** The manifest's pre-aggregation projection — shared with
+    * [[graft.streaming.StreamingShardManifest]] (one expression tree, so
+    * streamed ≡ batch is a shared-definition fact, the StreamingProfile /
+    * StreamingCms convention). */
+  private[graft] def manifestRows(d: DataFrame): DataFrame = {
     val h = h32(col("doc_id"), "shuf42")
     d.select(col("doc_id"), (h % Shards).as("shard"),
-        wsTokens(col("text")).as("n_tok"),
-        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("dhp"))
-      .groupBy(col("shard"))
+      wsTokens(col("text")).as("n_tok"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("dhp"))
+  }
+
+  /** The manifest aggregate: every column is commutative/associative
+    * (count, sum, min, max, xor) — mergeable with bounded state, which is
+    * both the 100 TB map-side-combine property AND what lets the same
+    * aggregation run under complete-mode streaming with [[Shards]] rows
+    * of state. */
+  private[graft] def manifestAgg(rows: DataFrame): DataFrame =
+    rows.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tok")).as("n_tokens"),
         min(col("doc_id")).as("min_doc_id"),
         max(col("doc_id")).as("max_doc_id"),
         expr("bit_xor(dhp)").as("content_xor"))
-      .orderBy(col("shard"))
-  }
+
+  private[graft] def shardManifestOf(d: DataFrame): DataFrame =
+    manifestAgg(manifestRows(d)).orderBy(col("shard"))
 
   val shardManifestSql: String =
     s"""WITH k AS (
