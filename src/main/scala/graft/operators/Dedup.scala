@@ -205,15 +205,23 @@ object Dedup {
     * projection — the per-document LSH keys. Factored out of
     * [[bandedCandidates]] so the INCREMENTAL path can materialize the base
     * corpus's signatures once ([[bandsFrame]] / `index_build_minhash_bands`)
-    * and join only a new batch's signatures against them. */
-  private[graft] def bandedSignatures(sh: DataFrame): DataFrame = {
+    * and join only a new batch's signatures against them.
+    *
+    * The (bands, rowsPerBand) dial defaults to the pinned 4×4 every
+    * oracle query uses; [[graft.tools.BandSweep]] drives the other
+    * partitions of the 16 hashes to measure the collision-probability
+    * trade the defaults buy (SCALING.md "The banding dial"). */
+  private[graft] def bandedSignatures(sh: DataFrame,
+      bands: Int = NumBands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(bands * rowsPerBand <= NumHashes,
+      s"banding $bands x $rowsPerBand exceeds the $NumHashes computed hashes")
     val withMharr = sh.withColumn("mharr", ArrayExpressions.affineMinHash(
       col("hs"), seeds.map(_._1), seeds.map(_._2), MinhashPrime))
     val mhCols = seeds.indices.map(j => element_at(col("mharr"), j + 1).as(s"mh_$j"))
     val withMh = withMharr.select(col("doc_id") +: mhCols: _*)
-    val bandStructs = (0 until NumBands).map { k =>
+    val bandStructs = (0 until bands).map { k =>
       val sig = md5(concat_ws(",",
-        (0 until RowsPerBand).map(i => col(s"mh_${k * RowsPerBand + i}").cast("string")): _*))
+        (0 until rowsPerBand).map(i => col(s"mh_${k * rowsPerBand + i}").cast("string")): _*))
       struct(lit(k).as("band"), sig.as("sig"))
     }
     withMh
