@@ -1283,6 +1283,104 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  // ---------------------------------------------------------------------
+  // cur_token_shards — tokenize with the LEARNED vocabulary, pack into
+  // fixed-length training sequences (the end product a trainer reads)
+  // ---------------------------------------------------------------------
+
+  /** Tokens per packed training sequence. Production runs 2k–8k; the
+    * construction is length-independent. */
+  private val SeqLen = 512L
+
+  /** The end of the pipeline: the per-SEQUENCE manifest of the packed
+    * training set. [[packChunks]] packs by whitespace token counts and
+    * assigns each doc wholly to its starting chunk; this is the real
+    * thing — per-doc token counts come from the STORED BPE vocabulary
+    * (`index_build_bpe`'s artifact, broadcast-joined exactly like
+    * [[bpeFertility]]), documents are laid end-to-end in seeded-shuffle
+    * order via the same distributed prefix sum, and every [[SeqLen]]-token
+    * cut yields one row: how many documents overlap the sequence, how many
+    * of its tokens are mid-document continuation carried over the cut
+    * (`carry_tokens` — the attention-masking / boundary-waste stat a
+    * pretraining team watches), and the token count (= [[SeqLen]]
+    * everywhere but the tail).
+    * A document spanning a cut contributes to every sequence it overlaps
+    * (the [[chunkOverlap]] integer-lattice explode — map-only, ≤
+    * ⌈len/SeqLen⌉+1 rows per doc). 100 TB shape: one broadcast join
+    * (vocab, a few MB), one map-side-combined per-doc agg, the
+    * [[PackBuckets]]-bounded prefix sum, and one final per-sequence agg —
+    * no corpus-wide sort, no single-partition window. */
+  def tokenShards(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = storedBpeVocab(spark, dir)
+      .select(col("word"), size(split(col("seq"), " ")).cast("long").as("w_tok"))
+    val h = h32(col("doc_id"), "shuf42")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(vocab), "word")
+      .groupBy(col("doc_id")).agg(sum(col("w_tok")).as("n_tok"))
+      .select(col("doc_id"), h.as("h"), floor(h / BucketShift).as("bucket"),
+        col("n_tok"))
+
+    val intraW = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withIntra = docs.withColumn("intra", sum(col("n_tok")).over(intraW))
+    val offW = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tok")).as("tot"))
+      .withColumn("off", sum(col("tot")).over(offW) - col("tot"))
+      .select(col("bucket"), col("off"))
+
+    withIntra
+      .join(broadcast(offsets), "bucket")
+      .withColumn("start", col("off") + col("intra") - col("n_tok"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("start") / SeqLen).cast("long"),
+        floor((col("start") + col("n_tok") - 1) / SeqLen).cast("long"))))
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("start") < col("seq_id") * SeqLen,
+          least(col("start") + col("n_tok"), (col("seq_id") + 1) * SeqLen)
+            - col("seq_id") * SeqLen).otherwise(0L)).as("carry_tokens"),
+        sum(least(col("start") + col("n_tok"), (col("seq_id") + 1) * SeqLen)
+          - greatest(col("start"), col("seq_id") * SeqLen)).as("n_tokens"))
+      .orderBy(col("seq_id"))
+  }
+
+  // lazy: bpeCtesSql is declared below (the BPE section groups its oracle
+  // helpers together); object-init order would otherwise read it as null
+  lazy val tokenShardsSql: String =
+    s"""WITH $bpeCtesSql,
+       |wt AS (SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS w_tok
+       |       FROM v$BpeMerges),
+       |dt AS (SELECT dw.doc_id, CAST(sum(wt.w_tok) AS BIGINT) AS n_tok
+       |       FROM (SELECT doc_id,
+       |               unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |             FROM documents) dw
+       |       JOIN wt ON dw.word = wt.word
+       |       WHERE dw.word != '' GROUP BY dw.doc_id),
+       |c AS (SELECT doc_id, n_tok,
+       |        sum(n_tok) OVER (ORDER BY ${h32Sql("doc_id", "shuf42")}, doc_id
+       |                         ROWS UNBOUNDED PRECEDING) - n_tok AS start
+       |      FROM dt),
+       |s AS (SELECT unnest(generate_series(
+       |               CAST(floor(start / $SeqLen) AS BIGINT),
+       |               CAST(floor((start + n_tok - 1) / $SeqLen) AS BIGINT)))
+       |               AS seq_id,
+       |             doc_id, n_tok, start
+       |      FROM c)
+       |SELECT seq_id, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN start < seq_id * $SeqLen
+       |                     THEN LEAST(start + n_tok, (seq_id + 1) * $SeqLen)
+       |                          - seq_id * $SeqLen
+       |                     ELSE 0 END) AS BIGINT) AS carry_tokens,
+       |       CAST(sum(LEAST(start + n_tok, (seq_id + 1) * $SeqLen)
+       |                - GREATEST(start, seq_id * $SeqLen)) AS BIGINT)
+       |         AS n_tokens
+       |FROM s GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   /** The K greedy merges unrolled as chained MATERIALIZED CTEs (one
     * pair-count + argmax + replace stage per step; scalar subqueries carry
     * the argmax into the replaces — MATERIALIZED so DuckDB evaluates each
@@ -1343,6 +1441,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_bpe_fertility" -> bpeFertility,
+    "cur_token_shards" -> tokenShards,
     "cur_pipeline_report" -> curPipelineReport,
     "cur_chunk_overlap" -> chunkOverlap,
     "cur_priority_sample" -> prioritySample,
@@ -1361,6 +1460,7 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "cur_bpe_fertility" -> bpeFertilitySql,
+    "cur_token_shards" -> tokenShardsSql,
     "cur_pipeline_report" -> curPipelineReportSql,
     "cur_chunk_overlap" -> chunkOverlapSql,
     "cur_priority_sample" -> prioritySampleSql,

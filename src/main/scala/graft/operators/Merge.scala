@@ -178,7 +178,8 @@ object Merge {
       spark: SparkSession, tablePath: String,
       initial: DataFrame, freshRounds: Seq[DataFrame], key: String,
       overwriteCols: Seq[String], coalesceCols: Seq[String], keepCols: Seq[String],
-      buckets: Int, hooks: IncHooks = IncHooks.none): Seq[IncRoundStats] = {
+      buckets: Int, hooks: IncHooks = IncHooks.none,
+      retainVersions: Int = 1): Seq[IncRoundStats] = {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
@@ -200,7 +201,7 @@ object Merge {
     commitManifest(fs, table, 0, initialBuckets.map(_ -> 0).toMap)
     freshRounds.map(fresh0 =>
       upsertRound(spark, tablePath, fresh0, key,
-        overwriteCols, coalesceCols, keepCols, buckets, hooks))
+        overwriteCols, coalesceCols, keepCols, buckets, hooks, retainVersions))
   }
 
   /** One incremental round against an EXISTING manifest-committed table —
@@ -211,7 +212,8 @@ object Merge {
   def upsertRound(
       spark: SparkSession, tablePath: String, fresh0: DataFrame, key: String,
       overwriteCols: Seq[String], coalesceCols: Seq[String], keepCols: Seq[String],
-      buckets: Int, hooks: IncHooks = IncHooks.none): IncRoundStats = {
+      buckets: Int, hooks: IncHooks = IncHooks.none,
+      retainVersions: Int = 1): IncRoundStats = {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
@@ -245,11 +247,97 @@ object Merge {
     val committed = current ++ touched.map(_ -> round)
     commitManifest(fs, table, round, committed)
     hooks.afterCommit(round)
-    // GC the replaced generations (post-commit; a crash here only leaves
-    // stale dirs the reader already ignores)
-    touched.foreach(b => current.get(b).foreach(g => fs.delete(genPath(b, g), true)))
+    sweepRetention(fs, table, round, retainVersions)
     val tableBytes = committed.map { case (b, g) => dirBytes(genPath(b, g)) }.sum
     IncRoundStats(round, touched.length, buckets, rewritten, tableBytes)
+  }
+
+  /** Retention sweep (post-commit; a crash here only leaves stale dirs
+    * the reader already ignores): keep every generation referenced by one
+    * of the `retainVersions` newest manifests — those versions stay
+    * time-travel-readable via [[readTableAt]] — and delete everything
+    * else (replaced generations AND crashed-attempt leftovers), plus the
+    * expired manifests themselves. retainVersions=1 is the plain-GC
+    * behavior; the sweep is O(buckets) driver fs calls, the same order as
+    * the manifest write. At 100 TB this is a lake format's VACUUM with a
+    * version-count retention policy. */
+  private def sweepRetention(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
+      round: Int, retainVersions: Int): Unit = {
+    val keepFrom = math.max(0, round - retainVersions + 1)
+    // intersect with what's on disk: an earlier tighter retention may have
+    // already pruned the low end of the window
+    val live: Set[(Int, Int)] = committedVersions(fs, table)
+      .filter(v => v >= keepFrom && v <= round)
+      .flatMap(v => readManifestAt(fs, table, v).toSeq).toSet
+    fs.listStatus(table).filter(_.getPath.getName.startsWith("bucket="))
+      .foreach { bs =>
+        val b = bs.getPath.getName.stripPrefix("bucket=").toInt
+        fs.listStatus(bs.getPath).filter(_.getPath.getName.startsWith("gen="))
+          .foreach { gs =>
+            val g = gs.getPath.getName.stripPrefix("gen=").toInt
+            if (!live.contains((b, g))) fs.delete(gs.getPath, true)
+          }
+      }
+    fs.listStatus(manifestDir(table)).map(_.getPath)
+      .filter(p => p.getName.startsWith("manifest-v") &&
+        p.getName.stripPrefix("manifest-v").toInt < keepFrom)
+      .foreach(p => fs.delete(p, false))
+  }
+
+  /** Per-bucket accounting of [[compact]] — files before/after, so the
+    * small-file claim is a measurement. */
+  final case class CompactStats(
+      version: Int, buckets: Int, filesBefore: Long, filesAfter: Long)
+
+  /** OPTIMIZE / small-file compaction: rewrite every committed bucket
+    * whose gen dir holds more than `targetFiles` data files into a single
+    * new-generation file, and commit the result as a NEW manifest version.
+    * Contents are untouched — compaction is a pure layout change, which is
+    * exactly what the hash gate on `j1_merge_compact` proves (same oracle
+    * as the incremental merge). Buckets already at ≤ `targetFiles` keep
+    * their generation (their manifest entry is carried over unchanged), so
+    * repeated compaction is a no-op — and crash-safe for free: the new
+    * files land as an uncommitted generation until the one-file manifest
+    * rename, the same commit point every merge round uses.
+    *
+    * Why it matters at 100 TB: each incremental round appends a
+    * shuffle-partition's worth of files per touched bucket; after 10⁴
+    * rounds a hot bucket holds 10⁴ small files and every read pays the
+    * per-file open cost. Periodic compaction bounds files-per-bucket
+    * without ever blocking readers (old versions stay readable through
+    * retention). The rewrite is per-bucket parallel Spark work — one
+    * partition-pruned read + one single-file write per oversized bucket. */
+  def compact(spark: SparkSession, tablePath: String,
+      targetFiles: Int = 1, retainVersions: Int = 1): CompactStats = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(hc)
+    def genPath(b: Int, g: Int) =
+      new org.apache.hadoop.fs.Path(table, s"bucket=$b/gen=$g")
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long =
+      if (!fs.exists(p)) 0L
+      else fs.listStatus(p).count(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")).toLong
+    val (version, current) = readManifest(fs, table)
+    val round = version + 1
+    val oversized = current.filter { case (b, g) => dataFiles(genPath(b, g)) > targetFiles }
+    val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
+    if (oversized.isEmpty) // already compact — don't burn a version
+      return CompactStats(version, 0, filesBefore, filesBefore)
+    oversized.toSeq.sorted.foreach { case (b, g) =>
+      val dst = genPath(b, round)
+      fs.delete(dst, true) // uncommitted leftover of a crashed attempt
+      spark.read.option("basePath", tablePath).parquet(s"$tablePath/bucket=$b/gen=$g")
+        .drop("bucket", "gen").coalesce(targetFiles)
+        .write.parquet(dst.toString)
+    }
+    val committed = current ++ oversized.keys.map(_ -> round)
+    commitManifest(fs, table, round, committed)
+    sweepRetention(fs, table, round, retainVersions)
+    val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
+    CompactStats(round, oversized.size, filesBefore, filesAfter)
   }
 
   private def manifestDir(table: org.apache.hadoop.fs.Path) =
@@ -277,17 +365,45 @@ object Merge {
   private def readManifest(
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path)
       : (Int, Map[Int, Int]) = {
-    val dir = manifestDir(table)
-    val versions = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.startsWith("manifest-v")).map(_.stripPrefix("manifest-v").toInt)
-    require(versions.nonEmpty, s"no committed manifest under $dir")
+    val versions = committedVersions(fs, table)
+    require(versions.nonEmpty, s"no committed manifest under ${manifestDir(table)}")
     val v = versions.max
-    val in = fs.open(new org.apache.hadoop.fs.Path(dir, s"manifest-v$v"))
+    (v, readManifestAt(fs, table, v))
+  }
+
+  /** Every version still retained on disk (ascending) — the time-travel
+    * window [[readTableAt]] accepts. */
+  private def committedVersions(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path)
+      : Seq[Int] = {
+    val dir = manifestDir(table)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("manifest-v")).map(_.stripPrefix("manifest-v").toInt)
+      .sorted
+  }
+
+  /** One specific committed manifest's bucket → gen map. */
+  private def readManifestAt(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
+      version: Int): Map[Int, Int] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"manifest-v$version")
+    require(fs.exists(p),
+      s"version $version is expired or never committed (retained: " +
+        s"${committedVersions(fs, table).mkString(",")})")
+    val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    (v, text.linesIterator.filter(_.nonEmpty).map { l =>
+    text.linesIterator.filter(_.nonEmpty).map { l =>
       val Array(b, g) = l.split(','); b.toInt -> g.toInt
-    }.toMap)
+    }.toMap
+  }
+
+  /** The versions of `tablePath` that are still time-travel-readable
+    * (bounded by the writer's `retainVersions`). */
+  def tableVersions(spark: SparkSession, tablePath: String): Seq[Int] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    committedVersions(table.getFileSystem(spark.sparkContext.hadoopConfiguration), table)
   }
 
   /** The manifest-aware reader — the ONLY correct way to read the
@@ -299,8 +415,96 @@ object Merge {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (_, state) = readManifest(fs, table)
+    loadState(spark, tablePath, state)
+  }
+
+  /** TIME TRAVEL: read `tablePath` exactly as it stood when `version` was
+    * committed. Works for any version the writer's `retainVersions` still
+    * keeps on disk (the sweep deletes expired manifests together with the
+    * generations only they reference, so a retained manifest's paths are
+    * guaranteed present). Each manifest is an immutable, self-contained
+    * bucket → gen map — historical reads cost the same as current reads
+    * and never block the writer, exactly a lake format's `VERSION AS OF`.
+    * At 100 TB this is how a training run pins its input: record the
+    * manifest version at kickoff and every re-read (resume, audit,
+    * repro) sees byte-identical data regardless of later merges. */
+  def readTableAt(spark: SparkSession, tablePath: String, version: Int): DataFrame = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    loadState(spark, tablePath, readManifestAt(fs, table, version))
+  }
+
+  private def loadState(
+      spark: SparkSession, tablePath: String, state: Map[Int, Int]): DataFrame = {
     val paths = state.toSeq.sorted.map { case (b, g) => s"$tablePath/bucket=$b/gen=$g" }
     spark.read.option("basePath", tablePath).parquet(paths: _*)
+  }
+
+  /** Buckets whose generation differs between two committed versions —
+    * the manifest diff that prices a CDC read. O(buckets) driver-side map
+    * compare; no data touched. */
+  def changedBucketsBetween(spark: SparkSession, tablePath: String,
+      fromVersion: Int, toVersion: Int): Seq[Int] = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = readManifestAt(fs, table, fromVersion)
+    val m2 = readManifestAt(fs, table, toVersion)
+    m2.collect { case (b, g) if !m1.get(b).contains(g) => b }.toSeq.sorted
+  }
+
+  /** CHANGE DATA FEED: every row-level change between two committed
+    * versions — `op` ∈ (`insert`, `update`) plus the post-image columns
+    * (merge-upserts never delete, so there is no `delete` op to emit).
+    *
+    * The lake-native part is WHAT IT READS: the manifest diff names the
+    * buckets whose generation changed, and only those gen dirs are opened
+    * — for both versions. Buckets outside the diff CANNOT hold changes
+    * (the bucket function is on the merge key, so a key's row lives in
+    * one bucket across all versions), which makes the read's cost
+    * ∝ changed buckets, not table size: a 10³-key batch against a
+    * 10⁵-bucket 100 TB table answers "what changed?" by scanning ≈ 1 ‰
+    * of the data. This is Delta's change-data-feed / Iceberg's
+    * incremental-read contract, derived here from the same manifests that
+    * already give time travel — no extra write-path bookkeeping at all.
+    * Within the diff, rewritten-but-identical rows (neighbors of a
+    * changed key sharing its bucket, or compaction's pure layout rewrites)
+    * are filtered by a null-safe column compare, so a compact-only
+    * version emits ZERO changes (MergeSpec pins this). The join shuffles
+    * only the changed buckets' rows, hash-partitioned on the key.
+    *
+    * Contract (MergeSpec-pinned): applying the feed to the `from`
+    * snapshot — overwrite-all-columns upsert of the post-images —
+    * reproduces the `to` snapshot exactly. */
+  def readChanges(spark: SparkSession, tablePath: String,
+      fromVersion: Int, toVersion: Int, key: String): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m1 = readManifestAt(fs, table, fromVersion)
+    val m2 = readManifestAt(fs, table, toVersion)
+    val changed = m2.filter { case (b, g) => !m1.get(b).contains(g) }
+    val dataCols = (c: DataFrame) =>
+      c.columns.filterNot(n => n == key || n == "bucket" || n == "gen").toSeq
+    if (changed.isEmpty) {
+      val empty = loadState(spark, tablePath, m2).limit(0)
+      return empty.select(col(key) +: lit("insert").as("op") +:
+        dataCols(empty).map(col): _*)
+    }
+    val newSide = loadState(spark, tablePath, changed).drop("bucket", "gen")
+    val oldEntries = m1.filter { case (b, _) => changed.contains(b) }
+    val oldSide = (if (oldEntries.isEmpty) newSide.limit(0)
+      else loadState(spark, tablePath, oldEntries).drop("bucket", "gen"))
+    val cols = dataCols(newSide)
+    val n = newSide.alias("n")
+    val o = oldSide.alias("o")
+    val differs = cols.map(c => !(col(s"n.$c") <=> col(s"o.$c")))
+      .reduce(_ || _)
+    n.join(o, col(s"n.$key") === col(s"o.$key"), "left_outer")
+      .filter(col(s"o.$key").isNull || differs)
+      .select(col(s"n.$key").as(key) +:
+        when(col(s"o.$key").isNull, "insert").otherwise("update").as("op") +:
+        cols.map(c => col(s"n.$c").as(c)): _*)
   }
 
   private val IncBuckets = 16
@@ -382,12 +586,22 @@ object Merge {
       .orderBy(col("universeId"))
   }
 
-  val mergeIncrementalSql: String = OracleViews.withGames(
+  /** The first `rounds` incremental batches unrolled as global full-outer
+    * merges — the shared oracle body for the final table
+    * ([[mergeIncrementalSql]], rounds = [[IncRounds]]) and the
+    * time-travel read ([[mergeTimeTravelSql]], rounds =
+    * [[TimeTravelVersion]]): version v of the incremental table IS by
+    * construction the first v merges applied, so the historical read's
+    * oracle is the same recursion stopped early. */
+  /** The CTE chain `existing, f1..fr, m1..mr` shared by every oracle that
+    * reasons about merge history: `m$r` is the table exactly as version
+    * `r` commits it. */
+  private def mergeCtesSql(rounds: Int): String =
     s""", existing AS (SELECT universeId, rootPlaceId, name, description,
        |                      gameplayDescription, playerCount
        |               FROM games WHERE universeId % 3 <> 1),
-       |${(1 to IncRounds).map(freshRoundSql).mkString(",\n")},
-       |${(1 to IncRounds).map { r =>
+       |${(1 to rounds).map(freshRoundSql).mkString(",\n")},
+       |${(1 to rounds).map { r =>
            val prev = if (r == 1) "existing" else s"m${r - 1}"
            s"""m$r AS (SELECT coalesce(e.universeId, f.universeId) AS universeId,
               |  CASE WHEN f.universeId IS NOT NULL THEN f.rootPlaceId ELSE e.rootPlaceId END AS rootPlaceId,
@@ -396,18 +610,150 @@ object Merge {
               |  e.gameplayDescription AS gameplayDescription,
               |  CASE WHEN f.universeId IS NOT NULL THEN f.playerCount ELSE e.playerCount END AS playerCount
               |FROM $prev e FULL OUTER JOIN f$r f ON e.universeId = f.universeId)""".stripMargin
-         }.mkString(",\n")}
-       |SELECT * FROM m$IncRounds ORDER BY universeId""".stripMargin)
+         }.mkString(",\n")}""".stripMargin
+
+  private def unrolledMergeSql(rounds: Int): String = OracleViews.withGames(
+    s"""${mergeCtesSql(rounds)}
+       |SELECT * FROM m$rounds ORDER BY universeId""".stripMargin)
+
+  val mergeIncrementalSql: String = unrolledMergeSql(IncRounds)
+
+  /** The historical version `j1_merge_time_travel` reads — mid-history
+    * (after round 2 of [[IncRounds]]), so the read provably ignores BOTH
+    * a newer committed version and the initial state. */
+  private val TimeTravelVersion = 2
+
+  /** `j1_merge_time_travel`: the VERSION-AS-OF gate. Runs the same
+    * [[IncRounds]]-round incremental merge with `retainVersions` covering
+    * the whole history (a rebuild is skipped when a complete committed
+    * history is already on disk — every version is immutable once
+    * committed, so reuse is sound), then reads version
+    * [[TimeTravelVersion]] via [[readTableAt]] and hash-compares it
+    * against the oracle's first-two-merges unroll. Together with
+    * `j1_merge_incremental` (latest version ≡ all merges) this pins the
+    * full lake contract: every retained manifest is a consistent,
+    * reproducible snapshot — the property a training run relies on when
+    * it pins its input version. */
+  /** Build (or reuse) the full-history incremental table both history
+    * readers serve from — every version 0..[[IncRounds]] retained. Reuse
+    * is sound: versions are immutable once committed, so a complete
+    * on-disk history needs no rebuild. */
+  private def ensureHistoryTable(spark: SparkSession, dir: String): String = {
+    val base = new java.io.File(dir).getName
+    val tablePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-merge-tt/$base/games"
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (committedVersions(fs, table).toList != (0 to IncRounds).toList) {
+      upsertIncrementalRounds(
+        spark, tablePath,
+        existingSnapshot(spark, dir),
+        (1 to IncRounds).map(freshRound(spark, dir, _)), "universeId",
+        overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+        coalesceCols = Seq("description"),
+        keepCols = Seq("gameplayDescription"),
+        buckets = IncBuckets, retainVersions = IncRounds + 1)
+    }
+    tablePath
+  }
+
+  def mergeTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val tablePath = ensureHistoryTable(spark, dir)
+    readTableAt(spark, tablePath, TimeTravelVersion)
+      .select(col("universeId"), col("rootPlaceId"), col("name"),
+        col("description"), col("gameplayDescription"), col("playerCount"))
+      .orderBy(col("universeId"))
+  }
+
+  val mergeTimeTravelSql: String = unrolledMergeSql(TimeTravelVersion)
+
+  /** The CDC window `j1_merge_changes` reads: version 1 → [[IncRounds]],
+    * so the feed must merge changes ACROSS rounds (a key touched in
+    * rounds 2 and 3 emits one row with round 3's post-image) while
+    * excluding round 1's — the oracle compares the two snapshot CTEs
+    * directly, which encodes exactly that. */
+  private val ChangesFromVersion = 1
+
+  /** `j1_merge_changes`: the CHANGE-DATA-FEED gate. Reads the row-level
+    * diff between committed versions [[ChangesFromVersion]] and
+    * [[IncRounds]] of the history table via [[readChanges]] (manifest-diff
+    * bucket pruning + null-safe compare) and hash-compares it against the
+    * oracle's direct diff of the corresponding unrolled-merge CTEs. The
+    * pruning itself (only changed buckets' files opened, feed-applied-to-
+    * v1 ≡ v3, compaction emits zero changes) is MergeSpec-pinned. */
+  def mergeChanges(spark: SparkSession, dir: String): DataFrame = {
+    val tablePath = ensureHistoryTable(spark, dir)
+    readChanges(spark, tablePath, ChangesFromVersion, IncRounds, "universeId")
+      .select(col("universeId"), col("op"), col("rootPlaceId"), col("name"),
+        col("description"), col("gameplayDescription"), col("playerCount"))
+      .orderBy(col("universeId"))
+  }
+
+  val mergeChangesSql: String = OracleViews.withGames(
+    s"""${mergeCtesSql(IncRounds)}
+       |SELECT n.universeId,
+       |       CASE WHEN o.universeId IS NULL THEN 'insert' ELSE 'update' END AS op,
+       |       n.rootPlaceId, n.name, n.description, n.gameplayDescription,
+       |       n.playerCount
+       |FROM m$IncRounds n LEFT JOIN m$ChangesFromVersion o
+       |  ON n.universeId = o.universeId
+       |WHERE o.universeId IS NULL
+       |   OR n.rootPlaceId IS DISTINCT FROM o.rootPlaceId
+       |   OR n.name IS DISTINCT FROM o.name
+       |   OR n.description IS DISTINCT FROM o.description
+       |   OR n.gameplayDescription IS DISTINCT FROM o.gameplayDescription
+       |   OR n.playerCount IS DISTINCT FROM o.playerCount
+       |ORDER BY n.universeId""".stripMargin)
+
+  /** `j1_merge_compact`: the OPTIMIZE gate. Runs the same [[IncRounds]]
+    * incremental rounds (each leaving a shuffle-partition's worth of files
+    * per touched bucket), compacts every bucket to one file, and
+    * hash-compares the post-compaction read against the SAME oracle as
+    * `j1_merge_incremental` — compaction must be a pure layout change.
+    * The COMPACT stats line records files before/after, so the
+    * small-file-reduction claim is a printed measurement, not an
+    * assertion. */
+  def mergeCompact(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir).getName
+    val tablePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-merge-cpt/$base/games"
+    upsertIncrementalRounds(
+      spark, tablePath,
+      // repartition(4) forces multi-file gen dirs at fixture size, so the
+      // gate exercises the real rewrite path, not just the no-op branch
+      // (the fixture's initial write would otherwise land 1 file/bucket)
+      existingSnapshot(spark, dir).repartition(4),
+      (1 to IncRounds).map(freshRound(spark, dir, _)), "universeId",
+      overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+      coalesceCols = Seq("description"),
+      keepCols = Seq("gameplayDescription"),
+      buckets = IncBuckets)
+    val st = compact(spark, tablePath)
+    println(s"COMPACT version=${st.version} rewritten_buckets=${st.buckets} " +
+      s"files_before=${st.filesBefore} files_after=${st.filesAfter}")
+    readTable(spark, tablePath)
+      .select(col("universeId"), col("rootPlaceId"), col("name"),
+        col("description"), col("gameplayDescription"), col("playerCount"))
+      .orderBy(col("universeId"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_merge_upsert" -> mergeBase,
     "j1bc_merge_variants" -> mergeVariants,
-    "j1_merge_incremental" -> mergeIncremental
+    "j1_merge_incremental" -> mergeIncremental,
+    "j1_merge_time_travel" -> mergeTimeTravel,
+    "j1_merge_compact" -> mergeCompact,
+    "j1_merge_changes" -> mergeChanges
   )
 
   val oracles: Map[String, String] = Map(
     "j1_merge_upsert" -> mergeBaseSql,
     "j1bc_merge_variants" -> mergeVariantsSql,
-    "j1_merge_incremental" -> mergeIncrementalSql
+    "j1_merge_incremental" -> mergeIncrementalSql,
+    "j1_merge_time_travel" -> mergeTimeTravelSql,
+    // compaction is a pure layout change — the incremental oracle IS its
+    // oracle (the f6 indexed-variant convention: shared oracle text)
+    "j1_merge_compact" -> mergeIncrementalSql,
+    "j1_merge_changes" -> mergeChangesSql
   )
 }

@@ -428,9 +428,141 @@ object Similarity {
        |FROM ranked WHERE rank <= 3
        |ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s_mmr_rerank — maximal marginal relevance: diversity-aware top-k
+  // ---------------------------------------------------------------------
+
+  private val MmrPool = 30
+  private val MmrK = 10
+  private val MmrLambda = 0.7
+  private val MmrGamma = 0.3 // literal, NOT 1-λ: 1.0-0.7 is 0.30000000000000004
+
+  private def r6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+  /** Maximal marginal relevance re-ranking [Carbonell & Goldstein, SIGIR
+    * 1998] — the diversity-aware top-k every RAG retriever and
+    * hard-negative miner needs: greedily pick the candidate maximizing
+    * λ·rel(d) − γ·max_{s∈S} sim(d, s), so each pick is relevant to the
+    * query but NOT redundant with what's already selected.
+    *
+    * Scale split, same story as the NSW serve path: the CANDIDATE POOL is
+    * the distributed part — a full-corpus cosine scan planned as
+    * TakeOrderedAndProject (per-partition heaps, no shuffle of the scored
+    * set; at 100 TB swap in any stored-artifact ANN serve query as the
+    * pool source). The greedy re-rank is REQUEST-scale: O(K·P) pairwise
+    * cosines over the P=[[MmrPool]] collected rows — a bounded driver
+    * materialization like the API's clamped page reads, NOT a corpus
+    * operation. Determinism across engines: relevance and pairwise
+    * similarities are rounded to 6dp before every comparison (the
+    * priority-sample race-key discipline) with universeId tiebreaks, and
+    * γ is a literal 0.3 on both sides (1.0−0.7 differs from the 0.3
+    * literal by one ulp). The oracle unrolls the K greedy steps as
+    * chained CTEs over a pool×pool pairs table — the BPE-loop
+    * convention. */
+  /** The distributed half: full-corpus cosine top-[[MmrPool]] as a
+    * TakeOrderedAndProject (rel rounded to 6dp, id tiebreak). */
+  private[graft] def mmrPoolFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.gameEmbeddings(spark, dir)
+      .join(Tables.games(spark, dir), Seq("universeId"))
+      .withColumn("rel", cosineSimilarity(col("embedding"), queryVector))
+      .filter(!isnan(col("rel")))
+      .select(col("universeId"), col("name"),
+        col("embedding").cast("array<double>").as("emb"),
+        pround(col("rel"), 6).as("rel6"))
+      .orderBy(desc("rel6"), col("universeId"))
+      .limit(MmrPool)
+
+  /** Pool ids in relevance order — the redundancy baseline MMR is
+    * measured against in SimilaritySpec. */
+  private[graft] def mmrPoolIds(spark: SparkSession, dir: String): Seq[Long] =
+    mmrPoolFrame(spark, dir).select(col("universeId"))
+      .collect().map(_.getLong(0)).toSeq
+
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pool = mmrPoolFrame(spark, dir)
+      .collect() // bounded: MmrPool rows — the request-scale driver boundary
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Double](2).toArray, r.getDouble(3)))
+
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Array[Double], Double, Double)]
+    var remaining = pool.toList
+    while (selected.size < MmrK && remaining.nonEmpty) {
+      val scored = remaining.map { case c @ (_, _, emb, rel6) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => r6(cos(emb, s._3))).max
+        (c, r6(MmrLambda * rel6 - MmrGamma * maxSim))
+      }
+      val ((id, name, emb, rel6), score) =
+        scored.minBy { case ((id, _, _, _), s) => (-s, id) }
+      selected += ((id, name, emb, rel6, score))
+      remaining = remaining.filterNot(_._1 == id)
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((id, name, _, rel6, score), i) => (i + 1L, id, name, score, rel6) }
+      .toDF("rank", "universeId", "name", "mmr", "rel")
+  }
+
+  val mmrRerankSql: String = {
+    val cosSql = (a: String, b: String) =>
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    val steps = (2 to MmrK).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT c.universeId,
+         |         floor(($MmrLambda * c.rel6 - $MmrGamma * (
+         |             SELECT max(pr.sim6) FROM pairs pr
+         |             WHERE pr.a_id = c.universeId
+         |               AND pr.b_id IN (SELECT universeId FROM sel${i - 1})))
+         |           * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM pool c
+         |  WHERE c.universeId NOT IN (SELECT universeId FROM sel${i - 1})
+         |  ORDER BY score DESC, c.universeId LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1}
+         |          UNION ALL SELECT universeId, $i AS rank, score FROM p$i)""".stripMargin
+    }.mkString(",\n")
+    OracleViews.withGamesAndEmbeddings(
+      s""", qv AS (SELECT list_transform(generate_series(0, 63),
+         |                i -> ((i * 37) % 101 - 50)::DOUBLE / 100.0) AS v),
+         |pool AS MATERIALIZED (
+         |  SELECT e.universeId, g.name, e.embedding::DOUBLE[] AS emb,
+         |         floor(${cosSql("e.embedding::DOUBLE[]", "qv.v")}
+         |           * 1000000.0 + 0.5) / 1000000.0 AS rel6
+         |  FROM game_embeddings e
+         |  CROSS JOIN qv
+         |  JOIN games g ON g.universeId = e.universeId
+         |  WHERE list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]) > 0
+         |  ORDER BY rel6 DESC, e.universeId LIMIT $MmrPool),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.universeId AS a_id, b.universeId AS b_id,
+         |         floor(${cosSql("a.emb", "b.emb")} * 1000000.0 + 0.5)
+         |           / 1000000.0 AS sim6
+         |  FROM pool a JOIN pool b ON a.universeId <> b.universeId),
+         |p1 AS MATERIALIZED (
+         |  SELECT universeId,
+         |         floor(($MmrLambda * rel6 - $MmrGamma * 0.0)
+         |           * 1000000.0 + 0.5) / 1000000.0 AS score
+         |  FROM pool ORDER BY score DESC, universeId LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT universeId, 1 AS rank, score FROM p1),
+         |$steps
+         |SELECT CAST(s.rank AS BIGINT) AS rank, s.universeId, p.name,
+         |       s.score AS mmr, p.rel6 AS rel
+         |FROM sel$MmrK s JOIN pool p ON p.universeId = s.universeId
+         |ORDER BY s.rank""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s_similar_search" -> similarSearch,
     "s_vector_search" -> vectorSearch,
+    "s_mmr_rerank" -> mmrRerank,
     "ann_brute_force_topk" -> annBruteForce,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
@@ -441,6 +573,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s_similar_search" -> similarSearchSql,
     "s_vector_search" -> vectorSearchSql,
+    "s_mmr_rerank" -> mmrRerankSql,
     "ann_brute_force_topk" -> annBruteForceSql,
     "ann_lsh_buckets" -> annLshBucketsSql,
     "ann_lsh_multiprobe" -> annLshMultiprobeSql,

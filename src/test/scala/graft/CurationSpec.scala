@@ -427,4 +427,31 @@ class CurationSpec extends AnyFunSuite {
     assert(f.map(_.getLong(2)).sum === finalTokens,
       "per-source token totals must sum to the final corpus_tokens")
   }
+
+  test("token shards: contiguous full sequences that conserve the tokenized corpus") {
+    val train = graft.operators.IndexBuild.buildBpe(spark, dir).collect()
+    val finalTokens = train.map(_.getLong(4)).last
+    val s = Curation.tokenShards(spark, dir).collect()
+    val seqLen = 512L
+    // contiguous ids from 0, every sequence full except possibly the tail
+    assert(s.map(_.getLong(0)).toSeq === (0L until s.length.toLong))
+    s.init.foreach(r => assert(r.getLong(3) === seqLen,
+      s"non-tail sequence ${r.getLong(0)} not full: ${r.getLong(3)}"))
+    assert(s.last.getLong(3) <= seqLen && s.last.getLong(3) > 0)
+    // packing is a partition of the tokenized corpus — nothing dropped or
+    // double-counted, and the total ties the BPE train curve's final count
+    assert(s.map(_.getLong(3)).sum === finalTokens,
+      "sequence tokens must sum to the tokenized corpus size")
+    // carry accounting: sequence 0 starts at a document start; carried
+    // tokens never exceed the sequence, and a carried doc implies >0 carry
+    assert(s.head.getLong(2) === 0L, "sequence 0 cannot carry tokens in")
+    s.foreach { r =>
+      assert(r.getLong(2) >= 0L && r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(1) >= 1L, "every sequence overlaps at least one doc")
+    }
+    // boundary-aligned docs make carry 0, but on a real corpus most cuts
+    // land mid-document (deterministic fixture, so this is a stable pin)
+    assert(s.tail.count(_.getLong(2) > 0L) > s.length / 2,
+      "most sequences should start mid-document")
+  }
 }

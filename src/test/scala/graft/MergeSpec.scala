@@ -150,4 +150,147 @@ class MergeSpec extends AnyFunSuite {
     assert(Merge.readTable(spark, t1).selectExpr(cols: _*)
       .orderBy("universeId").collect() === state(rounds))
   }
+
+  private def mkTT(ids: Seq[Long], tag: String) = ids.map(id =>
+    (id, id * 10, s"$tag-$id", Option.when(id % 3 == 0)(s"d$tag$id"),
+      Option.when(id % 4 == 0)(s"g$id"), Some(id % 7)))
+    .toDF("universeId", "rootPlaceId", "name", "description", "gameplayDescription", "playerCount")
+
+  private val ttCols = Seq("universeId", "rootPlaceId", "name", "description",
+    "gameplayDescription", "playerCount")
+
+  test("time travel: every retained version reads as exactly its prefix of merges") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-tt").toString
+    val table = s"$tmp/games"
+    val initial = mkTT(0L until 60L, "base")
+    val rounds = Seq(mkTT(Seq(3L, 21L, 64L), "r1"), mkTT(Seq(7L, 35L), "r2"),
+      mkTT(Seq(3L, 11L), "r3"))
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, initial, rounds, "universeId",
+      over, coal, keep, buckets = 16, retainVersions = 4)
+    assert(Merge.tableVersions(spark, table) === Seq(0, 1, 2, 3))
+    (0 to 3).foreach { v =>
+      val expected = rounds.take(v).foldLeft(initial)((a, f) =>
+        Merge.mergeUpsert(a, f, "universeId", over, coal, keep))
+      assert(Merge.readTableAt(spark, table, v).selectExpr(ttCols: _*)
+        .orderBy("universeId").collect() ===
+        expected.selectExpr(ttCols: _*).orderBy("universeId").collect(),
+        s"version $v")
+    }
+    // the latest version and the plain reader agree
+    assert(Merge.readTableAt(spark, table, 3).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() ===
+      Merge.readTable(spark, table).selectExpr(ttCols: _*)
+        .orderBy("universeId").collect())
+  }
+
+  test("retention: expired versions are swept from disk and refuse to read") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-ret").toString
+    val table = s"$tmp/games"
+    val initial = mkTT(0L until 60L, "base")
+    val rounds = Seq(mkTT(Seq(3L, 21L), "r1"), mkTT(Seq(7L, 35L), "r2"),
+      mkTT(Seq(3L, 11L), "r3"))
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, initial, rounds, "universeId",
+      over, coal, keep, buckets = 16, retainVersions = 2)
+    // only the last two manifests survive; older versions refuse cleanly
+    assert(Merge.tableVersions(spark, table) === Seq(2, 3))
+    val e = intercept[IllegalArgumentException] {
+      Merge.readTableAt(spark, table, 1)
+    }
+    assert(e.getMessage.contains("expired"))
+    // disk hygiene: the (bucket, gen) dirs on disk are EXACTLY the union
+    // of what the retained manifests reference — replaced generations and
+    // expired-version-only generations are swept
+    val onDisk = spark.read.parquet(table).select("bucket", "gen")
+      .distinct().as[(Int, Int)].collect().toSet
+    val live = Seq(2, 3).flatMap(v => Merge.readTableAt(spark, table, v)
+      .select("bucket", "gen").distinct().as[(Int, Int)].collect()).toSet
+    assert(onDisk === live, "unswept generations on disk")
+    // and version 2 still reads as exactly two merges applied
+    val expected2 = rounds.take(2).foldLeft(initial)((a, f) =>
+      Merge.mergeUpsert(a, f, "universeId", over, coal, keep))
+    assert(Merge.readTableAt(spark, table, 2).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() ===
+      expected2.selectExpr(ttCols: _*).orderBy("universeId").collect())
+  }
+
+  test("cdc: manifest-diff pruning, feed applies back, compaction emits nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-cdc").toString
+    val table = s"$tmp/games"
+    val initial = mkTT(0L until 60L, "base")
+    val rounds = Seq(mkTT(Seq(3L, 21L, 64L), "r1"), mkTT(Seq(7L, 35L), "r2"),
+      mkTT(Seq(3L, 11L), "r3"))
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, initial, rounds, "universeId",
+      over, coal, keep, buckets = 16, retainVersions = 10)
+    // same-version feed is empty (no manifest diff, no files read)
+    assert(Merge.readChanges(spark, table, 2, 2, "universeId").isEmpty)
+    // the manifest diff prices the read: round 3 touched keys {3, 11} →
+    // buckets {3, 11} under pmod(key, 16)
+    assert(Merge.changedBucketsBetween(spark, table, 2, 3) === Seq(3, 11))
+    val feed23 = Merge.readChanges(spark, table, 2, 3, "universeId")
+    assert(feed23.inputFiles.nonEmpty && feed23.inputFiles.forall(f =>
+      f.contains("/bucket=3/") || f.contains("/bucket=11/")),
+      "CDC read must only open changed buckets' files")
+    val f23 = feed23.collect()
+    assert(f23.map(_.getLong(0)).sorted === Array(3L, 11L))
+    assert(f23.forall(_.getString(1) == "update"))
+    // a key NEW to the table arrives as op=insert
+    val f01 = Merge.readChanges(spark, table, 0, 1, "universeId").collect()
+    assert(f01.filter(_.getString(1) == "insert").map(_.getLong(0)).toSeq === Seq(64L))
+    // apply contract: v1 + feed(1→3) post-images ≡ v3 exactly
+    val feed13 = Merge.readChanges(spark, table, 1, 3, "universeId").drop("op")
+    val applied = Merge.mergeUpsert(
+      Merge.readTableAt(spark, table, 1).selectExpr(ttCols: _*), feed13,
+      "universeId", overwriteCols = ttCols.tail, Seq(), Seq())
+    assert(applied.selectExpr(ttCols: _*).orderBy("universeId").collect() ===
+      Merge.readTableAt(spark, table, 3).selectExpr(ttCols: _*)
+        .orderBy("universeId").collect())
+    // compaction is layout-only: its version emits ZERO changes even
+    // though its manifest diff names every multi-file bucket
+    val st = Merge.compact(spark, table, retainVersions = 10)
+    assert(st.buckets > 0, "fixture should have at least one oversized bucket")
+    assert(Merge.readChanges(spark, table, 3, st.version, "universeId").isEmpty,
+      "compact-only versions must emit no changes")
+  }
+
+  test("compaction: fewer files, identical contents, idempotent no-op when compact") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-cpt").toString
+    val table = s"$tmp/games"
+    val initial = mkTT(0L until 60L, "base").repartition(8)
+    val rounds = Seq(mkTT(Seq(3L, 21L), "r1"), mkTT(Seq(7L, 35L), "r2"))
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, initial, rounds, "universeId",
+      over, coal, keep, buckets = 16)
+    val before = Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect()
+    val st = Merge.compact(spark, table)
+    assert(st.buckets > 0 && st.filesAfter < st.filesBefore,
+      s"expected a file-count reduction, got $st")
+    assert(st.filesAfter === 16L, "one file per bucket after compaction")
+    // pure layout change: contents byte-identical through the reader
+    assert(Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() === before)
+    // a second compaction is a no-op and does not burn a version
+    val st2 = Merge.compact(spark, table)
+    assert(st2.buckets === 0 && st2.version === st.version)
+    assert(Merge.tableVersions(spark, table) === Seq(st.version))
+    // and the table still accepts further incremental rounds after OPTIMIZE
+    val more = mkTT(Seq(5L, 21L), "r3")
+    Merge.upsertRound(spark, table, more, "universeId", over, coal, keep, buckets = 16)
+    val expected = (rounds :+ more).foldLeft(initial)((a, f) =>
+      Merge.mergeUpsert(a, f, "universeId", over, coal, keep))
+    assert(Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() ===
+      expected.selectExpr(ttCols: _*).orderBy("universeId").collect())
+  }
 }

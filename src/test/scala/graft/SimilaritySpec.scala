@@ -79,4 +79,38 @@ class SimilaritySpec extends AnyFunSuite {
     val sims = out.map(_.getDouble(3))
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
+
+  test("mmr rerank: relevance-first pick, then diversity strictly shapes the tail") {
+    import org.apache.spark.sql.functions._
+    val dir = SparkTestSession.Sf0001
+    val out = graft.operators.Similarity.mmrRerank(spark, dir).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getLong(0)).toSeq === (1L to 10L), "ranks contiguous")
+    // pick 1 is the pure-relevance argmax: its rel must be the global max
+    val rels = out.map(_.getDouble(4))
+    assert(rels.head === rels.max, "first pick must be the most relevant")
+    // mmr scores are non-increasing is NOT guaranteed by the algorithm,
+    // but each score is λ·rel − γ·maxsim with maxsim ∈ [−1, 1] (cosine —
+    // NEGATIVE when the pick is anti-correlated with the selected set),
+    // so λ·rel − γ ≤ mmr ≤ λ·rel + γ; 1e-6 slack for the 6dp rounding
+    out.foreach { r =>
+      val (mmr, rel) = (r.getDouble(3), r.getDouble(4))
+      assert(mmr <= 0.7 * rel + 0.3 + 1e-6 && mmr >= 0.7 * rel - 0.3 - 1e-6)
+    }
+    // the diversity property itself: the MMR set is no more self-similar
+    // than the plain relevance top-10 (strictly less on this fixture)
+    val emb = graft.io.Tables.gameEmbeddings(spark, dir)
+      .select(col("universeId"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def maxPairSim(ids: Seq[Long]): Double =
+      (for { a <- ids; b <- ids if a < b } yield cos(emb(a), emb(b))).max
+    val mmrIds = out.map(_.getLong(1)).toSeq
+    val topRelIds = graft.operators.Similarity.mmrPoolIds(spark, dir).take(10)
+    assert(maxPairSim(mmrIds) <= maxPairSim(topRelIds) + 1e-9,
+      "MMR must not be more redundant than the relevance top-k")
+  }
 }
