@@ -173,7 +173,16 @@ object Merge {
     * at 100 TB a 10⁵-bucket table absorbs a 10³-key batch by rewriting
     * ≈1 % of the data and rewriting a 10⁵-line manifest). Stats are
     * returned (and printed as MERGEINC lines by the SfScale replay)
-    * rather than asserted, so SCALING.md rows are measurements. */
+    * rather than asserted, so SCALING.md rows are measurements.
+    *
+    * Bulk-load dial: at large bucket counts, pre-partition `initial` by
+    * the bucket function (`repartition(n, pmod(key, buckets))`) before
+    * calling — a wide unaligned write fans every task into up to
+    * `buckets` partition dirs (10³ tasks × 10⁵ dirs is the classic
+    * dynamic-partition-write explosion: open-writer memory and
+    * tasks×buckets tiny files). Aligned, each bucket lands in one task =
+    * one file. The ROUND path doesn't need it: a fresh batch's write
+    * fans out only into its touched buckets. */
   def upsertIncrementalRounds(
       spark: SparkSession, tablePath: String,
       initial: DataFrame, freshRounds: Seq[DataFrame], key: String,

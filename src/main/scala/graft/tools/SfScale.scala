@@ -122,7 +122,7 @@ object SfScale {
       .filter(n => n.startsWith("dedup_") || n.startsWith("ann_")
         || n.startsWith("index_build_") || n.startsWith("cur_")
         || n.startsWith("flt_") || n.startsWith("mm_")
-        || n.startsWith("f6_")
+        || n.startsWith("f6_") || n == "s_mmr_rerank"
         || n.startsWith("ev_") || n.startsWith("graph_")
         || sketchQs.contains(n))
       .filter(n => only.forall(_.contains(n))).toSeq.sorted
@@ -316,6 +316,64 @@ object SfScale {
           f"rewritten_bytes=${s.rewrittenBytes} table_bytes=${s.tableBytes} " +
           f"byte_frac=$byteFrac%.3f bucket_frac=$bucketFrac%.3f")
       }
+    }
+    // CDC (j1_merge_changes): the feed must price CHANGES, not the table.
+    // Lake dials on both corpora: buckets ∝ corpus (per-bucket bytes stay
+    // fixed — the buckets ≈ tableBytes/1GiB rule) and a FIXED absolute
+    // change batch (the same keys on base and scaled, the fixed-crawl axis
+    // IncrementalScale established for incremental dedup). Claim measured:
+    // the v1→v3 read time is FLAT at ×K under the sized dial; the
+    // pinned-bucket control shows the read growing with per-bucket bytes.
+    // The initial bulk load is pre-partitioned by the bucket function —
+    // the call-site dial upsertIncrementalRounds documents (a wide write
+    // into buckets× partition dirs is the dynamic-partition explosion).
+    if (only.forall(_.contains("j1_merge_changes")) && factor > 1) {
+      val keyCap = spark.read.parquet(s"$base/documents.parquet")
+        .agg(max(col("doc_id"))).head().getLong(0) + 1L
+      def freshAbs(dir: String, r: Int): DataFrame =
+        graft.io.Tables.games(spark, dir)
+          .filter(col("universeId") % 997 === r && col("universeId") < keyCap)
+          .select(col("universeId"), col("rootPlaceId"),
+            concat(col("name"), lit(s" r$r")).as("name"),
+            col("description"),
+            (coalesce(col("playerCount"), lit(0L)) + r).as("playerCount"))
+      def buildAndRead(dir: String, tag: String, buckets: Int): Unit = {
+        val path = s"$out/merge-cdc-$tag"
+        val initial = graft.io.Tables.games(spark, dir)
+          .drop("descriptionFetched")
+          .repartition(cpus.toInt, pmod(col("universeId"), lit(buckets)))
+        graft.operators.Merge.upsertIncrementalRounds(spark, path, initial,
+          (1 to 3).map(freshAbs(dir, _)), "universeId",
+          overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+          coalesceCols = Seq("description"),
+          keepCols = Seq("gameplayDescription"),
+          buckets = buckets, retainVersions = 4)
+        def timeRead(): Double = {
+          val t0 = System.nanoTime()
+          graft.operators.Merge.readChanges(spark, path, 1, 3, "universeId")
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timeRead() // warm the plan
+        val t = timeRead()
+        val feed = graft.operators.Merge.readChanges(spark, path, 1, 3, "universeId")
+        val rows = feed.count()
+        // bytes actually opened — the cost that matters at 100 TB, where
+        // wall-clock at fixture size is job-overhead-bound either way
+        val openedBytes = feed.inputFiles.map(f =>
+          new java.io.File(new java.net.URI(f)).length()).sum
+        val tableBytes = graft.operators.Merge.readTable(spark, path)
+          .inputFiles.map(f =>
+            new java.io.File(new java.net.URI(f)).length()).sum
+        val changed = graft.operators.Merge
+          .changedBucketsBetween(spark, path, 1, 3).length
+        println(f"CDC $tag%-12s buckets=$buckets%-6d changed=$changed%-5d " +
+          f"feed_rows=$rows%-6d read_s=$t%.2f opened_bytes=$openedBytes%-9d " +
+          f"table_bytes=$tableBytes%-10d frac=${openedBytes.toDouble / tableBytes}%.4f")
+      }
+      buildAndRead(base, "base", 256)
+      buildAndRead(out, s"x$factor", 256 * factor)
+      buildAndRead(out, s"x${factor}pin", 256)
     }
     // The IVF family's dial: K cells partition the corpus, so pinned-K
     // single-cell scans grow linearly in N (N/K per cell). Production
