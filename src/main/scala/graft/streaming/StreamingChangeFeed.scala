@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Merge
+
+/** Streaming lake writer + CHANGE-DATA-FEED tail over the
+  * manifest-committed incremental table ([[graft.operators.Merge]]): each
+  * micro-batch of fresh rows is merge-upserted as a new table version
+  * through `Merge.upsertRound`, and after every commit the tail DRAINS the
+  * new versions' change feeds — `Merge.readChanges(v-1, v)` per version —
+  * into an append-only feed log that downstream consumers (index
+  * maintainers, replicas, audit) read instead of re-diffing the table.
+  * This is the streaming face of `j1_merge_changes`, exactly as
+  * StreamingPostingsIndex is the streaming face of the postings artifact.
+  *
+  * Exactly-once is layered, cheapest mechanism first:
+  *
+  *   - '''Feed emission is idempotent by layout.''' Each version's rows
+  *     land at `feedDir/version=v` with `SaveMode.Overwrite`, and the
+  *     `_EMITTED` pointer advances (temp + rename) only after the write —
+  *     a crash between the two re-emits the SAME rows over themselves.
+  *   - '''Batch replay is absorbed by merge idempotence.''' A
+  *     `foreachBatch` replay re-merges rows the table already holds:
+  *     overwrite takes the same values, coalesce sees the same non-nulls,
+  *     keep reads the already-merged side — so the duplicate version is
+  *     CONTENT-IDENTICAL and its change feed is EMPTY (readChanges'
+  *     null-safe compare drops every row). Consumers observe
+  *     exactly-once without any writer-side dedup bookkeeping;
+  *     the spec pins the empty re-feed.
+  *
+  * Scale: the drain prices changes, not the table — readChanges opens
+  * only the manifest-diff buckets (SCALING.md "CDC reads price the
+  * changes"), and the feed log grows with changed rows. The writer's
+  * `retainVersions` must cover the drain lag (a crashed drain catches up
+  * on the next batch), hence the `>= 2` floor; versions older than the
+  * window VACUUM as usual once drained.
+  */
+class StreamingChangeFeed(
+    spark: SparkSession, tablePath: String, feedDir: String,
+    initial: DataFrame, key: String,
+    overwriteCols: Seq[String], coalesceCols: Seq[String], keepCols: Seq[String],
+    buckets: Int, retainVersions: Int = 4) extends Serializable {
+  require(retainVersions >= 2,
+    s"retainVersions must be >= 2 so the drain can read v-1, got $retainVersions")
+
+  @transient private lazy val fs = new Path(feedDir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def emittedPointer = new Path(feedDir, "_EMITTED")
+
+  // bootstrap v0 from the initial snapshot if the table has no committed
+  // manifest yet; pre-existing history is NOT re-fed (the pointer starts
+  // at the version the tail first observes)
+  if (Merge.tableVersions(spark, tablePath).isEmpty) {
+    Merge.upsertIncrementalRounds(spark, tablePath, initial, Seq.empty, key,
+      overwriteCols, coalesceCols, keepCols, buckets,
+      retainVersions = retainVersions)
+  }
+  if (!fs.exists(emittedPointer))
+    writeEmitted(Merge.tableVersions(spark, tablePath).max)
+
+  /** Last version whose feed is fully emitted (committed pointer). */
+  def emittedVersion: Int = {
+    val in = fs.open(emittedPointer)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  private def writeEmitted(v: Int): Unit = {
+    val tmp = new Path(feedDir, "_EMITTED.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(emittedPointer, false)
+    require(fs.rename(tmp, emittedPointer), s"pointer commit failed: $emittedPointer")
+  }
+
+  /** Emit every committed-but-undrained version's changes to the feed
+    * log, one `version=v` dir per version, pointer last. Re-entrant and
+    * crash-safe: per-version Overwrite + pointer-after-data means any
+    * prefix of a crashed drain is simply redone. */
+  def drainFeed(): Unit = {
+    val current = Merge.tableVersions(spark, tablePath).max
+    ((emittedVersion + 1) to current).foreach { v =>
+      Merge.readChanges(spark, tablePath, v - 1, v, key)
+        .write.mode(SaveMode.Overwrite).parquet(s"$feedDir/version=$v")
+      writeEmitted(v)
+    }
+  }
+
+  /** The emitted feed log: every change row with its `version` column —
+    * what a downstream consumer tails. */
+  def feed(): DataFrame = {
+    val versions = fs.listStatus(new Path(feedDir)).map(_.getPath.getName)
+      .filter(_.startsWith("version=")).sorted
+    val paths = versions.map(v => s"$feedDir/$v")
+    require(paths.nonEmpty, s"no feed versions emitted under $feedDir yet")
+    spark.read.option("basePath", feedDir).parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** Merge one micro-batch as a new table version, then drain. Empty
+    * batches commit nothing (no version burned, nothing to feed). */
+  def applyBatch(batch: Dataset[Row], batchId: Long): Unit = {
+    if (!batch.isEmpty) {
+      Merge.upsertRound(spark, tablePath, batch.toDF(), key,
+        overwriteCols, coalesceCols, keepCols, buckets,
+        retainVersions = retainVersions)
+      drainFeed()
+    }
+  }
+
+  def currentTable(): DataFrame = Merge.readTable(spark, tablePath)
+
+  /** Attach to a stream of fresh rows. */
+  def start(freshStream: DataFrame, checkpointDir: String): StreamingQuery =
+    freshStream.writeStream
+      .foreachBatch((batch: Dataset[Row], id: Long) => applyBatch(batch, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
