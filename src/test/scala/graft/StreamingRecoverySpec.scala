@@ -397,4 +397,71 @@ class StreamingRecoverySpec extends AnyFunSuite {
     // 3 data batches → v3 exactly; a double-apply would have minted v4
     assert(d2.bandsVersions().max === 3L)
   }
+
+  test("StreamingChangeFeed recovers with a zero-row re-feed for the replayed batch") {
+    import graft.streaming.StreamingChangeFeed
+    import graft.operators.Merge
+    val cols = Seq("universeId", "rootPlaceId", "name", "description",
+      "gameplayDescription", "playerCount")
+    val initial = gameRows(Seq((1L, 10L, "one"), (2L, 20L, "two")))
+    val dropA = gameRows(Seq((2L, 21L, "two v2")))
+    val dropB = gameRows(Seq((4L, 40L, "four"), (5L, 50L, "five")))
+    val dropC = gameRows(Seq((6L, 60L, "six")))
+    def stream(dropDir: String) = spark.readStream.schema(Schemas.game)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+    def mkFeed(tableDir: String, feedDir: String) =
+      new StreamingChangeFeed(spark, s"$tableDir/games", feedDir, initial,
+        "universeId", overwriteCols = Seq("rootPlaceId", "name"),
+        coalesceCols = Seq.empty,
+        keepCols = Seq("description", "gameplayDescription", "playerCount"),
+        buckets = 8, retainVersions = 6)
+    def feedRows(cf: StreamingChangeFeed) = cf.feed()
+      .drop("version").orderBy("universeId").collect()
+
+    // reference: three drops, uninterrupted
+    val refDrop = Files.createTempDirectory("rec-cdc-ref-drops").toString
+    val refTable = Files.createTempDirectory("rec-cdc-ref-table").toString
+    val refFeed = Files.createTempDirectory("rec-cdc-ref-feed").toString
+    val refCkpt = Files.createTempDirectory("rec-cdc-ref-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$refDrop/a")
+    dropB.coalesce(1).write.parquet(s"$refDrop/b")
+    dropC.coalesce(1).write.parquet(s"$refDrop/c")
+    val ref = mkFeed(refTable, refFeed)
+    runToCompletion(() => ref.start(stream(refDrop), refCkpt), 120000L)
+    val wantTable = ref.currentTable().selectExpr(cols: _*)
+      .orderBy("universeId").collect()
+    val wantFeed = feedRows(ref)
+
+    // crashed run: A+B, commit-log crash window, then C. The replayed
+    // batch CANNOT be skipped (the manifest has no batch bookkeeping by
+    // design) — it mints an extra version whose content is identical and
+    // whose feed is therefore EMPTY; the consumer-visible stream of
+    // change rows is exactly-once anyway.
+    val drop = Files.createTempDirectory("rec-cdc-drops").toString
+    val table = Files.createTempDirectory("rec-cdc-table").toString
+    val feedD = Files.createTempDirectory("rec-cdc-feed").toString
+    val ckpt = Files.createTempDirectory("rec-cdc-ckpt").toString
+    dropA.coalesce(1).write.parquet(s"$drop/a")
+    dropB.coalesce(1).write.parquet(s"$drop/b")
+    val c1 = mkFeed(table, feedD)
+    runToCompletion(() => c1.start(stream(drop), ckpt), 120000L)
+    crashWindow(ckpt)
+    dropC.coalesce(1).write.parquet(s"$drop/c")
+
+    val c2 = mkFeed(table, feedD)
+    runToCompletion(() => c2.start(stream(drop), ckpt), 120000L)
+
+    assert(c2.currentTable().selectExpr(cols: _*).orderBy("universeId").collect()
+      === wantTable, "recovered table diverges from the uninterrupted run")
+    assert(feedRows(c2) === wantFeed,
+      "recovered change rows diverge from the uninterrupted run")
+    // 3 data batches + 1 replay → v4, drained to the pointer, and the
+    // replay's version is the exactly-one EMPTY feed entry
+    val versions = Merge.tableVersions(spark, s"$table/games")
+    assert(versions.max === 4 && c2.emittedVersion === 4)
+    val emptyVersions = (1 to 4).filter(v =>
+      c2.feed().filter(col("version") === v).isEmpty)
+    assert(emptyVersions.length === 1,
+      s"exactly the replayed version must feed zero rows, got $emptyVersions")
+  }
 }
