@@ -292,6 +292,12 @@ object Merge {
       .filter(p => p.getName.startsWith("manifest-v") &&
         p.getName.stripPrefix("manifest-v").toInt < keepFrom)
       .foreach(p => fs.delete(p, false))
+    // stats sidecars expire with their manifests (a sidecar is only valid
+    // for the exact file set its version committed)
+    fs.listStatus(manifestDir(table)).map(_.getPath)
+      .filter(p => p.getName.startsWith("stats-v") &&
+        p.getName.stripPrefix("stats-v").toInt < keepFrom)
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Per-bucket accounting of [[compact]] — files before/after, so the
@@ -348,6 +354,90 @@ object Merge {
     val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
     CompactStats(round, oversized.size, filesBefore, filesAfter)
   }
+
+  /** OPTIMIZE-with-clustering (the ZORDER analogue for one dimension):
+    * rewrite EVERY committed bucket with its rows range-split across
+    * `filesPerBucket` files by `clusterCol`, and record a per-FILE
+    * min/max sidecar (`_manifests/stats-v<version>`) alongside the new
+    * manifest — Delta's add-file stats. Content is untouched (pure layout
+    * + metadata change, so `j1_merge_skipping` shares the merge oracle's
+    * row set), but reads carrying a `clusterCol` range predicate can now
+    * SKIP files whose [min, max] misses the range ([[readTableWhere]])
+    * without opening them — at 100 TB even the parquet FOOTER reads of a
+    * full listing are expensive, and file-level stats prune before any
+    * I/O. The bucket function stays on the merge key (rows never leave
+    * their bucket — the merge invariant), so clustering is strictly
+    * within-bucket: the range shuffle is one `repartitionByRange` on
+    * (bucket, clusterCol), and the stats pass is one extra scan of the
+    * rewritten bytes — the price every stats-collecting lake writer pays
+    * at write time to save it on every read. Stats rows number
+    * buckets × filesPerBucket (4·10⁵ at a 10⁵-bucket table — a few MB,
+    * the same driver order as the manifest itself). */
+  def cluster(spark: SparkSession, tablePath: String, clusterCol: String,
+      filesPerBucket: Int = 4, retainVersions: Int = 1): CompactStats = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(hc)
+    def genPath(b: Int, g: Int) =
+      new org.apache.hadoop.fs.Path(table, s"bucket=$b/gen=$g")
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(p).count(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".")).toLong
+    val (version, current) = readManifest(fs, table)
+    val round = version + 1
+    val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
+    current.keys.foreach(b => fs.delete(genPath(b, round), true))
+    loadState(spark, tablePath, current).drop("gen")
+      .repartitionByRange(current.size * filesPerBucket,
+        col("bucket"), col(clusterCol))
+      .withColumn("gen", lit(round))
+      .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
+    val genPaths = current.keys.toSeq.sorted.map(b => s"$tablePath/bucket=$b/gen=$round")
+    spark.read.option("basePath", tablePath).parquet(genPaths: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(clusterCol)).as("cmin"), max(col(clusterCol)).as("cmax"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(statsPath(table, round).toString)
+    val committed = current.keys.map(_ -> round).toMap
+    commitManifest(fs, table, round, committed)
+    sweepRetention(fs, table, round, retainVersions)
+    val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
+    CompactStats(round, committed.size, filesBefore, filesAfter)
+  }
+
+  /** DATA-SKIPPING read: `clusterCol BETWEEN lo AND hi` served through the
+    * current version's per-file stats sidecar — only files whose
+    * [min, max] intersects the range are opened (NULL rows never match a
+    * BETWEEN, so null-stats files prune too). Falls back to the plain
+    * manifest read when the current version has no sidecar (any merge
+    * round after the last [[cluster]] invalidates it by committing a new
+    * version) — pruning is an optimization, never a correctness
+    * dependency, which is exactly what lets `j1_merge_skipping` share the
+    * merge CTEs' oracle with a WHERE clause. */
+  def readTableWhere(spark: SparkSession, tablePath: String,
+      clusterCol: String, lo: Long, hi: Long): DataFrame = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (version, state) = readManifest(fs, table)
+    val pred = col(clusterCol) >= lo && col(clusterCol) <= hi
+    val sp = statsPath(table, version)
+    if (!fs.exists(sp))
+      return loadState(spark, tablePath, state).filter(pred)
+    val stats = spark.read.parquet(sp.toString).collect()
+    val keep = stats.filter { r =>
+      val iMin = r.fieldIndex("cmin"); val iMax = r.fieldIndex("cmax")
+      !r.isNullAt(iMin) && !r.isNullAt(iMax) &&
+        r.getLong(iMax) >= lo && r.getLong(iMin) <= hi
+    }.map(r => r.getString(r.fieldIndex("file")))
+    if (keep.isEmpty)
+      return loadState(spark, tablePath, state).filter(pred).limit(0)
+    spark.read.option("basePath", tablePath)
+      .parquet(keep.toIndexedSeq: _*).filter(pred)
+  }
+
+  private def statsPath(table: org.apache.hadoop.fs.Path, version: Int) =
+    new org.apache.hadoop.fs.Path(manifestDir(table), s"stats-v$version")
 
   private def manifestDir(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_manifests")
@@ -746,13 +836,57 @@ object Merge {
       .orderBy(col("universeId"))
   }
 
+  /** The skipping window: wide enough to keep rows from every merge round
+    * (the oracle must exercise the full policy mix), narrow enough that
+    * most range-split files prune. */
+  private val SkipLo = 10L
+  private val SkipHi = 59L
+
+  /** `j1_merge_skipping`: the DATA-SKIPPING gate. Runs the incremental
+    * rounds, CLUSTERs the table on playerCount (range-split files +
+    * per-file stats sidecar), then reads `playerCount BETWEEN
+    * [[SkipLo]] AND [[SkipHi]]` through [[readTableWhere]] — the pruned
+    * read's rows must hash-match the oracle's filtered unrolled merge,
+    * which proves clustering changed LAYOUT ONLY and pruning dropped no
+    * matching row. The SKIP stats line prints files kept/total so the
+    * pruning is a printed measurement; the file-level assertion lives in
+    * MergeSpec. */
+  def mergeSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir).getName
+    val tablePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-merge-skip/$base/games"
+    upsertIncrementalRounds(
+      spark, tablePath,
+      existingSnapshot(spark, dir),
+      (1 to IncRounds).map(freshRound(spark, dir, _)), "universeId",
+      overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+      coalesceCols = Seq("description"),
+      keepCols = Seq("gameplayDescription"),
+      buckets = IncBuckets)
+    cluster(spark, tablePath, "playerCount", filesPerBucket = 4)
+    val pruned = readTableWhere(spark, tablePath, "playerCount", SkipLo, SkipHi)
+    val total = readTable(spark, tablePath).inputFiles.length
+    println(s"SKIP files_kept=${pruned.inputFiles.length} files_total=$total")
+    pruned
+      .select(col("universeId"), col("rootPlaceId"), col("name"),
+        col("description"), col("gameplayDescription"), col("playerCount"))
+      .orderBy(col("universeId"))
+  }
+
+  val mergeSkippingSql: String = OracleViews.withGames(
+    s"""${mergeCtesSql(IncRounds)}
+       |SELECT * FROM m$IncRounds
+       |WHERE playerCount BETWEEN $SkipLo AND $SkipHi
+       |ORDER BY universeId""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_merge_upsert" -> mergeBase,
     "j1bc_merge_variants" -> mergeVariants,
     "j1_merge_incremental" -> mergeIncremental,
     "j1_merge_time_travel" -> mergeTimeTravel,
     "j1_merge_compact" -> mergeCompact,
-    "j1_merge_changes" -> mergeChanges
+    "j1_merge_changes" -> mergeChanges,
+    "j1_merge_skipping" -> mergeSkipping
   )
 
   val oracles: Map[String, String] = Map(
@@ -763,6 +897,7 @@ object Merge {
     // compaction is a pure layout change — the incremental oracle IS its
     // oracle (the f6 indexed-variant convention: shared oracle text)
     "j1_merge_compact" -> mergeIncrementalSql,
-    "j1_merge_changes" -> mergeChangesSql
+    "j1_merge_changes" -> mergeChangesSql,
+    "j1_merge_skipping" -> mergeSkippingSql
   )
 }

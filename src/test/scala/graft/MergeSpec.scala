@@ -261,6 +261,43 @@ class MergeSpec extends AnyFunSuite {
       "compact-only versions must emit no changes")
   }
 
+  test("clustering + data skipping: pruned reads open fewer files, drop no rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-skip").toString
+    val table = s"$tmp/games"
+    val initial = mkTT(0L until 60L, "base")
+    val rounds = Seq(mkTT(Seq(3L, 21L), "r1"), mkTT(Seq(7L, 35L), "r2"))
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, initial, rounds, "universeId",
+      over, coal, keep, buckets = 16)
+    val before = Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect()
+    // cluster on playerCount (values 0..6 under mkTT's id % 7)
+    val st = Merge.cluster(spark, table, "playerCount", filesPerBucket = 3)
+    // pure layout change: contents identical through the plain reader
+    assert(Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() === before)
+    // the pruned read returns exactly the filtered rows...
+    val pruned = Merge.readTableWhere(spark, table, "playerCount", 6L, 6L)
+    val want = before.filter(r => !r.isNullAt(5) && r.getLong(5) == 6L)
+    assert(pruned.selectExpr(ttCols: _*).orderBy("universeId").collect() === want)
+    // ...while opening strictly fewer files than the full table holds
+    val total = Merge.readTable(spark, table).inputFiles.length
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.length < total,
+      s"expected pruning, opened ${pruned.inputFiles.length} of $total")
+    // a later merge round invalidates the sidecar (new version, no stats):
+    // the read falls back to the full scan and stays CORRECT
+    Merge.upsertRound(spark, table, mkTT(Seq(6L), "r3"), "universeId",
+      over, coal, keep, buckets = 16)
+    val after = Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect()
+    val fallback = Merge.readTableWhere(spark, table, "playerCount", 6L, 6L)
+    assert(fallback.selectExpr(ttCols: _*).orderBy("universeId").collect() ===
+      after.filter(r => !r.isNullAt(5) && r.getLong(5) == 6L))
+    assert(st.version === 3, s"cluster must commit v3 after 2 rounds, got $st")
+  }
+
   test("compaction: fewer files, identical contents, idempotent no-op when compact") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-cpt").toString
     val table = s"$tmp/games"
