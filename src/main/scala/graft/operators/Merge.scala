@@ -427,8 +427,11 @@ object Merge {
     val stats = spark.read.parquet(sp.toString).collect()
     val keep = stats.filter { r =>
       val iMin = r.fieldIndex("cmin"); val iMax = r.fieldIndex("cmax")
+      // Number-tolerant: the sidecar's min/max inherit the cluster
+      // column's integral type (long here, int on a narrower column)
       !r.isNullAt(iMin) && !r.isNullAt(iMax) &&
-        r.getLong(iMax) >= lo && r.getLong(iMin) <= hi
+        r.getAs[Number](iMax).longValue >= lo &&
+        r.getAs[Number](iMin).longValue <= hi
     }.map(r => r.getString(r.fieldIndex("file")))
     if (keep.isEmpty)
       return loadState(spark, tablePath, state).filter(pred).limit(0)
