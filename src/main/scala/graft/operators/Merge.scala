@@ -125,6 +125,22 @@ object Merge {
   // upsert of a few thousand fresh rows must not rewrite the table.
   // ---------------------------------------------------------------------
 
+  // shared on-disk layout helpers (one definition — local copies in the
+  // writer methods drifted toward duplication as the lake surface grew)
+  private def genPathOf(table: org.apache.hadoop.fs.Path, b: Int, g: Int) =
+    new org.apache.hadoop.fs.Path(table, s"bucket=$b/gen=$g")
+  private def dirBytesOf(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).map(st =>
+      if (st.isDirectory) dirBytesOf(fs, st.getPath) else st.getLen).sum
+  private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long =
+    if (!fs.exists(p)) 0L
+    else fs.listStatus(p).count(st =>
+      st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).toLong
+
   /** Per-round accounting of [[upsertIncrementalRounds]] — the evidence
     * for "rewritten bytes ∝ touched buckets, not table size". */
   final case class IncRoundStats(
@@ -195,12 +211,8 @@ object Merge {
     // int, matching the type partition-discovery infers for `bucket=` dirs
     def withBucket(df: DataFrame): DataFrame =
       df.withColumn("bucket", pmod(col(key), lit(buckets)).cast("int"))
-    def dirBytes(p: org.apache.hadoop.fs.Path): Long =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).map(st =>
-        if (st.isDirectory) dirBytes(st.getPath) else st.getLen).sum
-    def genPath(b: Int, g: Int) =
-      new org.apache.hadoop.fs.Path(table, s"bucket=$b/gen=$g")
+    def dirBytes(p: org.apache.hadoop.fs.Path): Long = dirBytesOf(fs, p)
+    def genPath(b: Int, g: Int) = genPathOf(table, b, g)
     fs.delete(table, true)
     withBucket(initial).withColumn("gen", lit(0))
       .write.partitionBy("bucket", "gen").parquet(tablePath)
@@ -226,12 +238,8 @@ object Merge {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
-    def dirBytes(p: org.apache.hadoop.fs.Path): Long =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).map(st =>
-        if (st.isDirectory) dirBytes(st.getPath) else st.getLen).sum
-    def genPath(b: Int, g: Int) =
-      new org.apache.hadoop.fs.Path(table, s"bucket=$b/gen=$g")
+    def dirBytes(p: org.apache.hadoop.fs.Path): Long = dirBytesOf(fs, p)
+    def genPath(b: Int, g: Int) = genPathOf(table, b, g)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
     val fresh = fresh0.withColumn("bucket",
@@ -328,13 +336,8 @@ object Merge {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
-    def genPath(b: Int, g: Int) =
-      new org.apache.hadoop.fs.Path(table, s"bucket=$b/gen=$g")
-    def dataFiles(p: org.apache.hadoop.fs.Path): Long =
-      if (!fs.exists(p)) 0L
-      else fs.listStatus(p).count(st =>
-        st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith(".")).toLong
+    def genPath(b: Int, g: Int) = genPathOf(table, b, g)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = dataFileCount(fs, p)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
     val oversized = current.filter { case (b, g) => dataFiles(genPath(b, g)) > targetFiles }
@@ -378,12 +381,8 @@ object Merge {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
-    def genPath(b: Int, g: Int) =
-      new org.apache.hadoop.fs.Path(table, s"bucket=$b/gen=$g")
-    def dataFiles(p: org.apache.hadoop.fs.Path): Long =
-      fs.listStatus(p).count(st =>
-        st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith(".")).toLong
+    def genPath(b: Int, g: Int) = genPathOf(table, b, g)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Long = dataFileCount(fs, p)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
     val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
