@@ -88,6 +88,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("SortExec") || s.contains("TakeOrderedAndProject"))
   }
 
+  test("the MMR candidate pool plans as TakeOrderedAndProject (the distributed half)") {
+    // s_mmr_rerank's scale split: the pool scan is the corpus-sized part
+    // and must plan as per-partition heaps, not a global sort; the greedy
+    // re-rank downstream is a bounded request-scale driver loop
+    val plan = graft.operators.Similarity.mmrPoolFrame(spark, dir)
+      .queryExecution.executedPlan
+    val s = plan.toString
+    assert(s.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$s")
+  }
+
   test("dedup_corpus_clean plans the keep-filter as a LEFT SEMI join (no payload duplication)") {
     // the corpus payload must join the survivor ids semi-style: an inner
     // join against the full membership table would carry (and risk
