@@ -575,9 +575,18 @@ object Merge {
     *
     * Contract (MergeSpec-pinned): applying the feed to the `from`
     * snapshot — overwrite-all-columns upsert of the post-images —
-    * reproduces the `to` snapshot exactly. */
+    * reproduces the `to` snapshot exactly.
+    *
+    * `withPreimage = true` additionally emits every data column's OLD
+    * value as `pre_<c>` (null on inserts) — Delta CDF's
+    * update_preimage, at zero extra I/O (the old side is already in the
+    * join). Preimages are what turn the feed into a DELTA stream:
+    * an aggregate view refreshes as agg + f(post) − f(pre) instead of
+    * recomputing ([[mergeIvm]]), which is the whole point of CDC at
+    * 100 TB. */
   def readChanges(spark: SparkSession, tablePath: String,
-      fromVersion: Int, toVersion: Int, key: String): DataFrame = {
+      fromVersion: Int, toVersion: Int, key: String,
+      withPreimage: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion must be <= toVersion $toVersion")
     val table = new org.apache.hadoop.fs.Path(tablePath)
@@ -587,10 +596,14 @@ object Merge {
     val changed = m2.filter { case (b, g) => !m1.get(b).contains(g) }
     val dataCols = (c: DataFrame) =>
       c.columns.filterNot(n => n == key || n == "bucket" || n == "gen").toSeq
+    def outCols(keyCol: Column, opCol: Column, cols: Seq[String],
+        post: String => Column, pre: String => Column): Seq[Column] =
+      keyCol.as(key) +: opCol.as("op") +: (cols.map(c => post(c).as(c)) ++
+        (if (withPreimage) cols.map(c => pre(c).as(s"pre_$c")) else Seq.empty))
     if (changed.isEmpty) {
       val empty = loadState(spark, tablePath, m2).limit(0)
-      return empty.select(col(key) +: lit("insert").as("op") +:
-        dataCols(empty).map(col): _*)
+      return empty.select(outCols(col(key), lit("insert"),
+        dataCols(empty), col, col): _*)
     }
     val newSide = loadState(spark, tablePath, changed).drop("bucket", "gen")
     val oldEntries = m1.filter { case (b, _) => changed.contains(b) }
@@ -603,9 +616,9 @@ object Merge {
       .reduce(_ || _)
     n.join(o, col(s"n.$key") === col(s"o.$key"), "left_outer")
       .filter(col(s"o.$key").isNull || differs)
-      .select(col(s"n.$key").as(key) +:
-        when(col(s"o.$key").isNull, "insert").otherwise("update").as("op") +:
-        cols.map(c => col(s"n.$c").as(c)): _*)
+      .select(outCols(col(s"n.$key"),
+        when(col(s"o.$key").isNull, "insert").otherwise("update"), cols,
+        c => col(s"n.$c"), c => col(s"o.$c")): _*)
   }
 
   private val IncBuckets = 16
@@ -838,6 +851,60 @@ object Merge {
       .orderBy(col("universeId"))
   }
 
+  /** `j1_merge_ivm`: INCREMENTAL VIEW MAINTENANCE off the preimage feed.
+    * The materialized view — per shard (`universeId % 10`): row count and
+    * `sum(coalesce(playerCount, 0))` — is built ONCE by a direct
+    * aggregate over version [[ChangesFromVersion]], then each later
+    * version refreshes it from its change feed alone:
+    *
+    *   n_rows   += count(op = insert)
+    *   total_pc += Σ coalesce(post, 0) − Σ coalesce(pre, 0)
+    *
+    * (merge never deletes, so there is no − count term). The maintained
+    * view is hash-compared against the oracle's DIRECT aggregate over the
+    * final merge state — the IVM correctness claim, exact because the
+    * arithmetic is integral. Cost shape at 100 TB: each refresh
+    * aggregates ONLY the feed's rows (∝ changes, already bucket-pruned by
+    * [[readChanges]]) plus a |shards|-row join against the view — the
+    * full-table aggregate is paid exactly once, at view creation. This is
+    * what CDC preimages are FOR: without `pre_playerCount` the update
+    * delta is uncomputable and the view would re-scan the table every
+    * refresh. */
+  def mergeIvm(spark: SparkSession, dir: String): DataFrame = {
+    val tablePath = ensureHistoryTable(spark, dir)
+    def sharded(df: DataFrame): DataFrame =
+      df.withColumn("shard", pmod(col("universeId"), lit(10L)))
+    val base = sharded(readTableAt(spark, tablePath, ChangesFromVersion))
+      .groupBy(col("shard")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(coalesce(col("playerCount"), lit(0L))).as("total_pc"))
+    val deltas = ((ChangesFromVersion + 1) to IncRounds).map { v =>
+      sharded(readChanges(spark, tablePath, v - 1, v, "universeId",
+          withPreimage = true))
+        .groupBy(col("shard")).agg(
+          sum(when(col("op") === "insert", 1L).otherwise(0L)).as("d_rows"),
+          (sum(coalesce(col("playerCount"), lit(0L))) -
+            sum(coalesce(col("pre_playerCount"), lit(0L)))).as("d_pc"))
+    }
+    deltas.foldLeft(base) { (acc, d) =>
+      acc.join(d, Seq("shard"), "full_outer")
+        .select(col("shard"),
+          (coalesce(col("n_rows"), lit(0L)) +
+            coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+          (coalesce(col("total_pc"), lit(0L)) +
+            coalesce(col("d_pc"), lit(0L))).as("total_pc"))
+    }.orderBy(col("shard"))
+  }
+
+  val mergeIvmSql: String = OracleViews.withGames(
+    s"""${mergeCtesSql(IncRounds)}
+       |SELECT universeId % 10 AS shard,
+       |       count(*) AS n_rows,
+       |       CAST(sum(coalesce(playerCount, 0)) AS BIGINT) AS total_pc
+       |FROM m$IncRounds
+       |GROUP BY 1
+       |ORDER BY shard""".stripMargin)
+
   /** The skipping window: wide enough to keep rows from every merge round
     * (the oracle must exercise the full policy mix), narrow enough that
     * most range-split files prune. */
@@ -888,7 +955,8 @@ object Merge {
     "j1_merge_time_travel" -> mergeTimeTravel,
     "j1_merge_compact" -> mergeCompact,
     "j1_merge_changes" -> mergeChanges,
-    "j1_merge_skipping" -> mergeSkipping
+    "j1_merge_skipping" -> mergeSkipping,
+    "j1_merge_ivm" -> mergeIvm
   )
 
   val oracles: Map[String, String] = Map(
@@ -900,6 +968,7 @@ object Merge {
     // oracle (the f6 indexed-variant convention: shared oracle text)
     "j1_merge_compact" -> mergeIncrementalSql,
     "j1_merge_changes" -> mergeChangesSql,
-    "j1_merge_skipping" -> mergeSkippingSql
+    "j1_merge_skipping" -> mergeSkippingSql,
+    "j1_merge_ivm" -> mergeIvmSql
   )
 }

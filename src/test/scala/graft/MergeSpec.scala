@@ -261,6 +261,52 @@ class MergeSpec extends AnyFunSuite {
       "compact-only versions must emit no changes")
   }
 
+  test("ivm: preimage feeds maintain an aggregate view exactly at every version") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("merge-ivm").toString
+    val table = s"$tmp/games"
+    val initial = mkTT(0L until 60L, "base")
+    val rounds = Seq(mkTT(Seq(3L, 21L, 64L), "r1"), mkTT(Seq(7L, 35L), "r2"),
+      mkTT(Seq(3L, 11L), "r3"))
+    Merge.upsertIncrementalRounds(spark, table, initial, rounds, "universeId",
+      Seq("rootPlaceId", "name", "playerCount"), Seq("description"),
+      Seq("gameplayDescription"), buckets = 16, retainVersions = 10)
+    // preimage columns: null for inserts, the old row's values for updates
+    val feed = Merge.readChanges(spark, table, 0, 1, "universeId",
+      withPreimage = true).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feed(64L).getString(1) === "insert" &&
+      feed(64L).isNullAt(feed(64L).fieldIndex("pre_name")))
+    assert(feed(3L).getString(1) === "update" &&
+      feed(3L).getAs[String]("pre_name") === "base-3" &&
+      feed(3L).getAs[String]("name") === "r1-3")
+    // the maintained view == the recomputed aggregate, at EVERY version
+    def recompute(v: Int) = Merge.readTableAt(spark, table, v)
+      .withColumn("shard", pmod(col("universeId"), lit(10L)))
+      .groupBy("shard").agg(count(lit(1)).as("n_rows"),
+        sum(coalesce(col("playerCount"), lit(0L))).as("total_pc"))
+      .orderBy("shard").collect()
+    var view = recompute(0)
+    (1 to 3).foreach { v =>
+      val delta = Merge.readChanges(spark, table, v - 1, v, "universeId",
+          withPreimage = true)
+        .withColumn("shard", pmod(col("universeId"), lit(10L)))
+        .groupBy("shard").agg(
+          sum(when(col("op") === "insert", 1L).otherwise(0L)).as("d_rows"),
+          (sum(coalesce(col("playerCount"), lit(0L))) -
+            sum(coalesce(col("pre_playerCount"), lit(0L)))).as("d_pc"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      view = view.map { r =>
+        val (dr, dp) = delta.getOrElse(r.getLong(0), (0L, 0L))
+        org.apache.spark.sql.Row(r.getLong(0), r.getLong(1) + dr, r.getLong(2) + dp)
+      } ++ delta.keys.filterNot(s => view.exists(_.getLong(0) == s))
+        .map(s => org.apache.spark.sql.Row(s, delta(s)._1, delta(s)._2))
+      assert(view.sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+        recompute(v).map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+        s"maintained view diverges at version $v")
+    }
+  }
+
   test("clustering + data skipping: pruned reads open fewer files, drop no rows") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-skip").toString
     val table = s"$tmp/games"
