@@ -870,30 +870,40 @@ object Merge {
     * what CDC preimages are FOR: without `pre_playerCount` the update
     * delta is uncomputable and the view would re-scan the table every
     * refresh. */
+  private def ivmSharded(df: DataFrame): DataFrame =
+    df.withColumn("shard", pmod(col("universeId"), lit(10L)))
+
+  /** The view's creation aggregate — one full pass over a snapshot. */
+  def ivmBaseAgg(snapshot: DataFrame): DataFrame =
+    ivmSharded(snapshot).groupBy(col("shard")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(coalesce(col("playerCount"), lit(0L))).as("total_pc"))
+
+  /** Per-shard deltas from a preimage feed — the SAME expression tree the
+    * streaming twin (StreamingIvmView) runs in complete mode, so batch
+    * refresh ≡ live maintenance by construction. */
+  def ivmDeltaAgg(changes: DataFrame): DataFrame =
+    ivmSharded(changes).groupBy(col("shard")).agg(
+      sum(when(col("op") === "insert", 1L).otherwise(0L)).as("d_rows"),
+      (sum(coalesce(col("playerCount"), lit(0L))) -
+        sum(coalesce(col("pre_playerCount"), lit(0L)))).as("d_pc"))
+
+  /** Fold one delta frame into the view (|shards|-row join). */
+  def ivmApply(view: DataFrame, delta: DataFrame): DataFrame =
+    view.join(delta, Seq("shard"), "full_outer")
+      .select(col("shard"),
+        (coalesce(col("n_rows"), lit(0L)) +
+          coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+        (coalesce(col("total_pc"), lit(0L)) +
+          coalesce(col("d_pc"), lit(0L))).as("total_pc"))
+
   def mergeIvm(spark: SparkSession, dir: String): DataFrame = {
     val tablePath = ensureHistoryTable(spark, dir)
-    def sharded(df: DataFrame): DataFrame =
-      df.withColumn("shard", pmod(col("universeId"), lit(10L)))
-    val base = sharded(readTableAt(spark, tablePath, ChangesFromVersion))
-      .groupBy(col("shard")).agg(
-        count(lit(1)).as("n_rows"),
-        sum(coalesce(col("playerCount"), lit(0L))).as("total_pc"))
-    val deltas = ((ChangesFromVersion + 1) to IncRounds).map { v =>
-      sharded(readChanges(spark, tablePath, v - 1, v, "universeId",
-          withPreimage = true))
-        .groupBy(col("shard")).agg(
-          sum(when(col("op") === "insert", 1L).otherwise(0L)).as("d_rows"),
-          (sum(coalesce(col("playerCount"), lit(0L))) -
-            sum(coalesce(col("pre_playerCount"), lit(0L)))).as("d_pc"))
-    }
-    deltas.foldLeft(base) { (acc, d) =>
-      acc.join(d, Seq("shard"), "full_outer")
-        .select(col("shard"),
-          (coalesce(col("n_rows"), lit(0L)) +
-            coalesce(col("d_rows"), lit(0L))).as("n_rows"),
-          (coalesce(col("total_pc"), lit(0L)) +
-            coalesce(col("d_pc"), lit(0L))).as("total_pc"))
-    }.orderBy(col("shard"))
+    val base = ivmBaseAgg(readTableAt(spark, tablePath, ChangesFromVersion))
+    val deltas = ((ChangesFromVersion + 1) to IncRounds).map(v =>
+      ivmDeltaAgg(readChanges(spark, tablePath, v - 1, v, "universeId",
+        withPreimage = true)))
+    deltas.foldLeft(base)(ivmApply).orderBy(col("shard"))
   }
 
   val mergeIvmSql: String = OracleViews.withGames(

@@ -43,7 +43,8 @@ class StreamingChangeFeed(
     spark: SparkSession, tablePath: String, feedDir: String,
     initial: DataFrame, key: String,
     overwriteCols: Seq[String], coalesceCols: Seq[String], keepCols: Seq[String],
-    buckets: Int, retainVersions: Int = 4) extends Serializable {
+    buckets: Int, retainVersions: Int = 4,
+    feedPreimages: Boolean = false) extends Serializable {
   require(retainVersions >= 2,
     s"retainVersions must be >= 2 so the drain can read v-1, got $retainVersions")
 
@@ -84,7 +85,8 @@ class StreamingChangeFeed(
   def drainFeed(): Unit = {
     val current = Merge.tableVersions(spark, tablePath).max
     ((emittedVersion + 1) to current).foreach { v =>
-      Merge.readChanges(spark, tablePath, v - 1, v, key)
+      Merge.readChanges(spark, tablePath, v - 1, v, key,
+          withPreimage = feedPreimages)
         .write.mode(SaveMode.Overwrite).parquet(s"$feedDir/version=$v")
       writeEmitted(v)
     }
