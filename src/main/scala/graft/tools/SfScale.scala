@@ -370,6 +370,33 @@ object SfScale {
         println(f"CDC $tag%-12s buckets=$buckets%-6d changed=$changed%-5d " +
           f"feed_rows=$rows%-6d read_s=$t%.2f opened_bytes=$openedBytes%-9d " +
           f"table_bytes=$tableBytes%-10d frac=${openedBytes.toDouble / tableBytes}%.4f")
+        // IVM refresh vs recompute on the same table: the view is STORED
+        // (one-time base agg over v1, written out — the materialized-view
+        // shape), then refresh = fold the v2/v3 preimage feeds into the
+        // stored view. Claim: refresh is change-proportional and stays
+        // FLAT at xK, while the recompute control scans the table and
+        // grows with it.
+        val viewPath = s"$path-view"
+        graft.operators.Merge.ivmBaseAgg(
+            graft.operators.Merge.readTableAt(spark, path, 1).drop("bucket", "gen"))
+          .write.mode("overwrite").parquet(viewPath)
+        def refreshed(): DataFrame = (2 to 3)
+          .map(v => graft.operators.Merge.ivmDeltaAgg(
+            graft.operators.Merge.readChanges(spark, path, v - 1, v,
+              "universeId", withPreimage = true)))
+          .foldLeft(spark.read.parquet(viewPath))(graft.operators.Merge.ivmApply)
+        def timeNoop(mk: () => DataFrame): Double = {
+          val t0 = System.nanoTime()
+          mk().write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        timeNoop(refreshed _) // warm
+        val tRefresh = timeNoop(refreshed _)
+        def recomputed(): DataFrame = graft.operators.Merge.ivmBaseAgg(
+          graft.operators.Merge.readTable(spark, path).drop("bucket", "gen"))
+        timeNoop(recomputed _) // warm
+        val tRecompute = timeNoop(recomputed _)
+        println(f"IVM $tag%-12s refresh_s=$tRefresh%.2f recompute_s=$tRecompute%.2f")
       }
       buildAndRead(base, "base", 256)
       buildAndRead(out, s"x$factor", 256 * factor)
