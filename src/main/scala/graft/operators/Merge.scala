@@ -219,6 +219,7 @@ object Merge {
     // v0 manifest: every bucket the initial write produced, at gen 0
     val initialBuckets = fs.listStatus(table).map(_.getPath.getName)
       .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+    writeSchemaSidecar(fs, table, 0, initial.schema)
     commitManifest(fs, table, 0, initialBuckets.map(_ -> 0).toMap)
     freshRounds.map(fresh0 =>
       upsertRound(spark, tablePath, fresh0, key,
@@ -249,9 +250,18 @@ object Merge {
     val existingTouched = readTable(spark, tablePath)
       .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
       .drop("bucket", "gen")
-    val merged = mergeUpsert(
-        existingTouched, fresh.drop("bucket"), key,
-        overwriteCols, coalesceCols, keepCols)
+    // SCHEMA EVOLUTION: a batch may carry columns the table predates —
+    // pad the existing side with typed nulls so the merge policies see
+    // them (pre-evolution rows read the new column as null), and commit
+    // the widened schema with this version's sidecar below
+    val addedCols = (overwriteCols ++ coalesceCols)
+      .filterNot(existingTouched.columns.contains)
+    val existingPadded = addedCols.foldLeft(existingTouched)((df, c) =>
+      df.withColumn(c, lit(null).cast(fresh0.schema(c).dataType)))
+    val mergedData = mergeUpsert(
+      existingPadded, fresh.drop("bucket"), key,
+      overwriteCols, coalesceCols, keepCols)
+    val merged = mergedData
       .withColumn("bucket", pmod(col(key), lit(buckets)).cast("int"))
     // clear uncommitted leftovers of a crashed prior attempt at this gen,
     // then append the merged buckets as the new generation — committed
@@ -260,6 +270,7 @@ object Merge {
     merged.withColumn("gen", lit(round))
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
     val rewritten = touched.map(b => dirBytes(genPath(b, round))).sum
+    writeSchemaSidecar(fs, table, round, mergedData.schema)
     hooks.beforeCommit(round)
     val committed = current ++ touched.map(_ -> round)
     commitManifest(fs, table, round, committed)
@@ -300,12 +311,16 @@ object Merge {
       .filter(p => p.getName.startsWith("manifest-v") &&
         p.getName.stripPrefix("manifest-v").toInt < keepFrom)
       .foreach(p => fs.delete(p, false))
-    // stats sidecars expire with their manifests (a sidecar is only valid
-    // for the exact file set its version committed)
+    // stats and schema sidecars expire with their manifests (each is only
+    // valid for the exact version it was committed with)
     fs.listStatus(manifestDir(table)).map(_.getPath)
       .filter(p => p.getName.startsWith("stats-v") &&
         p.getName.stripPrefix("stats-v").toInt < keepFrom)
       .foreach(p => fs.delete(p, true))
+    fs.listStatus(manifestDir(table)).map(_.getPath)
+      .filter(p => p.getName.startsWith("schema-v") &&
+        p.getName.stripPrefix("schema-v").toInt < keepFrom)
+      .foreach(p => fs.delete(p, false))
   }
 
   /** Per-bucket accounting of [[compact]] — files before/after, so the
@@ -352,6 +367,8 @@ object Merge {
         .write.parquet(dst.toString)
     }
     val committed = current ++ oversized.keys.map(_ -> round)
+    // layout-only versions carry the schema forward unchanged
+    readSchemaAt(fs, table, version).foreach(writeSchemaSidecar(fs, table, round, _))
     commitManifest(fs, table, round, committed)
     sweepRetention(fs, table, round, retainVersions)
     val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
@@ -387,7 +404,7 @@ object Merge {
     val round = version + 1
     val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
     current.keys.foreach(b => fs.delete(genPath(b, round), true))
-    loadState(spark, tablePath, current).drop("gen")
+    loadState(spark, tablePath, current, readSchemaAt(fs, table, version)).drop("gen")
       .repartitionByRange(current.size * filesPerBucket,
         col("bucket"), col(clusterCol))
       .withColumn("gen", lit(round))
@@ -399,6 +416,8 @@ object Merge {
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath(table, round).toString)
     val committed = current.keys.map(_ -> round).toMap
+    // layout-only versions carry the schema forward unchanged
+    readSchemaAt(fs, table, version).foreach(writeSchemaSidecar(fs, table, round, _))
     commitManifest(fs, table, round, committed)
     sweepRetention(fs, table, round, retainVersions)
     val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
@@ -440,6 +459,44 @@ object Merge {
 
   private def statsPath(table: org.apache.hadoop.fs.Path, version: Int) =
     new org.apache.hadoop.fs.Path(manifestDir(table), s"stats-v$version")
+
+  // -------------------------------------------------------------------
+  // Schema in the log (Delta-style): each version commits its DATA
+  // schema (key + data columns, no partition cols) as a sidecar, so
+  // readers never footer-scan 10^5 files to discover columns, and SCHEMA
+  // EVOLUTION falls out: a round whose batch carries a new column
+  // commits a widened schema, and reading OLD generations under it fills
+  // the missing column with null (the parquet reader's behavior under an
+  // explicit schema) — exactly Delta's ADD COLUMN semantics. Time travel
+  // stays faithful: each version reads under ITS OWN schema sidecar.
+  // -------------------------------------------------------------------
+
+  private def schemaPath(table: org.apache.hadoop.fs.Path, version: Int) =
+    new org.apache.hadoop.fs.Path(manifestDir(table), s"schema-v$version")
+
+  private def writeSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, version: Int,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val p = schemaPath(table, version)
+    val out = fs.create(p, true)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The schema a version committed — None for tables written before the
+    * sidecar existed (readers then fall back to footer inference). */
+  private def readSchemaAt(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, version: Int)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaPath(table, version)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(text)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
 
   private def manifestDir(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_manifests")
@@ -515,8 +572,8 @@ object Merge {
   def readTable(spark: SparkSession, tablePath: String): DataFrame = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (_, state) = readManifest(fs, table)
-    loadState(spark, tablePath, state)
+    val (version, state) = readManifest(fs, table)
+    loadState(spark, tablePath, state, readSchemaAt(fs, table, version))
   }
 
   /** TIME TRAVEL: read `tablePath` exactly as it stood when `version` was
@@ -532,13 +589,21 @@ object Merge {
   def readTableAt(spark: SparkSession, tablePath: String, version: Int): DataFrame = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    loadState(spark, tablePath, readManifestAt(fs, table, version))
+    loadState(spark, tablePath, readManifestAt(fs, table, version),
+      readSchemaAt(fs, table, version))
   }
 
+  /** `schema`: the version's committed DATA schema (sidecar) — passing it
+    * (a) skips footer inference at 10⁵-file scale and (b) fills columns
+    * the generation predates with null (schema evolution). None falls
+    * back to inference (pre-sidecar tables). Partition columns (bucket,
+    * gen) are appended by directory discovery either way. */
   private def loadState(
-      spark: SparkSession, tablePath: String, state: Map[Int, Int]): DataFrame = {
+      spark: SparkSession, tablePath: String, state: Map[Int, Int],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val paths = state.toSeq.sorted.map { case (b, g) => s"$tablePath/bucket=$b/gen=$g" }
-    spark.read.option("basePath", tablePath).parquet(paths: _*)
+    val reader = spark.read.option("basePath", tablePath)
+    schema.fold(reader)(reader.schema).parquet(paths: _*)
   }
 
   /** Buckets whose generation differs between two committed versions —
@@ -600,15 +665,21 @@ object Merge {
         post: String => Column, pre: String => Column): Seq[Column] =
       keyCol.as(key) +: opCol.as("op") +: (cols.map(c => post(c).as(c)) ++
         (if (withPreimage) cols.map(c => pre(c).as(s"pre_$c")) else Seq.empty))
+    // both sides read under the TO version's schema: a column added
+    // between the versions reads as null on the old side, so evolution
+    // surfaces as ordinary updates (null -> value) with null preimages
+    val toSchema = readSchemaAt(fs, table, toVersion)
     if (changed.isEmpty) {
-      val empty = loadState(spark, tablePath, m2).limit(0)
+      val empty = loadState(spark, tablePath, m2, toSchema).limit(0)
       return empty.select(outCols(col(key), lit("insert"),
         dataCols(empty), col, col): _*)
     }
-    val newSide = loadState(spark, tablePath, changed).drop("bucket", "gen")
+    val newSide = loadState(spark, tablePath, changed, toSchema)
+      .drop("bucket", "gen")
     val oldEntries = m1.filter { case (b, _) => changed.contains(b) }
     val oldSide = (if (oldEntries.isEmpty) newSide.limit(0)
-      else loadState(spark, tablePath, oldEntries).drop("bucket", "gen"))
+      else loadState(spark, tablePath, oldEntries, toSchema)
+        .drop("bucket", "gen"))
     val cols = dataCols(newSide)
     val n = newSide.alias("n")
     val o = oldSide.alias("o")

@@ -261,6 +261,56 @@ class MergeSpec extends AnyFunSuite {
       "compact-only versions must emit no changes")
   }
 
+  test("schema evolution: a round adds a column; old versions keep their schema") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("merge-evo").toString
+    val table = s"$tmp/games"
+    val initial = mkTT(0L until 40L, "base")
+    Merge.upsertIncrementalRounds(spark, table, initial,
+      Seq(mkTT(Seq(3L, 21L), "r1")), "universeId",
+      Seq("rootPlaceId", "name", "playerCount"), Seq("description"),
+      Seq("gameplayDescription"), buckets = 8, retainVersions = 10)
+    // round 2 carries a NEW column (tags) under overwrite policy
+    val evolved = Seq((7L, 70L, "seven v2", Option.empty[String],
+        Option.empty[String], Some(2L), Some("fresh,hot")),
+      (64L, 640L, "sixty-four", Option.empty[String],
+        Option.empty[String], Some(1L), Some("new")))
+      .toDF("universeId", "rootPlaceId", "name", "description",
+        "gameplayDescription", "playerCount", "tags")
+    Merge.upsertRound(spark, table, evolved, "universeId",
+      Seq("rootPlaceId", "name", "playerCount", "tags"), Seq("description"),
+      Seq("gameplayDescription"), buckets = 8, retainVersions = 10)
+    // current read: widened schema; pre-evolution rows read tags as null
+    val cur = Merge.readTable(spark, table)
+    assert(cur.columns.contains("tags"))
+    val byId = cur.collect().map(r => r.getLong(r.fieldIndex("universeId")) -> r).toMap
+    assert(byId(7L).getAs[String]("tags") === "fresh,hot")
+    assert(byId(64L).getAs[String]("tags") === "new")
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("tags")),
+      "pre-evolution rows must read the new column as null")
+    // time travel is schema-faithful: version 1 has no tags column
+    assert(!Merge.readTableAt(spark, table, 1).columns.contains("tags"))
+    // CDC across the evolution boundary: the new column rides the feed
+    // with null preimages (an ordinary null -> value update)
+    val feed = Merge.readChanges(spark, table, 1, 2, "universeId",
+      withPreimage = true).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feed(7L).getAs[String]("tags") === "fresh,hot")
+    assert(feed(7L).isNullAt(feed(7L).fieldIndex("pre_tags")))
+    assert(feed(64L).getString(1) === "insert")
+    // a post-evolution plain round keeps the widened schema (fresh batch
+    // WITHOUT tags: pre-existing tag values survive under keep-ness of
+    // absence — tags not in any policy list means existing side wins)
+    Merge.upsertRound(spark, table, mkTT(Seq(7L), "r3"), "universeId",
+      Seq("rootPlaceId", "name", "playerCount"), Seq("description"),
+      Seq("gameplayDescription", "tags"), buckets = 8, retainVersions = 10)
+    val after = Merge.readTable(spark, table).collect()
+      .map(r => r.getLong(r.fieldIndex("universeId")) -> r).toMap
+    assert(after(7L).getAs[String]("name") === "r3-7")
+    assert(after(7L).getAs[String]("tags") === "fresh,hot",
+      "keep-policy column must survive a post-evolution round")
+  }
+
   test("ivm: preimage feeds maintain an aggregate view exactly at every version") {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("merge-ivm").toString
