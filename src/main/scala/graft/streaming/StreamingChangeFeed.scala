@@ -38,6 +38,10 @@ import graft.operators.Merge
   * `retainVersions` must cover the drain lag (a crashed drain catches up
   * on the next batch), hence the `>= 2` floor; versions older than the
   * window VACUUM as usual once drained.
+  *
+  * `feedPreimages = true` drains the feed WITH `pre_<c>` preimage
+  * columns — what a downstream incremental view (StreamingIvmView)
+  * needs to compute update deltas without re-reading the table.
   */
 class StreamingChangeFeed(
     spark: SparkSession, tablePath: String, feedDir: String,
