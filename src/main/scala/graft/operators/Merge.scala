@@ -410,8 +410,12 @@ object Merge {
       .withColumn("gen", lit(round))
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
     val genPaths = current.keys.toSeq.sorted.map(b => s"$tablePath/bucket=$b/gen=$round")
+    // paths are stored TABLE-RELATIVE (`bucket=<b>/gen=<g>/part-*.parquet`,
+    // ADVICE r11 #2): a table that is moved, copied, or read through a
+    // different filesystem prefix resolves the sidecar against ITS OWN
+    // tablePath instead of chasing the writer's absolute URIs
     spark.read.option("basePath", tablePath).parquet(genPaths: _*)
-      .groupBy(input_file_name().as("file"))
+      .groupBy(regexp_extract(input_file_name(), "bucket=.*$", 0).as("file"))
       .agg(min(col(clusterCol)).as("cmin"), max(col(clusterCol)).as("cmax"))
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath(table, round).toString)
@@ -451,10 +455,20 @@ object Merge {
         r.getAs[Number](iMax).longValue >= lo &&
         r.getAs[Number](iMin).longValue <= hi
     }.map(r => r.getString(r.fieldIndex("file")))
-    if (keep.isEmpty)
+    // resolve the relative paths against THIS read's tablePath; any
+    // unresolvable entry (pre-relative absolute-URI sidecar, or a file the
+    // filesystem can't see through this prefix) falls back to the plain
+    // manifest read — pruning is an optimization, never a correctness
+    // dependency (ADVICE r11 #2)
+    val resolved = keep.map(rel => s"$tablePath/$rel")
+    val resolvable = keep.forall(_.startsWith("bucket=")) &&
+      resolved.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (!resolvable)
+      return loadState(spark, tablePath, state).filter(pred)
+    if (resolved.isEmpty)
       return loadState(spark, tablePath, state).filter(pred).limit(0)
     spark.read.option("basePath", tablePath)
-      .parquet(keep.toIndexedSeq: _*).filter(pred)
+      .parquet(resolved.toIndexedSeq: _*).filter(pred)
   }
 
   private def statsPath(table: org.apache.hadoop.fs.Path, version: Int) =
@@ -822,24 +836,29 @@ object Merge {
   /** Build (or reuse) the full-history incremental table both history
     * readers serve from — every version 0..[[IncRounds]] retained. Reuse
     * is sound: versions are immutable once committed, so a complete
-    * on-disk history needs no rebuild. */
+    * on-disk history needs no rebuild. The path is keyed by the corpus
+    * FINGERPRINT ([[graft.tools.IndexStore.statePath]] — ADVICE r11 #1):
+    * regenerated fixture data or a second corpus sharing a basename gets
+    * its own tree instead of silently serving a stale one, stale trees are
+    * pruned, and the build is serialized under the store's per-path lock
+    * so concurrent first-touchers cannot race the manifest writes. */
   private def ensureHistoryTable(spark: SparkSession, dir: String): String = {
-    val base = new java.io.File(dir).getName
-    val tablePath =
-      s"${System.getProperty("java.io.tmpdir")}/graft-merge-tt/$base/games"
-    val table = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (committedVersions(fs, table).toList != (0 to IncRounds).toList) {
-      upsertIncrementalRounds(
-        spark, tablePath,
-        existingSnapshot(spark, dir),
-        (1 to IncRounds).map(freshRound(spark, dir, _)), "universeId",
-        overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
-        coalesceCols = Seq("description"),
-        keepCols = Seq("gameplayDescription"),
-        buckets = IncBuckets, retainVersions = IncRounds + 1)
+    val tablePath = graft.tools.IndexStore.statePath(spark, dir, "merge-history/games")
+    graft.tools.IndexStore.withPathLock(tablePath) {
+      val table = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (committedVersions(fs, table).toList != (0 to IncRounds).toList) {
+        upsertIncrementalRounds(
+          spark, tablePath,
+          existingSnapshot(spark, dir),
+          (1 to IncRounds).map(freshRound(spark, dir, _)), "universeId",
+          overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+          coalesceCols = Seq("description"),
+          keepCols = Seq("gameplayDescription"),
+          buckets = IncBuckets, retainVersions = IncRounds + 1)
+      }
+      tablePath
     }
-    tablePath
   }
 
   def mergeTimeTravel(spark: SparkSession, dir: String): DataFrame = {

@@ -97,6 +97,15 @@ object Nsw {
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     }
 
+  /** Corpus size per dir, memoized: the sized serve dials need |corpus|,
+    * and every serve query paying its own count() job is a scan per
+    * request at exactly the scale sizing is meant to help (ADVICE r11 #4).
+    * Keyed by dir like every sharedTracked frame — within one process a
+    * fixture dir's row count is stable. */
+  private val corpusSizes = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[operators] def corpusSize(spark: SparkSession, dir: String): Long =
+    corpusSizes.getOrElseUpdate(dir, vectors(spark, dir).count())
+
   /** Deterministic long-range links per node (formula, no data): on a
     * strongly clustered corpus every node's nearest neighbors are
     * same-cluster, so a PURE k-NN graph is disconnected and the beam can
@@ -560,7 +569,7 @@ object Nsw {
   def nswCellSearch(spark: SparkSession, dir: String): DataFrame = {
     val e = vectors(spark, dir)
     val edges = storedCellEdges(spark, dir)
-    val n = e.count()
+    val n = corpusSize(spark, dir)
     if (SizingPolicy.useRoutedEntries(n)) {
       val (_, assigned, centroids) = IvfKMeans.trained(spark, dir)
       searchWithRoutedEntries(e, edges, centroids, assigned,
@@ -579,7 +588,7 @@ object Nsw {
     val e = vectors(spark, dir)
     val (_, assigned, centroids) = IvfKMeans.trained(spark, dir)
     val edges = storedCellEdges(spark, dir)
-    val n = e.count()
+    val n = corpusSize(spark, dir)
     searchWithRoutedEntries(e, edges, centroids, assigned,
       sizedHops(n), sizedBeam(n), sizedProbeCells(n))
   }

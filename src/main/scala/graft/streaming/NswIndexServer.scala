@@ -51,9 +51,12 @@ class NswIndexServer(spark: SparkSession, baseDir: String,
   private val state = new VersionedState(spark, baseDir)
   private val quantizerState = quantizerDir.map(new VersionedState(spark, _))
 
-  // (version, vectors, served edge table) — swapped atomically under this
-  // object's lock; volatile so a concurrent reader thread sees the swap
-  @volatile private var served: Option[(Long, DataFrame, DataFrame)] = None
+  // (version, vectors, served edge table, corpus size) — swapped atomically
+  // under this object's lock; volatile so a concurrent reader thread sees
+  // the swap. The corpus size rides along so the sized serve dials never
+  // cost a count() job per request batch (ADVICE r11 #4) — it is a
+  // per-VERSION constant, computed once at refresh.
+  @volatile private var served: Option[(Long, DataFrame, DataFrame, Long)] = None
 
   // (quantizer version, graph version, centroids, served vectors with
   // their cluster column) — refreshed when EITHER pointer moves (the
@@ -77,13 +80,14 @@ class NswIndexServer(spark: SparkSession, baseDir: String,
     if (served.exists(_._1 == v)) false
     else {
       val vectors = state.readAt("vectors", v).persist(StorageLevel.MEMORY_AND_DISK)
+      val n = vectors.count() // materialize + size the dials, once per version
       val edges = Nsw.symmetrizeWithLongLinks(vectors, state.readAt("knn", v), 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
       edges.count() // materialize the overlay once per version, not per batch
-      served.foreach { case (_, oldV, oldE) =>
+      served.foreach { case (_, oldV, oldE, _) =>
         oldV.unpersist(blocking = false); oldE.unpersist(blocking = false)
       }
-      served = Some((v, vectors, edges))
+      served = Some((v, vectors, edges, n))
       refreshCount += 1
       true
     }
@@ -94,7 +98,7 @@ class NswIndexServer(spark: SparkSession, baseDir: String,
   private def refreshRoutingIfStale(): Unit = synchronized {
     quantizerState.foreach { qs =>
       (qs.latest, served) match {
-        case (Some(qv), Some((gv, vectors, _)))
+        case (Some(qv), Some((gv, vectors, _, _)))
             if !routing.exists(r => r._1 == qv && r._2 == gv) =>
           val cents = qs.readAt("centroids", qv).collect()
             .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
@@ -117,11 +121,10 @@ class NswIndexServer(spark: SparkSession, baseDir: String,
   def answer(queries: DataFrame): DataFrame = {
     refreshIfStale()
     refreshRoutingIfStale()
-    val (_, vectors, edges) = served.get
+    val (_, vectors, edges, n) = served.get
     val q = queries.select(col("query_id"), col("qv"))
     routing match {
       case Some((_, _, cents, assigned)) =>
-        val n = vectors.count()
         Nsw.routedServeTopK(vectors, edges, q, cents, assigned,
           Nsw.sizedHops(n), Nsw.sizedBeam(n), Nsw.sizedProbeCells(n))
       case None => Nsw.serveTopK(vectors, edges, q)

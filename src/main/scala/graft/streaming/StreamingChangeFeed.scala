@@ -87,8 +87,22 @@ class StreamingChangeFeed(
     * crash-safe: per-version Overwrite + pointer-after-data means any
     * prefix of a crashed drain is simply redone. */
   def drainFeed(): Unit = {
-    val current = Merge.tableVersions(spark, tablePath).max
-    ((emittedVersion + 1) to current).foreach { v =>
+    val retained = Merge.tableVersions(spark, tablePath)
+    val current = retained.max
+    val emitted = emittedVersion
+    // each drain step reads readChanges(v-1, v), so version `emitted` must
+    // still be retained; if retention has overtaken the drain lag the feed
+    // has LOST changes and retrying forever would just wedge (ADVICE r11
+    // #3) — fail with the recovery options instead
+    if (emitted < current && !retained.contains(emitted))
+      sys.error(
+        s"change feed at $feedDir has fallen behind retention: last emitted " +
+          s"version $emitted is expired (retained: ${retained.mkString(",")}). " +
+          s"Changes between $emitted and ${retained.min} are unrecoverable from " +
+          "the log — re-baseline consumers from a table snapshot " +
+          "(Merge.readTable) and reset _EMITTED to the snapshot version, or " +
+          "raise retainVersions so it covers the worst-case drain lag.")
+    ((emitted + 1) to current).foreach { v =>
       Merge.readChanges(spark, tablePath, v - 1, v, key,
           withPreimage = feedPreimages)
         .write.mode(SaveMode.Overwrite).parquet(s"$feedDir/version=$v")
@@ -107,9 +121,21 @@ class StreamingChangeFeed(
   }
 
   /** Merge one micro-batch as a new table version, then drain. Empty
-    * batches commit nothing (no version burned, nothing to feed). */
+    * batches commit nothing (no version burned, nothing to feed).
+    *
+    * Backpressure guard (ADVICE r11 #3): a crashed post-commit drain leaves
+    * the table one version ahead of the feed, and each retry used to mint
+    * ANOTHER version — after `retainVersions - 1` consecutive failures the
+    * un-drained manifests would be vacuumed and the feed permanently
+    * wedged. Minting now refuses once the next version would push the
+    * drain lag past what retention covers: the batch fails WITHOUT burning
+    * a version, the already-committed versions drain on the next attempt
+    * (drainFeed is re-entrant), and no change is ever lost. */
   def applyBatch(batch: Dataset[Row], batchId: Long): Unit = {
     if (!batch.isEmpty) {
+      val next = Merge.tableVersions(spark, tablePath).max + 1
+      if (next - emittedVersion > retainVersions - 1)
+        drainFeed() // catch up in place; throws only if retention already lost versions
       Merge.upsertRound(spark, tablePath, batch.toDF(), key,
         overwriteCols, coalesceCols, keepCols, buckets,
         retainVersions = retainVersions)

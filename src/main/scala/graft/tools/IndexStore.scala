@@ -129,6 +129,22 @@ object IndexStore {
   private[graft] def isCommitted(spark: SparkSession, dir: String, name: String): Boolean =
     committed(spark, artifactPath(spark, dir, name))
 
+  /** A fingerprint-keyed directory for state that is NOT a single
+    * writeAtomic parquet artifact (e.g. Merge's manifest-committed history
+    * table, whose commit discipline is its own manifests): same keying and
+    * stale-fingerprint pruning as [[artifactPath]], so regenerated fixture
+    * data can never serve a stale tree, and two corpora sharing a basename
+    * land under different fingerprints (ADVICE r11 #1). */
+  private[graft] def statePath(spark: SparkSession, dir: String, name: String): String = {
+    pruneStaleFingerprints(spark, dir)
+    artifactPath(spark, dir, name)
+  }
+
+  /** The store's per-path JVM lock, for callers managing their own commit
+    * discipline under a [[statePath]] — concurrent builders of the same
+    * state tree serialize exactly like concurrent artifact writers. */
+  private[graft] def withPathLock[T](path: String)(body: => T): T = withLock(path)(body)
+
   def readOrBuild(spark: SparkSession, dir: String, name: String)
       (build: => DataFrame): DataFrame = {
     val path = artifactPath(spark, dir, name)
