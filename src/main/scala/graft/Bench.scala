@@ -83,19 +83,48 @@ object Bench {
     val (buildQs, serveQs) =
       selected.toSeq.sortBy(_._1).partition(_._1.startsWith("index_build_"))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = (buildQs ++ serveQs).map { case (name, fn) =>
+
+    // STABLE mode (round-11 verdict #2): same-code full-suite totals swing
+    // 106.6–176.6 s on this host, which hides any real sub-1.7× per-query
+    // regression. SPARK_GRAFT_BENCH_REPEATS=N (N>1) makes the bench
+    // regression-sensitive: (a) one PRICED setup pass at the target sfDir
+    // first, so every shared fixture a query lazily builds on a cold tmp
+    // dir (the j1 history table, stored index artifacts) is paid in a
+    // named "setup_sec" line instead of landing on whichever family member
+    // runs first; (b) each query then runs N times and reports its MEDIAN
+    // — single-run GC/suite-context outliers stop moving the per-query
+    // numbers. Query order stays fixed (builds first, then alphabetical).
+    val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
+      .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+    var setupSec = 0.0
+    if (repeats > 1) {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        // keep the WHOLE first line plus 2000 chars of detail: the r8
-        // postmortem needed the AnalysisException's "got TIMESTAMP_NTZ"
-        // tail, which a 200-char cap had discarded (ADVICE r8)
-        catch { case e: Throwable => errors(name) = e.toString.take(2000); false }
-      // stop the clock before cache-release housekeeping — unpersist cost
-      // belongs to the harness, not the measured query
-      val elapsed = (System.nanoTime() - t0) / 1e9
-      graft.tools.CacheRegistry.release(blocking = true)
-      name -> (if (ok) elapsed else -1.0)
+      (buildQs ++ serveQs).foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        graft.tools.CacheRegistry.release(blocking = true)
+      }
+      setupSec = (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted; s(s.length / 2)
+    }
+    val results = (buildQs ++ serveQs).map { case (name, fn) =>
+      val times = (1 to repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          // keep the WHOLE first line plus 2000 chars of detail: the r8
+          // postmortem needed the AnalysisException's "got TIMESTAMP_NTZ"
+          // tail, which a 200-char cap had discarded (ADVICE r8)
+          catch { case e: Throwable => errors(name) = e.toString.take(2000); false }
+        // stop the clock before cache-release housekeeping — unpersist cost
+        // belongs to the harness, not the measured query
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        graft.tools.CacheRegistry.release(blocking = true)
+        if (ok) elapsed else -1.0
+      }
+      name -> (if (times.contains(-1.0)) -1.0 else median(times))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -107,12 +136,17 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val stableFields =
+      if (repeats > 1) s""","repeats":$repeats,"setup_sec":$setupSec""" else ""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$stableFields}"""
     // a filtered spot-check must not silently overwrite the committed
-    // full-suite snapshot — give it its own default file
+    // full-suite snapshot — give it its own default file; the stable
+    // (median-of-N) mode likewise gets its own, so the driver's
+    // single-pass snapshot and the regression-tracking snapshot never mix
     val outPath = sys.env.getOrElse("BENCH_JSON_OUT",
-      if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_RESULT.json")
+      if (repeats > 1) "BENCH_STABLE.json"
+      else if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_RESULT.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()

@@ -1,110 +1,145 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.operators.{Merge, TextSearch}
 
-/** Incremental inverted-index maintenance under streaming game ingest —
-  * the streaming twin of `index_build_postings` + `f6_text_search_indexed`,
-  * completing the index-maintainer family (NSW graph:
-  * [[StreamingNswIndex]], IVF quantizer: [[StreamingIvfIndex]], now the
-  * text postings). Freshly gathered game rows arrive continuously; the
-  * searchable snapshot AND its posting-list index advance together, so
-  * indexed serving never waits on a corpus-wide re-tokenization.
+/** CDC-fed inverted-index maintenance — the text-search member of the
+  * index-maintainer family, refitted (round-11 verdict #1) to consume the
+  * lake's CHANGE FEED instead of raw snapshot streams and to commit through
+  * the bucket-pruned [[BucketedPostingsState]] instead of a full-state
+  * rewrite. The maintainer tier now has the same cost shape as the lake it
+  * serves: per batch, COMPUTE ∝ changed docs and WRITTEN BYTES ∝ touched
+  * word-buckets — nothing corpus-sized on the hot path.
   *
-  * Per micro-batch (the incremental contract):
+  * Architecture (the composed incremental story):
   *
-  *   - the batch merges into the games snapshot under the J1 policy
-  *     (identical to [[StreamingUpsert]] — gather fields overwrite,
-  *     enrichment fields persist);
-  *   - ONLY the batch's touched docs are re-tokenized, through the same
-  *     [[graft.operators.TextSearch.postingsOf]] definition the batch
-  *     artifact uses (one tokenizer ⇒ streamed ≡ rebuilt postings is a
-  *     set equality, pinned in StreamingPostingsSpec). Tokenizing from
-  *     the MERGED rows, not the raw batch, matters: a batch row with a
-  *     null description keeps the old enrichment text, so its postings
-  *     must keep the old description's words too;
-  *   - the touched docs' PREVIOUS postings are anti-joined away (an
-  *     updated doc's stale words must stop matching — the delete half of
-  *     the upsert), the fresh postings appended, and the dictionary
-  *     refreshed as the distinct words of the result.
+  *   - the games table lives in the manifest-committed lake
+  *     ([[graft.operators.Merge]]); a [[StreamingChangeFeed]] merges crawl
+  *     batches and drains each version's changes (WITH preimages) into the
+  *     append-only feed log;
+  *   - this maintainer tails that log: per feed version, the post-images
+  *     name and carry the touched docs' NEW text (tokenized through the
+  *     same [[TextSearch.postingsOf]] as the batch artifact — one
+  *     tokenizer, so streamed ≡ rebuilt is a set equality), and the
+  *     PREIMAGES carry their OLD text, which recomputes exactly the stale
+  *     postings to delete — the delete half of the upsert costs ZERO reads
+  *     of the postings state or the table. This is the same
+  *     preimages-make-deltas-computable contract IVM uses
+  *     ([[Merge.ivmDeltaAgg]]), applied to an index instead of an
+  *     aggregate;
+  *   - the games snapshot is NOT maintainer state at all: serving reads the
+  *     lake table AT the pinned version ([[Merge.readTableAt]]), so the
+  *     games copy the old maintainer rewrote per batch simply no longer
+  *     exists.
   *
-  * Per-batch compute is batch-sized (tokenize |batch| docs + one
-  * anti-join against the postings state); the corpus-sized costs are the
-  * copy-on-write table rewrite — [[VersionedState]]'s documented
-  * trade, a lakehouse MERGE commit at scale — and the dictionary
-  * distinct, one map-side-combined agg over narrow (word) rows per
-  * commit, paid at commit time so serve-time stays dictionary-scan +
-  * postings equi-join.
+  * Exactly-once: postings manifest version = feed version, so a replayed
+  * feed version is skipped by [[BucketedPostingsState.commitDelta]] without
+  * touching disk, and a crash mid-commit leaves uncommitted generations the
+  * retry clears — [[catchUp]] is idempotent and re-entrant from any crash
+  * point, with no checkpoint state of its own.
   *
-  * Storage is [[VersionedState]]: retry-safe overwrite writes at
-  * batchId-derived versions, an atomic commit pointer, keep-last-K
-  * retention. Postings are range-partitioned by `word` before write, the
-  * same layout discipline as the stored batch artifact (word-ordered row
-  * groups ⇒ min/max pruning on equi-lookups).
+  * Retention coupling: serving pins (table version v, postings version v);
+  * the lake writer's `retainVersions` must cover the maintainer's worst
+  * lag, exactly the change feed's own drain-lag rule. The feed log itself
+  * is append-only (grows with changes, never rewritten), so the maintainer
+  * can always catch up from its last committed version.
   */
-class StreamingPostingsIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
-    keepVersions: Int = 3) extends Serializable {
+class StreamingPostingsIndex(spark: SparkSession, tablePath: String,
+    feedDir: String, stateDir: String, buckets: Int = 16,
+    keepVersions: Int = 3,
+    hooks: Merge.IncHooks = Merge.IncHooks.none) extends Serializable {
 
-  private val state = new VersionedState(spark, baseDir, keepVersions)
-  if (state.latest.isEmpty) commitTables(0L, initial, TextSearch.postingsOf(initial))
+  private val state = new BucketedPostingsState(spark, stateDir, buckets,
+    keepVersions, hooks)
 
-  private def commitTables(version: Long, games: DataFrame, postings: DataFrame): Unit =
-    state.commit(version, Map(
-      "games" -> games,
-      "postings" -> postings.repartitionByRange(col("word"))
-        .sortWithinPartitions(col("word")),
-      "dictionary" -> postings.select(col("word")).distinct()))
-
-  def currentGames(): DataFrame = state.read("games")
-  def currentPostings(): DataFrame = state.read("postings")
-  def currentDictionary(): DataFrame = state.read("dictionary")
-
-  /** Merge one micro-batch into the snapshot and its index: J1 upsert of
-    * the rows, delete-then-insert of the touched docs' postings. A batch
-    * whose version is already committed (foreachBatch replay after a
-    * post-commit failure) is a no-op — re-running it would read the very
-    * dirs it overwrites. */
-  def upsertBatch(batch: Dataset[Row], batchId: Long): Unit = {
-    val target = batchId + 1
-    if (state.latest.exists(_ >= target)) return
-    if (batch.isEmpty) return
-    val merged = Merge.mergeUpsert(
-      currentGames(), batch.toDF(), "universeId",
-      overwriteCols = Seq("rootPlaceId", "name"),
-      coalesceCols = Seq.empty,
-      keepCols = Seq("description", "gameplayDescription", "playerCount"))
-    val touched = batch.toDF().select(col("universeId")).distinct()
-    val freshPostings = TextSearch.postingsOf(
-      merged.join(touched, Seq("universeId"), "left_semi"))
-    val kept = currentPostings().join(touched, Seq("universeId"), "left_anti")
-    commitTables(target, merged, kept.unionByName(freshPostings))
+  // bootstrap: one corpus-sized build at the CURRENT table version — the
+  // batch artifact's one-time cost; every later commit is delta-sized
+  if (state.latestVersion.isEmpty) {
+    val v0 = Merge.tableVersions(spark, tablePath).max
+    state.bootstrap(v0,
+      TextSearch.postingsOf(Merge.readTableAt(spark, tablePath, v0)))
   }
 
-  /** Attach to a stream of fresh game rows; one upsert per micro-batch. */
-  def start(freshStream: DataFrame, checkpointDir: String): StreamingQuery =
-    freshStream.writeStream
-      .foreachBatch((batch: Dataset[Row], id: Long) => upsertBatch(batch, id))
+  def currentVersion: Long = state.latestVersion
+    .getOrElse(sys.error(s"no committed postings state under $stateDir")).toLong
+  def currentPostings(): DataFrame = state.postings()
+  def currentDictionary(): DataFrame = state.dict()
+
+  /** Surviving committed postings versions — for retention tests. */
+  def postingsVersions(): Seq[Long] = state.committedVersions.map(_.toLong)
+
+  @transient private lazy val feedFs =
+    new Path(feedDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Feed versions present in the log, ascending. */
+  private def feedVersions(): Seq[Int] =
+    if (!feedFs.exists(new Path(feedDir))) Seq.empty
+    else feedFs.listStatus(new Path(feedDir)).map(_.getPath.getName).toSeq
+      .filter(_.startsWith("version=")).map(_.stripPrefix("version=").toInt)
+      .sorted
+
+  /** Apply every emitted-but-unapplied feed version, in order. Per version:
+    * fresh postings from the post-images, stale postings from the
+    * preimages, one bucket-pruned delete-insert commit. Idempotent — safe
+    * to call from any trigger at any time. */
+  def catchUp(): Unit = {
+    val from = state.latestVersion.getOrElse(0)
+    feedVersions().filter(_ > from).foreach(applyFeedVersion)
+  }
+
+  /** Returns the commit stats, or None when the version was already
+    * applied (replay). */
+  private[graft] def applyFeedVersion(v: Int): Option[PostingsCommitStats] = {
+    val rows = spark.read.parquet(s"$feedDir/version=$v")
+    require(rows.columns.contains("pre_name"),
+      s"feed at $feedDir carries no preimages — the postings maintainer " +
+        "needs them to compute stale postings without scanning state; " +
+        "drain the feed with feedPreimages = true")
+    val touchedDocs = rows.select(col("universeId")).distinct()
+    val fresh = TextSearch.postingsOf(rows.select(col("universeId"),
+      col("name"), col("description"), col("gameplayDescription")))
+    val stale = TextSearch.postingsOf(rows.filter(col("op") === "update")
+      .select(col("universeId"),
+        col("pre_name").as("name"),
+        col("pre_description").as("description"),
+        col("pre_gameplayDescription").as("gameplayDescription")))
+    state.commitDelta(v, touchedDocs, stale, fresh)
+  }
+
+  /** Tail the feed log live: the stream is a TRIGGER (its rows are not
+    * consumed directly — a file source may split one feed version's files
+    * across micro-batches, and the delta commit needs whole versions);
+    * each firing applies every complete emitted version via [[catchUp]],
+    * whose own version tracking provides exactly-once independent of the
+    * checkpoint. */
+  def start(checkpointDir: String): StreamingQuery = {
+    // minimal trigger schema: any one column of the feed files
+    val trigger = spark.readStream
+      .schema(StructType(Seq(StructField("op", StringType))))
+      .parquet(s"$feedDir/version=*")
+    trigger.writeStream
+      .foreachBatch((_: Dataset[Row], _: Long) => catchUp())
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
-
-  /** Index-served search against the committed snapshot — the SAME
-    * frames-based core as `f6_text_search_indexed`
-    * ([[graft.operators.TextSearch.searchIndexedFrames]]), so streamed
-    * serving inherits the batch query's semantics and its oracle, row for
-    * row. All three tables are pinned to ONE observed version
-    * ([[VersionedState.readAt]]): a writer advancing the pointer
-    * mid-query can never produce a torn games/postings pair. */
-  def searchCurrent(normalizedQuery: String, limit: Int): DataFrame = {
-    val v = state.latest.getOrElse(sys.error(s"no committed index under $baseDir"))
-    TextSearch.searchIndexedFrames(
-      state.readAt("games", v), state.readAt("postings", v),
-      state.readAt("dictionary", v), normalizedQuery, limit)
   }
 
-  /** Surviving versions of the postings table — for retention tests. */
-  def postingsVersions(): Seq[Long] = state.versionsOf("postings")
+  /** Index-served search at the pinned (table, postings) version pair —
+    * the SAME frames core as `f6_text_search_indexed`
+    * ([[TextSearch.searchIndexedFrames]]), so streamed serving inherits the
+    * batch query's semantics and its oracle. Both reads pin version
+    * [[currentVersion]]: the games snapshot comes from the lake's
+    * time-travel read, the postings pair from one manifest — a writer
+    * advancing either mid-query can never produce a torn pair. */
+  def searchCurrent(normalizedQuery: String, limit: Int): DataFrame = {
+    val v = currentVersion.toInt
+    val games = Merge.readTableAt(spark, tablePath, v).drop("bucket", "gen")
+    TextSearch.searchIndexedFrames(games, state.postingsAt(v), state.dictAt(v),
+      normalizedQuery, limit)
+  }
 }

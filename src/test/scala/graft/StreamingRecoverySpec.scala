@@ -285,53 +285,78 @@ class StreamingRecoverySpec extends AnyFunSuite {
       "recovered assignment diverges from the uninterrupted run")
   }
 
-  test("StreamingPostingsIndex resumes exactly-once from its checkpoint after a crash") {
-    import graft.streaming.StreamingPostingsIndex
+  test("StreamingPostingsIndex resumes exactly-once after a crash in the commit window") {
+    import graft.operators.Merge
+    import graft.streaming.{StreamingChangeFeed, StreamingPostingsIndex}
+    // the CDC-fed maintainer's exactly-once lives in its own manifest
+    // commits (postings version = feed version), not the stream checkpoint
+    // — so the crash windows that matter are around the manifest rename:
+    // BEFORE it (state gens written, nothing committed — the retry must
+    // clear and redo them) and AFTER it (committed, crash pre-ack — the
+    // replay must be a pure no-op, not a double-applied delete).
     val initial = gameRows(Seq((1L, 10L, "one alpha"), (2L, 20L, "two beta")))
-    val dropA = gameRows(Seq((2L, 21L, "two gamma"))) // update: beta → gamma
-    val dropB = gameRows(Seq((4L, 40L, "four delta")))
-    val dropC = gameRows(Seq((5L, 50L, "five epsilon")))
+    val tableDir = Files.createTempDirectory("rec-pidx-table").toString + "/games"
+    val feedDir = Files.createTempDirectory("rec-pidx-feed").toString
+    def stateDir() = Files.createTempDirectory("rec-pidx-state").toString
 
-    def stream(dropDir: String) = spark.readStream.schema(Schemas.game)
-      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+    val cf = new StreamingChangeFeed(spark, tableDir, feedDir, initial,
+      "universeId",
+      overwriteCols = Seq("rootPlaceId", "name"), coalesceCols = Seq.empty,
+      keepCols = Seq("description", "gameplayDescription", "playerCount"),
+      buckets = 4, retainVersions = 8, feedPreimages = true)
+
+    // maintainers bootstrap at the table version they FIRST observe — pin
+    // all three state dirs to v0 before any change batch lands
+    val refState = stateDir(); val preState = stateDir(); val postState = stateDir()
+    val ref = new StreamingPostingsIndex(spark, tableDir, feedDir, refState,
+      buckets = 8, keepVersions = 8)
+    val boom = new RuntimeException("injected commit-window crash")
+    val crashPre = new StreamingPostingsIndex(spark, tableDir, feedDir, preState,
+      buckets = 8, keepVersions = 8,
+      hooks = Merge.IncHooks(beforeCommit = v => if (v == 2) throw boom))
+    val crashPost = new StreamingPostingsIndex(spark, tableDir, feedDir, postState,
+      buckets = 8, keepVersions = 8,
+      hooks = Merge.IncHooks(afterCommit = v => if (v == 2) throw boom))
+
+    cf.applyBatch(gameRows(Seq((2L, 21L, "two gamma"))), 0L) // v1: beta -> gamma
+    cf.applyBatch(gameRows(Seq((4L, 40L, "four delta"))), 1L) // v2: insert
+    cf.applyBatch(gameRows(Seq((5L, 50L, "five epsilon"))), 2L) // v3: insert
+
     def postingsSet(i: StreamingPostingsIndex): Set[(Long, String)] =
       i.currentPostings().select("universeId", "word").collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
 
-    // reference: all three drops, uninterrupted
-    val refDrop = Files.createTempDirectory("rec-pidx-ref-drops").toString
-    val refIdx = Files.createTempDirectory("rec-pidx-ref-idx").toString
-    val refCkpt = Files.createTempDirectory("rec-pidx-ref-ckpt").toString
-    dropA.coalesce(1).write.parquet(s"$refDrop/a")
-    dropB.coalesce(1).write.parquet(s"$refDrop/b")
-    dropC.coalesce(1).write.parquet(s"$refDrop/c")
-    val ref = new StreamingPostingsIndex(spark, refIdx, initial)
-    runToCompletion(() => ref.start(stream(refDrop), refCkpt), 120000L)
+    // reference: all three versions, uninterrupted
+    ref.catchUp()
     val wantPostings = postingsSet(ref)
+    assert(ref.currentVersion === 3L)
 
-    // crashed run: two drops, complete, crash window, then drop C arrives.
-    // The replay danger here is the delete-then-insert: a double-applied
-    // batch A would anti-join game 2's postings against an already-updated
-    // snapshot — versions pin that it never runs twice.
-    val drop = Files.createTempDirectory("rec-pidx-drops").toString
-    val idx = Files.createTempDirectory("rec-pidx-idx").toString
-    val ckpt = Files.createTempDirectory("rec-pidx-ckpt").toString
-    dropA.coalesce(1).write.parquet(s"$drop/a")
-    dropB.coalesce(1).write.parquet(s"$drop/b")
-    val p1 = new StreamingPostingsIndex(spark, idx, initial)
-    runToCompletion(() => p1.start(stream(drop), ckpt), 120000L)
-    crashWindow(ckpt)
-    dropC.coalesce(1).write.parquet(s"$drop/c")
+    // crash BEFORE the v2 manifest rename: v2's gens are on disk but
+    // uncommitted — the state still reads as v1
+    assert(intercept[RuntimeException](crashPre.catchUp()) eq boom)
+    assert(crashPre.currentVersion === 1L)
+    val resumedPre = new StreamingPostingsIndex(spark, tableDir, feedDir, preState,
+      buckets = 8, keepVersions = 8)
+    resumedPre.catchUp()
+    assert(postingsSet(resumedPre) === wantPostings,
+      "pre-commit-crash recovery diverges from the uninterrupted run")
+    assert(resumedPre.currentVersion === 3L)
 
-    val p2 = new StreamingPostingsIndex(spark, idx, initial)
-    runToCompletion(() => p2.start(stream(drop), ckpt), 120000L)
-
-    assert(postingsSet(p2) === wantPostings,
-      "recovered postings diverge from the uninterrupted run")
-    assert(p2.searchCurrent("gamma", 10).collect().map(_.getLong(0)).toSeq === Seq(2L))
-    assert(p2.searchCurrent("beta", 10).isEmpty)
-    // 3 data batches → v3 exactly; a double-apply would have minted v4
-    assert(p2.postingsVersions().max === 3L)
+    // crash AFTER the v2 manifest rename: v2 IS committed — the resumed
+    // catch-up must skip it (a double-applied delete-insert would re-run
+    // the anti-join against already-updated state) and apply only v3
+    assert(intercept[RuntimeException](crashPost.catchUp()) eq boom)
+    assert(crashPost.currentVersion === 2L)
+    assert(crashPost.applyFeedVersion(2) === None,
+      "replay of the committed version must be a no-op")
+    val resumedPost = new StreamingPostingsIndex(spark, tableDir, feedDir, postState,
+      buckets = 8, keepVersions = 8)
+    resumedPost.catchUp()
+    assert(postingsSet(resumedPost) === wantPostings,
+      "post-commit-crash recovery diverges from the uninterrupted run")
+    assert(resumedPost.currentVersion === 3L)
+    assert(resumedPost.searchCurrent("gamma", 10).collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(resumedPost.searchCurrent("beta", 10).isEmpty)
   }
 
   test("StreamingIncrementalDedup resumes exactly-once from its checkpoint after a crash") {
