@@ -110,10 +110,10 @@ object AnnRecall {
       // the cell build carries its OWN dial (per-cell occupancy), derived
       // from the corpus either way; probe mode only skips the store
       case Some(_) => CacheRegistry.persistTracked(
-        Nsw.edgesOnCellsSized(assigned, IvfKMeans.numCells))
+        Nsw.edgesOnCellsSized(assigned, centroids.size))
       case None => CacheRegistry.sharedTracked(s"nsw-cell-edges:$tag")(
         graft.tools.IndexStore.readOrBuild(spark, dir, s"nsw-cell-edges$sfx")(
-          Nsw.edgesOnCellsSized(assigned, IvfKMeans.numCells)))
+          Nsw.edgesOnCellsSized(assigned, centroids.size)))
     }
     lazy val nndEdges: DataFrame = planesOverride match {
       // NN-descent has no planes dial — the probe build is identical, it
@@ -368,6 +368,56 @@ object AnnRecall {
       }
       recallFrame(in, served, Similarity.annBruteForceKOn(e, K, queryLo = lo))
     }.reduce(_ unionByName _)
+  }
+
+  /** The graph-vs-IVF serve CROSSOVER at the sized cell count (round-11
+    * verdict #3): per dial d, recall of (a) the routed graph serve at
+    * probeCells = d and (b) ivf_nprobe at nprobe = d, off the SAME stored
+    * sized artifacts and truth, per served query block. At equal d both
+    * paths score the same ~d·N/K_cells candidate rows to start; the graph
+    * then pays its bounded beam (hops·beam·degree rows) to look OUTSIDE
+    * the probed cells — so the graph earns its extra cost exactly when it
+    * reaches equal recall at a LOWER dial. The tool (CellCountScale)
+    * measures wall-clock per (method, dial) alongside these recall rows. */
+  private[graft] def servedCellCrossover(
+      spark: SparkSession, dir: String, dials: Seq[Int]): DataFrame = {
+    val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
+    val in = MethodInputs(spark, e, assigned, centroids, dir, clustered = false)
+    ServedQueryBlocks.map { lo =>
+      val served = dials.flatMap { d => Seq(
+        Method(f"graph_d$d%03d", i => Nsw.searchWithRoutedEntries(
+          i.e, i.cellEdges, i.centroids, i.assigned, i.hops, i.beam,
+          probeCells = d, queryLo = lo), "served"),
+        Method(f"nprobe_d$d%03d", i => IvfKMeans.kmeansNprobeSearchOn(
+          i.e, i.assigned, i.centroids, nprobe = d, queryLo = lo), "served"))
+      }
+      recallFrame(in, served, Similarity.annBruteForceKOn(e, K, queryLo = lo))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Wall-clock companion to [[servedCellCrossover]]: per (method, dial),
+    * seconds to serve all [[ServedQueryBlocks]] off the stored artifacts
+    * (noop sink — every output column computed, nothing written). One
+    * untimed warm pass first, so Janino/JIT compile stays out of the
+    * measurement (the Bench discipline). */
+  private[graft] def servedCrossoverWalls(
+      spark: SparkSession, dir: String, dials: Seq[Int]): Seq[(String, Double)] = {
+    val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
+    val in = MethodInputs(spark, e, assigned, centroids, dir, clustered = false)
+    def frames(d: Int): Seq[(String, Long => DataFrame)] = Seq(
+      (f"graph_d$d%03d", (lo: Long) => Nsw.searchWithRoutedEntries(
+        e, in.cellEdges, centroids, assigned, in.hops, in.beam,
+        probeCells = d, queryLo = lo)),
+      (f"nprobe_d$d%03d", (lo: Long) => IvfKMeans.kmeansNprobeSearchOn(
+        e, assigned, centroids, nprobe = d, queryLo = lo)))
+    def run(mk: Long => DataFrame): Unit = ServedQueryBlocks.foreach(lo =>
+      mk(lo).write.format("noop").mode("overwrite").save())
+    dials.flatMap(frames).map { case (name, mk) =>
+      run(mk) // warm
+      val t0 = System.nanoTime()
+      run(mk)
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
   }
 
   /** (fixture-pinned planes, size-derived planes for an N-vector corpus)

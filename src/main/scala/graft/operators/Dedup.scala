@@ -49,12 +49,13 @@ object Dedup {
     * texts are all distinct. */
   def corpus(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val floor = deltaIdFloor(spark, dir)
     d.unionByName(
         d.filter(col("doc_id") % 4 === 0)
-          .select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"), col("source")))
+          .select((col("doc_id") + floor).as("doc_id"), col("text"), col("lang"), col("source")))
       .unionByName(
         d.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 200000L).as("doc_id"),
+          .select((col("doc_id") + 2L * floor).as("doc_id"),
             concat(col("text"), lit(" near dup tail")).as("text"), col("lang"), col("source")))
   }
 
@@ -369,16 +370,30 @@ object Dedup {
     * the BASE corpus (= the documents table), whose band signatures are a
     * stored artifact.
     *
-    * Valid only while base doc_ids stay below 100000 — the same bound
-    * [[corpus]]'s +100000 re-crawl offsets already impose on every dedup
-    * fixture query (above it the synthetic copies collide with real ids).
-    * Replicated corpora satisfy it up to ×20 of sf0.1's 5000 docs; larger
-    * replay factors must exclude the id-split dedup queries, the same way
-    * the ×100 recall replay excludes the pinned-planes control
-    * (SCALING.md "Known scale limits"). The core
+    * The floor is the fixture-pinned literal the oracle SQL unrolls — the
+    * SIZED form every Spark-side consumer actually reads is
+    * [[deltaIdFloor]], which equals this at every oracle fixture. The core
     * ([[incrementalVerdictFrames]]) carries no floor at all — the
     * streaming maintainer splits base/delta by state membership, not id. */
   private[graft] val DeltaIdFloor = 100000L
+
+  /** The base/delta id floor for `dir`'s corpus (round-11 verdict #4 —
+    * the fixed 100000 offsets bounded every id-split dedup replay to ×20):
+    * the pinned [[DeltaIdFloor]] whenever real doc ids stay below it
+    * (every oracle fixture, where the DuckDB mirrors unroll the literal),
+    * else the next power of ten above max(doc_id) — so [[corpus]]'s
+    * synthetic re-crawl offsets never collide with real ids and the
+    * incremental-dedup family replays at any ×K. Memoized per dir (one
+    * max() aggregate, the corpusSize discipline). */
+  private val floors = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private[graft] def deltaIdFloor(spark: SparkSession, dir: String): Long =
+    floors.getOrElseUpdate(dir, {
+      val maxId = Tables.documents(spark, dir)
+        .agg(max(col("doc_id"))).head().getLong(0)
+      var f = DeltaIdFloor
+      while (f <= maxId) f *= 10L
+      f
+    })
 
   /** The base corpus's banded minhash signatures — what
     * `index_build_minhash_bands` materializes. At 100 TB this table is the
@@ -387,7 +402,7 @@ object Dedup {
     * crawl never re-shingles the base. */
   private[graft] def bandsFrame(spark: SparkSession, dir: String): DataFrame =
     bandedSignatures(shingledOf(
-      corpusTokens(spark, dir).filter(col("doc_id") < DeltaIdFloor)))
+      corpusTokens(spark, dir).filter(col("doc_id") < deltaIdFloor(spark, dir))))
 
   private def storedBands(spark: SparkSession, dir: String): DataFrame =
     CacheRegistry.sharedTracked(s"minhash-bands:$dir")(
@@ -420,6 +435,7 @@ object Dedup {
     * as the same integer-count division, so the order is exact. */
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val toks = corpusTokens(spark, dir)
+    val floor = deltaIdFloor(spark, dir)
     incrementalVerdictFrames(
       storedBands(spark, dir),
       // shingle base docs AFTER the candidate-id prune (ids => frame), so
@@ -427,12 +443,12 @@ object Dedup {
       // the 100 TB base contributes a narrow id-pruned token fetch, not a
       // corpus re-shingle
       candIds => shingledOf(
-        toks.filter(col("doc_id") < DeltaIdFloor)
+        toks.filter(col("doc_id") < floor)
           .join(broadcast(candIds), Seq("doc_id"), "left_semi")),
       // three consumers (banding, both verify sides): persist the small
       // delta shingle frame for the query's duration
       CacheRegistry.persistTracked(
-        shingledOf(toks.filter(col("doc_id") >= DeltaIdFloor))))
+        shingledOf(toks.filter(col("doc_id") >= floor))))
   }
 
   /** The frames-based incremental-dedup core: base band signatures + base

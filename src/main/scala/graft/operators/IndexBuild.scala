@@ -77,9 +77,9 @@ object IndexBuild {
     * dominant big-corpus costs. Shares the coarse quantizer with
     * `index_build_ivf` through the store. */
   def buildNswCell(spark: SparkSession, dir: String): DataFrame = {
-    val (_, assigned, _) = IvfKMeans.trained(spark, dir)
+    val (_, assigned, centroids) = IvfKMeans.trained(spark, dir)
     val edges = IndexStore.rebuild(spark, dir, "nsw-cell-edges")(
-      Nsw.edgesOnCellsSized(assigned, IvfKMeans.numCells))
+      Nsw.edgesOnCellsSized(assigned, centroids.size))
     edgeSummary(CacheRegistry.primeShared(s"nsw-cell-edges:$dir", edges))
   }
 
@@ -91,8 +91,11 @@ object IndexBuild {
   }
 
   def buildIvf(spark: SparkSession, dir: String): DataFrame = {
-    val cents = IndexStore.rebuildCentroids(spark, dir, "ivf-centroids")(
-      IvfKMeans.trainCentroids(Nsw.vectors(spark, dir)))
+    // same sized cell count as IvfKMeans.trained — the build entry and the
+    // read-through serve path must produce the same artifact name
+    val k = IvfKMeans.sizedCells(Nsw.corpusSize(spark, dir))
+    val cents = IndexStore.rebuildCentroids(spark, dir, IvfKMeans.centroidsArtifact(k))(
+      IvfKMeans.trainCentroidsK(Nsw.vectors(spark, dir), k))
     centroidSummary(spark, CacheRegistry.primeObject(s"ivf-centroids:$dir", cents))
   }
 

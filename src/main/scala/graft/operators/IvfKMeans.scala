@@ -39,6 +39,26 @@ object IvfKMeans {
   /** Cell count, for operators that partition work by the coarse
     * quantizer (the cell-local graph build). */
   private[operators] def numCells: Int = K
+
+  /** Size-derived cell count (round-11 verdict #3): the fixture pins
+    * K=[[K]], but cells partition the corpus, so with K pinned every
+    * serve-path term carrying N/K (the single-cell scan, nprobe's
+    * candidate set, the routed graph's seed-scoring) grows linearly in N.
+    * Production sizing is K ∝ √N — balancing the probe cost (∝ K) against
+    * the scan cost (∝ N/K), the standard IVF rule — expressed here as the
+    * shared doublings form every dial uses: pinned at every oracle
+    * fixture (n ≤ [[SizingPolicy.FixtureMaxN]], so the DuckDB mirrors
+    * replay unchanged), doubling per two corpus doublings above it
+    * (×10 → 32 cells, ×100 → 128; SizingPolicySpec-pinned). */
+  private[graft] def sizedCells(n: Long): Int =
+    K << ((SizingPolicy.doublings(n, SizingPolicy.FixtureMaxN.toDouble) + 1) / 2)
+
+  /** The quantizer artifact carries the cell-count dial in its name
+    * whenever it differs from the pinned fixture K (the IndexStore
+    * convention: dial values that parameterize a build belong in the
+    * artifact name). */
+  private[operators] def centroidsArtifact(k: Int): String =
+    if (k == K) "ivf-centroids" else s"ivf-centroids-k$k"
   private[operators] val Dim = 64
   private val Iterations = 2
 
@@ -118,10 +138,15 @@ object IvfKMeans {
     // centroids are a per-dir shared index artifact: six queries (the IVF
     // family, IVFPQ/IVFADC, the recall harness) train the SAME quantizer —
     // persisted in the IndexStore (written by `index_build_ivf` or the
-    // first toucher), held in memory for the rest of the suite run
+    // first toucher), held in memory for the rest of the suite run. The
+    // cell count is size-derived ([[sizedCells]] — pinned K at every
+    // oracle fixture, K ∝ √N above), so scaled corpora train the
+    // production quantizer and every consumer (IVF family, IVFPQ/IVFADC,
+    // the routed graph serve) inherits it through this one entry point.
+    val k = sizedCells(Nsw.corpusSize(spark, dir))
     val centroids = graft.tools.CacheRegistry.sharedObject(s"ivf-centroids:$dir")(
-      graft.tools.IndexStore.readOrBuildCentroids(spark, dir, "ivf-centroids")(
-        trainCentroids(e)))
+      graft.tools.IndexStore.readOrBuildCentroids(spark, dir, centroidsArtifact(k))(
+        trainCentroidsK(e, k)))
     (e, assign(e, centroids), centroids)
   }
 
@@ -185,22 +210,27 @@ object IvfKMeans {
     * selected by a pure map (centroids ride in as literals; sort_array
     * over k (d2, cluster) structs). Shared with the IVFPQ composition. */
   private[operators] def nprobeCells(
-      e: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
+      e: DataFrame, centroids: Seq[(Int, Array[Double])],
+      nprobe: Int = NProbe, queryLo: Long = 0L): DataFrame = {
     val dists = array(centroids.sortBy(_._1).map { case (cid, arr) =>
       val c = typedLit(arr.toSeq)
       struct((dot(col("qv"), col("qv")) - lit(2.0) * dot(col("qv"), c) + dot(c, c)).as("d2"),
         lit(cid).as("cluster"))
     }: _*)
-    e.filter(col("vec_id") < 5)
+    e.filter(col("vec_id") >= queryLo && col("vec_id") < queryLo + 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
       .select(col("query_id"), col("qv"),
-        explode(slice(sort_array(dists), 1, NProbe)).as("dc"))
+        explode(slice(sort_array(dists), 1, nprobe)).as("dc"))
       .select(col("query_id"), col("qv"), col("dc.cluster").as("cluster"))
   }
 
+  /** `nprobe`/`queryLo` default to the oracle-pinned dial and query block;
+    * the crossover sweep ([[AnnRecall.servedCellCrossover]]) passes
+    * explicit values to measure the dial at the sized cell count. */
   private[operators] def kmeansNprobeSearchOn(
-      e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])]): DataFrame = {
-    val qProbe = nprobeCells(e, centroids)
+      e: DataFrame, assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
+      nprobe: Int = NProbe, queryLo: Long = 0L): DataFrame = {
+    val qProbe = nprobeCells(e, centroids, nprobe, queryLo)
     val c = assigned.select(col("vec_id").as("neighbor_id"), col("v").as("nv"), col("cluster"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("neighbor_id"))
     c.join(broadcast(qProbe), Seq("cluster"))

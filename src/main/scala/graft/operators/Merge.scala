@@ -394,7 +394,68 @@ object Merge {
     * buckets × filesPerBucket (4·10⁵ at a 10⁵-bucket table — a few MB,
     * the same driver order as the manifest itself). */
   def cluster(spark: SparkSession, tablePath: String, clusterCol: String,
+      filesPerBucket: Int = 4, retainVersions: Int = 1): CompactStats =
+    clusterRewrite(spark, tablePath, Seq(col(clusterCol)), Seq(clusterCol),
+      filesPerBucket, retainVersions)
+
+  /** Z-ORDER (multi-column) clustering: rewrite every bucket with its rows
+    * range-split by the INTERLEAVED-BITS key of `zCols` — each column is
+    * rank-free-normalized to [[ZBits]] bits against its global [min, max]
+    * and the bits interleaved, so files become hyper-rectangles in the
+    * z-curve's locality order and a predicate on ANY clustered column
+    * prunes (one-dimension clustering only prunes its own column; a
+    * second predicate scans everything). Same manifest-committed
+    * layout-only rewrite as [[cluster]] — `j1_merge_skipping_z` shares
+    * the merge oracle with a two-predicate WHERE. The per-file sidecar
+    * records min/max for every `zCols` member; [[readTableWhereAll]]
+    * prunes on their conjunction. Cost = one range-normalization agg
+    * (k columns' global min/max, one row) + the same one-shuffle rewrite
+    * and stats pass as one-dimension clustering. */
+  def clusterZ(spark: SparkSession, tablePath: String, zCols: Seq[String],
       filesPerBucket: Int = 4, retainVersions: Int = 1): CompactStats = {
+    require(zCols.nonEmpty, "clusterZ needs at least one column")
+    val current = readTable(spark, tablePath)
+    val aggs = zCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    val ranges = current.agg(aggs.head, aggs.tail: _*).head()
+    val zkey = zOrderKey(zCols.map { c =>
+      val lo = ranges.getAs[Double](s"min_$c")
+      val hi = ranges.getAs[Double](s"max_$c")
+      (col(c), lo, hi)
+    })
+    clusterRewrite(spark, tablePath, Seq(zkey), zCols, filesPerBucket, retainVersions)
+  }
+
+  /** Bits per column in the z-key — 16 gives 65k distinct cells per
+    * dimension, far below any file count this layout produces, so the
+    * quantization never limits pruning. */
+  private val ZBits = 16
+
+  /** The interleaved-bits key: each column scaled to [0, 2^ZBits) against
+    * its global range (nulls → 0: they sort first, and BETWEEN never
+    * matches null anyway), bit i of column j landing at position
+    * i·k + j. Pure integer arithmetic — stays inside whole-stage codegen. */
+  private def zOrderKey(cols: Seq[(Column, Double, Double)]): Column = {
+    val k = cols.size
+    val scaled = cols.map { case (c, lo, hi) =>
+      val span = math.max(hi - lo, 1e-12)
+      least(lit((1 << ZBits) - 1), greatest(lit(0),
+        ((coalesce(c.cast("double"), lit(lo)) - lit(lo)) / lit(span) *
+          lit((1 << ZBits) - 1)).cast("long")))
+    }
+    (for (i <- 0 until ZBits; j <- 0 until k) yield
+      shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ bitwiseOR _)
+  }
+
+  /** Shared layout-only clustered rewrite: range-split every bucket's rows
+    * across `filesPerBucket` files by `sortKeys` (within-bucket — the
+    * merge invariant holds), write a per-file min/max sidecar for every
+    * `statCols` member, commit as a new manifest version. */
+  private def clusterRewrite(spark: SparkSession, tablePath: String,
+      sortKeys: Seq[Column], statCols: Seq[String],
+      filesPerBucket: Int, retainVersions: Int): CompactStats = {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
@@ -406,7 +467,7 @@ object Merge {
     current.keys.foreach(b => fs.delete(genPath(b, round), true))
     loadState(spark, tablePath, current, readSchemaAt(fs, table, version)).drop("gen")
       .repartitionByRange(current.size * filesPerBucket,
-        col("bucket"), col(clusterCol))
+        col("bucket") +: sortKeys: _*)
       .withColumn("gen", lit(round))
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
     val genPaths = current.keys.toSeq.sorted.map(b => s"$tablePath/bucket=$b/gen=$round")
@@ -416,7 +477,10 @@ object Merge {
     // tablePath instead of chasing the writer's absolute URIs
     spark.read.option("basePath", tablePath).parquet(genPaths: _*)
       .groupBy(regexp_extract(input_file_name(), "bucket=.*$", 0).as("file"))
-      .agg(min(col(clusterCol)).as("cmin"), max(col(clusterCol)).as("cmax"))
+      .agg(min(col(statCols.head)).as(s"min_${statCols.head}"),
+        (max(col(statCols.head)).as(s"max_${statCols.head}") +:
+          statCols.tail.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath(table, round).toString)
     val committed = current.keys.map(_ -> round).toMap
@@ -438,22 +502,44 @@ object Merge {
     * dependency, which is exactly what lets `j1_merge_skipping` share the
     * merge CTEs' oracle with a WHERE clause. */
   def readTableWhere(spark: SparkSession, tablePath: String,
-      clusterCol: String, lo: Long, hi: Long): DataFrame = {
+      clusterCol: String, lo: Long, hi: Long): DataFrame =
+    readTableWhereAll(spark, tablePath, Seq((clusterCol, lo, hi)))
+
+  /** The multi-predicate data-skipping read: every `(col, lo, hi)` range
+    * whose column the sidecar carries stats for must intersect a file's
+    * recorded [min, max] for the file to be opened; predicates on columns
+    * WITHOUT stats (not in the last cluster's `statCols`) don't prune but
+    * still filter — exactly a lake reader's behavior, and what makes the
+    * one-dimension layout an honest control for the Z-order gate (its
+    * playerCount stats prune, its universeId predicate can't). No sidecar
+    * at all falls back to the plain manifest read — pruning is an
+    * optimization, never a correctness dependency. */
+  def readTableWhereAll(spark: SparkSession, tablePath: String,
+      preds: Seq[(String, Long, Long)]): DataFrame = {
+    require(preds.nonEmpty, "readTableWhereAll needs at least one predicate")
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (version, state) = readManifest(fs, table)
-    val pred = col(clusterCol) >= lo && col(clusterCol) <= hi
+    val pred = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _)
     val sp = statsPath(table, version)
     if (!fs.exists(sp))
       return loadState(spark, tablePath, state).filter(pred)
-    val stats = spark.read.parquet(sp.toString).collect()
+    val statsDf = spark.read.parquet(sp.toString)
+    val statPreds = preds.filter { case (c, _, _) =>
+      statsDf.columns.contains(s"min_$c") }
+    if (statPreds.isEmpty)
+      return loadState(spark, tablePath, state).filter(pred)
+    val stats = statsDf.collect()
     val keep = stats.filter { r =>
-      val iMin = r.fieldIndex("cmin"); val iMax = r.fieldIndex("cmax")
-      // Number-tolerant: the sidecar's min/max inherit the cluster
-      // column's integral type (long here, int on a narrower column)
-      !r.isNullAt(iMin) && !r.isNullAt(iMax) &&
-        r.getAs[Number](iMax).longValue >= lo &&
-        r.getAs[Number](iMin).longValue <= hi
+      statPreds.forall { case (c, lo, hi) =>
+        val iMin = r.fieldIndex(s"min_$c"); val iMax = r.fieldIndex(s"max_$c")
+        // Number-tolerant: the sidecar's min/max inherit each column's
+        // integral type (long here, int on a narrower column)
+        !r.isNullAt(iMin) && !r.isNullAt(iMax) &&
+          r.getAs[Number](iMax).longValue >= lo &&
+          r.getAs[Number](iMin).longValue <= hi
+      }
     }.map(r => r.getString(r.fieldIndex("file")))
     // resolve the relative paths against THIS read's tablePath; any
     // unresolvable entry (pre-relative absolute-URI sidecar, or a file the
@@ -1048,6 +1134,66 @@ object Merge {
        |WHERE playerCount BETWEEN $SkipLo AND $SkipHi
        |ORDER BY universeId""".stripMargin)
 
+  /** The Z gate's two windows — each SELECTIVE on its own axis (~25–40 %),
+    * jointly keeping ~30 rows at every fixture. Selectivity matters for
+    * the control comparison, not just row count: z-order trades each
+    * axis's locality for the conjunction's, so a z rectangle only beats
+    * one-dimension clustering when both predicates are selective (at
+    * 60 %-wide windows the measured fixture read was z 61 vs 1d 45 files
+    * — the z curve's intervals overlap most files while the 1d layout's
+    * single wide range still clips). That regime dependence is real lake
+    * behavior, worth encoding in the gate's dial rather than hiding. */
+  private val ZSkipPcLo = 150L
+  private val ZSkipPcHi = 299L
+  private val ZSkipIdLo = 50L
+  private val ZSkipIdHi = 249L
+
+  /** `j1_merge_skipping_z`: the Z-ORDER gate (round-11 verdict #5 —
+    * one-dimension clustering prunes on playerCount only; real lake
+    * tables skip on 2+ predicates). Runs the incremental rounds, clusters
+    * on the INTERLEAVED-BITS key of (playerCount, universeId), reads the
+    * two-predicate range through [[readTableWhereAll]] — the pruned rows
+    * must hash-match the oracle's two-predicate filtered unrolled merge
+    * (layout-only + no dropped row, the same proof shape as
+    * `j1_merge_skipping`). The SKIPZ line also prices the CONTROL: the
+    * same two-predicate read against the one-dimension playerCount
+    * layout, whose universeId predicate cannot prune — files_kept_z vs
+    * files_kept_1d is the measured multi-column win. */
+  def mergeSkippingZ(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir).getName
+    val tablePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-merge-skipz/$base/games"
+    upsertIncrementalRounds(
+      spark, tablePath,
+      existingSnapshot(spark, dir),
+      (1 to IncRounds).map(freshRound(spark, dir, _)), "universeId",
+      overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+      coalesceCols = Seq("description"),
+      keepCols = Seq("gameplayDescription"),
+      buckets = IncBuckets)
+    val preds = Seq(("playerCount", ZSkipPcLo, ZSkipPcHi),
+      ("universeId", ZSkipIdLo, ZSkipIdHi))
+    // control first: one-dimension layout, same two-predicate read
+    cluster(spark, tablePath, "playerCount", filesPerBucket = 4)
+    val files1d = readTableWhereAll(spark, tablePath, preds).inputFiles.length
+    clusterZ(spark, tablePath, Seq("playerCount", "universeId"), filesPerBucket = 4)
+    val pruned = readTableWhereAll(spark, tablePath, preds)
+    val total = readTable(spark, tablePath).inputFiles.length
+    println(s"SKIPZ files_kept_z=${pruned.inputFiles.length} " +
+      s"files_kept_1d=$files1d files_total=$total")
+    pruned
+      .select(col("universeId"), col("rootPlaceId"), col("name"),
+        col("description"), col("gameplayDescription"), col("playerCount"))
+      .orderBy(col("universeId"))
+  }
+
+  val mergeSkippingZSql: String = OracleViews.withGames(
+    s"""${mergeCtesSql(IncRounds)}
+       |SELECT * FROM m$IncRounds
+       |WHERE playerCount BETWEEN $ZSkipPcLo AND $ZSkipPcHi
+       |  AND universeId BETWEEN $ZSkipIdLo AND $ZSkipIdHi
+       |ORDER BY universeId""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j1_merge_upsert" -> mergeBase,
     "j1bc_merge_variants" -> mergeVariants,
@@ -1056,6 +1202,7 @@ object Merge {
     "j1_merge_compact" -> mergeCompact,
     "j1_merge_changes" -> mergeChanges,
     "j1_merge_skipping" -> mergeSkipping,
+    "j1_merge_skipping_z" -> mergeSkippingZ,
     "j1_merge_ivm" -> mergeIvm
   )
 
@@ -1069,6 +1216,7 @@ object Merge {
     "j1_merge_compact" -> mergeIncrementalSql,
     "j1_merge_changes" -> mergeChangesSql,
     "j1_merge_skipping" -> mergeSkippingSql,
+    "j1_merge_skipping_z" -> mergeSkippingZSql,
     "j1_merge_ivm" -> mergeIvmSql
   )
 }

@@ -389,22 +389,22 @@ object Nsw {
     * entry diversity exactly like IVF's nprobe. */
   private[graft] val RouteProbeCells = 2
 
-  /** probeCells ceiling: 8 of the quantizer's 64 cells — the measured
-    * saturation point of the served probeCells sweep (recall 1.00 at
-    * BOTH the ×10 and ×100 replicas; 0.51–0.84 below it). */
-  private[graft] val MaxRouteProbeCells = 8
-
-  /** Size-derived probeCells — the dial the query-nearest seeding
-    * measurement named next (blocks whose true neighbors fall outside
-    * the routed cells cap recall exactly like IVF's nprobe). Pinned
-    * [[RouteProbeCells]] at every oracle fixture (the routed mirror
-    * unrolls 2 cells at SQL-generation time); above fixture scale it
-    * doubles per two corpus doublings to the measured [[
-    * MaxRouteProbeCells]] ceiling: ×10 → 8, ×100 → 8 (both read served
-    * recall 1.00 on their replicas — the RECALLROUTESWEEP rows). */
+  /** Size-derived probeCells: a QUARTER of the sized cell count (floored
+    * at the pinned [[RouteProbeCells]] — exactly cells/4 at the fixture's
+    * 8-cell quantizer, so the routed mirror's unrolled 2 cells replay
+    * unchanged). Re-derived in round 12 when `IvfKMeans.sizedCells`
+    * landed: the round-11 "saturation at 8" was measured against a
+    * quantizer whose cell count stayed PINNED at 8 — probing 8 of 8 cells
+    * scanned the whole corpus for seeds, which is what bought recall
+    * 1.00. The CellCountScale crossover at the SIZED quantizer shows
+    * recall tracking scan fraction on this geometry (×10 @ 32 cells:
+    * 0.84 at 1/4 scan; ×100 @ 128 cells: 0.91 at 1/4 scan — identical to
+    * ivf_nprobe at the same fraction), so the serve default picks the
+    * fixed quarter-scan point rather than a fixed cell count: seed cost
+    * stays ∝ N/4 with bounded beam on top, and the recall target is a
+    * deliberate dial, not an accident of the quantizer's size. */
   private[graft] def sizedProbeCells(n: Long): Int =
-    math.min(MaxRouteProbeCells, RouteProbeCells <<
-      ((SizingPolicy.doublings(n, SizingPolicy.FixtureMaxN.toDouble) + 1) / 2))
+    math.max(RouteProbeCells, IvfKMeans.sizedCells(n) / 4)
 
   /** Graph search with IVF-ROUTED entries — promoted from the ×100 recall
     * probe (round-10 verdict #1; the probe-only form measured 0.20
@@ -551,8 +551,8 @@ object Nsw {
 
   private[operators] def storedCellEdges(spark: SparkSession, dir: String): DataFrame =
     storedEdges(spark, dir, "nsw-cell-edges") {
-      val (_, assigned, _) = IvfKMeans.trained(spark, dir)
-      edgesOnCellsSized(assigned, IvfKMeans.numCells)
+      val (_, assigned, centroids) = IvfKMeans.trained(spark, dir)
+      edgesOnCellsSized(assigned, centroids.size)
     }
 
   /** Serve over the CELL-LOCAL graph artifact (`index_build_nsw_cell`) —

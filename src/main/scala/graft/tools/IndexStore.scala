@@ -37,8 +37,12 @@ object IndexStore {
   /** Bump when an index-building algorithm changes in a way the artifact
     * name doesn't encode. v2: `Pq.sizedDials` replaced the K-only sized
     * code budget — stored codebook artifacts for grown corpora now carry
-    * a different (M, K) geometry. */
-  val FormatVersion = 2
+    * a different (M, K) geometry. v3: `IvfKMeans.sizedCells` sizes the
+    * coarse quantizer above fixture scale — the quantizer artifact name
+    * carries the dial, but the cell-edge/residual-codebook artifacts
+    * derived FROM it do not, so their stored content changed for grown
+    * corpora. */
+  val FormatVersion = 3
 
   private def root: String = sys.env.getOrElse("SPARK_GRAFT_INDEX_DIR",
     s"${System.getProperty("java.io.tmpdir")}/graft-index-store")

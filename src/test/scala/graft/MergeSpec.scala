@@ -394,6 +394,56 @@ class MergeSpec extends AnyFunSuite {
     assert(st.version === 3, s"cluster must commit v3 after 2 rounds, got $st")
   }
 
+  test("z-order clustering: two-predicate reads prune on both axes, drop no rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-skipz").toString
+    val table = s"$tmp/games"
+    // two independent high-cardinality axes: universeId 0..479,
+    // playerCount = (id·37) mod 480 — decorrelated, so a (playerCount,
+    // universeId) rectangle selects ~1/16 of the rows and NEITHER axis
+    // alone can prune it well (low-cardinality playerCount would make
+    // one-dimension clustering trivially perfect and the comparison
+    // meaningless)
+    val initial = (0L until 480L).map(id =>
+      (id, id * 10, s"base-$id", Option.when(id % 3 == 0)(s"d$id"),
+        Option.when(id % 4 == 0)(s"g$id"), Some(id * 37 % 480)))
+      .toDF("universeId", "rootPlaceId", "name", "description",
+        "gameplayDescription", "playerCount")
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, initial,
+      Seq(mkTT(Seq(3L, 21L), "r1")), "universeId", over, coal, keep, buckets = 4)
+    val before = Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect()
+    val preds = Seq(("playerCount", 0L, 119L), ("universeId", 0L, 119L))
+    def want = before.filter(r => !r.isNullAt(5) &&
+      r.getLong(5) >= 0L && r.getLong(5) <= 119L &&
+      r.getLong(0) >= 0L && r.getLong(0) <= 119L)
+
+    // control: one-dimension layout — playerCount stats prune, the
+    // universeId predicate filters but cannot prune
+    Merge.cluster(spark, table, "playerCount", filesPerBucket = 8)
+    val oneD = Merge.readTableWhereAll(spark, table, preds)
+    assert(oneD.selectExpr(ttCols: _*).orderBy("universeId").collect() === want)
+    val files1d = oneD.inputFiles.length
+
+    // z layout: both predicates prune
+    Merge.clusterZ(spark, table, Seq("playerCount", "universeId"), filesPerBucket = 8)
+    // pure layout change: contents identical through the plain reader
+    assert(Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() === before)
+    val z = Merge.readTableWhereAll(spark, table, preds)
+    assert(z.selectExpr(ttCols: _*).orderBy("universeId").collect() === want)
+    val total = Merge.readTable(spark, table).inputFiles.length
+    assert(z.inputFiles.nonEmpty && z.inputFiles.length < total,
+      s"expected z pruning, opened ${z.inputFiles.length} of $total")
+    // the multi-column claim: the z layout answers the two-predicate read
+    // with STRICTLY fewer files than the one-dimension control, whose
+    // second predicate cannot prune
+    assert(z.inputFiles.length < files1d,
+      s"z kept ${z.inputFiles.length} files vs 1d control $files1d")
+  }
+
   test("compaction: fewer files, identical contents, idempotent no-op when compact") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-cpt").toString
     val table = s"$tmp/games"

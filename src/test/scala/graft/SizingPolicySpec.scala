@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Nsw, Pq, SizingPolicy}
+import graft.operators.{IvfKMeans, Nsw, Pq, SizingPolicy}
 
 /** The one table every size-derived dial must satisfy (round-10 verdict
   * #8): at every oracle-fixture corpus size the sized dial EQUALS its
@@ -24,6 +24,7 @@ class SizingPolicySpec extends AnyFunSuite {
     ("hopsL1", n => Nsw.sizedHopsFloor(n / Nsw.SampleMod, 2), 2),
     ("beam", Nsw.sizedBeam _, 8),
     ("route_probe_cells", Nsw.sizedProbeCells _, 2),
+    ("ivf_cells", IvfKMeans.sizedCells _, 8),
     ("pq_subspaces", n => Pq.sizedDials(n)._1, 4),
     ("pq_codes", n => Pq.sizedDials(n)._2, 16))
 
@@ -45,9 +46,14 @@ class SizingPolicySpec extends AnyFunSuite {
     assert(Nsw.sizedPlanes(20000L) === 8)
     assert(Nsw.sizedHops(20000L) === 7)
     assert(Nsw.sizedBeam(20000L) === 32)
-    // probeCells saturates at the measured ceiling on both replicas
-    assert(Nsw.sizedProbeCells(20000L) === Nsw.MaxRouteProbeCells)
-    assert(Nsw.sizedProbeCells(200000L) === Nsw.MaxRouteProbeCells)
+    // probeCells is the quarter-scan point of the sized quantizer (the
+    // CellCountScale-measured serve default: recall 0.84/0.91 at 1/4 scan
+    // on the ×10/×100 replicas, matching ivf_nprobe at the same fraction)
+    assert(Nsw.sizedProbeCells(20000L) === 8)
+    assert(Nsw.sizedProbeCells(200000L) === 32)
+    // cell count grows K ∝ √N: doubling per two corpus doublings
+    assert(IvfKMeans.sizedCells(20000L) === 32)
+    assert(IvfKMeans.sizedCells(200000L) === 128)
     // the measured sweep winners: x10 -> 16x64 (96 bits); x100 -> 16x256
     // (128 bits — M's capped doublings spill into K, worth +0.22 recall)
     assert(Pq.sizedDials(20000L) === ((16, 64)))
