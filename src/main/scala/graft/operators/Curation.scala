@@ -1349,6 +1349,31 @@ object Curation {
       .orderBy(col("seq_id"))
   }
 
+  /** `cur_token_shards_lake` (round-11 verdict #7): the pipeline's END
+    * PRODUCT committed through the manifest lake — the packed training
+    * sequences land as a bucket-partitioned, manifest-committed table
+    * (so time travel, retention, OPTIMIZE, data skipping, and CDC all
+    * apply to the thing a trainer actually reads), and the gate reads
+    * them back via [[Merge.readTableAt]] at the committed version. This
+    * closes pipeline → lake: a training run pins (table, version)
+    * instead of a loose parquet directory, and every re-read (resume,
+    * audit, repro) is byte-identical regardless of later re-packs.
+    * Shares [[tokenShardsSql]] — committing through the lake must be
+    * content-neutral, which is exactly what the hash gate proves. */
+  def tokenShardsLake(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir).getName
+    val tablePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-shards-lake/$base/sequences"
+    Merge.upsertIncrementalRounds(spark, tablePath, tokenShards(spark, dir),
+      Seq.empty, "seq_id",
+      overwriteCols = Seq("n_docs", "carry_tokens", "n_tokens"),
+      coalesceCols = Seq.empty, keepCols = Seq.empty, buckets = 8)
+    val v = Merge.tableVersions(spark, tablePath).max
+    Merge.readTableAt(spark, tablePath, v)
+      .select(col("seq_id"), col("n_docs"), col("carry_tokens"), col("n_tokens"))
+      .orderBy(col("seq_id"))
+  }
+
   // lazy: bpeCtesSql is declared below (the BPE section groups its oracle
   // helpers together); object-init order would otherwise read it as null
   lazy val tokenShardsSql: String =
@@ -1442,6 +1467,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_bpe_fertility" -> bpeFertility,
     "cur_token_shards" -> tokenShards,
+    "cur_token_shards_lake" -> tokenShardsLake,
     "cur_pipeline_report" -> curPipelineReport,
     "cur_chunk_overlap" -> chunkOverlap,
     "cur_priority_sample" -> prioritySample,
@@ -1460,6 +1486,8 @@ object Curation {
 
   val oracles: Map[String, String] = Map(
     "cur_bpe_fertility" -> bpeFertilitySql,
+    // committing through the lake is content-neutral — shared oracle
+    "cur_token_shards_lake" -> tokenShardsSql,
     "cur_token_shards" -> tokenShardsSql,
     "cur_pipeline_report" -> curPipelineReportSql,
     "cur_chunk_overlap" -> chunkOverlapSql,

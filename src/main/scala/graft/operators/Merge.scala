@@ -243,6 +243,7 @@ object Merge {
     def genPath(b: Int, g: Int) = genPathOf(table, b, g)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
+    val mapping = readMappingAt(fs, table, version)
     val fresh = fresh0.withColumn("bucket",
       pmod(col(key), lit(buckets)).cast("int"))
     val touched = fresh.select(col("bucket")).distinct()
@@ -258,8 +259,27 @@ object Merge {
       .filterNot(existingTouched.columns.contains)
     val existingPadded = addedCols.foldLeft(existingTouched)((df, c) =>
       df.withColumn(c, lit(null).cast(fresh0.schema(c).dataType)))
+    // TYPE WIDENING (round-11 verdict #6): a batch may carry a WIDER
+    // numeric type for an existing column (int → long, float → double) —
+    // cast both merge sides to the wider type and commit the widened
+    // schema; old generations stay narrow on disk and the parquet reader
+    // upcasts them under the committed schema (verified: Spark 4's
+    // vectorized reader reads int32 pages as LongType). A NARROWER batch
+    // type is cast up to the table's type with no schema change.
+    val widenPairs = fresh0.schema.fields.flatMap { f =>
+      existingPadded.schema.find(_.name == f.name).flatMap { e =>
+        widerOf(e.dataType, f.dataType).filter(_ != e.dataType).map(f.name -> _)
+      }
+    }.toMap
+    val existingWide = widenPairs.foldLeft(existingPadded) { case (df, (c, t)) =>
+      df.withColumn(c, col(c).cast(t)) }
+    val freshTyped = existingWide.schema.fields
+      .filter(f => fresh.columns.contains(f.name) && f.name != key)
+      .foldLeft(fresh.drop("bucket")) { (df, f) =>
+        if (df.schema(f.name).dataType == f.dataType) df
+        else df.withColumn(f.name, col(f.name).cast(f.dataType)) }
     val mergedData = mergeUpsert(
-      existingPadded, fresh.drop("bucket"), key,
+      existingWide, freshTyped, key,
       overwriteCols, coalesceCols, keepCols)
     val merged = mergedData
       .withColumn("bucket", pmod(col(key), lit(buckets)).cast("int"))
@@ -267,10 +287,12 @@ object Merge {
     // then append the merged buckets as the new generation — committed
     // files are never touched
     touched.foreach(b => fs.delete(genPath(b, round), true))
-    merged.withColumn("gen", lit(round))
+    // new generations write under PHYSICAL names (stable across renames)
+    toPhysical(merged, mapping).withColumn("gen", lit(round))
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
     val rewritten = touched.map(b => dirBytes(genPath(b, round))).sum
     writeSchemaSidecar(fs, table, round, mergedData.schema)
+    writeMappingSidecar(fs, table, round, mapping)
     hooks.beforeCommit(round)
     val committed = current ++ touched.map(_ -> round)
     commitManifest(fs, table, round, committed)
@@ -321,6 +343,10 @@ object Merge {
       .filter(p => p.getName.startsWith("schema-v") &&
         p.getName.stripPrefix("schema-v").toInt < keepFrom)
       .foreach(p => fs.delete(p, false))
+    fs.listStatus(manifestDir(table)).map(_.getPath)
+      .filter(p => p.getName.startsWith("mapping-v") &&
+        p.getName.stripPrefix("mapping-v").toInt < keepFrom)
+      .foreach(p => fs.delete(p, false))
   }
 
   /** Per-bucket accounting of [[compact]] — files before/after, so the
@@ -367,8 +393,9 @@ object Merge {
         .write.parquet(dst.toString)
     }
     val committed = current ++ oversized.keys.map(_ -> round)
-    // layout-only versions carry the schema forward unchanged
+    // layout-only versions carry the schema + mapping forward unchanged
     readSchemaAt(fs, table, version).foreach(writeSchemaSidecar(fs, table, round, _))
+    writeMappingSidecar(fs, table, round, readMappingAt(fs, table, version))
     commitManifest(fs, table, round, committed)
     sweepRetention(fs, table, round, retainVersions)
     val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
@@ -465,27 +492,32 @@ object Merge {
     val round = version + 1
     val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
     current.keys.foreach(b => fs.delete(genPath(b, round), true))
-    loadState(spark, tablePath, current, readSchemaAt(fs, table, version)).drop("gen")
-      .repartitionByRange(current.size * filesPerBucket,
-        col("bucket") +: sortKeys: _*)
-      .withColumn("gen", lit(round))
+    val mapping = readMappingAt(fs, table, version)
+    toPhysical(
+      loadState(spark, tablePath, current, readSchemaAt(fs, table, version),
+        mapping).drop("gen")
+        .repartitionByRange(current.size * filesPerBucket,
+          col("bucket") +: sortKeys: _*)
+        .withColumn("gen", lit(round)), mapping)
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
     val genPaths = current.keys.toSeq.sorted.map(b => s"$tablePath/bucket=$b/gen=$round")
     // paths are stored TABLE-RELATIVE (`bucket=<b>/gen=<g>/part-*.parquet`,
     // ADVICE r11 #2): a table that is moved, copied, or read through a
     // different filesystem prefix resolves the sidecar against ITS OWN
     // tablePath instead of chasing the writer's absolute URIs
+    def phys(c: String) = mapping.getOrElse(c, c)
     spark.read.option("basePath", tablePath).parquet(genPaths: _*)
       .groupBy(regexp_extract(input_file_name(), "bucket=.*$", 0).as("file"))
-      .agg(min(col(statCols.head)).as(s"min_${statCols.head}"),
-        (max(col(statCols.head)).as(s"max_${statCols.head}") +:
+      .agg(min(col(phys(statCols.head))).as(s"min_${statCols.head}"),
+        (max(col(phys(statCols.head))).as(s"max_${statCols.head}") +:
           statCols.tail.flatMap(c =>
-            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))): _*)
+            Seq(min(col(phys(c))).as(s"min_$c"), max(col(phys(c))).as(s"max_$c")))): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath(table, round).toString)
     val committed = current.keys.map(_ -> round).toMap
-    // layout-only versions carry the schema forward unchanged
+    // layout-only versions carry the schema + mapping forward unchanged
     readSchemaAt(fs, table, version).foreach(writeSchemaSidecar(fs, table, round, _))
+    writeMappingSidecar(fs, table, round, mapping)
     commitManifest(fs, table, round, committed)
     sweepRetention(fs, table, round, retainVersions)
     val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
@@ -522,14 +554,17 @@ object Merge {
     val (version, state) = readManifest(fs, table)
     val pred = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
       .reduce(_ && _)
+    val schema = readSchemaAt(fs, table, version)
+    val mapping = readMappingAt(fs, table, version)
+    def full() = loadState(spark, tablePath, state, schema, mapping).filter(pred)
     val sp = statsPath(table, version)
     if (!fs.exists(sp))
-      return loadState(spark, tablePath, state).filter(pred)
+      return full()
     val statsDf = spark.read.parquet(sp.toString)
     val statPreds = preds.filter { case (c, _, _) =>
       statsDf.columns.contains(s"min_$c") }
     if (statPreds.isEmpty)
-      return loadState(spark, tablePath, state).filter(pred)
+      return full()
     val stats = statsDf.collect()
     val keep = stats.filter { r =>
       statPreds.forall { case (c, lo, hi) =>
@@ -550,11 +585,16 @@ object Merge {
     val resolvable = keep.forall(_.startsWith("bucket=")) &&
       resolved.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
     if (!resolvable)
-      return loadState(spark, tablePath, state).filter(pred)
+      return full()
     if (resolved.isEmpty)
-      return loadState(spark, tablePath, state).filter(pred).limit(0)
-    spark.read.option("basePath", tablePath)
-      .parquet(resolved.toIndexedSeq: _*).filter(pred)
+      return full().limit(0)
+    val direct = spark.read.option("basePath", tablePath)
+      .parquet(resolved.toIndexedSeq: _*)
+    mapping.foldLeft(direct) { case (d, (logical, physical)) =>
+      if (logical != physical && d.columns.contains(physical))
+        d.withColumnRenamed(physical, logical)
+      else d
+    }.filter(pred)
   }
 
   private def statsPath(table: org.apache.hadoop.fs.Path, version: Int) =
@@ -571,6 +611,21 @@ object Merge {
   // stays faithful: each version reads under ITS OWN schema sidecar.
   // -------------------------------------------------------------------
 
+  /** The wider of two numeric types within one family (integral or
+    * fractional), None when the pair is not a safe widening. */
+  private def widerOf(a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    val integral: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val fractional: Seq[DataType] = Seq(FloatType, DoubleType)
+    def pick(ladder: Seq[DataType]): Option[DataType] = {
+      val (ia, ib) = (ladder.indexOf(a), ladder.indexOf(b))
+      if (ia >= 0 && ib >= 0) Some(ladder(math.max(ia, ib))) else None
+    }
+    if (a == b) Some(a) else pick(integral).orElse(pick(fractional))
+  }
+
   private def schemaPath(table: org.apache.hadoop.fs.Path, version: Int) =
     new org.apache.hadoop.fs.Path(manifestDir(table), s"schema-v$version")
 
@@ -583,7 +638,9 @@ object Merge {
   }
 
   /** The schema a version committed — None for tables written before the
-    * sidecar existed (readers then fall back to footer inference). */
+    * sidecar existed (readers then fall back to footer inference). The
+    * committed schema is the LOGICAL one (user-facing names); physical
+    * parquet names are recovered through [[readMappingAt]]. */
   private def readSchemaAt(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, version: Int)
       : Option[org.apache.spark.sql.types.StructType] = {
@@ -597,6 +654,80 @@ object Merge {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     }
   }
+
+  // -------------------------------------------------------------------
+  // COLUMN MAPPING (Delta's rename-without-rewrite): physical parquet
+  // column names NEVER change once written; a RENAME commits a new
+  // version whose mapping sidecar binds the new LOGICAL name to the
+  // unchanged physical one. Readers read under physical names and
+  // project to logical; writers translate logical back to physical
+  // before appending, so every generation — pre- and post-rename —
+  // carries one physical name per column. Time travel stays faithful:
+  // each version reads under ITS OWN schema + mapping, so historical
+  // reads surface the OLD name.
+  // -------------------------------------------------------------------
+
+  private def mappingPath(table: org.apache.hadoop.fs.Path, version: Int) =
+    new org.apache.hadoop.fs.Path(manifestDir(table), s"mapping-v$version")
+
+  private def writeMappingSidecar(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, version: Int,
+      mapping: Map[String, String]): Unit =
+    if (mapping.nonEmpty) {
+      val p = mappingPath(table, version)
+      val out = fs.create(p, true)
+      try out.write(mapping.toSeq.sorted.map { case (l, ph) => s"$l,$ph" }
+        .mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+  /** logical → physical for columns whose names diverged; identity
+    * entries are omitted (absent file = fully identity). */
+  private def readMappingAt(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, version: Int): Map[String, String] = {
+    val p = mappingPath(table, version)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.linesIterator.filter(_.nonEmpty).map { l =>
+        val Array(lo, ph) = l.split(','); lo -> ph
+      }.toMap
+    }
+  }
+
+  /** Rename `from` to `to` as a metadata-only commit: no data touched,
+    * the manifest carries over, the new version's schema holds the new
+    * logical name and its mapping binds it to `from`'s PHYSICAL name.
+    * Old versions keep reading (and time-traveling) under `from`. */
+  def renameColumn(spark: SparkSession, tablePath: String,
+      from: String, to: String, retainVersions: Int = 2): Unit = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (version, current) = readManifest(fs, table)
+    val round = version + 1
+    val schema = readSchemaAt(fs, table, version).getOrElse(
+      sys.error(s"renameColumn needs a schema sidecar on $tablePath"))
+    require(schema.fieldNames.contains(from), s"no column $from to rename")
+    require(!schema.fieldNames.contains(to), s"column $to already exists")
+    val mapping = readMappingAt(fs, table, version)
+    val physical = mapping.getOrElse(from, from)
+    val renamedSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    writeSchemaSidecar(fs, table, round, renamedSchema)
+    writeMappingSidecar(fs, table, round, (mapping - from) + (to -> physical))
+    commitManifest(fs, table, round, current)
+    sweepRetention(fs, table, round, retainVersions)
+  }
+
+  /** Translate a LOGICAL frame to physical column names for writing. */
+  private def toPhysical(df: DataFrame, mapping: Map[String, String]): DataFrame =
+    mapping.foldLeft(df) { case (d, (logical, physical)) =>
+      if (logical != physical && d.columns.contains(logical))
+        d.withColumnRenamed(logical, physical)
+      else d
+    }
 
   private def manifestDir(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_manifests")
@@ -673,7 +804,8 @@ object Merge {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (version, state) = readManifest(fs, table)
-    loadState(spark, tablePath, state, readSchemaAt(fs, table, version))
+    loadState(spark, tablePath, state, readSchemaAt(fs, table, version),
+      readMappingAt(fs, table, version))
   }
 
   /** TIME TRAVEL: read `tablePath` exactly as it stood when `version` was
@@ -690,20 +822,31 @@ object Merge {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     loadState(spark, tablePath, readManifestAt(fs, table, version),
-      readSchemaAt(fs, table, version))
+      readSchemaAt(fs, table, version), readMappingAt(fs, table, version))
   }
 
-  /** `schema`: the version's committed DATA schema (sidecar) — passing it
-    * (a) skips footer inference at 10⁵-file scale and (b) fills columns
-    * the generation predates with null (schema evolution). None falls
+  /** `schema`: the version's committed LOGICAL schema (sidecar) — passing
+    * it (a) skips footer inference at 10⁵-file scale, (b) fills columns
+    * the generation predates with null (schema evolution), and (c) reads
+    * narrow generations upcast under a widened type. `mapping` translates
+    * logical to the on-disk PHYSICAL names for the read, and the result
+    * is projected back to logical — rename support. None/empty falls
     * back to inference (pre-sidecar tables). Partition columns (bucket,
     * gen) are appended by directory discovery either way. */
   private def loadState(
       spark: SparkSession, tablePath: String, state: Map[Int, Int],
-      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      mapping: Map[String, String] = Map.empty): DataFrame = {
     val paths = state.toSeq.sorted.map { case (b, g) => s"$tablePath/bucket=$b/gen=$g" }
     val reader = spark.read.option("basePath", tablePath)
-    schema.fold(reader)(reader.schema).parquet(paths: _*)
+    val physicalSchema = schema.map(st => org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = mapping.getOrElse(f.name, f.name)))))
+    val df = physicalSchema.fold(reader)(reader.schema).parquet(paths: _*)
+    mapping.foldLeft(df) { case (d, (logical, physical)) =>
+      if (logical != physical && d.columns.contains(physical))
+        d.withColumnRenamed(physical, logical)
+      else d
+    }
   }
 
   /** Buckets whose generation differs between two committed versions —
@@ -769,16 +912,17 @@ object Merge {
     // between the versions reads as null on the old side, so evolution
     // surfaces as ordinary updates (null -> value) with null preimages
     val toSchema = readSchemaAt(fs, table, toVersion)
+    val toMapping = readMappingAt(fs, table, toVersion)
     if (changed.isEmpty) {
-      val empty = loadState(spark, tablePath, m2, toSchema).limit(0)
+      val empty = loadState(spark, tablePath, m2, toSchema, toMapping).limit(0)
       return empty.select(outCols(col(key), lit("insert"),
         dataCols(empty), col, col): _*)
     }
-    val newSide = loadState(spark, tablePath, changed, toSchema)
+    val newSide = loadState(spark, tablePath, changed, toSchema, toMapping)
       .drop("bucket", "gen")
     val oldEntries = m1.filter { case (b, _) => changed.contains(b) }
     val oldSide = (if (oldEntries.isEmpty) newSide.limit(0)
-      else loadState(spark, tablePath, oldEntries, toSchema)
+      else loadState(spark, tablePath, oldEntries, toSchema, toMapping)
         .drop("bucket", "gen"))
     val cols = dataCols(newSide)
     val n = newSide.alias("n")

@@ -454,4 +454,37 @@ class CurationSpec extends AnyFunSuite {
     assert(s.tail.count(_.getLong(2) > 0L) > s.length / 2,
       "most sequences should start mid-document")
   }
+
+  test("token shards through the lake: committed table ≡ direct frame, manifest-checkable, time travels") {
+    import org.apache.spark.sql.functions.{col, count, expr, lit, max, min, pmod, sum}
+    val direct = Curation.tokenShards(spark, dir).collect()
+    val lake = Curation.tokenShardsLake(spark, dir).collect()
+    // content-neutral commit: the lake read is row-identical
+    assert(lake.toSeq === direct.toSeq)
+    // the trainer's pre-epoch validation flow: a per-bucket manifest
+    // (count / token sum / id range / xor fingerprint — the
+    // cur_shard_manifest contract applied to the SEQUENCE table) computed
+    // from the committed table matches one computed from the pre-commit
+    // frame, so a partially-written or silently re-materialized shard
+    // cannot pass
+    def manifestOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(pmod(col("seq_id"), lit(8L)).as("shard"))
+        .agg(count(lit(1)).as("n_seqs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("seq_id")).as("min_seq"), max(col("seq_id")).as("max_seq"),
+          expr("bit_xor(hash(seq_id, n_docs, carry_tokens, n_tokens))").as("xor"))
+        .orderBy(col("shard")).collect().toSeq
+    val base = new java.io.File(dir).getName
+    val tablePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-shards-lake/$base/sequences"
+    val v = graft.operators.Merge.tableVersions(spark, tablePath).max
+    assert(manifestOf(graft.operators.Merge.readTableAt(spark, tablePath, v)
+      .select("seq_id", "n_docs", "carry_tokens", "n_tokens")) ===
+      manifestOf(Curation.tokenShards(spark, dir)))
+    // the committed version is a pinnable training input: reading AT the
+    // version is exactly the gate's frame (readTableAt ≡ readTable here,
+    // and stays so after later commits — the time-travel contract
+    // MergeSpec pins in depth)
+    assert(graft.operators.Merge.readTableAt(spark, tablePath, v)
+      .count() === direct.length.toLong)
+  }
 }

@@ -2,6 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, when}
 
 import graft.operators.Merge
 
@@ -392,6 +393,86 @@ class MergeSpec extends AnyFunSuite {
     assert(fallback.selectExpr(ttCols: _*).orderBy("universeId").collect() ===
       after.filter(r => !r.isNullAt(5) && r.getLong(5) == 6L))
     assert(st.version === 3, s"cluster must commit v3 after 2 rounds, got $st")
+  }
+
+  test("type widening: an int column widens to long; old versions keep int") {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val tmp = java.nio.file.Files.createTempDirectory("merge-widen").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    // v0 commits playerCount as INT
+    val initial = mkTT(0L until 40L, "base")
+      .withColumn("playerCount", col("playerCount").cast("int"))
+    Merge.upsertIncrementalRounds(spark, table, initial, Seq.empty,
+      "universeId", over, coal, keep, buckets = 8, retainVersions = 4)
+    assert(Merge.readTable(spark, table).schema("playerCount").dataType === IntegerType)
+    // a batch carries playerCount as LONG, with a value no int can hold
+    val big = 3000000000L
+    val batch = mkTT(Seq(3L, 41L), "r1")
+      .withColumn("playerCount",
+        when(col("universeId") === 3L, big).otherwise(col("playerCount")))
+    Merge.upsertRound(spark, table, batch, "universeId", over, coal, keep,
+      buckets = 8, retainVersions = 4)
+    val cur = Merge.readTable(spark, table)
+    // merged schema is the widened one; untouched buckets' int pages read
+    // upcast under it; the wide value survives
+    assert(cur.schema("playerCount").dataType === LongType)
+    assert(cur.filter(col("universeId") === 3L)
+      .select("playerCount").head().getLong(0) === big)
+    assert(cur.filter(col("universeId") === 5L)
+      .select("playerCount").head().getLong(0) === 5L % 7)
+    assert(cur.count() === 41)
+    // a NARROWER later batch casts up, schema stays long
+    Merge.upsertRound(spark, table,
+      mkTT(Seq(7L), "r2").withColumn("playerCount", col("playerCount").cast("int")),
+      "universeId", over, coal, keep, buckets = 8, retainVersions = 4)
+    assert(Merge.readTable(spark, table).schema("playerCount").dataType === LongType)
+    // time travel: version 0 still reads under ITS OWN (int) schema
+    assert(Merge.readTableAt(spark, table, 0)
+      .schema("playerCount").dataType === IntegerType)
+  }
+
+  test("rename with mapping: metadata-only rename, old versions keep the old name") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-rename").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, mkTT(0L until 40L, "base"),
+      Seq(mkTT(Seq(3L, 21L), "r1")), "universeId", over, coal, keep,
+      buckets = 8, retainVersions = 8)
+    val genFilesBefore = Merge.readTable(spark, table).inputFiles.toSet
+    // rename name -> title: metadata-only (no data files change)
+    Merge.renameColumn(spark, table, "name", "title", retainVersions = 8)
+    val cur = Merge.readTable(spark, table)
+    assert(cur.columns.contains("title") && !cur.columns.contains("name"))
+    assert(cur.inputFiles.toSet === genFilesBefore, "rename must not rewrite data")
+    assert(cur.filter(col("universeId") === 3L)
+      .select("title").head().getString(0) === "r1-3")
+    // a post-rename merge uses the NEW logical name; physical files keep
+    // the old one (stable physical names), and the round-trip is exact
+    val batch = mkTT(Seq(5L, 50L), "r2").withColumnRenamed("name", "title")
+    Merge.upsertRound(spark, table, batch,
+      "universeId", Seq("rootPlaceId", "title", "playerCount"), coal, keep,
+      buckets = 8, retainVersions = 8)
+    val cur2 = Merge.readTable(spark, table)
+    assert(cur2.filter(col("universeId") === 5L)
+      .select("title").head().getString(0) === "r2-5")
+    assert(cur2.filter(col("universeId") === 3L)
+      .select("title").head().getString(0) === "r1-3")
+    assert(cur2.count() === 41)
+    // time travel BEFORE the rename surfaces the OLD name
+    val v1 = Merge.readTableAt(spark, table, 1)
+    assert(v1.columns.contains("name") && !v1.columns.contains("title"))
+    assert(v1.filter(col("universeId") === 3L)
+      .select("name").head().getString(0) === "r1-3")
+    // CDC across the post-rename window reads logical names
+    val changes = Merge.readChanges(spark, table, 2, 3, "universeId")
+    assert(changes.columns.contains("title"))
+    assert(changes.select("universeId").collect().map(_.getLong(0)).sorted
+      === Array(5L, 50L))
   }
 
   test("z-order clustering: two-predicate reads prune on both axes, drop no rows") {
