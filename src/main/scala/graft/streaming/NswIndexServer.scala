@@ -48,8 +48,10 @@ import graft.operators.Nsw
 class NswIndexServer(spark: SparkSession, baseDir: String,
     quantizerDir: Option[String] = None) extends Serializable {
 
-  private val state = new VersionedState(spark, baseDir)
-  private val quantizerState = quantizerDir.map(new VersionedState(spark, _))
+  // read-only views over the writers' bucketed manifest state (round-12
+  // refit — same latest/readAt surface the VersionedState reads had)
+  private val state = new BucketedAppendState(spark, baseDir)
+  private val quantizerState = quantizerDir.map(d => new BucketedAppendState(spark, d))
 
   // (version, vectors, served edge table, corpus size) — swapped atomically
   // under this object's lock; volatile so a concurrent reader thread sees

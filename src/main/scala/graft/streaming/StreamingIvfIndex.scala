@@ -21,18 +21,25 @@ import graft.operators.IvfKMeans
   *     retrains on the grown corpus and reassigns everything (the
   *     compaction analog — corpus-sized, amortized over many batches).
   *
-  * Storage is [[VersionedState]] (retry-safe versioned parquet, commit
-  * pointer, keep-last-K retention). Centroids are K×Dim driver scalars
-  * (the documented k-means driver boundary) persisted per version with the
-  * drift baseline, so a restarted writer resumes from the pointer — same
-  * centroids, same baseline — instead of retraining from scratch.
+  * Storage is [[BucketedAppendState]] (round-12 refit): the assignment is
+  * an id-bucketed, manifest-committed copy-on-write table whose
+  * steady-state commits APPEND only the batch's rows into the buckets
+  * their ids hash to — written bytes ∝ batch. Centroids are K×Dim driver
+  * scalars (the documented k-means driver boundary), declared a SMALL
+  * table and rewritten whole per version with the drift baseline, so a
+  * restarted writer resumes from the manifest — same centroids, same
+  * baseline — instead of retraining from scratch. A drift-triggered
+  * retrain goes through [[BucketedAppendState.commitFull]]: corpus-sized
+  * by nature, priced honestly as the rare amortized rewrite it is.
   */
 class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
-    driftFactor: Double = 1.5, keepVersions: Int = 3) extends Serializable {
+    driftFactor: Double = 1.5, keepVersions: Int = 3,
+    buckets: Int = 16) extends Serializable {
 
   import spark.implicits._
 
-  private val state = new VersionedState(spark, baseDir, keepVersions)
+  private val state = new BucketedAppendState(spark, baseDir, buckets,
+    keyed = Map("assigned" -> "vec_id"), keepVersions = keepVersions)
   @volatile private var centroids: Seq[(Int, Array[Double])] = Seq.empty
   @volatile private var baselineMsd: Double = 0.0
   /** Retrain count — observable so tests (and dashboards) can tell WHY an
@@ -54,12 +61,14 @@ class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame
     centroids.map { case (c, v) => (c, v.toSeq, baselineMsd) }
       .toDF("cluster", "cv", "baseline_msd")
 
-  /** Full Lloyd training on `e` + reassignment of everything → version n. */
+  /** Full Lloyd training on `e` + reassignment of everything → version n
+    * (the one corpus-sized commit shape the maintainer retains — rare and
+    * amortized by design). */
   private def retrain(e: DataFrame, n: Long): Unit = {
     centroids = IvfKMeans.trainCentroids(e)
     val assigned = IvfKMeans.assign(e, centroids)
     baselineMsd = meanSquaredDist(assigned)
-    state.commit(n, Map("assigned" -> assigned, "centroids" -> centroidsDf))
+    state.commitFull(n, Map("assigned" -> assigned, "centroids" -> centroidsDf))
   }
 
   /** Mean squared L2 distance of assigned rows to their centroid — the
@@ -97,8 +106,9 @@ class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame
         retrains += 1
         retrain(currentAssigned().select(col("vec_id"), col("v")).unionByName(fresh), target)
       } else {
-        state.commit(target, Map(
-          "assigned" -> currentAssigned().unionByName(assigned),
+        // steady state: append the batch's rows into their buckets only
+        state.commitAppend(target, Map(
+          "assigned" -> assigned,
           "centroids" -> centroidsDf))
       }
     }

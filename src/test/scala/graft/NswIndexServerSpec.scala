@@ -88,7 +88,7 @@ class NswIndexServerSpec extends AnyFunSuite {
 
   test("with a quantizer attached, serving routes and matches the batch routed search") {
     import graft.operators.{IvfKMeans, Nsw}
-    import graft.streaming.{StreamingIvfIndex, VersionedState}
+    import graft.streaming.{BucketedAppendState, StreamingIvfIndex}
     val idxDir = Files.createTempDirectory("graft-srv-idx3").toString
     val qDir = Files.createTempDirectory("graft-srv-ivf").toString
 
@@ -106,10 +106,10 @@ class NswIndexServerSpec extends AnyFunSuite {
       .sortBy(t => (t._1, t._3))
 
     // batch reference over the SAME served graph + quantizer artifacts
-    val vs = new VersionedState(spark, idxDir)
+    val vs = new BucketedAppendState(spark, idxDir)
     val vectors = vs.read("vectors")
     val edges = Nsw.symmetrizeWithLongLinks(vectors, vs.read("knn"), 1)
-    val cents = new VersionedState(spark, qDir).read("centroids").collect()
+    val cents = new BucketedAppendState(spark, qDir).read("centroids").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
     val assigned = IvfKMeans.assign(vectors, cents)
     val n = vectors.count()

@@ -86,5 +86,21 @@ class StreamingNswIndexSpec extends AnyFunSuite {
     info(s"2-layer recall@3: grown $grown2 vs batch rebuilt $rebuilt2")
     assert(grown2 >= rebuilt2 - 1.0 / 15.0 - 1e-9,
       s"incrementally grown hierarchy recall $grown2 vs rebuilt $rebuilt2")
+
+    // the round-12 storage refit's write shape, pinned LAST so the recall
+    // comparisons above see exactly the streamed corpus: a replayed batch
+    // is a no-op (None), and a genuinely new batch's commit is
+    // BUCKET-PRUNED — it appends only into the buckets the fresh ids hash
+    // to, writing a strict subset of the state's bytes (the postings
+    // maintainer's measured claim, pinned here for the graph family)
+    assert(index.insertBatch(e.filter(col("vec_id") >= 400), 1L) === None,
+      "replayed batch must be a no-op")
+    val extra = e.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("v"))
+    val st = index.insertBatch(extra, 2L).get
+    assert(st.writtenBytes < st.stateBytes,
+      s"append commit must be change-sized: ${st.writtenBytes}/${st.stateBytes}")
+    assert(st.touchedBuckets < st.totalBuckets,
+      s"append commit must be bucket-pruned: ${st.touchedBuckets}/${st.totalBuckets}")
   }
 }
