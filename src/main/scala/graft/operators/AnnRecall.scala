@@ -382,7 +382,29 @@ object AnnRecall {
   private[graft] def servedCellCrossover(
       spark: SparkSession, dir: String, dials: Seq[Int]): DataFrame = {
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
-    val in = MethodInputs(spark, e, assigned, centroids, dir, clustered = false)
+    crossoverFrame(
+      MethodInputs(spark, e, assigned, centroids, dir, clustered = false), dials)
+  }
+
+  /** The same crossover (recall frame + walls) on an ARBITRARY corpus
+    * frame — the clustered-geometry run (CellCountScale clustered mode),
+    * where the decorrelated-fixture finding ("the beam recovers nothing
+    * outside the probed cells") gets its counterfactual: cluster
+    * structure is exactly what graph locality exploits. Probe mode
+    * throughout (ONE shared MethodInputs — fresh sized builds, no store
+    * artifacts; scaled synthetic corpora are throwaway). */
+  private[graft] def servedCellCrossoverBothOn(
+      spark: SparkSession, e: DataFrame, dials: Seq[Int])
+      : (DataFrame, Seq[(String, Double)]) = {
+    val n = e.count()
+    val centroids = IvfKMeans.trainCentroidsK(e, IvfKMeans.sizedCells(n))
+    val assigned = CacheRegistry.persistTracked(IvfKMeans.assign(e, centroids))
+    val in = MethodInputs(spark, e, assigned, centroids, dir = "", clustered = false,
+      planesOverride = Some(Nsw.sizedPlanes(n)))
+    (crossoverFrame(in, dials), crossoverWalls(in, dials))
+  }
+
+  private def crossoverFrame(in: MethodInputs, dials: Seq[Int]): DataFrame =
     ServedQueryBlocks.map { lo =>
       val served = dials.flatMap { d => Seq(
         Method(f"graph_d$d%03d", i => Nsw.searchWithRoutedEntries(
@@ -391,9 +413,8 @@ object AnnRecall {
         Method(f"nprobe_d$d%03d", i => IvfKMeans.kmeansNprobeSearchOn(
           i.e, i.assigned, i.centroids, nprobe = d, queryLo = lo), "served"))
       }
-      recallFrame(in, served, Similarity.annBruteForceKOn(e, K, queryLo = lo))
+      recallFrame(in, served, Similarity.annBruteForceKOn(in.e, K, queryLo = lo))
     }.reduce(_ unionByName _)
-  }
 
   /** Wall-clock companion to [[servedCellCrossover]]: per (method, dial),
     * seconds to serve all [[ServedQueryBlocks]] off the stored artifacts
@@ -403,13 +424,17 @@ object AnnRecall {
   private[graft] def servedCrossoverWalls(
       spark: SparkSession, dir: String, dials: Seq[Int]): Seq[(String, Double)] = {
     val (e, assigned, centroids) = IvfKMeans.trained(spark, dir)
-    val in = MethodInputs(spark, e, assigned, centroids, dir, clustered = false)
+    crossoverWalls(
+      MethodInputs(spark, e, assigned, centroids, dir, clustered = false), dials)
+  }
+
+  private def crossoverWalls(in: MethodInputs, dials: Seq[Int]): Seq[(String, Double)] = {
     def frames(d: Int): Seq[(String, Long => DataFrame)] = Seq(
       (f"graph_d$d%03d", (lo: Long) => Nsw.searchWithRoutedEntries(
-        e, in.cellEdges, centroids, assigned, in.hops, in.beam,
+        in.e, in.cellEdges, in.centroids, in.assigned, in.hops, in.beam,
         probeCells = d, queryLo = lo)),
       (f"nprobe_d$d%03d", (lo: Long) => IvfKMeans.kmeansNprobeSearchOn(
-        e, assigned, centroids, nprobe = d, queryLo = lo)))
+        in.e, in.assigned, in.centroids, nprobe = d, queryLo = lo)))
     def run(mk: Long => DataFrame): Unit = ServedQueryBlocks.foreach(lo =>
       mk(lo).write.format("noop").mode("overwrite").save())
     dials.flatMap(frames).map { case (name, mk) =>

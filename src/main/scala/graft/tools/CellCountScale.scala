@@ -34,7 +34,9 @@ object CellCountScale {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.flatMap(_.toIntOption).getOrElse(10)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = args.lift(1).getOrElse(s"target/sfscale_x$factor")
+    // positional out-dir must not swallow the "clustered" flag
+    val out = args.lift(1).filterNot(_ == "clustered")
+      .getOrElse(s"target/sfscale_x$factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,23 +51,39 @@ object CellCountScale {
     if (!marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker))
       SfScale.writeScaledEmbeddings(spark, base, out, factor, cpus.toInt)
 
+    // --clustered (2nd arg "clustered" or env SPARK_GRAFT_CELLS_CLUSTERED):
+    // run the SAME crossover on the clustered derivation of the scaled
+    // corpus — the geometry where graph locality has something to exploit
+    // (the decorrelated run measured graph ≡ nprobe; this is the
+    // counterfactual)
+    val clustered = args.contains("clustered") ||
+      sys.env.get("SPARK_GRAFT_CELLS_CLUSTERED").contains("1")
+    val tag = if (clustered) s"x$factor/clustered" else s"x$factor"
+
     val n = AnnRecall.probeCorpus(spark, out).count()
     val kCells = IvfKMeans.sizedCells(n)
     val dials = Seq(1, 2, 4, 8, 16, 32).filter(_ <= kCells)
-    println(f"CELLS x$factor n=$n k_cells=$kCells dials=${dials.mkString(",")}")
+    println(f"CELLS $tag n=$n k_cells=$kCells dials=${dials.mkString(",")}")
 
-    // recall per (method_dial), blocks averaged, off stored sized artifacts
-    // (first touch builds them exactly as index_build_* would)
     val t0 = System.nanoTime()
-    val recall = AnnRecall.servedCellCrossover(spark, out, dials)
+    val (recallDf, walls) =
+      if (clustered) {
+        val e = graft.tools.CacheRegistry.persistTracked(
+          AnnRecall.clusteredCorpusUncapped(spark, out))
+        val (r, w) = AnnRecall.servedCellCrossoverBothOn(spark, e, dials)
+        (r, w.toMap)
+      } else
+        // stored sized artifacts (first touch builds them exactly as
+        // index_build_* would)
+        (AnnRecall.servedCellCrossover(spark, out, dials),
+          AnnRecall.servedCrossoverWalls(spark, out, dials).toMap)
+    val recall = recallDf
       .groupBy(col("method")).agg(avg(col("recall")).as("mean_recall"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    println(f"CELLCROSS x$factor recall pass (wall ${(System.nanoTime() - t0) / 1e9}%.1f s)")
-
-    val walls = AnnRecall.servedCrossoverWalls(spark, out, dials).toMap
+    println(f"CELLCROSS $tag recall pass (wall ${(System.nanoTime() - t0) / 1e9}%.1f s)")
     dials.foreach { d =>
       Seq(f"graph_d$d%03d", f"nprobe_d$d%03d").foreach { m =>
-        println(f"CELLCROSS x$factor $m%-12s recall=${recall(m)}%6.4f " +
+        println(f"CELLCROSS $tag $m%-12s recall=${recall(m)}%6.4f " +
           f"wall_s=${walls(m)}%6.2f scan_frac=${d.toDouble / kCells}%6.4f")
       }
     }
