@@ -9,17 +9,18 @@ import graft.operators.Nsw
 
 /** The SERVE side of the incremental index pair — the streaming analogue of
   * [[graft.tools.IndexStore]]'s read path: a long-running query-answering
-  * process that watches [[VersionedState]]'s commit pointer and swaps in a
-  * freshly committed index version mid-stream, without restarting.
+  * process that watches [[BucketedAppendState]]'s manifest log and swaps in
+  * a freshly committed index version mid-stream, without restarting.
   *
   * Contract with the writer ([[StreamingNswIndex]]): the writer commits
-  * `vectors`/`knn` versions and advances `_LATEST`; this server re-reads the
-  * pointer once per request micro-batch (one metadata op) and rebuilds its
-  * cached handles ONLY when the pointer moved — so steady-state serving pays
-  * zero re-read cost, and an index commit becomes visible at the next batch
-  * boundary. Both tables of a refresh are pinned to the SAME observed
-  * version ([[VersionedState.readAt]]), so a writer advancing mid-refresh
-  * can never produce a torn vectors/edges pair. The served edge table is
+  * `vectors`/`knn` versions through bucket-pruned manifest appends; this
+  * server re-reads the latest manifest version once per request
+  * micro-batch (one listing op) and rebuilds its cached handles ONLY when
+  * it moved — so steady-state serving pays zero re-read cost, and an index
+  * commit becomes visible at the next batch boundary. Both tables of a
+  * refresh are pinned to the SAME observed version
+  * ([[BucketedAppendState.readAt]] — one manifest names both), so a writer
+  * advancing mid-refresh can never produce a torn vectors/edges pair. The served edge table is
   * persisted (and the previous version's unpersisted) on swap: the
   * symmetrize + long-link overlay is computed once per version, not per
   * request batch.
