@@ -96,16 +96,26 @@ object Bench {
     // numbers. Query order stays fixed (builds first, then alphabetical).
     val repeats = sys.env.get("SPARK_GRAFT_BENCH_REPEATS")
       .flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
-    var setupSec = 0.0
-    if (repeats > 1) {
-      val t0 = System.nanoTime()
-      (buildQs ++ serveQs).foreach { case (_, fn) =>
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        graft.tools.CacheRegistry.release(blocking = true)
-      }
-      setupSec = (System.nanoTime() - t0) / 1e9
+    // The priced setup pass runs UNCONDITIONALLY (round-12 verdict #4: it
+    // ran only under repeats>1, so the driver's single-pass snapshot
+    // still absorbed cold-store artifact rebuilds into whichever query
+    // touched them first — r12's 185 s single vs 136 s stable was pure
+    // setup-attribution noise). Every shared fixture a query lazily
+    // builds on a cold tmp dir (the j1 history tables, stored index
+    // artifacts) lands in the named "setup_sec" instead of a per-query
+    // number, so back-to-back single-pass totals sit inside the stable
+    // band. Setup failures are NonFatal-caught and named on stderr
+    // (ADVICE r12 #5: a swallowed OutOfMemoryError resurfaced later as
+    // unrelated heap corruption); the measured loop still records the
+    // query's own error.
+    val setupT0 = System.nanoTime()
+    (buildQs ++ serveQs).foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] setup pass: $name failed: ${e.toString.take(300)}") }
+      graft.tools.CacheRegistry.release(blocking = true)
     }
+    val setupSec = (System.nanoTime() - setupT0) / 1e9
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2)
     }
@@ -136,8 +146,7 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val stableFields =
-      if (repeats > 1) s""","repeats":$repeats,"setup_sec":$setupSec""" else ""
+    val stableFields = s""","repeats":$repeats,"setup_sec":$setupSec"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$stableFields}"""
     // a filtered spot-check must not silently overwrite the committed

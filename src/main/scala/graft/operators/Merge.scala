@@ -283,23 +283,23 @@ object Merge {
       overwriteCols, coalesceCols, keepCols)
     val merged = mergedData
       .withColumn("bucket", pmod(col(key), lit(buckets)).cast("int"))
-    // clear uncommitted leftovers of a crashed prior attempt at this gen,
-    // then append the merged buckets as the new generation — committed
-    // files are never touched
-    touched.foreach(b => fs.delete(genPath(b, round), true))
+    // append the merged buckets as a FRESH write-once generation —
+    // committed files are never touched, and no two attempts (crashed
+    // retries or concurrent writers) can ever share a gen dir; stale
+    // leftovers are manifest-invisible and swept by retention
+    val gen = freshGen(round)
     // new generations write under PHYSICAL names (stable across renames)
-    toPhysical(merged, mapping).withColumn("gen", lit(round))
+    toPhysical(merged, mapping).withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
-    val rewritten = touched.map(b => dirBytes(genPath(b, round))).sum
-    writeSchemaSidecar(fs, table, round, mergedData.schema)
-    writeMappingSidecar(fs, table, round, mapping)
+    val rewritten = touched.map(b => dirBytes(genPath(b, gen))).sum
     hooks.beforeCommit(round)
-    val committed = current ++ touched.map(_ -> round)
-    commitManifest(fs, table, round, committed)
-    hooks.afterCommit(round)
-    sweepRetention(fs, table, round, retainVersions)
+    val (committedVersion, committed) = commitWithRetry(fs, table,
+      round, current, touched.map(_ -> gen).toMap,
+      mergedData.schema, mapping)
+    hooks.afterCommit(committedVersion)
+    sweepRetention(fs, table, committedVersion, retainVersions)
     val tableBytes = committed.map { case (b, g) => dirBytes(genPath(b, g)) }.sum
-    IncRoundStats(round, touched.length, buckets, rewritten, tableBytes)
+    IncRoundStats(committedVersion, touched.length, buckets, rewritten, tableBytes)
   }
 
   /** Retention sweep (post-commit; a crash here only leaves stale dirs
@@ -315,10 +315,19 @@ object Merge {
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
       round: Int, retainVersions: Int): Unit = {
     val keepFrom = math.max(0, round - retainVersions + 1)
-    // intersect with what's on disk: an earlier tighter retention may have
-    // already pruned the low end of the window
-    val live: Set[(Int, Int)] = committedVersions(fs, table)
-      .filter(v => v >= keepFrom && v <= round)
+    val onDisk = committedVersions(fs, table)
+    // live: referenced by a manifest inside the retention window — NO
+    // upper bound, so a concurrent writer's already-committed newer
+    // version is never treated as expired by a slower writer's sweep
+    val live: Set[(Int, Int)] = onDisk.filter(_ >= keepFrom)
+      .flatMap(v => readManifestAt(fs, table, v).toSeq).toSet
+    // dead: referenced by SOME on-disk manifest but by no retained one.
+    // Only provably-dead generations are deleted here — a gen dir no
+    // manifest has ever named may be an in-flight concurrent writer's
+    // not-yet-committed data (the round-13 two-writer race made this
+    // concrete); such orphans are reclaimed by [[vacuumOrphans]] under an
+    // age gate instead, exactly Delta VACUUM's uncommitted-file rule.
+    val referenced: Set[(Int, Int)] = onDisk
       .flatMap(v => readManifestAt(fs, table, v).toSeq).toSet
     fs.listStatus(table).filter(_.getPath.getName.startsWith("bucket="))
       .foreach { bs =>
@@ -326,7 +335,8 @@ object Merge {
         fs.listStatus(bs.getPath).filter(_.getPath.getName.startsWith("gen="))
           .foreach { gs =>
             val g = gs.getPath.getName.stripPrefix("gen=").toInt
-            if (!live.contains((b, g))) fs.delete(gs.getPath, true)
+            if (referenced.contains((b, g)) && !live.contains((b, g)))
+              fs.delete(gs.getPath, true)
           }
       }
     fs.listStatus(manifestDir(table)).map(_.getPath)
@@ -347,6 +357,107 @@ object Merge {
       .filter(p => p.getName.startsWith("mapping-v") &&
         p.getName.stripPrefix("mapping-v").toInt < keepFrom)
       .foreach(p => fs.delete(p, false))
+  }
+
+  /** Reclaim ORPHANED generation dirs: dirs no on-disk manifest has ever
+    * referenced (crashed writer attempts, conflict-refused rounds), older
+    * than `olderThanMs`. The routine retention sweep deliberately leaves
+    * these alone — a never-referenced dir is indistinguishable from an
+    * in-flight concurrent writer's not-yet-committed data, so reclaiming
+    * it safely needs an age gate covering the longest plausible write
+    * (Delta VACUUM's uncommitted-file rule). Returns dirs deleted. */
+  def vacuumOrphans(spark: SparkSession, tablePath: String,
+      olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val referenced: Set[(Int, Int)] = committedVersions(fs, table)
+      .flatMap(v => readManifestAt(fs, table, v).toSeq).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var deleted = 0
+    fs.listStatus(table).filter(_.getPath.getName.startsWith("bucket="))
+      .foreach { bs =>
+        val b = bs.getPath.getName.stripPrefix("bucket=").toInt
+        fs.listStatus(bs.getPath).filter(_.getPath.getName.startsWith("gen="))
+          .foreach { gs =>
+            val g = gs.getPath.getName.stripPrefix("gen=").toInt
+            if (!referenced.contains((b, g)) && gs.getModificationTime < cutoff) {
+              fs.delete(gs.getPath, true); deleted += 1
+            }
+          }
+      }
+    deleted
+  }
+
+  /** Per-delete accounting of [[deleteWhere]]. */
+  final case class DeleteStats(
+      version: Int, touchedBuckets: Int, deletedRows: Long)
+
+  /** ROW-LEVEL DELETE (round-12 verdict, next-round #1): remove every row
+    * matching `predicate`, as a copy-on-write rewrite of ONLY the buckets
+    * holding matching rows, committed as a normal manifest version — the
+    * operation the lake could not express (the reference's own prune
+    * removes games and their orphan embeddings —
+    * reference: src/lib/commands/pruneGames.ts:200-249 — and a
+    * training-data lake legally requires takedown / right-to-be-forgotten
+    * deletes).
+    *
+    * Semantics: a row is deleted iff the predicate is TRUE for it (NULL
+    * keeps the row — SQL DELETE's three-valued rule). A bucket whose rows
+    * are all deleted drops out of the manifest entirely. A predicate
+    * matching nothing burns no version (compact's no-op convention).
+    *
+    * Downstream contracts fall out of the manifest design:
+    *   - TIME TRAVEL: pre-delete versions read complete until retention
+    *     expires them; after that the deleted rows' generations are
+    *     VACUUMed off disk — the point where a takedown becomes physical
+    *     (MergeSpec pins both sides);
+    *   - CDC: [[readChanges]] across a delete version emits `op = delete`
+    *     rows with null post-images and (under `withPreimage`) full
+    *     preimages — what the maintainer tier needs to cascade the
+    *     takedown with zero state scans;
+    *   - IVM: [[ivmDeltaAgg]] subtracts the deleted rows' contribution
+    *     (−1 row, −f(pre)) from maintained views.
+    *
+    * Scale shape: one predicate scan to NAME the touched buckets (at
+    * 100 TB this scan is itself file-skippable when the predicate ranges
+    * a clustered column — the stats sidecars apply), then a rewrite of
+    * only those buckets. A 10³-row takedown against a 10⁵-bucket table
+    * rewrites ≈ the touched thousandth of the data. The commit goes
+    * through the same optimistic-concurrency path as merge rounds. */
+  def deleteWhere(spark: SparkSession, tablePath: String, predicate: Column,
+      retainVersions: Int = 1): DeleteStats = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (version, current) = readManifest(fs, table)
+    val round = version + 1
+    val schema = readSchemaAt(fs, table, version)
+    val mapping = readMappingAt(fs, table, version)
+    // TRUE deletes; NULL keeps (coalesce pins the three-valued boundary)
+    val delPred = coalesce(predicate, lit(false))
+    val cur = loadState(spark, tablePath, current, schema, mapping)
+    val hit = cur.filter(delPred)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (hit.isEmpty) return DeleteStats(version, 0, 0L)
+    val touched = hit.keys.toSeq.sorted
+    val deletedRows = hit.values.sum
+    val touchedEntries = current.filter { case (b, _) => touched.contains(b) }
+    val gen = freshGen(round)
+    toPhysical(
+      loadState(spark, tablePath, touchedEntries, schema, mapping)
+        .filter(!delPred).drop("gen").withColumn("gen", lit(gen)), mapping)
+      .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
+    // a fully-deleted bucket writes no dir and leaves the manifest
+    val present = touched.filter(b =>
+      fs.exists(genPathOf(table, b, gen)))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      cur.drop("bucket", "gen").schema.fields)
+    val (committedVersion, _) = commitWithRetry(fs, table,
+      round, current, present.map(_ -> gen).toMap,
+      schema.getOrElse(dataSchema), mapping,
+      removedBuckets = touched.filterNot(present.contains))
+    sweepRetention(fs, table, committedVersion, retainVersions)
+    DeleteStats(committedVersion, touched.length, deletedRows)
   }
 
   /** Per-bucket accounting of [[compact]] — files before/after, so the
@@ -385,14 +496,13 @@ object Merge {
     val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
     if (oversized.isEmpty) // already compact — don't burn a version
       return CompactStats(version, 0, filesBefore, filesBefore)
+    val gen = freshGen(round)
     oversized.toSeq.sorted.foreach { case (b, g) =>
-      val dst = genPath(b, round)
-      fs.delete(dst, true) // uncommitted leftover of a crashed attempt
       spark.read.option("basePath", tablePath).parquet(s"$tablePath/bucket=$b/gen=$g")
         .drop("bucket", "gen").coalesce(targetFiles)
-        .write.parquet(dst.toString)
+        .write.parquet(genPath(b, gen).toString)
     }
-    val committed = current ++ oversized.keys.map(_ -> round)
+    val committed = current ++ oversized.keys.map(_ -> gen)
     // layout-only versions carry the schema + mapping forward unchanged
     readSchemaAt(fs, table, version).foreach(writeSchemaSidecar(fs, table, round, _))
     writeMappingSidecar(fs, table, round, readMappingAt(fs, table, version))
@@ -490,17 +600,17 @@ object Merge {
     def dataFiles(p: org.apache.hadoop.fs.Path): Long = dataFileCount(fs, p)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
+    val gen = freshGen(round)
     val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
-    current.keys.foreach(b => fs.delete(genPath(b, round), true))
     val mapping = readMappingAt(fs, table, version)
     toPhysical(
       loadState(spark, tablePath, current, readSchemaAt(fs, table, version),
         mapping).drop("gen")
         .repartitionByRange(current.size * filesPerBucket,
           col("bucket") +: sortKeys: _*)
-        .withColumn("gen", lit(round)), mapping)
+        .withColumn("gen", lit(gen)), mapping)
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
-    val genPaths = current.keys.toSeq.sorted.map(b => s"$tablePath/bucket=$b/gen=$round")
+    val genPaths = current.keys.toSeq.sorted.map(b => s"$tablePath/bucket=$b/gen=$gen")
     // paths are stored TABLE-RELATIVE (`bucket=<b>/gen=<g>/part-*.parquet`,
     // ADVICE r11 #2): a table that is moved, copied, or read through a
     // different filesystem prefix resolves the sidecar against ITS OWN
@@ -514,7 +624,7 @@ object Merge {
             Seq(min(col(phys(c))).as(s"min_$c"), max(col(phys(c))).as(s"max_$c")))): _*)
       .coalesce(1)
       .write.mode("overwrite").parquet(statsPath(table, round).toString)
-    val committed = current.keys.map(_ -> round).toMap
+    val committed = current.keys.map(_ -> gen).toMap
     // layout-only versions carry the schema + mapping forward unchanged
     readSchemaAt(fs, table, version).foreach(writeSchemaSidecar(fs, table, round, _))
     writeMappingSidecar(fs, table, round, mapping)
@@ -733,21 +843,101 @@ object Merge {
     new org.apache.hadoop.fs.Path(table, "_manifests")
 
   /** Atomic commit: write `bucket,gen` lines to a temp file, rename to
-    * `manifest-v<version>` — the one-file rename that makes the version
-    * visible. */
+    * `manifest-v<version>` PUT-IF-ABSENT ([[ManifestIo.commitFile]] —
+    * round-12 verdict: the old delete-then-rename was last-write-wins, so
+    * a concurrent writer or stale retry silently replaced a committed
+    * version). A commit of an existing version now throws
+    * [[VersionConflictException]]; [[upsertRound]] catches it and retries
+    * at the next version when the conflict is benign (disjoint buckets). */
   private def commitManifest(
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
-      version: Int, state: Map[Int, Int]): Unit = {
-    val dir = manifestDir(table)
-    fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-manifest-v$version")
-    val out = fs.create(tmp, true)
-    try out.write(state.toSeq.sorted.map { case (b, g) => s"$b,$g" }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    val fin = new org.apache.hadoop.fs.Path(dir, s"manifest-v$version")
-    fs.delete(fin, false)
-    require(fs.rename(tmp, fin), s"manifest commit failed: $fin")
+      version: Int, state: Map[Int, Int]): Unit =
+    ManifestIo.commitFile(fs, manifestDir(table), s"manifest-v$version",
+      state.toSeq.sorted.map { case (b, g) => s"$b,$g" }
+        .mkString("", "\n", "\n"))
+
+  /** A fresh GENERATION label for one writer attempt at `round`: gen dirs
+    * are write-once — no two attempts (crashed retries, or two concurrent
+    * disjoint-bucket writers racing the same round number) may ever
+    * append into the same `bucket=<b>/gen=<g>` dir, or the winner's
+    * committed dir would carry the loser's rows. The label packs the
+    * round into the high bits (readable lineage, strictly increasing
+    * across rounds) with a random low salt per attempt; uncommitted
+    * leftovers of crashed attempts are ignored by readers (manifest-
+    * driven) and removed by the retention sweep. Bound: 2^19 rounds per
+    * table before Int overflow — raise gen to Long before then. */
+  private def freshGen(round: Int): Int = {
+    require(round < (1 << 19), s"generation label space exhausted at round $round")
+    (round << 12) | scala.util.Random.nextInt(1 << 12)
+  }
+
+  private val MaxCommitRetries = 5
+
+  /** Commit `base ++ newEntries` with OPTIMISTIC CONCURRENCY (round-12
+    * verdict #3): try version `round`; on [[VersionConflictException]]
+    * (another writer won the put-if-absent race), re-read the winner's
+    * manifest and retry at the next version — valid exactly when the
+    * winner did not rewrite any bucket this writer's merge read
+    * (disjoint-bucket writers merge their manifests, Delta-style) and did
+    * not change the schema/mapping this writer committed under. A real
+    * overlap or metadata change surfaces as a conflict error telling the
+    * caller to re-run the round against the latest version — its merged
+    * rows were computed from stale data and must not be committed.
+    * Returns (committed version, committed state).
+    *
+    * Note on the retention sweep: a writer racing others should keep
+    * `retainVersions` ≥ the concurrent-writer lag — the sweep removes
+    * unreferenced gen dirs, and an in-flight writer's not-yet-committed
+    * gens look unreferenced to it (the same reason Delta's VACUUM has a
+    * retention window). */
+  private def commitWithRetry(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
+      round: Int, base0: Map[Int, Int],
+      newEntries: Map[Int, Int],
+      schema: org.apache.spark.sql.types.StructType,
+      mapping: Map[String, String],
+      removedBuckets: Seq[Int] = Seq.empty): (Int, Map[Int, Int]) = {
+    var attemptVersion = round
+    var base = base0
+    var attempts = 0
+    while (true) {
+      val stateMap = (base -- removedBuckets) ++ newEntries
+      writeSchemaSidecar(fs, table, attemptVersion, schema)
+      writeMappingSidecar(fs, table, attemptVersion, mapping)
+      try {
+        commitManifest(fs, table, attemptVersion, stateMap)
+        return (attemptVersion, stateMap)
+      } catch {
+        case c: VersionConflictException =>
+          attempts += 1
+          if (attempts > MaxCommitRetries) throw c
+          val (wv, wstate) = readManifest(fs, table)
+          val overlap = (newEntries.keys.toSeq ++ removedBuckets)
+            .filter(b => wstate.get(b) != base0.get(b)).sorted
+          if (overlap.nonEmpty)
+            throw new VersionConflictException(
+              s"concurrent writer rewrote bucket(s) ${overlap.mkString(",")} " +
+                s"of $table after this round read them — the merged rows are " +
+                "stale; re-run the round against the latest version")
+          // metadata check: the winner must have committed the SAME schema
+          // this writer is about to (same field set/types — nullability is
+          // normalized: a merge round makes every column nullable while an
+          // initial load may not) and the same mapping; a schema-evolving
+          // winner is a metadata conflict no manifest merge can reconcile
+          def norm(s: Option[org.apache.spark.sql.types.StructType]) =
+            s.map(st => org.apache.spark.sql.types.StructType(st.fields.map(
+              _.copy(nullable = true,
+                metadata = org.apache.spark.sql.types.Metadata.empty))))
+          if (norm(readSchemaAt(fs, table, wv)) != norm(Some(schema)) ||
+              readMappingAt(fs, table, wv) != mapping)
+            throw new VersionConflictException(
+              s"concurrent writer changed the schema/mapping of $table — " +
+                "metadata conflicts are not auto-merged; re-run the round")
+          attemptVersion = wv + 1
+          base = wstate
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Latest committed (version, bucket → gen). */
@@ -858,7 +1048,7 @@ object Merge {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m1 = readManifestAt(fs, table, fromVersion)
     val m2 = readManifestAt(fs, table, toVersion)
-    m2.collect { case (b, g) if !m1.get(b).contains(g) => b }.toSeq.sorted
+    (m1.keySet ++ m2.keySet).filter(b => m1.get(b) != m2.get(b)).toSeq.sorted
   }
 
   /** CHANGE DATA FEED: every row-level change between two committed
@@ -901,7 +1091,10 @@ object Merge {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val m1 = readManifestAt(fs, table, fromVersion)
     val m2 = readManifestAt(fs, table, toVersion)
-    val changed = m2.filter { case (b, g) => !m1.get(b).contains(g) }
+    // a bucket changed if its generation moved OR it left the manifest
+    // entirely (deleteWhere drops fully-deleted buckets)
+    val changed = (m1.keySet ++ m2.keySet)
+      .filter(b => m1.get(b) != m2.get(b))
     val dataCols = (c: DataFrame) =>
       c.columns.filterNot(n => n == key || n == "bucket" || n == "gen").toSeq
     def outCols(keyCol: Column, opCol: Column, cols: Seq[String],
@@ -918,21 +1111,27 @@ object Merge {
       return empty.select(outCols(col(key), lit("insert"),
         dataCols(empty), col, col): _*)
     }
-    val newSide = loadState(spark, tablePath, changed, toSchema, toMapping)
-      .drop("bucket", "gen")
+    val newEntries = m2.filter { case (b, _) => changed.contains(b) }
     val oldEntries = m1.filter { case (b, _) => changed.contains(b) }
-    val oldSide = (if (oldEntries.isEmpty) newSide.limit(0)
-      else loadState(spark, tablePath, oldEntries, toSchema, toMapping)
-        .drop("bucket", "gen"))
+    def side(entries: Map[Int, Int], other: => DataFrame): DataFrame =
+      if (entries.isEmpty) other.limit(0)
+      else loadState(spark, tablePath, entries, toSchema, toMapping)
+        .drop("bucket", "gen")
+    lazy val newSide: DataFrame = side(newEntries, oldSide)
+    lazy val oldSide: DataFrame = side(oldEntries, newSide)
     val cols = dataCols(newSide)
     val n = newSide.alias("n")
     val o = oldSide.alias("o")
     val differs = cols.map(c => !(col(s"n.$c") <=> col(s"o.$c")))
       .reduce(_ || _)
-    n.join(o, col(s"n.$key") === col(s"o.$key"), "left_outer")
-      .filter(col(s"o.$key").isNull || differs)
-      .select(outCols(col(s"n.$key"),
-        when(col(s"o.$key").isNull, "insert").otherwise("update"), cols,
+    // FULL outer: a key present old-side only is a DELETE — null
+    // post-image columns, preimages carry the removed row (Delta CDF's
+    // delete rows; what lets the maintainer tier cascade a takedown)
+    n.join(o, col(s"n.$key") === col(s"o.$key"), "full_outer")
+      .filter(col(s"o.$key").isNull || col(s"n.$key").isNull || differs)
+      .select(outCols(coalesce(col(s"n.$key"), col(s"o.$key")),
+        when(col(s"o.$key").isNull, "insert")
+          .when(col(s"n.$key").isNull, "delete").otherwise("update"), cols,
         c => col(s"n.$c"), c => col(s"o.$c")): _*)
   }
 
@@ -1201,10 +1400,14 @@ object Merge {
 
   /** Per-shard deltas from a preimage feed — the SAME expression tree the
     * streaming twin (StreamingIvmView) runs in complete mode, so batch
-    * refresh ≡ live maintenance by construction. */
+    * refresh ≡ live maintenance by construction. Round 13: the −f(pre)
+    * DELETE term — a delete row subtracts one from the count, and its
+    * null post-image already contributes 0 to the post sum while its
+    * preimage is subtracted, so the sum term needs no branch. */
   def ivmDeltaAgg(changes: DataFrame): DataFrame =
     ivmSharded(changes).groupBy(col("shard")).agg(
-      sum(when(col("op") === "insert", 1L).otherwise(0L)).as("d_rows"),
+      sum(when(col("op") === "insert", 1L)
+        .when(col("op") === "delete", -1L).otherwise(0L)).as("d_rows"),
       (sum(coalesce(col("playerCount"), lit(0L))) -
         sum(coalesce(col("pre_playerCount"), lit(0L)))).as("d_pc"))
 
@@ -1232,6 +1435,122 @@ object Merge {
        |       count(*) AS n_rows,
        |       CAST(sum(coalesce(playerCount, 0)) AS BIGINT) AS total_pc
        |FROM m$IncRounds
+       |GROUP BY 1
+       |ORDER BY shard""".stripMargin)
+
+  /** The delete predicate the takedown gates use: 1-in-20 keys — sparse
+    * (a takedown batch, not a truncation), hits updated keys (id 3 is a
+    * round-3 re-crawl) and leaves every (universeId % 10) IVM shard
+    * populated, so the maintained view's row set still matches a direct
+    * GROUP BY. */
+  private val DelMod = 20L
+  private val DelRes = 3L
+  private val DeleteVersion = IncRounds + 1
+
+  /** Build (or reuse) the history-plus-delete table the takedown gates
+    * serve from: the [[IncRounds]] merge history, then [[deleteWhere]]
+    * (`universeId % DelMod = DelRes`) as version [[DeleteVersion]], every
+    * version retained. Same fingerprint-keyed reuse rule as
+    * [[ensureHistoryTable]]. */
+  private def ensureDeleteHistoryTable(spark: SparkSession, dir: String): String = {
+    val tablePath = graft.tools.IndexStore.statePath(spark, dir, "merge-history-del/games")
+    graft.tools.IndexStore.withPathLock(tablePath) {
+      val table = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (committedVersions(fs, table).toList != (0 to DeleteVersion).toList) {
+        upsertIncrementalRounds(
+          spark, tablePath,
+          existingSnapshot(spark, dir),
+          (1 to IncRounds).map(freshRound(spark, dir, _)), "universeId",
+          overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+          coalesceCols = Seq("description"),
+          keepCols = Seq("gameplayDescription"),
+          buckets = IncBuckets, retainVersions = DeleteVersion + 1)
+        val st = deleteWhere(spark, tablePath,
+          col("universeId") % DelMod === DelRes,
+          retainVersions = DeleteVersion + 1)
+        println(s"MERGEDEL version=${st.version} touched=${st.touchedBuckets}" +
+          s"/$IncBuckets deleted_rows=${st.deletedRows}")
+      }
+      tablePath
+    }
+  }
+
+  /** `j1_merge_delete`: THE row-level-delete gate. Runs the merge history
+    * plus a [[deleteWhere]] takedown, reads the final table, and
+    * hash-compares it against the oracle's unrolled merges FILTERED by the
+    * delete predicate — copy-on-write touched-bucket rewrite ≡ logical
+    * DELETE, with untouched buckets never rewritten (MergeSpec pins the
+    * file-level claim plus time travel across the delete and the
+    * retention VACUUM of the deleted rows). */
+  def mergeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tablePath = ensureDeleteHistoryTable(spark, dir)
+    readTable(spark, tablePath)
+      .select(col("universeId"), col("rootPlaceId"), col("name"),
+        col("description"), col("gameplayDescription"), col("playerCount"))
+      .orderBy(col("universeId"))
+  }
+
+  val mergeDeleteSql: String = OracleViews.withGames(
+    s"""${mergeCtesSql(IncRounds)}
+       |SELECT * FROM m$IncRounds
+       |WHERE NOT (universeId % $DelMod = $DelRes)
+       |ORDER BY universeId""".stripMargin)
+
+  /** `j1_merge_changes_delete`: the CDC-covers-deletes gate. Reads the
+    * change feed across the delete version — every deleted key must
+    * surface as `op = delete` with NULL post-image columns and its full
+    * preimage (what the maintainer cascade consumes) — and hash-compares
+    * it against the oracle's filtered pre-delete state. */
+  def mergeChangesDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tablePath = ensureDeleteHistoryTable(spark, dir)
+    readChanges(spark, tablePath, IncRounds, DeleteVersion, "universeId",
+      withPreimage = true)
+      .select(col("universeId"), col("op"), col("rootPlaceId"), col("name"),
+        col("description"), col("gameplayDescription"), col("playerCount"),
+        col("pre_rootPlaceId"), col("pre_name"), col("pre_description"),
+        col("pre_gameplayDescription"), col("pre_playerCount"))
+      .orderBy(col("universeId"))
+  }
+
+  val mergeChangesDeleteSql: String = OracleViews.withGames(
+    s"""${mergeCtesSql(IncRounds)}
+       |SELECT universeId, 'delete' AS op,
+       |       CAST(NULL AS BIGINT) AS rootPlaceId,
+       |       CAST(NULL AS VARCHAR) AS name,
+       |       CAST(NULL AS VARCHAR) AS description,
+       |       CAST(NULL AS VARCHAR) AS gameplayDescription,
+       |       CAST(NULL AS BIGINT) AS playerCount,
+       |       rootPlaceId AS pre_rootPlaceId,
+       |       name AS pre_name,
+       |       description AS pre_description,
+       |       gameplayDescription AS pre_gameplayDescription,
+       |       playerCount AS pre_playerCount
+       |FROM m$IncRounds
+       |WHERE universeId % $DelMod = $DelRes
+       |ORDER BY universeId""".stripMargin)
+
+  /** `j1_merge_ivm_delete`: the view-maintenance-under-deletes gate. The
+    * per-shard view is created at version [[ChangesFromVersion]] and
+    * refreshed through every later feed INCLUDING the delete version —
+    * the −1-row / −f(pre) terms must land it exactly on the oracle's
+    * direct aggregate over the post-delete state. */
+  def mergeIvmDelete(spark: SparkSession, dir: String): DataFrame = {
+    val tablePath = ensureDeleteHistoryTable(spark, dir)
+    val base = ivmBaseAgg(readTableAt(spark, tablePath, ChangesFromVersion))
+    val deltas = ((ChangesFromVersion + 1) to DeleteVersion).map(v =>
+      ivmDeltaAgg(readChanges(spark, tablePath, v - 1, v, "universeId",
+        withPreimage = true)))
+    deltas.foldLeft(base)(ivmApply).orderBy(col("shard"))
+  }
+
+  val mergeIvmDeleteSql: String = OracleViews.withGames(
+    s"""${mergeCtesSql(IncRounds)}
+       |SELECT universeId % 10 AS shard,
+       |       count(*) AS n_rows,
+       |       CAST(sum(coalesce(playerCount, 0)) AS BIGINT) AS total_pc
+       |FROM m$IncRounds
+       |WHERE NOT (universeId % $DelMod = $DelRes)
        |GROUP BY 1
        |ORDER BY shard""".stripMargin)
 
@@ -1347,7 +1666,10 @@ object Merge {
     "j1_merge_changes" -> mergeChanges,
     "j1_merge_skipping" -> mergeSkipping,
     "j1_merge_skipping_z" -> mergeSkippingZ,
-    "j1_merge_ivm" -> mergeIvm
+    "j1_merge_ivm" -> mergeIvm,
+    "j1_merge_delete" -> mergeDelete,
+    "j1_merge_changes_delete" -> mergeChangesDelete,
+    "j1_merge_ivm_delete" -> mergeIvmDelete
   )
 
   val oracles: Map[String, String] = Map(
@@ -1361,6 +1683,9 @@ object Merge {
     "j1_merge_changes" -> mergeChangesSql,
     "j1_merge_skipping" -> mergeSkippingSql,
     "j1_merge_skipping_z" -> mergeSkippingZSql,
-    "j1_merge_ivm" -> mergeIvmSql
+    "j1_merge_ivm" -> mergeIvmSql,
+    "j1_merge_delete" -> mergeDeleteSql,
+    "j1_merge_changes_delete" -> mergeChangesDeleteSql,
+    "j1_merge_ivm_delete" -> mergeIvmDeleteSql
   )
 }

@@ -11,43 +11,65 @@ final case class BucketedCommitStats(
     version: Long, touchedBuckets: Int, totalBuckets: Int,
     writtenBytes: Long, stateBytes: Long)
 
-/** Manifest-committed, key-bucketed, APPEND-only copy-on-write state —
-  * the vector-index maintainers' storage refit (round-11 verdict #1,
-  * second half: the postings measurement confirmed written-bytes ∝
-  * changes, so the NSW/IVF maintainers get the same swap). Their state
-  * grows strictly by appends keyed by vector id — `Nsw.insertKnn` only
-  * adds edges FROM new nodes and the symmetrize overlay is serve-time, so
-  * a delta commit is even simpler than the postings store's
-  * delete-insert: touched buckets = buckets of the delta's keys; each
-  * touched bucket's new generation = its old rows plus the delta's.
+/** Manifest-committed, key-bucketed state store for the vector-index
+  * maintainers — round-13 refit of the round-12 store, closing ADVICE
+  * r12's findings:
   *
-  * Layout (one manifest covering every keyed table, so a served
-  * vectors/knn pair can never tear):
+  *   - '''gen LISTS, not copy-on-write appends''' (ADVICE #1): the
+  *     manifest maps each keyed table's bucket to a LIST of generations,
+  *     so an append commit writes ONLY the delta's rows (one new
+  *     generation in each touched bucket) — written bytes ∝ delta size,
+  *     independent of bucket count or bucket size. The round-12 shape
+  *     (new gen = old rows ++ delta) rewrote every touched bucket whole,
+  *     which with the default 16 buckets meant essentially the whole
+  *     state per commit; the '∝ batch' claim only held with buckets
+  *     sized ∝ corpus. Per-bucket read amplification is bounded by
+  *     [[maxGensPerBucket]]: a commit that would push a bucket past it
+  *     COLLAPSES that bucket's generations into one (local compaction,
+  *     amortized — each row is rewritten once per `maxGensPerBucket`
+  *     appends to its bucket).
+  *   - '''small tables live in the manifest''' (ADVICE #2): entry
+  *     `table,-1,v` records the version whose whole-rewrite dir holds the
+  *     table, so a small table omitted from one delta CARRIES FORWARD
+  *     (readAt at the new version still resolves it), and a keyed table
+  *     first introduced after bootstrap commits like any other (the
+  *     committed map is the union of current and touched tables, not
+  *     current's keys).
+  *   - '''deletes''' (round-12 verdict #2 — the takedown cascade):
+  *     [[commitDelta]] takes per-table delete-key frames; a touched
+  *     bucket's generations collapse to (all old rows anti-join deleted
+  *     keys) ++ its delta rows — copy-on-write of exactly the buckets
+  *     holding deleted keys, written bytes ∝ touched buckets.
+  *   - '''replay-guarded commitFull''' (ADVICE #4): a replayed
+  *     retrain/bootstrap of an already-committed version is a no-op
+  *     (None) — and the commit itself is PUT-IF-ABSENT
+  *     ([[graft.operators.ManifestIo]]), so nothing ever deletes or
+  *     replaces a committed manifest.
+  *   - '''bucket count pinned on disk''': the first commit records
+  *     `_manifests/buckets`; reopening the store (servers construct this
+  *     read-only with the default) uses the recorded count, so the
+  *     writer's sizing dial ([[graft.operators.SizingPolicy.sizedStateBuckets]])
+  *     can never diverge from the hash layout on disk.
+  *
+  * Layout (one manifest covering every table, so a served vectors/knn
+  * pair can never tear):
   *
   * {{{
   * root/<table>/bucket=<b>/gen=<g>/    keyed tables (key-hash buckets)
   * root/<table>-v<v>/                  small tables (rewritten whole)
-  * root/_manifests/manifest-v<v>       "table,bucket,gen" lines; rename
+  * root/_manifests/manifest-v<v>       "table,bucket,gen" lines (one per
+  *                                     LIVE generation; bucket -1 = small)
+  * root/_manifests/buckets             the bucket count the layout uses
   * }}}
-  *
-  * Small tables (IVF's K-row centroid frame) are declared `small` and
-  * rewritten per version — driver-sized by design, the documented k-means
-  * boundary. Corpus-sized retrains go through [[commitFull]]: every
-  * bucket gets a new generation, priced honestly as the rare amortized
-  * rewrite it is.
-  *
-  * Readers need no key map: [[readAt]] resolves keyed tables through the
-  * manifest and small tables by directory — a serving process
-  * ([[NswIndexServer]]) constructs this read-only. Version semantics,
-  * replay no-ops, retention, and crash windows mirror
-  * [[BucketedPostingsState]].
   */
 final class BucketedAppendState(spark: SparkSession, rootDir: String,
     buckets: Int = 16, keyed: Map[String, String] = Map.empty,
     keepVersions: Int = 3,
+    maxGensPerBucket: Int = 8,
     hooks: Merge.IncHooks = Merge.IncHooks.none) extends Serializable {
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
   require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+  require(maxGensPerBucket >= 1, s"maxGensPerBucket must be >= 1")
 
   private val root = new Path(rootDir)
   @transient private lazy val fs =
@@ -57,8 +79,30 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     new Path(root, s"$table/bucket=$b/gen=$g")
   private def smallPath(table: String, v: Long) = new Path(root, s"$table-v$v")
 
+  /** The bucket count the ON-DISK layout was committed with — recorded at
+    * first commit so readers and restarted writers can never hash keys
+    * against a different layout than the one on disk. */
+  @transient lazy val bucketCount: Int = {
+    val p = new Path(manifestDir, "buckets")
+    if (!fs.exists(p)) buckets
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+      finally in.close()
+    }
+  }
+
+  private def recordBuckets(): Unit = {
+    val p = new Path(manifestDir, "buckets")
+    if (!fs.exists(p)) {
+      fs.mkdirs(manifestDir)
+      val out = fs.create(p, false)
+      try out.write(s"$buckets\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   private def bucketOf(key: String) =
-    pmod(xxhash64(col(key)), lit(buckets.toLong)).cast("int")
+    pmod(xxhash64(col(key)), lit(bucketCount.toLong)).cast("int")
 
   // ------------------------------------------------------------- manifests
 
@@ -70,8 +114,9 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
 
   def latest: Option[Long] = committedVersions.lastOption
 
-  /** table → (bucket → gen) */
-  private def readManifestAt(version: Long): Map[String, Map[Int, Long]] = {
+  /** table → (bucket → live gens, ascending). Small tables appear as
+    * bucket -1 with a single gen (the version whose dir holds them). */
+  private def readManifestAt(version: Long): Map[String, Map[Int, Seq[Long]]] = {
     val p = new Path(manifestDir, s"manifest-v$version")
     require(fs.exists(p),
       s"state version $version is expired or never committed " +
@@ -82,21 +127,19 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     text.linesIterator.filter(_.nonEmpty).map { l =>
       val Array(t, b, g) = l.split(','); (t, b.toInt, g.toLong)
     }.toSeq.groupBy(_._1).map { case (t, rows) =>
-      t -> rows.map(r => r._2 -> r._3).toMap }
+      t -> rows.groupBy(_._2).map { case (b, gs) =>
+        b -> gs.map(_._3).sorted }
+    }
   }
 
   private def commitManifest(version: Long,
-      state: Map[String, Map[Int, Long]]): Unit = {
-    fs.mkdirs(manifestDir)
-    val tmp = new Path(manifestDir, s".tmp-manifest-v$version")
-    val out = fs.create(tmp, true)
-    try out.write(state.toSeq.sortBy(_._1).flatMap { case (t, m) =>
-      m.toSeq.sorted.map { case (b, g) => s"$t,$b,$g" } }
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    val fin = new Path(manifestDir, s"manifest-v$version")
-    fs.delete(fin, false)
-    require(fs.rename(tmp, fin), s"manifest commit failed: $fin")
+      state: Map[String, Map[Int, Seq[Long]]]): Unit = {
+    recordBuckets()
+    graft.operators.ManifestIo.commitFile(fs, manifestDir, s"manifest-v$version",
+      state.toSeq.sortBy(_._1).flatMap { case (t, m) =>
+        m.toSeq.sortBy(_._1).flatMap { case (b, gs) =>
+          gs.sorted.map(g => s"$t,$b,$g") } }
+        .mkString("", "\n", "\n"))
   }
 
   // ----------------------------------------------------------------- reads
@@ -105,21 +148,40 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     readAt(name, latest.getOrElse(sys.error(s"no committed state under $rootDir")))
 
   /** Keyed tables resolve through the manifest (explicit committed gen
-    * paths); anything else is a small table at its version dir. */
+    * paths, possibly several generations per bucket); small tables through
+    * their bucket=-1 entry — which carries forward across deltas that
+    * omit them. A table the manifest has never committed fails with a
+    * descriptive error naming what IS committed (ADVICE r12 #3: the old
+    * fall-through produced an unrelated parquet path error). */
   def readAt(name: String, version: Long): DataFrame = {
     val m = readManifestAt(version)
     m.get(name) match {
+      case Some(state) if state.keySet == Set(-1) =>
+        spark.read.parquet(smallPath(name, state(-1).head).toString)
       case Some(state) if state.nonEmpty =>
-        val paths = state.toSeq.sorted.map { case (b, g) =>
-          s"$rootDir/$name/bucket=$b/gen=$g" }
+        val paths = state.toSeq.sortBy(_._1).flatMap { case (b, gs) =>
+          gs.map(g => s"$rootDir/$name/bucket=$b/gen=$g") }
         spark.read.option("basePath", s"$rootDir/$name").parquet(paths: _*)
           .drop("bucket", "gen")
       case _ =>
-        spark.read.parquet(smallPath(name, version).toString)
+        sys.error(s"table '$name' has no committed state at version $version " +
+          s"under $rootDir (committed tables: ${m.keys.toSeq.sorted.mkString(", ")})")
     }
   }
 
-  def versionsOf(name: String): Seq[Long] = committedVersions
+  /** The committed versions whose manifest carries `name` — per-table, as
+    * the signature promises (ADVICE r12 #5: the old implementation
+    * ignored its argument). */
+  def versionsOf(name: String): Seq[Long] =
+    committedVersions.filter(v => readManifestAt(v).contains(name))
+
+  /** bucket → live generation count at the latest version — the
+    * read-amplification observable ([[maxGensPerBucket]] bounds it via
+    * commit-time collapse). */
+  def liveGenCounts(name: String): Map[Int, Int] =
+    latest.map(readManifestAt).flatMap(_.get(name))
+      .map(_.map { case (b, gs) => b -> gs.length })
+      .getOrElse(Map.empty)
 
   // ---------------------------------------------------------------- writes
 
@@ -128,11 +190,16 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     else fs.listStatus(p).map(st =>
       if (st.isDirectory) dirBytes(st.getPath) else st.getLen).sum
 
-  private def writeKeyedGen(version: Long, table: String, key: String,
+  /** Write `rows` (already carrying `bucket`) as generation `version` of
+    * `table`, restricted to `touched`; returns the buckets that actually
+    * received data. Clears uncommitted leftovers of a crashed prior
+    * attempt at this version first (single-writer per store by design —
+    * the maintainer contract; version replay is guarded before any
+    * write). */
+  private def writeKeyedGen(version: Long, table: String,
       rows: DataFrame, touched: Seq[Int], align: Boolean): Seq[Int] = {
     touched.foreach(b => fs.delete(genPath(table, b, version), true))
-    val bucketed = rows.withColumn("bucket", bucketOf(key))
-    (if (align) bucketed.repartition(col("bucket")) else bucketed)
+    (if (align) rows.repartition(col("bucket")) else rows)
       .withColumn("gen", lit(version))
       .write.mode("append").partitionBy("bucket", "gen")
       .parquet(s"$rootDir/$table")
@@ -140,84 +207,170 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
   }
 
   private def stats(version: Long, touchedPerTable: Map[String, Seq[Int]],
-      committed: Map[String, Map[Int, Long]],
-      smallWritten: Seq[String]): BucketedCommitStats = {
+      committed: Map[String, Map[Int, Seq[Long]]]): BucketedCommitStats = {
+    def entryBytes(t: String, b: Int, g: Long): Long =
+      if (b == -1) dirBytes(smallPath(t, g)) else dirBytes(genPath(t, b, g))
     val written = touchedPerTable.map { case (t, bs) =>
-      bs.map(b => dirBytes(genPath(t, b, version))).sum }.sum +
-      smallWritten.map(t => dirBytes(smallPath(t, version))).sum
+      bs.map(b => entryBytes(t, b, version)).sum }.sum
     val total = committed.map { case (t, m) =>
-      m.map { case (b, g) => dirBytes(genPath(t, b, g)) }.sum }.sum +
-      smallWritten.map(t => dirBytes(smallPath(t, version))).sum
-    val touched = touchedPerTable.values.map(_.length).sum
-    BucketedCommitStats(version, touched, committed.values.map(_.size).sum,
-      written, total)
+      m.map { case (b, gs) => gs.map(g => entryBytes(t, b, g)).sum }.sum }.sum
+    val touched = touchedPerTable.collect {
+      case (t, bs) if keyed.contains(t) => bs.length }.sum
+    val totalBuckets = committed.collect {
+      case (t, m) if keyed.contains(t) => m.size }.sum
+    BucketedCommitStats(version, touched, totalBuckets, written, total)
   }
+
+  /** The union-committed map: every table of `current` carries forward
+    * unless touched; touched tables (INCLUDING ones current never saw —
+    * ADVICE r12 #2) take their new entries. */
+  private def unionCommit(current: Map[String, Map[Int, Seq[Long]]],
+      replaced: Map[String, Map[Int, Seq[Long]]]): Map[String, Map[Int, Seq[Long]]] =
+    (current.keySet ++ replaced.keySet).map { t =>
+      t -> (current.getOrElse(t, Map.empty) ++ replaced.getOrElse(t, Map.empty))
+    }.toMap
 
   /** Full write of every table at `version` — bootstrap and retrain-style
-    * rewrites (corpus-sized by nature, amortized; aligned bulk load). */
+    * rewrites (corpus-sized by nature, amortized; aligned bulk load).
+    * None when `version` is already committed (replayed bootstrap/retrain
+    * — ADVICE r12 #4). */
   def commitFull(version: Long,
-      tables: Map[String, DataFrame]): BucketedCommitStats = {
-    val touchedPerTable = keyed.collect { case (t, key) if tables.contains(t) =>
-      t -> writeKeyedGen(version, t, key, tables(t), (0 until buckets), align = true)
+      tables: Map[String, DataFrame]): Option[BucketedCommitStats] = {
+    if (latest.exists(_ >= version)) return None
+    val current = latest.map(readManifestAt).getOrElse(Map.empty)
+    val keyedEntries = keyed.collect { case (t, key) if tables.contains(t) =>
+      val present = writeKeyedGen(version, t,
+        tables(t).withColumn("bucket", bucketOf(key)),
+        (0 until bucketCount), align = true)
+      t -> present.map(b => b -> Seq(version)).toMap
     }
-    val smallWritten = tables.keys.filterNot(keyed.contains).toSeq
-    smallWritten.foreach { t =>
-      tables(t).write.mode("overwrite").parquet(smallPath(t, version).toString) }
-    val committed = touchedPerTable.map { case (t, bs) =>
-      t -> bs.map(_ -> version).toMap }
+    val smallEntries = tables.keys.filterNot(keyed.contains).map { t =>
+      tables(t).write.mode("overwrite").parquet(smallPath(t, version).toString)
+      t -> Map(-1 -> Seq(version))
+    }.toMap
+    val replaced = keyedEntries ++ smallEntries
+    // a FULL write replaces the touched tables' entire entries (it is the
+    // retrain path) but still carries forward tables it did not touch
+    val committed = unionCommit(current, replaced)
+    val touchedPerTable = keyedEntries.map { case (t, m) => t -> m.keys.toSeq } ++
+      smallEntries.keys.map(_ -> Seq(-1))
     hooks.beforeCommit(version.toInt)
     commitManifest(version, committed)
     hooks.afterCommit(version.toInt)
     sweepRetention(version)
-    stats(version, touchedPerTable, committed, smallWritten)
+    Some(stats(version, touchedPerTable, committed))
   }
 
-  /** One append-only delta commit: per keyed table, touched buckets =
-    * buckets of the delta's keys; per touched bucket, new gen = old rows
-    * ++ delta rows. Small tables in `deltas` are rewritten whole. Returns
-    * None when `version` is already committed (replay no-op). */
+  /** One append-only delta commit — see [[commitDelta]]. */
   def commitAppend(version: Long,
-      deltas: Map[String, DataFrame]): Option[BucketedCommitStats] = {
+      deltas: Map[String, DataFrame]): Option[BucketedCommitStats] =
+    commitDelta(version, deltas, Map.empty)
+
+  /** One delta commit: per keyed table, `appends(t)`'s rows land as ONE
+    * new generation in each touched bucket (written bytes ∝ delta — the
+    * old rows are NOT rewritten), and `deleteKeys(t)`'s buckets collapse
+    * to (old rows anti-join deleted keys) ++ their share of the delta
+    * (copy-on-write of exactly the buckets holding deleted keys). A
+    * bucket whose gen list would exceed [[maxGensPerBucket]] collapses
+    * the same way (amortized local compaction — bounded read
+    * amplification). Small tables in `appends` are rewritten whole;
+    * omitted ones carry forward. Returns None when `version` is already
+    * committed (replay no-op). */
+  def commitDelta(version: Long,
+      appends: Map[String, DataFrame],
+      deleteKeys: Map[String, DataFrame]): Option[BucketedCommitStats] = {
     if (latest.exists(_ >= version)) return None
     val current = readManifestAt(latest.getOrElse(
-      sys.error(s"commitAppend before bootstrap under $rootDir")))
-    val touchedPerTable = keyed.collect { case (t, key) if deltas.contains(t) =>
-      val delta = deltas(t).withColumn("bucket", bucketOf(key))
-      val touched = delta.select(col("bucket")).distinct()
-        .collect().map(_.getInt(0)).sorted.toSeq
+      sys.error(s"commitDelta before bootstrap under $rootDir")))
+    val touchedTables = (appends.keySet ++ deleteKeys.keySet).toSeq.sorted
+    val keyedEntries = touchedTables.flatMap(t => keyed.get(t).map { key =>
+      val delta = appends.get(t)
+        .map(_.withColumn("bucket", bucketOf(key)))
+      val appendBuckets = delta.map(_.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet).getOrElse(Set.empty)
+      val delKeys = deleteKeys.get(t).map(_.select(col(key)).distinct())
+      val delBuckets = delKeys.map(_.withColumn("bucket", bucketOf(key))
+        .select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSet).getOrElse(Set.empty)
       val oldEntries = current.getOrElse(t, Map.empty)
-        .filter { case (b, _) => touched.contains(b) }
-      val oldRows =
-        if (oldEntries.isEmpty) delta.drop("bucket").limit(0)
-        else spark.read.option("basePath", s"$rootDir/$t")
-          .parquet(oldEntries.toSeq.sorted.map { case (b, g) =>
-            s"$rootDir/$t/bucket=$b/gen=$g" }: _*)
-          .drop("bucket", "gen")
-      val newRows = oldRows.unionByName(delta.drop("bucket"))
-      t -> writeKeyedGen(version, t, key, newRows, touched, align = false)
-    }
-    val smallWritten = deltas.keys.filterNot(keyed.contains).toSeq
-    smallWritten.foreach { t =>
-      deltas(t).write.mode("overwrite").parquet(smallPath(t, version).toString) }
-    val committed = current.map { case (t, m) =>
-      t -> ((m -- touchedPerTable.getOrElse(t, Seq.empty)) ++
-        touchedPerTable.getOrElse(t, Seq.empty).map(_ -> version))
-    }
+      // collapse where deletes apply, where the gen list is full, or
+      // where a delete-bucket also takes appends; plain-append elsewhere
+      val collapseBuckets = delBuckets ++ appendBuckets.filter(b =>
+        oldEntries.get(b).exists(_.length >= maxGensPerBucket))
+      val appendOnly = (appendBuckets -- collapseBuckets).toSeq.sorted
+      val collapse = collapseBuckets.toSeq.sorted
+      def loadBuckets(bs: Seq[Int]): Option[DataFrame] = {
+        val paths = bs.flatMap(b => oldEntries.getOrElse(b, Seq.empty)
+          .map(g => s"$rootDir/$t/bucket=$b/gen=$g"))
+        if (paths.isEmpty) None
+        else Some(spark.read.option("basePath", s"$rootDir/$t")
+          .parquet(paths: _*).drop("gen"))
+      }
+      val deltaInCollapse = delta.map(_.filter(col("bucket")
+        .isin(collapse.map(Integer.valueOf): _*)))
+      val oldKept = loadBuckets(collapse).map { old =>
+        delKeys.fold(old)(dk =>
+          old.join(broadcast(dk), Seq(key), "left_anti"))
+      }
+      val collapseRows = (oldKept, deltaInCollapse) match {
+        case (Some(o), Some(d)) => Some(o.unionByName(d.select(o.columns.map(col): _*)))
+        case (Some(o), None) => Some(o)
+        case (None, Some(d)) => Some(d)
+        case (None, None) => None
+      }
+      val appendRows = delta.map(_.filter(col("bucket")
+        .isin(appendOnly.map(Integer.valueOf): _*)))
+      val toWrite = (collapseRows, appendRows) match {
+        case (Some(c), Some(a)) => Some(c.unionByName(a.select(c.columns.map(col): _*)))
+        case (Some(c), None) => Some(c)
+        case (None, Some(a)) => Some(a)
+        case (None, None) => None
+      }
+      val touched = (collapse ++ appendOnly).sorted
+      val present = toWrite.map(writeKeyedGen(version, t, _, touched, align = false))
+        .getOrElse(Seq.empty)
+      // collapsed buckets point at ONLY the new gen (empty rewrite drops
+      // the bucket — every row deleted); append buckets gain a gen
+      val entries =
+        collapse.filter(present.contains).map(b => b -> Seq(version)) ++
+        collapse.filterNot(present.contains).map(b => b -> Seq.empty[Long]) ++
+        appendOnly.filter(present.contains).map(b =>
+          b -> (oldEntries.getOrElse(b, Seq.empty) :+ version))
+      Seq(t -> entries.toMap)
+    }).flatten.toMap
+    val smallEntries = touchedTables
+      .filter(t => !keyed.contains(t) && appends.contains(t)).map { t =>
+        appends(t).write.mode("overwrite").parquet(smallPath(t, version).toString)
+        t -> Map(-1 -> Seq(version))
+      }.toMap
+    // merge keyed entries bucket-wise into current (empty lists drop the
+    // bucket); small tables replace whole
+    val committed = unionCommit(current,
+      keyedEntries.map { case (t, m) =>
+        val merged = (current.getOrElse(t, Map.empty) ++ m)
+          .filter(_._2.nonEmpty)
+        t -> merged
+      } ++ smallEntries)
+    val touchedPerTable = keyedEntries.map { case (t, m) => t -> m.keys.toSeq } ++
+      smallEntries.keys.map(_ -> Seq(-1))
     hooks.beforeCommit(version.toInt)
     commitManifest(version, committed)
     hooks.afterCommit(version.toInt)
     sweepRetention(version)
-    Some(stats(version, touchedPerTable, committed, smallWritten))
+    Some(stats(version, touchedPerTable, committed))
   }
 
   /** Keep the last `keepVersions` manifests, every generation they
-    * reference, and their small-table dirs; delete the rest. */
+    * reference, and the small-table dirs they reference; delete the rest
+    * (replaced/collapsed generations, crashed-attempt leftovers, expired
+    * manifests). */
   private def sweepRetention(version: Long): Unit = {
     val keepFrom = math.max(0L, version - keepVersions + 1)
     val kept = committedVersions.filter(v => v >= keepFrom && v <= version)
-    val live: Set[(String, Int, Long)] = kept
-      .flatMap(v => readManifestAt(v).toSeq.flatMap { case (t, m) =>
-        m.toSeq.map { case (b, g) => (t, b, g) } }).toSet
+    val manifests = kept.map(readManifestAt)
+    val live: Set[(String, Int, Long)] = manifests
+      .flatMap(_.toSeq.flatMap { case (t, m) =>
+        m.toSeq.flatMap { case (b, gs) => gs.map(g => (t, b, g)) } }).toSet
     keyed.keys.foreach { t =>
       val tdir = new Path(root, t)
       if (fs.exists(tdir))
@@ -231,11 +384,13 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
               }
           }
     }
-    // small tables: one dir per version, expired with their manifests
+    // small tables: referenced-by-a-kept-manifest is what keeps a dir —
+    // a carried-forward table's dir may be older than keepFrom
     val smallDir = "^(.+)-v(\\d+)$".r
     fs.listStatus(root).foreach { st =>
       st.getPath.getName match {
-        case smallDir(_, v) if v.toLong < keepFrom => fs.delete(st.getPath, true)
+        case smallDir(t, v) if !live.contains((t, -1, v.toLong)) =>
+          fs.delete(st.getPath, true)
         case _ => ()
       }
     }

@@ -62,6 +62,77 @@ class BucketedAppendStateSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$root/meta-v0").exists, "expired small dir swept")
   }
 
+  test("delta commits write ONLY the delta; collapse bounds generations per bucket") {
+    val root = Files.createTempDirectory("bas-delta").toString
+    val st = new BucketedAppendState(spark, root, buckets = 4,
+      keyed = Map("vectors" -> "vec_id"), keepVersions = 16,
+      maxGensPerBucket = 3)
+    val full = st.commitFull(0L, Map("vectors" -> vecs(0L until 4000L))).get
+    // a 2-row delta's write is tiny relative to what a touched-bucket
+    // rewrite would be (each bucket holds ~1000 rows) — the ADVICE r12 #1
+    // fix: appends land as a NEW generation, old rows are not rewritten
+    val d1 = st.commitAppend(1L, Map("vectors" -> vecs(Seq(10000L, 10001L)))).get
+    assert(d1.writtenBytes * 10 < full.writtenBytes,
+      s"delta wrote ${d1.writtenBytes} of a ${full.writtenBytes}-byte state")
+    // structural proof the old generation was untouched: the touched
+    // buckets now carry TWO generations
+    assert(st.liveGenCounts("vectors").values.max === 2)
+    assert(st.read("vectors").count() === 4002)
+    // repeated appends to the same buckets stack generations until the
+    // collapse bound, never past it
+    (2L to 8L).foreach(v =>
+      st.commitAppend(v, Map("vectors" -> vecs(Seq(20000L + v)))))
+    assert(st.read("vectors").count() === 4009)
+    assert(st.liveGenCounts("vectors").values.max <= 3,
+      s"collapse must bound gens/bucket: ${st.liveGenCounts("vectors")}")
+  }
+
+  test("small tables carry forward; late keyed tables commit; versionsOf is per-table") {
+    val root = Files.createTempDirectory("bas-carry").toString
+    val st = new BucketedAppendState(spark, root, buckets = 4,
+      keyed = Map("vectors" -> "vec_id", "extra" -> "vec_id"), keepVersions = 16)
+    st.commitFull(0L, Map("vectors" -> vecs(0L until 10L), "meta" -> cents("v0")))
+    // delta WITHOUT meta: the small table carries forward (ADVICE r12 #2 —
+    // the old manifest dropped it and readAt broke at the new version)
+    st.commitAppend(1L, Map("vectors" -> vecs(Seq(50L))))
+    assert(st.readAt("meta", 1L).select("tag").head().getString(0) === "v0")
+    // a keyed table FIRST introduced after bootstrap is committed, not
+    // silently dropped
+    st.commitAppend(2L, Map("extra" -> vecs(Seq(7L))))
+    assert(st.readAt("extra", 2L).count() === 1)
+    assert(st.readAt("meta", 2L).select("tag").head().getString(0) === "v0")
+    assert(st.readAt("vectors", 2L).count() === 11)
+    // per-table versions: extra exists only from v2 on
+    assert(st.versionsOf("extra") === Seq(2L))
+    assert(st.versionsOf("meta") === Seq(0L, 1L, 2L))
+    // an uncommitted table name errors descriptively (ADVICE r12 #3)
+    val err = intercept[RuntimeException](st.readAt("ghost", 2L))
+    assert(err.getMessage.contains("ghost") && err.getMessage.contains("vectors"))
+  }
+
+  test("deletes collapse only the touched buckets; commitFull replays are no-ops") {
+    val root = Files.createTempDirectory("bas-del").toString
+    val st = new BucketedAppendState(spark, root, buckets = 8,
+      keyed = Map("vectors" -> "vec_id"), keepVersions = 16)
+    st.commitFull(0L, Map("vectors" -> vecs(0L until 40L)))
+    // replayed bootstrap/retrain: no-op (ADVICE r12 #4), state untouched
+    assert(st.commitFull(0L, Map("vectors" -> vecs(0L until 5L))) === None)
+    assert(st.read("vectors").count() === 40)
+    val del = st.commitDelta(1L,
+      appends = Map("vectors" -> vecs(Seq(100L))),
+      deleteKeys = Map("vectors" -> Seq(3L, 17L).toDF("vec_id"))).get
+    assert(del.touchedBuckets < 8, "delete must not touch every bucket")
+    val ids = st.read("vectors").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(3L) && !ids.contains(17L) && ids.contains(100L))
+    assert(ids.size === 39)
+    // the pre-delete version still time-travels complete
+    assert(st.readAt("vectors", 0L).count() === 40)
+    // replay of the delete version: no-op
+    assert(st.commitDelta(1L, Map.empty,
+      Map("vectors" -> Seq(5L).toDF("vec_id"))) === None)
+    assert(st.read("vectors").count() === 39)
+  }
+
   test("crash on either side of the manifest rename recovers exactly-once") {
     val root = Files.createTempDirectory("bas-crash").toString
     val boom = new RuntimeException("crash")

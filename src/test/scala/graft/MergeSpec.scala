@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 import graft.operators.Merge
 
@@ -523,6 +523,132 @@ class MergeSpec extends AnyFunSuite {
     // second predicate cannot prune
     assert(z.inputFiles.length < files1d,
       s"z kept ${z.inputFiles.length} files vs 1d control $files1d")
+  }
+
+  test("deleteWhere: touched-bucket rewrite, time travel across the delete, VACUUM makes it physical") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-del").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, mkTT(0L until 60L, "base"),
+      Seq(mkTT(Seq(3L, 21L), "r1")), "universeId", over, coal, keep,
+      buckets = 16, retainVersions = 10)
+    val preDelete = Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect()
+    val filesBefore = Merge.readTable(spark, table).inputFiles.toSet
+
+    // delete keys {5, 21, 37, 53} — buckets {5, 5, 5, 5} under mod 16
+    val st = Merge.deleteWhere(spark, table, col("universeId") % 16 === 5L,
+      retainVersions = 10)
+    assert(st.deletedRows === 4 && st.touchedBuckets === 1)
+    val cur = Merge.readTable(spark, table)
+    assert(cur.count() === 56)
+    assert(cur.filter(col("universeId") % 16 === 5L).isEmpty)
+    // untouched buckets were NOT rewritten: their files carry over
+    val filesAfter = cur.inputFiles.toSet
+    assert(filesAfter.filterNot(_.contains("/bucket=5/")).subsetOf(filesBefore),
+      "delete must rewrite only the touched bucket")
+    // NULL predicate rows are KEPT (SQL DELETE three-valued rule)
+    val st0 = Merge.deleteWhere(spark, table,
+      when(col("universeId") < 0, true).otherwise(lit(null)), retainVersions = 10)
+    assert(st0.deletedRows === 0 && Merge.readTable(spark, table).count() === 56)
+    // a no-match delete burns no version
+    assert(Merge.tableVersions(spark, table) === Seq(0, 1, 2))
+
+    // time travel: the pre-delete version reads complete
+    assert(Merge.readTableAt(spark, table, 1).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() === preDelete)
+
+    // CDC across the delete version: op=delete, null post, full preimages
+    val feed = Merge.readChanges(spark, table, 1, 2, "universeId",
+      withPreimage = true).collect()
+    assert(feed.length === 4 && feed.forall(_.getString(1) === "delete"))
+    val f21 = feed.find(_.getLong(0) === 21L).get
+    assert(f21.isNullAt(f21.fieldIndex("name")))
+    assert(f21.getAs[String]("pre_name") === "r1-21")
+    // apply contract: v1 minus the feed's deleted keys == v2
+    val delKeys = feed.map(_.getLong(0)).toSet
+    assert(Merge.readTableAt(spark, table, 1)
+      .filter(!col("universeId").isin(delKeys.toSeq.map(java.lang.Long.valueOf): _*))
+      .selectExpr(ttCols: _*).orderBy("universeId").collect() ===
+      cur.selectExpr(ttCols: _*).orderBy("universeId").collect())
+
+    // a FULL-bucket delete drops the bucket from the manifest and the
+    // feed still names its rows
+    Merge.deleteWhere(spark, table, col("universeId") % 16 === 7L, retainVersions = 10)
+    assert(Merge.changedBucketsBetween(spark, table, 2, 3) === Seq(7))
+    assert(Merge.readChanges(spark, table, 2, 3, "universeId")
+      .filter(col("op") === "delete").count() === 4)
+    assert(Merge.readTable(spark, table).count() === 52)
+
+    // VACUUM: one more round under tight retention expires the pre-delete
+    // versions — the deleted rows' generations leave the DISK, not just
+    // the manifest (the takedown-becomes-physical point)
+    Merge.upsertRound(spark, table, mkTT(Seq(8L), "r2"), "universeId",
+      over, coal, keep, buckets = 16, retainVersions = 1)
+    val raw = spark.read.parquet(table)
+    assert(raw.filter(col("universeId") % 16 === 5L).isEmpty &&
+      raw.filter(col("universeId") % 16 === 7L).isEmpty,
+      "expired pre-delete generations must be vacuumed off disk")
+  }
+
+  test("optimistic concurrency: disjoint-bucket writers both land; overlap is a clean conflict; versions stay immutable") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-occ").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, mkTT(0L until 60L, "base"),
+      Seq.empty, "universeId", over, coal, keep, buckets = 16, retainVersions = 10)
+
+    // DISJOINT race: writer A (key 3 → bucket 3) loses the put-if-absent
+    // rename for round 1 to writer B (key 7 → bucket 7, committed from
+    // A's beforeCommit hook — deterministic interleaving), re-reads the
+    // winner's manifest, and retries at the next version
+    var inner: Merge.IncRoundStats = null
+    val statsA = Merge.upsertRound(spark, table, mkTT(Seq(3L), "wa"),
+      "universeId", over, coal, keep, buckets = 16, retainVersions = 10,
+      hooks = Merge.IncHooks(beforeCommit = r => if (r == 1 && inner == null) {
+        inner = Merge.upsertRound(spark, table, mkTT(Seq(7L), "wb"),
+          "universeId", over, coal, keep, buckets = 16, retainVersions = 10)
+      }))
+    assert(inner.round === 1, "writer B wins round 1")
+    assert(statsA.round === 2, "writer A retries and commits the next version")
+    assert(Merge.tableVersions(spark, table) === Seq(0, 1, 2))
+    // exactly one winner per version: v1 carries only B's change, v2 both
+    val v1 = Merge.readTableAt(spark, table, 1).selectExpr(ttCols: _*).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v1(7L) === "wb-7" && v1(3L) === "base-3")
+    val v2 = Merge.readTableAt(spark, table, 2).selectExpr(ttCols: _*).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v2(7L) === "wb-7" && v2(3L) === "wa-3",
+      "the loser's retry must merge its manifest over the winner's")
+
+    // OVERLAP race: a concurrent writer rewrote the SAME bucket this
+    // round read — the retry must refuse with a conflict error, not
+    // commit rows merged from stale data
+    var inner2: Merge.IncRoundStats = null
+    val e = intercept[graft.operators.VersionConflictException] {
+      Merge.upsertRound(spark, table, mkTT(Seq(3L), "wc"),
+        "universeId", over, coal, keep, buckets = 16, retainVersions = 10,
+        hooks = Merge.IncHooks(beforeCommit = r => if (r == 3 && inner2 == null) {
+          inner2 = Merge.upsertRound(spark, table, mkTT(Seq(19L), "wd"),
+            "universeId", over, coal, keep, buckets = 16, retainVersions = 10)
+        }))
+    }
+    assert(e.getMessage.contains("stale"), s"got: ${e.getMessage}")
+    // the winner's commit is untouched; the loser burned no version
+    assert(Merge.tableVersions(spark, table) === Seq(0, 1, 2, 3))
+    val v3 = Merge.readTableAt(spark, table, 3).selectExpr(ttCols: _*).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(v3(19L) === "wd-19" && v3(3L) === "wa-3")
+    // and re-running the refused round against the fresh state succeeds
+    val retried = Merge.upsertRound(spark, table, mkTT(Seq(3L), "wc"),
+      "universeId", over, coal, keep, buckets = 16, retainVersions = 10)
+    assert(retried.round === 4)
+    assert(Merge.readTable(spark, table).filter($"universeId" === 3L)
+      .select("name").head().getString(0) === "wc-3")
   }
 
   test("compaction: fewer files, identical contents, idempotent no-op when compact") {
