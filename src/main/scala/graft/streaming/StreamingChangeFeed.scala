@@ -143,6 +143,25 @@ class StreamingChangeFeed(
     }
   }
 
+  /** TAKEDOWN entry point (round-13): [[Merge.deleteWhere]] as a new table
+    * version, drained like any other — the feed carries the removed rows
+    * as `op = delete` with null post-images (and preimages when the feed
+    * is drained with them), which is exactly what the maintainer tier
+    * consumes to cascade the takedown with zero state scans. A no-match
+    * delete burns no version and feeds nothing. Call it from the same
+    * single-writer loop as the merge batches (between triggers, or as a
+    * control event in the ingest stream) — the lake's version sequence is
+    * one axis. */
+  def applyDelete(predicate: org.apache.spark.sql.Column): Merge.DeleteStats = {
+    val next = Merge.tableVersions(spark, tablePath).max + 1
+    if (next - emittedVersion > retainVersions - 1)
+      drainFeed()
+    val st = Merge.deleteWhere(spark, tablePath, predicate,
+      retainVersions = retainVersions)
+    drainFeed()
+    st
+  }
+
   def currentTable(): DataFrame = Merge.readTable(spark, tablePath)
 
   /** Attach to a stream of fresh rows. */

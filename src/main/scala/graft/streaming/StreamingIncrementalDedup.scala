@@ -34,19 +34,29 @@ import graft.operators.Dedup
   *     crawl pipeline reads to account for rejected volume. The log, like
   *     any log, grows with judged volume; it is never rewritten.
   *
-  * Storage is [[VersionedState]]: retry-safe overwrite writes at
-  * batchId-derived versions, an atomic commit pointer, keep-last-K
-  * retention, replayed batches no-op. Admitted docs are immediately
-  * matchable: a later near-dup of an admitted doc resolves against it
-  * as `dup_of_base` (the admitted doc IS base by then).
+  * Storage is [[BucketedAppendState]] (round-13 refit — this maintainer
+  * was the LAST one committing corpus-sized state: its VersionedState
+  * commits rewrote the full shingle + band tables per admission batch):
+  * both tables are doc_id-bucketed and manifest-committed, an admission
+  * appends ONLY the admitted docs' rows as a new generation in their
+  * buckets (written bytes ∝ admitted mass), replayed batches no-op on
+  * the version guard, and keep-last-K retention is unchanged. Admitted
+  * docs are immediately matchable: a later near-dup of an admitted doc
+  * resolves against it as `dup_of_base` (the admitted doc IS base by
+  * then). [[removeDocs]] is the takedown half: a removed doc's shingle
+  * and band rows collapse out of exactly the buckets its id hashes to,
+  * so it STOPS MATCHING — a re-crawl of its text judges `new` again.
   */
 class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
-    initialDocs: DataFrame, keepVersions: Int = 3) extends Serializable {
+    initialDocs: DataFrame, keepVersions: Int = 3,
+    buckets: Int = 16) extends Serializable {
 
-  private val state = new VersionedState(spark, baseDir, keepVersions)
+  private val state = new BucketedAppendState(spark, baseDir, buckets,
+    keyed = Map("shingles" -> "doc_id", "bands" -> "doc_id"),
+    keepVersions = keepVersions)
   if (state.latest.isEmpty) {
     val sh = Dedup.shingledOf(Dedup.toksOf(initialDocs))
-    state.commit(0L, Map(
+    state.commitFull(0L, Map(
       "shingles" -> sh,
       "bands" -> Dedup.bandedSignatures(sh)))
   }
@@ -140,9 +150,12 @@ class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
       val admitted = verdicts.filter(col("verdict") === "new")
         .select(col("delta_id").as("doc_id"))
       val newSh = deltaSh.join(broadcast(admitted), Seq("doc_id"), "left_semi")
-      state.commit(target, Map(
-        "shingles" -> currentShingles().unionByName(newSh),
-        "bands" -> currentBands().unionByName(Dedup.bandedSignatures(newSh))))
+      // DELTA commit: only the admitted docs' rows are written, into only
+      // their buckets — the round-13 refit's point (the old shape wrote
+      // the full union of both state tables per batch)
+      state.commitAppend(target, Map(
+        "shingles" -> newSh,
+        "bands" -> Dedup.bandedSignatures(newSh)))
     } finally {
       verdicts.unpersist()
       deltaSh.unpersist()
@@ -156,6 +169,20 @@ class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** TAKEDOWN (round-13): remove `docIds` (a one-column `doc_id` frame)
+    * from the admitted state — their shingle and band rows collapse out
+    * of exactly the buckets the ids hash to, so the docs stop matching:
+    * a re-crawl of a removed doc's text judges `new` again (the pipeline
+    * spec pins the full round trip). The audit log is NOT rewritten — a
+    * takedown changes what the corpus admits going forward, not the
+    * history of what was judged (logs have their own retention/expunge
+    * channel). `version` shares the admission batches' axis — route
+    * takedowns through the same single-writer loop. */
+  def removeDocs(docIds: DataFrame, version: Long): Option[BucketedCommitStats] =
+    state.commitDelta(version, Map.empty, Map(
+      "shingles" -> docIds.select(col("doc_id")),
+      "bands" -> docIds.select(col("doc_id"))))
 
   /** Surviving versions of the bands table — for retention tests. */
   def bandsVersions(): Seq[Long] = state.versionsOf("bands")

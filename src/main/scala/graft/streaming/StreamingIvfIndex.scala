@@ -114,6 +114,17 @@ class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame
     }
   }
 
+  /** TAKEDOWN (round-13): drop `ids` from the served assignment —
+    * bucket-pruned collapse of exactly the buckets their ids hash to;
+    * centroids and the drift baseline carry forward untouched (deleting
+    * members does not move a frozen quantizer — a drifted remainder
+    * triggers retrain through the usual signal on the next ingest).
+    * `version` shares the ingest batches' axis — route takedowns through
+    * the same single-writer loop. */
+  def removeBatch(ids: DataFrame, version: Long): Option[BucketedCommitStats] =
+    state.commitDelta(version, Map.empty,
+      Map("assigned" -> ids.select(col("vec_id"))))
+
   /** Attach to a stream of (vec_id, v) rows; one ingest per micro-batch. */
   def start(vectorStream: DataFrame, checkpointDir: String): StreamingQuery =
     vectorStream.writeStream

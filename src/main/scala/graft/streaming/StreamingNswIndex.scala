@@ -105,6 +105,26 @@ class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame
     }
   }
 
+  /** TAKEDOWN (round-13; the append-only store grew a remove path —
+    * round-12 verdict #2): drop `ids` from the served index. Removes the
+    * ids' vector rows and their OUTGOING adjacency on both layers via
+    * bucket-pruned collapse ([[BucketedAppendState.commitDelta]] —
+    * written bytes ∝ touched buckets). Survivors' edges TO a deleted id
+    * dangle harmlessly: every serve path scores nodes through an inner
+    * join against the vectors table ([[Nsw]]'s bulkScore), so a deleted
+    * id can never be visited, scored, or returned — the takedown is
+    * effective at serve time the moment the version commits
+    * (StreamingNswIndexSpec pins it). Heavy deletion erodes graph
+    * connectivity like any ANN index; the amortized answer is a rebuild
+    * through [[BucketedAppendState.commitFull]], same as IVF's retrain.
+    * `version` shares the insert batches' axis — route takedowns through
+    * the same single-writer loop. */
+  def removeBatch(ids: DataFrame, version: Long): Option[BucketedCommitStats] =
+    state.commitDelta(version, Map.empty, Map(
+      "vectors" -> ids.select(col("vec_id")),
+      "knn" -> ids.select(col("vec_id").as("src")),
+      "knn1" -> ids.select(col("vec_id").as("src"))))
+
   /** Attach to a stream of (vec_id, v) rows; one insertion per micro-batch. */
   def start(vectorStream: DataFrame, checkpointDir: String): StreamingQuery =
     vectorStream.writeStream

@@ -93,7 +93,15 @@ class StreamingPostingsIndex(spark: SparkSession, tablePath: String,
   }
 
   /** Returns the commit stats, or None when the version was already
-    * applied (replay). */
+    * applied (replay).
+    *
+    * DELETE ops (round-13 takedown cascade): a deleted doc's feed row has
+    * null post-images and full preimages — its stale postings recompute
+    * from the PREIMAGE text (naming the buckets to touch), it contributes
+    * nothing fresh, and the doc-level anti-join removes every surviving
+    * pair. Serving is already delete-clean on the other axis too: the
+    * games snapshot is the lake read at the pinned version, where the
+    * row no longer exists. */
   private[graft] def applyFeedVersion(v: Int): Option[PostingsCommitStats] = {
     val rows = spark.read.parquet(s"$feedDir/version=$v")
     require(rows.columns.contains("pre_name"),
@@ -101,13 +109,15 @@ class StreamingPostingsIndex(spark: SparkSession, tablePath: String,
         "needs them to compute stale postings without scanning state; " +
         "drain the feed with feedPreimages = true")
     val touchedDocs = rows.select(col("universeId")).distinct()
-    val fresh = TextSearch.postingsOf(rows.select(col("universeId"),
-      col("name"), col("description"), col("gameplayDescription")))
-    val stale = TextSearch.postingsOf(rows.filter(col("op") === "update")
+    val fresh = TextSearch.postingsOf(rows.filter(col("op") =!= "delete")
       .select(col("universeId"),
-        col("pre_name").as("name"),
-        col("pre_description").as("description"),
-        col("pre_gameplayDescription").as("gameplayDescription")))
+        col("name"), col("description"), col("gameplayDescription")))
+    val stale = TextSearch.postingsOf(
+      rows.filter(col("op").isin("update", "delete"))
+        .select(col("universeId"),
+          col("pre_name").as("name"),
+          col("pre_description").as("description"),
+          col("pre_gameplayDescription").as("gameplayDescription")))
     state.commitDelta(v, touchedDocs, stale, fresh)
   }
 

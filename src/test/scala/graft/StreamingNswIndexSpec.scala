@@ -102,5 +102,20 @@ class StreamingNswIndexSpec extends AnyFunSuite {
       s"append commit must be change-sized: ${st.writtenBytes}/${st.stateBytes}")
     assert(st.touchedBuckets < st.totalBuckets,
       s"append commit must be bucket-pruned: ${st.touchedBuckets}/${st.totalBuckets}")
+
+    // TAKEDOWN (round-13): remove a served node — bucket-pruned commit,
+    // and the beam can never visit or return it again (every serve path
+    // scores through an inner join against the vectors table, so
+    // survivors' dangling edges to it are harmless)
+    val victim = index.search().filter(col("query_id") === 0L)
+      .orderBy(col("rank")).select(col("neighbor_id")).head().getLong(0)
+    val dst = index.removeBatch(Seq(victim).toDF("vec_id"), 4L).get
+    assert(dst.touchedBuckets < dst.totalBuckets,
+      s"takedown must be bucket-pruned: ${dst.touchedBuckets}/${dst.totalBuckets}")
+    assert(index.currentVectors().filter(col("vec_id") === victim).isEmpty)
+    assert(index.search().filter(col("neighbor_id") === victim).isEmpty,
+      "a removed vector must stop being served")
+    assert(index.search2().filter(col("neighbor_id") === victim).isEmpty,
+      "a removed vector must stop being served by the 2-layer search")
   }
 }

@@ -145,5 +145,56 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(admitted2.isEmpty, "redelivered crawl must admit nothing")
     assert(Merge.tableVersions(spark, s"$root/table").max === tableVersions)
     assert(idx.currentVersion === 1L)
+
+    // STAGE 5 (round-13): TAKEDOWN round trip — delete doc 601 and prove
+    // NO tier returns it afterwards, with every write change-sized
+    val delStats = cf.applyDelete(col("universeId") === 601L)
+    assert(delStats.deletedRows === 1 && delStats.touchedBuckets === 1)
+    // the lake: gone at the new version, intact at the pinned old one
+    assert(Merge.readTable(spark, s"$root/table")
+      .filter(col("universeId") === 601L).isEmpty)
+    assert(!Merge.readTableAt(spark, s"$root/table", 1)
+      .filter(col("universeId") === 601L).isEmpty)
+    // the feed carries the delete op with its preimage
+    val delFeed = cf.feed().filter(col("version") === delStats.version).collect()
+    assert(delFeed.length === 1 && delFeed.head.getAs[String]("op") === "delete")
+    assert(delFeed.head.getAs[String]("pre_name") === "game 601")
+    // postings maintainer consumes it: bucket-pruned commit, the doc
+    // stops serving (stale postings recomputed from the PREIMAGE text)
+    val pDel = idx.applyFeedVersion(delStats.version).get
+    assert(pDel.touchedBuckets < pDel.totalBuckets,
+      s"takedown commit must be bucket-pruned: ${pDel.touchedBuckets}/${pDel.totalBuckets}")
+    assert(idx.searchCurrent("freshalpha", 10).isEmpty,
+      "a deleted doc must stop serving from the postings index")
+    // other docs are untouched
+    assert(idx.searchCurrent("freshdelta", 10).collect()
+      .map(_.getLong(0)).toSeq === Seq(602L))
+    // the IVM view absorbs the delete delta (−1 row, −f(pre)) and still
+    // equals a direct recompute over the post-delete table
+    val q2 = StreamingIvmView.startComplete(
+      StreamingIvmView.deltaStream(
+        StreamingIvmView.readFeed(spark, s"$root/feed", feedSchema)),
+      "pipeline_ivm", s"$root/ivm-ckpt", Trigger.AvailableNow())
+    assert(q2.awaitTermination(120000L))
+    val served2 = StreamingIvmView.currentView(spark, ivmBase, "pipeline_ivm")
+      .orderBy(col("shard")).collect().toSeq
+    val recomputed2 = Merge.ivmBaseAgg(Merge.readTable(spark, s"$root/table")
+      .drop("bucket", "gen")).orderBy(col("shard")).collect().toSeq
+    assert(served2 === recomputed2, "served view diverges after the delete")
+    // dedup admission state: the removed doc stops matching — its exact
+    // text re-crawled under a new id is admitted as NEW again
+    val dDel = dedup.removeDocs(Seq(601L).toDF("doc_id"),
+      dedup.bandsVersions().max + 1).get
+    assert(dDel.touchedBuckets > 0)
+    val recrawl = docsDf(Seq(
+      (701L, "freshalpha freshbeta freshgamma unique first new doc")))
+    dedup.admitBatch(recrawl, dedup.bandsVersions().max)
+    val v701 = dedup.currentVerdicts().filter(col("delta_id") === 701L)
+      .select(col("verdict")).head().getString(0)
+    assert(v701 === "new",
+      "a taken-down doc's text must stop matching the admission state")
+    println(s"TAKEDOWN lake_touched=${delStats.touchedBuckets} " +
+      s"postings_buckets=${pDel.touchedBuckets}/${pDel.totalBuckets} " +
+      s"postings_written=${pDel.writtenBytes} dedup_buckets=${dDel.touchedBuckets}")
   }
 }
