@@ -350,6 +350,10 @@ object Merge {
         p.getName.stripPrefix("stats-v").toInt < keepFrom)
       .foreach(p => fs.delete(p, true))
     fs.listStatus(manifestDir(table)).map(_.getPath)
+      .filter(p => p.getName.startsWith("bloom-v") &&
+        p.getName.stripPrefix("bloom-v").toInt < keepFrom)
+      .foreach(p => fs.delete(p, true))
+    fs.listStatus(manifestDir(table)).map(_.getPath)
       .filter(p => p.getName.startsWith("schema-v") &&
         p.getName.stripPrefix("schema-v").toInt < keepFrom)
       .foreach(p => fs.delete(p, false))
@@ -531,9 +535,10 @@ object Merge {
     * buckets × filesPerBucket (4·10⁵ at a 10⁵-bucket table — a few MB,
     * the same driver order as the manifest itself). */
   def cluster(spark: SparkSession, tablePath: String, clusterCol: String,
-      filesPerBucket: Int = 4, retainVersions: Int = 1): CompactStats =
+      filesPerBucket: Int = 4, retainVersions: Int = 1,
+      bloomCols: Seq[String] = Seq.empty): CompactStats =
     clusterRewrite(spark, tablePath, Seq(col(clusterCol)), Seq(clusterCol),
-      filesPerBucket, retainVersions)
+      filesPerBucket, retainVersions, bloomCols)
 
   /** Z-ORDER (multi-column) clustering: rewrite every bucket with its rows
     * range-split by the INTERLEAVED-BITS key of `zCols` — each column is
@@ -549,7 +554,8 @@ object Merge {
     * (k columns' global min/max, one row) + the same one-shuffle rewrite
     * and stats pass as one-dimension clustering. */
   def clusterZ(spark: SparkSession, tablePath: String, zCols: Seq[String],
-      filesPerBucket: Int = 4, retainVersions: Int = 1): CompactStats = {
+      filesPerBucket: Int = 4, retainVersions: Int = 1,
+      bloomCols: Seq[String] = Seq.empty): CompactStats = {
     require(zCols.nonEmpty, "clusterZ needs at least one column")
     val current = readTable(spark, tablePath)
     val aggs = zCols.flatMap(c => Seq(
@@ -561,7 +567,8 @@ object Merge {
       val hi = ranges.getAs[Double](s"max_$c")
       (col(c), lo, hi)
     })
-    clusterRewrite(spark, tablePath, Seq(zkey), zCols, filesPerBucket, retainVersions)
+    clusterRewrite(spark, tablePath, Seq(zkey), zCols, filesPerBucket,
+      retainVersions, bloomCols)
   }
 
   /** Bits per column in the z-key — 16 gives 65k distinct cells per
@@ -592,7 +599,8 @@ object Merge {
     * `statCols` member, commit as a new manifest version. */
   private def clusterRewrite(spark: SparkSession, tablePath: String,
       sortKeys: Seq[Column], statCols: Seq[String],
-      filesPerBucket: Int, retainVersions: Int): CompactStats = {
+      filesPerBucket: Int, retainVersions: Int,
+      bloomCols: Seq[String] = Seq.empty): CompactStats = {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
@@ -616,6 +624,9 @@ object Merge {
     // different filesystem prefix resolves the sidecar against ITS OWN
     // tablePath instead of chasing the writer's absolute URIs
     def phys(c: String) = mapping.getOrElse(c, c)
+    if (bloomCols.nonEmpty)
+      writeBloomSidecar(spark, tablePath, table, round, genPaths,
+        bloomCols.map(c => phys(c) -> c))
     spark.read.option("basePath", tablePath).parquet(genPaths: _*)
       .groupBy(regexp_extract(input_file_name(), "bucket=.*$", 0).as("file"))
       .agg(min(col(phys(statCols.head))).as(s"min_${statCols.head}"),
@@ -709,6 +720,116 @@ object Merge {
 
   private def statsPath(table: org.apache.hadoop.fs.Path, version: Int) =
     new org.apache.hadoop.fs.Path(manifestDir(table), s"stats-v$version")
+
+  // -------------------------------------------------------------------
+  // BLOOM SIDECARS (round-12 verdict #5): min/max stats are useless for
+  // EQUALITY probes on a high-cardinality key — a point read on
+  // universeId intersects essentially every file's [min, max]. Per-file
+  // Bloom filters answer "might this file hold key k?" with no false
+  // negatives, so `=`/`IN` reads open only the files whose filter fires —
+  // Delta/Iceberg's bloom column stats, under the same rules as the
+  // min/max sidecar: written by the clustered rewrite, valid only for the
+  // exact version committed with it, fallback to the full manifest read
+  // otherwise (pruning is an optimization, never a correctness
+  // dependency).
+  // -------------------------------------------------------------------
+
+  private val BloomHashes = 4
+  /** Sidecar bits per row in the largest file — with k=4 hashes this
+    * prices a point read's false-file rate at ~0.2 % while keeping the
+    * sidecar ≈ 2 bits/row of table on disk. */
+  private val BloomBitsPerRow = 16L
+
+  private def bloomPath(table: org.apache.hadoop.fs.Path, version: Int) =
+    new org.apache.hadoop.fs.Path(manifestDir(table), s"bloom-v$version")
+
+  /** One long-format parquet per version: (file, col, m, word_idx, bits) —
+    * the sparse packed-word representation, built by one extra
+    * aggregation pass over the rewritten bytes per bloom column (the
+    * write-time price of read-time skipping, same as the stats pass).
+    * `cols` pairs each PHYSICAL column (hashed — the bytes on disk) with
+    * its LOGICAL name (stored — what readers probe by). */
+  private def writeBloomSidecar(spark: SparkSession, tablePath: String,
+      table: org.apache.hadoop.fs.Path, version: Int, genPaths: Seq[String],
+      cols: Seq[(String, String)]): Unit = {
+    val data = spark.read.option("basePath", tablePath).parquet(genPaths: _*)
+    def fileKey = regexp_extract(input_file_name(), "bucket=.*$", 0).as("file")
+    val maxRows = data.groupBy(fileKey).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    var m = 64L
+    while (m < BloomBitsPerRow * maxRows) m <<= 1
+    cols.map { case (pc, lc) =>
+      data.select(fileKey, col(pc).as("v")).where(col("v").isNotNull)
+        .select(col("file"), explode(array((0 until BloomHashes).map(i =>
+          pmod(xxhash64(col("v"), lit(i)), lit(m))): _*)).as("pos"))
+        .groupBy(col("file"), (col("pos") / 64).cast("long").as("word_idx"))
+        .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+        .select(col("file"), lit(lc).as("col"), lit(m).as("m"),
+          col("word_idx"), col("bits"))
+    }.reduce(_ unionByName _).coalesce(1)
+      .write.mode("overwrite").parquet(bloomPath(table, version).toString)
+  }
+
+  /** POINT-LOOKUP skipping read: `column IN (values)` served through the
+    * current version's Bloom sidecar — a file opens only if EVERY probe
+    * bit of at least one value is set in its filter (no false negatives
+    * by construction, so no matching row can be skipped; false positives
+    * just open an extra file). Probe positions are computed through the
+    * SAME Spark expressions the writer hashed with (one |values|-row
+    * local job), so engine hash parity is structural. No sidecar for the
+    * version or the column → plain manifest read with the filter — which
+    * is what lets `j1_merge_point_read` share the merge CTEs' oracle. */
+  def readTableWhereIn(spark: SparkSession, tablePath: String,
+      column: String, values: Seq[Long]): DataFrame = {
+    require(values.nonEmpty, "readTableWhereIn needs at least one value")
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (version, state) = readManifest(fs, table)
+    val schema = readSchemaAt(fs, table, version)
+    val mapping = readMappingAt(fs, table, version)
+    val pred = col(column).isin(values.map(java.lang.Long.valueOf): _*)
+    def full() = loadState(spark, tablePath, state, schema, mapping).filter(pred)
+    val bp = bloomPath(table, version)
+    if (!fs.exists(bp))
+      return full()
+    val rows = spark.read.parquet(bp.toString)
+      .filter(col("col") === column).collect()
+    if (rows.isEmpty)
+      return full()
+    val m = rows.head.getAs[Long]("m")
+    val words: Map[String, Map[Long, Long]] = rows.groupBy(_.getString(0))
+      .map { case (f, rs) =>
+        f -> rs.map(r => r.getAs[Long]("word_idx") -> r.getAs[Long]("bits")).toMap }
+    // probe through the writer's own hash expressions, cast to the
+    // column's committed type (a long probe against an int column would
+    // hash differently)
+    val dt = schema.flatMap(_.find(_.name == column)).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+    import spark.implicits._
+    val probes = values.toDF("v").select((0 until BloomHashes).map(i =>
+      pmod(xxhash64(col("v").cast(dt), lit(i)), lit(m)).as(s"p$i")): _*).collect()
+    val keep = words.keys.toSeq.sorted.filter { f =>
+      val wm = words(f)
+      probes.exists(r => (0 until BloomHashes).forall { i =>
+        val pos = r.getLong(i)
+        (wm.getOrElse(pos / 64, 0L) & (1L << (pos % 64).toInt)) != 0L
+      })
+    }
+    val resolved = keep.map(rel => s"$tablePath/$rel")
+    val resolvable = keep.forall(_.startsWith("bucket=")) &&
+      resolved.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+    if (!resolvable)
+      return full()
+    if (resolved.isEmpty)
+      return full().limit(0)
+    val direct = spark.read.option("basePath", tablePath)
+      .parquet(resolved.toIndexedSeq: _*)
+    mapping.foldLeft(direct) { case (d, (logical, physical)) =>
+      if (logical != physical && d.columns.contains(physical))
+        d.withColumnRenamed(physical, logical)
+      else d
+    }.filter(pred)
+  }
 
   // -------------------------------------------------------------------
   // Schema in the log (Delta-style): each version commits its DATA
@@ -1438,6 +1559,50 @@ object Merge {
        |GROUP BY 1
        |ORDER BY shard""".stripMargin)
 
+  /** The point-read key set: present-at-every-fixture ids spanning several
+    * buckets, plus one id (7) that is ABSENT at every fixture (7 % 3 = 1
+    * and odd, so neither snapshot carries it, and no refresh round does) —
+    * the no-false-negative side AND the prune-to-zero side in one probe. */
+  private val PointIds = Seq(3L, 21L, 35L, 64L, 7L)
+
+  /** `j1_merge_point_read`: the BLOOM-SKIPPING gate. Runs the incremental
+    * rounds, clusters on playerCount with a universeId Bloom sidecar (the
+    * min/max stats CANNOT prune this read — every file's universeId range
+    * covers the probe ids; that is the point of the sidecar), then reads
+    * `universeId IN (PointIds)` through [[readTableWhereIn]] — the pruned
+    * rows must hash-match the oracle's filtered unrolled merge. The
+    * POINTREAD line prints files kept/total; the file-count assertions
+    * (including zero files for an absent key, and the stale-sidecar
+    * fallback) live in MergeSpec. */
+  def mergePointRead(spark: SparkSession, dir: String): DataFrame = {
+    val base = new java.io.File(dir).getName
+    val tablePath =
+      s"${System.getProperty("java.io.tmpdir")}/graft-merge-point/$base/games"
+    upsertIncrementalRounds(
+      spark, tablePath,
+      existingSnapshot(spark, dir),
+      (1 to IncRounds).map(freshRound(spark, dir, _)), "universeId",
+      overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+      coalesceCols = Seq("description"),
+      keepCols = Seq("gameplayDescription"),
+      buckets = IncBuckets)
+    cluster(spark, tablePath, "playerCount", filesPerBucket = 4,
+      bloomCols = Seq("universeId"))
+    val pruned = readTableWhereIn(spark, tablePath, "universeId", PointIds)
+    val total = readTable(spark, tablePath).inputFiles.length
+    println(s"POINTREAD files_kept=${pruned.inputFiles.length} files_total=$total")
+    pruned
+      .select(col("universeId"), col("rootPlaceId"), col("name"),
+        col("description"), col("gameplayDescription"), col("playerCount"))
+      .orderBy(col("universeId"))
+  }
+
+  val mergePointReadSql: String = OracleViews.withGames(
+    s"""${mergeCtesSql(IncRounds)}
+       |SELECT * FROM m$IncRounds
+       |WHERE universeId IN (${PointIds.mkString(", ")})
+       |ORDER BY universeId""".stripMargin)
+
   /** The delete predicate the takedown gates use: 1-in-20 keys — sparse
     * (a takedown batch, not a truncation), hits updated keys (id 3 is a
     * round-3 re-crawl) and leaves every (universeId % 10) IVM shard
@@ -1669,7 +1834,8 @@ object Merge {
     "j1_merge_ivm" -> mergeIvm,
     "j1_merge_delete" -> mergeDelete,
     "j1_merge_changes_delete" -> mergeChangesDelete,
-    "j1_merge_ivm_delete" -> mergeIvmDelete
+    "j1_merge_ivm_delete" -> mergeIvmDelete,
+    "j1_merge_point_read" -> mergePointRead
   )
 
   val oracles: Map[String, String] = Map(
@@ -1686,6 +1852,7 @@ object Merge {
     "j1_merge_ivm" -> mergeIvmSql,
     "j1_merge_delete" -> mergeDeleteSql,
     "j1_merge_changes_delete" -> mergeChangesDeleteSql,
-    "j1_merge_ivm_delete" -> mergeIvmDeleteSql
+    "j1_merge_ivm_delete" -> mergeIvmDeleteSql,
+    "j1_merge_point_read" -> mergePointReadSql
   )
 }

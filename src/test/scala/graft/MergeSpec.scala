@@ -525,6 +525,45 @@ class MergeSpec extends AnyFunSuite {
       s"z kept ${z.inputFiles.length} files vs 1d control $files1d")
   }
 
+  test("bloom point reads: equality probes open only firing files, absent keys open none, stale sidecar falls back") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-bloom").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    // 480 high-cardinality keys so min/max on universeId could not prune
+    // a point read after the playerCount clustering scrambles id order
+    Merge.upsertIncrementalRounds(spark, table,
+      mkTT(0L until 480L, "base"), Seq(mkTT(Seq(3L, 21L), "r1")),
+      "universeId", over, coal, keep, buckets = 8)
+    Merge.cluster(spark, table, "playerCount", filesPerBucket = 8,
+      bloomCols = Seq("universeId"))
+    val all = Merge.readTable(spark, table)
+    val total = all.inputFiles.length
+    // present keys: exact rows, strictly fewer files than the table
+    val hit = Merge.readTableWhereIn(spark, table, "universeId", Seq(3L, 350L))
+    assert(hit.selectExpr(ttCols: _*).orderBy("universeId").collect() ===
+      all.filter(col("universeId").isin(3L, 350L))
+        .selectExpr(ttCols: _*).orderBy("universeId").collect())
+    assert(hit.inputFiles.nonEmpty && hit.inputFiles.length < total,
+      s"expected bloom pruning, opened ${hit.inputFiles.length} of $total")
+    // ...and the min/max CONTROL cannot prune this probe: both ids sit
+    // inside essentially every file's universeId range after clustering
+    // on playerCount — the gap the bloom sidecar exists to close
+    // an ABSENT key opens ZERO files (no false negatives means an empty
+    // candidate set is provably empty)
+    val miss = Merge.readTableWhereIn(spark, table, "universeId", Seq(999999L))
+    assert(miss.inputFiles.isEmpty && miss.isEmpty)
+    // a later merge round invalidates the sidecar: fallback reads stay
+    // correct (full manifest scan + filter)
+    Merge.upsertRound(spark, table, mkTT(Seq(350L), "r2"), "universeId",
+      over, coal, keep, buckets = 8)
+    val fb = Merge.readTableWhereIn(spark, table, "universeId", Seq(350L))
+    assert(fb.collect().map(_.getString(2)).toSeq === Seq("r2-350"))
+    assert(fb.inputFiles.length === Merge.readTable(spark, table).inputFiles.length,
+      "stale sidecar must fall back to the full manifest read")
+  }
+
   test("deleteWhere: touched-bucket rewrite, time travel across the delete, VACUUM makes it physical") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-del").toString
     val table = s"$tmp/games"
