@@ -27,6 +27,23 @@ object SizingPolicy {
     math.max(0, math.ceil(
       math.log(math.max(n, 1L).toDouble / denom) / math.log(2.0)).toInt)
 
+  /** Maintainer-state bucket count (round-12 verdict #6): the bucketed
+    * state stores' cost dials — delete/collapse rewrite cost and read
+    * amplification — are per-BUCKET, so bucket count must grow ∝ corpus
+    * to keep per-bucket bytes pinned (the PostingsMaintainerScale
+    * methodology: sized buckets hold written bytes flat at ×100 while
+    * the pinned-bucket control grows ×K). Next power of two ≥ n/128,
+    * floored at 16 — every oracle fixture (n ≤ [[FixtureMaxN]]) lands on
+    * the pinned 16, so hash-gated replays are untouched. Stores record
+    * their bucket count on disk at first commit, so a reopened state
+    * can never hash against a different layout than it was written
+    * with. */
+  def sizedStateBuckets(n: Long): Int = {
+    var b = 16L
+    while (b * 128 < n) b <<= 1
+    b.toInt
+  }
+
   /** Routed-entry switch (round-10 verdict #1): above fixture scale the
     * fixed low-id entry set starts the beam nowhere near most queries —
     * the ×100 probe measured graph recall 0.00–0.13 under fixed entries

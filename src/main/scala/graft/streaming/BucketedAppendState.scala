@@ -62,6 +62,23 @@ final case class BucketedCommitStats(
   * root/_manifests/buckets             the bucket count the layout uses
   * }}}
   */
+object BucketedAppendState {
+  /** The bucket count an existing store at `rootDir` was committed with
+    * (None = no store yet) — lets a maintainer choose SIZED buckets at
+    * bootstrap ([[graft.operators.SizingPolicy.sizedStateBuckets]])
+    * without paying a corpus count on every reopen. */
+  def recordedBuckets(spark: SparkSession, rootDir: String): Option[Int] = {
+    val p = new Path(rootDir, "_manifests/buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+}
+
 final class BucketedAppendState(spark: SparkSession, rootDir: String,
     buckets: Int = 16, keyed: Map[String, String] = Map.empty,
     keepVersions: Int = 3,

@@ -63,7 +63,23 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
   private def genPath(table: String, b: Int, g: Int) =
     new Path(root, s"$table/bucket=$b/gen=$g")
 
-  private def bucketOf = pmod(xxhash64(col("word")), lit(buckets.toLong)).cast("int")
+  /** The bucket count the on-disk layout was committed with (recorded at
+    * first commit, like [[BucketedAppendState]]) — a reopened store can
+    * never hash words against a different layout than it was written
+    * with, whatever the constructor was passed. */
+  @transient lazy val bucketCount: Int =
+    BucketedAppendState.recordedBuckets(spark, rootDir).getOrElse(buckets)
+
+  private def recordBuckets(): Unit = {
+    val p = new Path(manifestDir, "buckets")
+    if (!fs.exists(p)) {
+      fs.mkdirs(manifestDir)
+      val out = fs.create(p, false)
+      try out.write(s"$bucketCount\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def bucketOf = pmod(xxhash64(col("word")), lit(bucketCount.toLong)).cast("int")
 
   private val postingsSchema = StructType(Seq(
     StructField("word", StringType), StructField("universeId", LongType)))
@@ -85,10 +101,12 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
     * instead of silently replacing committed state. The replay guards in
     * [[bootstrap]]/[[commitDelta]] make the benign retries no-ops before
     * ever reaching here). */
-  private def commitManifest(version: Int, state: Map[Int, Int]): Unit =
+  private def commitManifest(version: Int, state: Map[Int, Int]): Unit = {
+    recordBuckets()
     graft.operators.ManifestIo.commitFile(fs, manifestDir, s"manifest-v$version",
       state.toSeq.sorted.map { case (b, g) => s"$b,$g" }
         .mkString("", "\n", "\n"))
+  }
 
   private def readManifestAt(version: Int): Map[Int, Int] = {
     val p = new Path(manifestDir, s"manifest-v$version")
@@ -170,9 +188,10 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
     * ever pays, at bootstrap (the batch artifact's build cost, paid once;
     * every later commit is a [[commitDelta]]). */
   def bootstrap(version: Int, postings: DataFrame): PostingsCommitStats = {
+    val b = bucketCount // resolve the layout BEFORE wiping the old store
     fs.delete(root, true)
     val rows = postings.select(col("word"), col("universeId")).withColumn("bucket", bucketOf)
-    val present = writeGen(version, (0 until buckets), rows, align = true)
+    val present = writeGen(version, (0 until b), rows, align = true)
     val committed = present.map(_ -> version).toMap
     hooks.beforeCommit(version)
     commitManifest(version, committed)

@@ -49,9 +49,14 @@ import graft.operators.Dedup
   */
 class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
     initialDocs: DataFrame, keepVersions: Int = 3,
-    buckets: Int = 16) extends Serializable {
+    buckets: Int = 0) extends Serializable {
 
-  private val state = new BucketedAppendState(spark, baseDir, buckets,
+  // buckets <= 0 → SIZED (round-12 verdict #6; recorded layout wins)
+  private val resolvedBuckets =
+    if (buckets > 0) buckets
+    else BucketedAppendState.recordedBuckets(spark, baseDir).getOrElse(
+      graft.operators.SizingPolicy.sizedStateBuckets(initialDocs.count()))
+  private val state = new BucketedAppendState(spark, baseDir, resolvedBuckets,
     keyed = Map("shingles" -> "doc_id", "bands" -> "doc_id"),
     keepVersions = keepVersions)
   if (state.latest.isEmpty) {

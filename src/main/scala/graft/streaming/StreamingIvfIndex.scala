@@ -34,11 +34,16 @@ import graft.operators.IvfKMeans
   */
 class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
     driftFactor: Double = 1.5, keepVersions: Int = 3,
-    buckets: Int = 16) extends Serializable {
+    buckets: Int = 0) extends Serializable {
 
   import spark.implicits._
 
-  private val state = new BucketedAppendState(spark, baseDir, buckets,
+  // buckets <= 0 → SIZED (round-12 verdict #6; recorded layout wins)
+  private val resolvedBuckets =
+    if (buckets > 0) buckets
+    else BucketedAppendState.recordedBuckets(spark, baseDir).getOrElse(
+      graft.operators.SizingPolicy.sizedStateBuckets(initial.count()))
+  private val state = new BucketedAppendState(spark, baseDir, resolvedBuckets,
     keyed = Map("assigned" -> "vec_id"), keepVersions = keepVersions)
   @volatile private var centroids: Seq[(Int, Array[Double])] = Seq.empty
   @volatile private var baselineMsd: Double = 0.0

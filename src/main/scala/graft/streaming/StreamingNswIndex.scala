@@ -40,9 +40,16 @@ import graft.operators.Nsw
   * batch-sized (the insertion search); now the commit is too.
   */
 class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
-    keepVersions: Int = 3, buckets: Int = 16) extends Serializable {
+    keepVersions: Int = 3, buckets: Int = 0) extends Serializable {
 
-  private val state = new BucketedAppendState(spark, baseDir, buckets,
+  // buckets <= 0 → SIZED: an existing store keeps its recorded layout, a
+  // fresh one derives buckets ∝ corpus (round-12 verdict #6 — per-bucket
+  // rewrite/read cost stays pinned as the corpus grows)
+  private val resolvedBuckets =
+    if (buckets > 0) buckets
+    else BucketedAppendState.recordedBuckets(spark, baseDir).getOrElse(
+      graft.operators.SizingPolicy.sizedStateBuckets(initial.count()))
+  private val state = new BucketedAppendState(spark, baseDir, resolvedBuckets,
     keyed = Map("vectors" -> "vec_id", "knn" -> "src", "knn1" -> "src"),
     keepVersions = keepVersions)
   if (state.latest.isEmpty)

@@ -50,11 +50,25 @@ import graft.operators.{Merge, TextSearch}
   * can always catch up from its last committed version.
   */
 class StreamingPostingsIndex(spark: SparkSession, tablePath: String,
-    feedDir: String, stateDir: String, buckets: Int = 16,
+    feedDir: String, stateDir: String, buckets: Int = 0,
     keepVersions: Int = 3,
     hooks: Merge.IncHooks = Merge.IncHooks.none) extends Serializable {
 
-  private val state = new BucketedPostingsState(spark, stateDir, buckets,
+  // buckets <= 0 → SIZED: existing stores keep their recorded layout, a
+  // fresh one derives buckets ∝ the POSTINGS row count (the population
+  // that actually fills the buckets — doc count undercounts by the
+  // words-per-doc factor) at the policy's pinned per-bucket occupancy
+  // (round-12 verdict #6 / the PostingsMaintainerScale pinned-vs-sized
+  // control row). One extra postingsOf pass at bootstrap only — the
+  // amortized one-time cost the bootstrap already pays.
+  private val resolvedBuckets =
+    if (buckets > 0) buckets
+    else BucketedAppendState.recordedBuckets(spark, stateDir).getOrElse {
+      val v0 = Merge.tableVersions(spark, tablePath).max
+      graft.operators.SizingPolicy.sizedStateBuckets(
+        TextSearch.postingsOf(Merge.readTableAt(spark, tablePath, v0)).count())
+    }
+  private val state = new BucketedPostingsState(spark, stateDir, resolvedBuckets,
     keepVersions, hooks)
 
   // bootstrap: one corpus-sized build at the CURRENT table version — the

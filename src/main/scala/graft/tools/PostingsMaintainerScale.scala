@@ -86,7 +86,13 @@ object PostingsMaintainerScale {
       upd.unionByName(ins)
     }
 
-    val baseBuckets = 256
+    // round-13: the sized dial comes from the ONE policy home exactly as
+    // the maintainer's shipped default computes it — buckets ∝ POSTINGS
+    // rows at the policy occupancy — so this replay measures the shipped
+    // configuration, not a hand dial
+    def sizedFor(k: Int): Int = graft.operators.SizingPolicy.sizedStateBuckets(
+      graft.operators.TextSearch.postingsOf(gamesAt(k)).count())
+    val baseBuckets = sizedFor(1)
     val tmp = java.nio.file.Files.createTempDirectory("graft-pidxscale").toString
     println(f"${"tag"}%-7s ${"k"}%3s ${"buckets"}%8s ${"touched"}%8s " +
       f"${"written_b"}%10s ${"state_b"}%10s ${"full_commit_b"}%14s " +
@@ -125,7 +131,7 @@ object PostingsMaintainerScale {
     }
 
     run("sized", 1, baseBuckets)
-    run("sized", factor, baseBuckets * factor)
+    run("sized", factor, sizedFor(factor))
     run("pinned", factor, baseBuckets)
     spark.stop()
   }

@@ -57,6 +57,29 @@ class QualitySpec extends AnyFunSuite {
 
     // the engine query runs end-to-end on the fixture tables
     assert(Quality.gamesListIcu(spark, SparkTestSession.Sf0001).count() === 50)
+
+    // Round-13 closure of the documented divergence (permanent, by
+    // design): the t2_games_list_icu hash gate is sound exactly because
+    // the fixture name domain avoids the inputs where Spark's UNICODE_CI
+    // and DuckDB's ICU `en` disagree — pin the PRECONDITION itself, so a
+    // regenerated fixture that grows case pairs or non-ASCII names fails
+    // HERE with a named reason instead of as an opaque hash mismatch.
+    val fixtureNames = graft.io.Tables.games(spark, SparkTestSession.Sf0001)
+      .select("name").collect().map(_.getString(0))
+    assert(fixtureNames.forall(n => n == n.toLowerCase && n.forall(_ < 0x80)),
+      "ICU-gate precondition violated: fixture names must stay lowercase " +
+        "ASCII (the domain where UNICODE_CI and DuckDB's `en` provably " +
+        "agree); regenerate the oracle or retire the hash gate")
+    // and the divergence itself, at a case-only pair: Spark's UNICODE_CI
+    // TIES the pair (the universeId tiebreak decides), while DuckDB's
+    // `en` is tertiary lowercase-first — orderings that no tiebreak can
+    // reconcile, which is why the gate cannot cover this domain
+    val pair = Seq(("A", 1L), ("a", 2L)).toDF("name", "universeId")
+    val sparkPair = pair
+      .orderBy(collate(col("name"), "UNICODE_CI"), col("universeId"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(sparkPair === Seq(1L, 2L),
+      "UNICODE_CI must tie case pairs (id tiebreak decides)")
   }
 
   test("lang-id is deterministic and covers every input language") {

@@ -26,7 +26,8 @@ class SizingPolicySpec extends AnyFunSuite {
     ("route_probe_cells", Nsw.sizedProbeCells _, 2),
     ("ivf_cells", IvfKMeans.sizedCells _, 8),
     ("pq_subspaces", n => Pq.sizedDials(n)._1, 4),
-    ("pq_codes", n => Pq.sizedDials(n)._2, 16))
+    ("pq_codes", n => Pq.sizedDials(n)._2, 16),
+    ("state_buckets", SizingPolicy.sizedStateBuckets _, 16))
 
   test("every sized dial lands on its pinned value at all fixture sizes") {
     for ((name, rule, pinned) <- dials; n <- fixtureSizes)
@@ -60,6 +61,10 @@ class SizingPolicySpec extends AnyFunSuite {
     assert(Pq.sizedDials(200000L) === ((16, 256)))
     // the caps: 16 subspaces of 4 dims, one-byte codes
     assert(Pq.sizedDials(2000000000L) === ((Pq.MaxM, Pq.MaxCodes)))
+    // maintainer-state buckets: ∝ N at pinned per-bucket occupancy
+    // (~128 rows) — the PostingsMaintainerScale bytes-axis dial
+    assert(SizingPolicy.sizedStateBuckets(20000L) === 256)
+    assert(SizingPolicy.sizedStateBuckets(200000L) === 2048)
   }
 
   test("the growth term floors at zero below its reference population") {
