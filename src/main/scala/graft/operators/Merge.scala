@@ -392,9 +392,12 @@ object Merge {
     deleted
   }
 
-  /** Per-delete accounting of [[deleteWhere]]. */
+  /** Per-delete accounting of [[deleteWhere]] — rewritten vs table bytes
+    * is the evidence for "a takedown prices its touched buckets, not the
+    * table" (the DeleteScale replay's axis). */
   final case class DeleteStats(
-      version: Int, touchedBuckets: Int, deletedRows: Long)
+      version: Int, touchedBuckets: Int, deletedRows: Long,
+      rewrittenBytes: Long = 0L, tableBytes: Long = 0L)
 
   /** ROW-LEVEL DELETE (round-12 verdict, next-round #1): remove every row
     * matching `predicate`, as a copy-on-write rewrite of ONLY the buckets
@@ -454,14 +457,17 @@ object Merge {
     // a fully-deleted bucket writes no dir and leaves the manifest
     val present = touched.filter(b =>
       fs.exists(genPathOf(table, b, gen)))
+    val rewritten = present.map(b => dirBytesOf(fs, genPathOf(table, b, gen))).sum
     val dataSchema = org.apache.spark.sql.types.StructType(
       cur.drop("bucket", "gen").schema.fields)
-    val (committedVersion, _) = commitWithRetry(fs, table,
+    val (committedVersion, committed) = commitWithRetry(fs, table,
       round, current, present.map(_ -> gen).toMap,
       schema.getOrElse(dataSchema), mapping,
       removedBuckets = touched.filterNot(present.contains))
     sweepRetention(fs, table, committedVersion, retainVersions)
-    DeleteStats(committedVersion, touched.length, deletedRows)
+    val tableBytes = committed.map { case (b, g) =>
+      dirBytesOf(fs, genPathOf(table, b, g)) }.sum
+    DeleteStats(committedVersion, touched.length, deletedRows, rewritten, tableBytes)
   }
 
   /** Per-bucket accounting of [[compact]] — files before/after, so the
@@ -1635,7 +1641,8 @@ object Merge {
           col("universeId") % DelMod === DelRes,
           retainVersions = DeleteVersion + 1)
         println(s"MERGEDEL version=${st.version} touched=${st.touchedBuckets}" +
-          s"/$IncBuckets deleted_rows=${st.deletedRows}")
+          s"/$IncBuckets deleted_rows=${st.deletedRows} " +
+          s"rewritten_bytes=${st.rewrittenBytes} table_bytes=${st.tableBytes}")
       }
       tablePath
     }
