@@ -219,8 +219,8 @@ object Merge {
     // v0 manifest: every bucket the initial write produced, at gen 0
     val initialBuckets = fs.listStatus(table).map(_.getPath.getName)
       .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
-    writeSchemaSidecar(fs, table, 0, initial.schema)
-    commitManifest(fs, table, 0, initialBuckets.map(_ -> 0).toMap)
+    commitManifest(fs, table, 0, initialBuckets.map(_ -> 0).toMap,
+      TableMeta(schema = Some(initial.schema)))
     freshRounds.map(fresh0 =>
       upsertRound(spark, tablePath, fresh0, key,
         overwriteCols, coalesceCols, keepCols, buckets, hooks, retainVersions))
@@ -243,7 +243,8 @@ object Merge {
     def genPath(b: Int, g: Int) = genPathOf(table, b, g)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
-    val mapping = readMappingAt(fs, table, version)
+    val meta0 = readMetaAt(fs, table, version)
+    val mapping = meta0.mapping
     val fresh = fresh0.withColumn("bucket",
       pmod(col(key), lit(buckets)).cast("int"))
     val touched = fresh.select(col("bucket")).distinct()
@@ -292,12 +293,19 @@ object Merge {
     toPhysical(merged, mapping).withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
     val rewritten = touched.map(b => dirBytes(genPath(b, gen))).sum
+    // maintain the skipping sidecars for the NEW generation only (verdict
+    // r13 #5 — point/range reads stay pruned between clustered rewrites);
+    // gen labels are write-once per attempt, so fragment writes are
+    // race-free even before the commit decides
+    writeGenFragments(spark, tablePath, table, gen,
+      touched.map(b => genPath(b, gen)).filter(fs.exists).map(_.toString),
+      meta0)
     hooks.beforeCommit(round)
+    val meta = meta0.copy(schema = Some(mergedData.schema))
     val (committedVersion, committed) = commitWithRetry(fs, table,
-      round, current, touched.map(_ -> gen).toMap,
-      mergedData.schema, mapping)
+      round, current, touched.map(_ -> gen).toMap, meta)
     hooks.afterCommit(committedVersion)
-    sweepRetention(fs, table, committedVersion, retainVersions)
+    sweepRetention(fs, table, committedVersion, retainVersions, meta.takedownGrace)
     val tableBytes = committed.map { case (b, g) => dirBytes(genPath(b, g)) }.sum
     IncRoundStats(committedVersion, touched.length, buckets, rewritten, tableBytes)
   }
@@ -313,8 +321,16 @@ object Merge {
     * version-count retention policy. */
   private def sweepRetention(
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
-      round: Int, retainVersions: Int): Unit = {
-    val keepFrom = math.max(0, round - retainVersions + 1)
+      round: Int, retainVersions: Int,
+      takedownGrace: Option[Int] = None): Unit = {
+    // the takedown-grace policy clamps retention table-wide (verdict r13
+    // #7): any retained version may hold rows a later delete took down,
+    // so the compliance bound "a takedown is physical after at most G
+    // versions" is exactly "never retain more than G+1 versions"
+    val effectiveRetain = takedownGrace
+      .fold(retainVersions)(g =>
+        math.min(retainVersions.toLong, g.toLong + 1L).toInt)
+    val keepFrom = math.max(0, round - effectiveRetain + 1)
     val onDisk = committedVersions(fs, table)
     // live: referenced by a manifest inside the retention window — NO
     // upper bound, so a concurrent writer's already-committed newer
@@ -343,25 +359,35 @@ object Merge {
       .filter(p => p.getName.startsWith("manifest-v") &&
         p.getName.stripPrefix("manifest-v").toInt < keepFrom)
       .foreach(p => fs.delete(p, false))
-    // stats and schema sidecars expire with their manifests (each is only
-    // valid for the exact version it was committed with)
-    fs.listStatus(manifestDir(table)).map(_.getPath)
-      .filter(p => p.getName.startsWith("stats-v") &&
-        p.getName.stripPrefix("stats-v").toInt < keepFrom)
-      .foreach(p => fs.delete(p, true))
-    fs.listStatus(manifestDir(table)).map(_.getPath)
-      .filter(p => p.getName.startsWith("bloom-v") &&
-        p.getName.stripPrefix("bloom-v").toInt < keepFrom)
-      .foreach(p => fs.delete(p, true))
-    fs.listStatus(manifestDir(table)).map(_.getPath)
-      .filter(p => p.getName.startsWith("schema-v") &&
-        p.getName.stripPrefix("schema-v").toInt < keepFrom)
-      .foreach(p => fs.delete(p, false))
-    fs.listStatus(manifestDir(table)).map(_.getPath)
-      .filter(p => p.getName.startsWith("mapping-v") &&
-        p.getName.stripPrefix("mapping-v").toInt < keepFrom)
-      .foreach(p => fs.delete(p, false))
+    // skipping-sidecar FRAGMENTS are per-generation; one expires exactly
+    // when its generation does (referenced by some on-disk manifest but by
+    // no retained one — never-referenced fragments belong to in-flight
+    // writers and go through vacuumOrphans' age gate)
+    val liveGens = live.map(_._2)
+    val referencedGens = referenced.map(_._2)
+    fragmentGens(fs, table)
+      .filter { case (_, g) => referencedGens.contains(g) && !liveGens.contains(g) }
+      .foreach { case (p, _) => fs.delete(p, true) }
+    // legacy (pre-format-2) per-version sidecar FILES expire with their
+    // manifests, same as before the metadata moved into the manifest
+    Seq("stats-v", "bloom-v", "schema-v", "mapping-v").foreach { prefix =>
+      fs.listStatus(manifestDir(table)).map(_.getPath)
+        .filter(p => p.getName.startsWith(prefix) &&
+          p.getName.stripPrefix(prefix).toInt < keepFrom)
+        .foreach(p => fs.delete(p, true))
+    }
   }
+
+  /** Every skipping-sidecar fragment under `_manifests`, with the
+    * generation it describes. */
+  private def fragmentGens(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path)
+      : Seq[(org.apache.hadoop.fs.Path, Int)] =
+    fs.listStatus(manifestDir(table)).map(_.getPath).toSeq.flatMap { p =>
+      Seq("statsg-", "bloomg-", "bloomgmeta-")
+        .find(p.getName.startsWith)
+        .map(prefix => p -> p.getName.stripPrefix(prefix).toInt)
+    }
 
   /** Reclaim ORPHANED generation dirs: dirs no on-disk manifest has ever
     * referenced (crashed writer attempts, conflict-refused rounds), older
@@ -389,6 +415,15 @@ object Merge {
             }
           }
       }
+    // orphaned skipping-sidecar fragments (a conflict-refused or crashed
+    // writer's gen never got referenced) age out with their gens
+    val referencedGens = referenced.map(_._2)
+    fragmentGens(fs, table).foreach { case (p, g) =>
+      if (!referencedGens.contains(g) &&
+          fs.getFileStatus(p).getModificationTime < cutoff) {
+        fs.delete(p, true); deleted += 1
+      }
+    }
     deleted
   }
 
@@ -432,13 +467,16 @@ object Merge {
     * rewrites ≈ the touched thousandth of the data. The commit goes
     * through the same optimistic-concurrency path as merge rounds. */
   def deleteWhere(spark: SparkSession, tablePath: String, predicate: Column,
-      retainVersions: Int = 1): DeleteStats = {
+      retainVersions: Int = 1,
+      takedownGraceVersions: Int = Int.MaxValue,
+      hooks: IncHooks = IncHooks.none): DeleteStats = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
-    val schema = readSchemaAt(fs, table, version)
-    val mapping = readMappingAt(fs, table, version)
+    val meta0 = readMetaAt(fs, table, version)
+    val schema = meta0.schema
+    val mapping = meta0.mapping
     // TRUE deletes; NULL keeps (coalesce pins the three-valued boundary)
     val delPred = coalesce(predicate, lit(false))
     val cur = loadState(spark, tablePath, current, schema, mapping)
@@ -458,13 +496,27 @@ object Merge {
     val present = touched.filter(b =>
       fs.exists(genPathOf(table, b, gen)))
     val rewritten = present.map(b => dirBytesOf(fs, genPathOf(table, b, gen))).sum
+    writeGenFragments(spark, tablePath, table, gen,
+      present.map(b => genPathOf(table, b, gen).toString), meta0)
     val dataSchema = org.apache.spark.sql.types.StructType(
       cur.drop("bucket", "gen").schema.fields)
+    // the grace policy persists in the manifest once set, so every later
+    // writer's retention sweep honors it (verdict r13 #7)
+    val grace =
+      if (takedownGraceVersions == Int.MaxValue) meta0.takedownGrace
+      else Some(meta0.takedownGrace.fold(takedownGraceVersions)(
+        math.min(_, takedownGraceVersions)))
+    val meta = meta0.copy(schema = Some(schema.getOrElse(dataSchema)),
+      takedownGrace = grace)
+    hooks.beforeCommit(round)
+    // strict: a predicate delete's read set is the whole table (ADVICE
+    // r13 #3) — any concurrent bucket change conflicts, never auto-merged
     val (committedVersion, committed) = commitWithRetry(fs, table,
-      round, current, present.map(_ -> gen).toMap,
-      schema.getOrElse(dataSchema), mapping,
-      removedBuckets = touched.filterNot(present.contains))
-    sweepRetention(fs, table, committedVersion, retainVersions)
+      round, current, present.map(_ -> gen).toMap, meta,
+      removedBuckets = touched.filterNot(present.contains),
+      strict = true)
+    hooks.afterCommit(committedVersion)
+    sweepRetention(fs, table, committedVersion, retainVersions, meta.takedownGrace)
     val tableBytes = committed.map { case (b, g) =>
       dirBytesOf(fs, genPathOf(table, b, g)) }.sum
     DeleteStats(committedVersion, touched.length, deletedRows, rewritten, tableBytes)
@@ -513,11 +565,14 @@ object Merge {
         .write.parquet(genPath(b, gen).toString)
     }
     val committed = current ++ oversized.keys.map(_ -> gen)
-    // layout-only versions carry the schema + mapping forward unchanged
-    readSchemaAt(fs, table, version).foreach(writeSchemaSidecar(fs, table, round, _))
-    writeMappingSidecar(fs, table, round, readMappingAt(fs, table, version))
-    commitManifest(fs, table, round, committed)
-    sweepRetention(fs, table, round, retainVersions)
+    // layout-only version: schema, mapping, and sidecar policy carry
+    // forward unchanged; the compacted generation gets fresh fragments so
+    // skipping reads stay pruned across an OPTIMIZE
+    val meta = readMetaAt(fs, table, version)
+    writeGenFragments(spark, tablePath, table, gen,
+      oversized.keys.toSeq.sorted.map(b => genPath(b, gen).toString), meta)
+    commitManifest(fs, table, round, committed, meta)
+    sweepRetention(fs, table, round, retainVersions, meta.takedownGrace)
     val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
     CompactStats(round, oversized.size, filesBefore, filesAfter)
   }
@@ -616,39 +671,139 @@ object Merge {
     val round = version + 1
     val gen = freshGen(round)
     val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
-    val mapping = readMappingAt(fs, table, version)
+    val meta0 = readMetaAt(fs, table, version)
+    val mapping = meta0.mapping
     toPhysical(
-      loadState(spark, tablePath, current, readSchemaAt(fs, table, version),
+      loadState(spark, tablePath, current, meta0.schema,
         mapping).drop("gen")
         .repartitionByRange(current.size * filesPerBucket,
           col("bucket") +: sortKeys: _*)
         .withColumn("gen", lit(gen)), mapping)
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
     val genPaths = current.keys.toSeq.sorted.map(b => s"$tablePath/bucket=$b/gen=$gen")
-    // paths are stored TABLE-RELATIVE (`bucket=<b>/gen=<g>/part-*.parquet`,
-    // ADVICE r11 #2): a table that is moved, copied, or read through a
-    // different filesystem prefix resolves the sidecar against ITS OWN
-    // tablePath instead of chasing the writer's absolute URIs
-    def phys(c: String) = mapping.getOrElse(c, c)
-    if (bloomCols.nonEmpty)
-      writeBloomSidecar(spark, tablePath, table, round, genPaths,
-        bloomCols.map(c => phys(c) -> c))
-    spark.read.option("basePath", tablePath).parquet(genPaths: _*)
-      .groupBy(regexp_extract(input_file_name(), "bucket=.*$", 0).as("file"))
-      .agg(min(col(phys(statCols.head))).as(s"min_${statCols.head}"),
-        (max(col(phys(statCols.head))).as(s"max_${statCols.head}") +:
-          statCols.tail.flatMap(c =>
-            Seq(min(col(phys(c))).as(s"min_$c"), max(col(phys(c))).as(s"max_$c")))): _*)
-      .coalesce(1)
-      .write.mode("overwrite").parquet(statsPath(table, round).toString)
+    // the clustered rewrite DEFINES the table's sidecar policy: these
+    // columns' fragments are maintained by every later writer's new
+    // generation (round-13 verdict #5 — the sidecar no longer dies at the
+    // first post-cluster version), and the rewrite itself writes the
+    // fragments for its own generation. A conflict-refused rewrite leaves
+    // only attempt-unique fragments no manifest references — swept by the
+    // age-gated vacuum, never readable (ADVICE r13 #1's second half).
+    val meta = meta0.copy(statsCols = statCols, bloomCols = bloomCols)
+    writeGenFragments(spark, tablePath, table, gen, genPaths, meta)
     val committed = current.keys.map(_ -> gen).toMap
-    // layout-only versions carry the schema + mapping forward unchanged
-    readSchemaAt(fs, table, version).foreach(writeSchemaSidecar(fs, table, round, _))
-    writeMappingSidecar(fs, table, round, mapping)
-    commitManifest(fs, table, round, committed)
-    sweepRetention(fs, table, round, retainVersions)
+    commitManifest(fs, table, round, committed, meta)
+    sweepRetention(fs, table, round, retainVersions, meta.takedownGrace)
     val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
     CompactStats(round, committed.size, filesBefore, filesAfter)
+  }
+
+  // -------------------------------------------------------------------
+  // SKIPPING-SIDECAR FRAGMENTS (round-14): min/max stats and Bloom
+  // filters are written PER GENERATION (`_manifests/statsg-<gen>`,
+  // `bloomg-<gen>`), not per version. Two structural wins over the
+  // round-13 per-version sidecars:
+  //   - CONCURRENCY-SAFE BY CONSTRUCTION: gen labels are write-once per
+  //     attempt, so no two writers can ever collide on a fragment name —
+  //     the ADVICE r13 #1 race (a losing clusterRewrite's sidecar
+  //     describing uncommitted files, readable at the winner's version)
+  //     cannot exist.
+  //   - INCREMENTAL MAINTENANCE (round-13 verdict #5): a merge round,
+  //     delete, or compaction writes fragments for ITS new generation
+  //     only (cost ∝ the change), and a read prunes per generation —
+  //     files in a generation without fragments are simply kept
+  //     (pruning degrades gracefully instead of dying table-wide at the
+  //     first post-cluster version).
+  // Fragments store TABLE-RELATIVE file paths (ADVICE r11 #2) and every
+  // kept file is validated against the manifest's (bucket, gen) entries
+  // before any I/O — a fragment can never route a read to a file the
+  // committed version does not own.
+  // -------------------------------------------------------------------
+
+  private def fragStatsPath(table: org.apache.hadoop.fs.Path, gen: Int) =
+    new org.apache.hadoop.fs.Path(manifestDir(table), s"statsg-$gen")
+  private def fragBloomPath(table: org.apache.hadoop.fs.Path, gen: Int) =
+    new org.apache.hadoop.fs.Path(manifestDir(table), s"bloomg-$gen")
+  private def fragBloomMetaPath(table: org.apache.hadoop.fs.Path, gen: Int) =
+    new org.apache.hadoop.fs.Path(manifestDir(table), s"bloomgmeta-$gen")
+
+  /** Write the stats and/or Bloom fragments for one freshly-written
+    * generation (no-op when the table has no sidecar policy). One read of
+    * the new generation's files feeds both aggregations — the write-time
+    * price of read-time skipping, now priced ∝ the generation instead of
+    * the table. */
+  private def writeGenFragments(spark: SparkSession, tablePath: String,
+      table: org.apache.hadoop.fs.Path, gen: Int, genPaths: Seq[String],
+      meta: TableMeta): Unit = {
+    if (genPaths.isEmpty || (meta.statsCols.isEmpty && meta.bloomCols.isEmpty))
+      return
+    def phys(c: String) = meta.mapping.getOrElse(c, c)
+    val data = spark.read.option("basePath", tablePath).parquet(genPaths: _*)
+    def fileKey = regexp_extract(input_file_name(), "bucket=.*$", 0).as("file")
+    if (meta.statsCols.nonEmpty) {
+      val aggs = meta.statsCols.flatMap(c =>
+        Seq(min(col(phys(c))).as(s"min_$c"), max(col(phys(c))).as(s"max_$c")))
+      // one row per file of THIS generation — manifest-order small
+      data.groupBy(fileKey).agg(aggs.head, aggs.tail: _*)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(fragStatsPath(table, gen).toString)
+    }
+    if (meta.bloomCols.nonEmpty) {
+      val counts = data.groupBy(fileKey).agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("mx"), sum(col("n")).as("total")).head()
+      val maxRows = counts.getLong(0)
+      val totalRows = counts.getLong(1)
+      var m = 64L
+      while (m < BloomBitsPerRow * maxRows) m <<= 1
+      // sharded write (round-13 verdict #1's write-side nit): range
+      // partitioning on (col, word_idx) + within-partition sort means a
+      // point read's `word_idx IN (probes)` scan prunes whole files and
+      // row groups; partition count scales with the fragment's rows
+      val parts = math.max(1L, math.min(512L, totalRows / 4 / 1000000L)).toInt
+      meta.bloomCols.map { lc =>
+        data.select(fileKey, col(phys(lc)).as("v")).where(col("v").isNotNull)
+          .select(col("file"), explode(array((0 until BloomHashes).map(i =>
+            pmod(xxhash64(col("v"), lit(i)), lit(m))): _*)).as("pos"))
+          .groupBy(col("file"), (col("pos") / 64).cast("long").as("word_idx"))
+          .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+          .select(col("file"), lit(lc).as("col"), col("word_idx"), col("bits"))
+      }.reduce(_ unionByName _)
+        .repartitionByRange(parts, col("col"), col("word_idx"))
+        .sortWithinPartitions(col("col"), col("word_idx"))
+        .write.mode("overwrite").parquet(fragBloomPath(table, gen).toString)
+      // fragment header (driver-readable without a Spark job): the bit
+      // width and covered columns the probe needs BEFORE the heavy scan
+      val out = fs(spark, table).create(fragBloomMetaPath(table, gen), true)
+      try out.write(s"m=$m\ncols=${meta.bloomCols.mkString(",")}\n"
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  private def fs(spark: SparkSession, table: org.apache.hadoop.fs.Path) =
+    table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The generation's bloom-fragment header: (m, covered columns). */
+  private def readBloomMeta(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[(Long, Seq[String])] = {
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val kv = text.linesIterator.filter(_.contains('=')).map { l =>
+      val i = l.indexOf('='); l.take(i) -> l.drop(i + 1)
+    }.toMap
+    kv.get("m").map(m => (m.trim.toLong,
+      kv.get("cols").map(_.split(',').toSeq).getOrElse(Seq.empty)))
+  }
+
+  /** Parse a fragment's table-relative file path into (bucket, gen);
+    * None when it is not of the expected shape. */
+  private def parseRelFile(rel: String): Option[(Int, Int)] = {
+    val re = "^bucket=(\\d+)/gen=(\\d+)/.+".r
+    rel match {
+      case re(b, g) => Some((b.toInt, g.toInt))
+      case _ => None
+    }
   }
 
   /** DATA-SKIPPING read: `clusterCol BETWEEN lo AND hi` served through the
@@ -677,67 +832,74 @@ object Merge {
       preds: Seq[(String, Long, Long)]): DataFrame = {
     require(preds.nonEmpty, "readTableWhereAll needs at least one predicate")
     val table = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (version, state) = readManifest(fs, table)
+    val fsys = fs(spark, table)
+    val (version, state) = readManifest(fsys, table)
     val pred = preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
       .reduce(_ && _)
-    val schema = readSchemaAt(fs, table, version)
-    val mapping = readMappingAt(fs, table, version)
-    def full() = loadState(spark, tablePath, state, schema, mapping).filter(pred)
-    val sp = statsPath(table, version)
-    if (!fs.exists(sp))
-      return full()
-    val statsDf = spark.read.parquet(sp.toString)
-    val statPreds = preds.filter { case (c, _, _) =>
-      statsDf.columns.contains(s"min_$c") }
-    if (statPreds.isEmpty)
-      return full()
-    val stats = statsDf.collect()
-    val keep = stats.filter { r =>
-      statPreds.forall { case (c, lo, hi) =>
-        val iMin = r.fieldIndex(s"min_$c"); val iMax = r.fieldIndex(s"max_$c")
-        // Number-tolerant: the sidecar's min/max inherit each column's
-        // integral type (long here, int on a narrower column)
-        !r.isNullAt(iMin) && !r.isNullAt(iMax) &&
-          r.getAs[Number](iMax).longValue >= lo &&
-          r.getAs[Number](iMin).longValue <= hi
+    val meta = readMetaAt(fsys, table, version)
+    def full() = loadState(spark, tablePath, state, meta.schema, meta.mapping)
+      .filter(pred)
+    // per-GENERATION pruning: each gen with a stats fragment contributes
+    // only its intersecting files; gens without one (written before the
+    // sidecar policy, or by a writer that crashed mid-fragment) keep all
+    // their files — graceful degradation, never a correctness dependency
+    var anyPruned = false
+    val relPaths: Seq[String] = state.groupBy(_._2).toSeq.sortBy(_._1)
+      .flatMap { case (g, entries) =>
+        val whole = entries.keys.toSeq.sorted.map(b => s"bucket=$b/gen=$g")
+        val sp = fragStatsPath(table, g)
+        if (!fsys.exists(sp)) whole
+        else {
+          val statsDf = spark.read.parquet(sp.toString)
+          val statPreds = preds.filter { case (c, _, _) =>
+            statsDf.columns.contains(s"min_$c") }
+          if (statPreds.isEmpty) whole
+          else {
+            // one row per file of THIS generation — manifest-order small
+            val keep = statsDf.collect().filter { r =>
+              statPreds.forall { case (c, lo, hi) =>
+                val iMin = r.fieldIndex(s"min_$c"); val iMax = r.fieldIndex(s"max_$c")
+                // Number-tolerant: min/max inherit each column's integral
+                // type (long here, int on a narrower column)
+                !r.isNullAt(iMin) && !r.isNullAt(iMax) &&
+                  r.getAs[Number](iMax).longValue >= lo &&
+                  r.getAs[Number](iMin).longValue <= hi
+              }
+            }.map(r => r.getString(r.fieldIndex("file"))).toSeq
+            // a fragment can never route the read outside the committed
+            // version: a malformed path falls the gen back; a well-formed
+            // entry whose bucket has since been rewritten at a NEWER gen
+            // is simply dropped — that bucket's rows live in the newer
+            // generation, covered by its own piece of this loop
+            if (keep.exists(rel => parseRelFile(rel).isEmpty)) whole
+            else {
+              anyPruned = true
+              keep.filter(rel => parseRelFile(rel).exists {
+                case (b, g2) => g2 == g && state.get(b).contains(g) })
+            }
+          }
+        }
       }
-    }.map(r => r.getString(r.fieldIndex("file")))
-    // resolve the relative paths against THIS read's tablePath; any
-    // unresolvable entry (pre-relative absolute-URI sidecar, or a file the
-    // filesystem can't see through this prefix) falls back to the plain
-    // manifest read — pruning is an optimization, never a correctness
-    // dependency (ADVICE r11 #2)
-    val resolved = keep.map(rel => s"$tablePath/$rel")
-    val resolvable = keep.forall(_.startsWith("bucket=")) &&
-      resolved.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    if (!resolvable)
-      return full()
-    if (resolved.isEmpty)
-      return full().limit(0)
+    if (relPaths.isEmpty) return full().limit(0)
+    if (!anyPruned) return full()
     val direct = spark.read.option("basePath", tablePath)
-      .parquet(resolved.toIndexedSeq: _*)
-    mapping.foldLeft(direct) { case (d, (logical, physical)) =>
+      .parquet(relPaths.map(rel => s"$tablePath/$rel"): _*)
+    meta.mapping.foldLeft(direct) { case (d, (logical, physical)) =>
       if (logical != physical && d.columns.contains(physical))
         d.withColumnRenamed(physical, logical)
       else d
     }.filter(pred)
   }
 
-  private def statsPath(table: org.apache.hadoop.fs.Path, version: Int) =
-    new org.apache.hadoop.fs.Path(manifestDir(table), s"stats-v$version")
-
   // -------------------------------------------------------------------
-  // BLOOM SIDECARS (round-12 verdict #5): min/max stats are useless for
-  // EQUALITY probes on a high-cardinality key — a point read on
-  // universeId intersects essentially every file's [min, max]. Per-file
-  // Bloom filters answer "might this file hold key k?" with no false
-  // negatives, so `=`/`IN` reads open only the files whose filter fires —
-  // Delta/Iceberg's bloom column stats, under the same rules as the
-  // min/max sidecar: written by the clustered rewrite, valid only for the
-  // exact version committed with it, fallback to the full manifest read
-  // otherwise (pruning is an optimization, never a correctness
-  // dependency).
+  // BLOOM FRAGMENTS (round-12 verdict #5; per-gen since round 14): min/max
+  // stats are useless for EQUALITY probes on a high-cardinality key — a
+  // point read on universeId intersects essentially every file's
+  // [min, max]. Per-file Bloom filters answer "might this file hold key
+  // k?" with no false negatives, so `=`/`IN` reads open only the files
+  // whose filter fires — Delta/Iceberg's bloom column stats. Stored as
+  // sparse packed-word parquet per GENERATION (see the fragment section
+  // above), probed with the word positions PUSHED INTO the fragment scan.
   // -------------------------------------------------------------------
 
   private val BloomHashes = 4
@@ -746,91 +908,101 @@ object Merge {
     * sidecar ≈ 2 bits/row of table on disk. */
   private val BloomBitsPerRow = 16L
 
-  private def bloomPath(table: org.apache.hadoop.fs.Path, version: Int) =
-    new org.apache.hadoop.fs.Path(manifestDir(table), s"bloom-v$version")
+  /** What one point probe decided and what it cost — `scannedSidecarRows`
+    * is the round-13 verdict #1 observable: the driver collects
+    * O(|values| · k · files) fragment rows, never rows ∝ table size,
+    * because the probe positions are computed BEFORE the fragment scan
+    * and `word_idx IN (positions)` is pushed into it (MergeSpec bounds
+    * this). */
+  private[graft] final case class PointProbeReport(
+      relPaths: Seq[String], scannedSidecarRows: Long,
+      prunedGens: Int, unfragmentedGens: Int)
 
-  /** One long-format parquet per version: (file, col, m, word_idx, bits) —
-    * the sparse packed-word representation, built by one extra
-    * aggregation pass over the rewritten bytes per bloom column (the
-    * write-time price of read-time skipping, same as the stats pass).
-    * `cols` pairs each PHYSICAL column (hashed — the bytes on disk) with
-    * its LOGICAL name (stored — what readers probe by). */
-  private def writeBloomSidecar(spark: SparkSession, tablePath: String,
-      table: org.apache.hadoop.fs.Path, version: Int, genPaths: Seq[String],
-      cols: Seq[(String, String)]): Unit = {
-    val data = spark.read.option("basePath", tablePath).parquet(genPaths: _*)
-    def fileKey = regexp_extract(input_file_name(), "bucket=.*$", 0).as("file")
-    val maxRows = data.groupBy(fileKey).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head().getLong(0)
-    var m = 64L
-    while (m < BloomBitsPerRow * maxRows) m <<= 1
-    cols.map { case (pc, lc) =>
-      data.select(fileKey, col(pc).as("v")).where(col("v").isNotNull)
-        .select(col("file"), explode(array((0 until BloomHashes).map(i =>
-          pmod(xxhash64(col("v"), lit(i)), lit(m))): _*)).as("pos"))
-        .groupBy(col("file"), (col("pos") / 64).cast("long").as("word_idx"))
-        .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
-        .select(col("file"), lit(lc).as("col"), lit(m).as("m"),
-          col("word_idx"), col("bits"))
-    }.reduce(_ unionByName _).coalesce(1)
-      .write.mode("overwrite").parquet(bloomPath(table, version).toString)
+  /** Decide the file set for `column IN (values)` per generation: gens
+    * with a Bloom fragment covering `column` contribute only their firing
+    * files; gens without one keep all their files. */
+  private[graft] def pointProbe(spark: SparkSession, tablePath: String,
+      column: String, values: Seq[Long]): PointProbeReport = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fsys = fs(spark, table)
+    val (version, state) = readManifest(fsys, table)
+    val meta = readMetaAt(fsys, table, version)
+    // probe under the column's committed type (a long probe against an
+    // int column would hash differently)
+    val dt = meta.schema.flatMap(_.find(_.name == column)).map(_.dataType)
+      .getOrElse(org.apache.spark.sql.types.LongType)
+    import spark.implicits._
+    var scanned = 0L; var pruned = 0; var unfragmented = 0
+    val relPaths: Seq[String] = state.groupBy(_._2).toSeq.sortBy(_._1)
+      .flatMap { case (g, entries) =>
+        val whole = entries.keys.toSeq.sorted.map(b => s"bucket=$b/gen=$g")
+        readBloomMeta(fsys, fragBloomMetaPath(table, g)) match {
+          case Some((m, cols)) if cols.contains(column) &&
+              fsys.exists(fragBloomPath(table, g)) =>
+            // positions first (through the writer's own hash expressions —
+            // engine hash parity is structural), then the pushed-down scan
+            val probes: Array[Array[Long]] = values.toDF("v")
+              .select((0 until BloomHashes).map(i =>
+                pmod(xxhash64(col("v").cast(dt), lit(i)), lit(m)).as(s"p$i")): _*)
+              .collect().map(r => Array.tabulate(BloomHashes)(r.getLong))
+            val wordIdxs = probes.flatten.map(_ / 64).distinct
+            val rows = spark.read.parquet(fragBloomPath(table, g).toString)
+              .filter(col("col") === column &&
+                col("word_idx").isin(wordIdxs.map(java.lang.Long.valueOf): _*))
+              .select(col("file"), col("word_idx"), col("bits"))
+              .collect()
+            scanned += rows.length
+            val words: Map[String, Map[Long, Long]] = rows.groupBy(_.getString(0))
+              .map { case (f, rs) =>
+                f -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
+            // a file fires when EVERY probe bit of at least one value is
+            // set (no false negatives — a file absent from the filtered
+            // rows has none of the probe words set and cannot hold a value)
+            val keep = words.keys.toSeq.sorted.filter { f =>
+              val wm = words(f)
+              probes.exists(ps => ps.forall { pos =>
+                (wm.getOrElse(pos / 64, 0L) & (1L << (pos % 64).toInt)) != 0L
+              })
+            }
+            // malformed paths fall the gen back; entries for buckets since
+            // rewritten at a newer gen are dropped (their rows live in the
+            // newer generation, covered by its own piece of this loop)
+            if (keep.exists(rel => parseRelFile(rel).isEmpty)) {
+              unfragmented += 1; whole
+            } else {
+              pruned += 1
+              keep.filter(rel => parseRelFile(rel).exists {
+                case (b, g2) => g2 == g && state.get(b).contains(g) })
+            }
+          case _ =>
+            unfragmented += 1; whole
+        }
+      }
+    PointProbeReport(relPaths, scanned, pruned, unfragmented)
   }
 
   /** POINT-LOOKUP skipping read: `column IN (values)` served through the
-    * current version's Bloom sidecar — a file opens only if EVERY probe
-    * bit of at least one value is set in its filter (no false negatives
-    * by construction, so no matching row can be skipped; false positives
-    * just open an extra file). Probe positions are computed through the
-    * SAME Spark expressions the writer hashed with (one |values|-row
-    * local job), so engine hash parity is structural. No sidecar for the
-    * version or the column → plain manifest read with the filter — which
-    * is what lets `j1_merge_point_read` share the merge CTEs' oracle. */
+    * committed generations' Bloom fragments ([[pointProbe]]) — no false
+    * negatives by construction, false positives just open an extra file,
+    * and generations without a fragment are read whole (which is what
+    * lets `j1_merge_point_read` share the merge CTEs' oracle: pruning is
+    * an optimization, never a correctness dependency). */
   def readTableWhereIn(spark: SparkSession, tablePath: String,
       column: String, values: Seq[Long]): DataFrame = {
     require(values.nonEmpty, "readTableWhereIn needs at least one value")
     val table = new org.apache.hadoop.fs.Path(tablePath)
-    val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (version, state) = readManifest(fs, table)
-    val schema = readSchemaAt(fs, table, version)
-    val mapping = readMappingAt(fs, table, version)
+    val fsys = fs(spark, table)
+    val (version, state) = readManifest(fsys, table)
+    val meta = readMetaAt(fsys, table, version)
     val pred = col(column).isin(values.map(java.lang.Long.valueOf): _*)
-    def full() = loadState(spark, tablePath, state, schema, mapping).filter(pred)
-    val bp = bloomPath(table, version)
-    if (!fs.exists(bp))
-      return full()
-    val rows = spark.read.parquet(bp.toString)
-      .filter(col("col") === column).collect()
-    if (rows.isEmpty)
-      return full()
-    val m = rows.head.getAs[Long]("m")
-    val words: Map[String, Map[Long, Long]] = rows.groupBy(_.getString(0))
-      .map { case (f, rs) =>
-        f -> rs.map(r => r.getAs[Long]("word_idx") -> r.getAs[Long]("bits")).toMap }
-    // probe through the writer's own hash expressions, cast to the
-    // column's committed type (a long probe against an int column would
-    // hash differently)
-    val dt = schema.flatMap(_.find(_.name == column)).map(_.dataType)
-      .getOrElse(org.apache.spark.sql.types.LongType)
-    import spark.implicits._
-    val probes = values.toDF("v").select((0 until BloomHashes).map(i =>
-      pmod(xxhash64(col("v").cast(dt), lit(i)), lit(m)).as(s"p$i")): _*).collect()
-    val keep = words.keys.toSeq.sorted.filter { f =>
-      val wm = words(f)
-      probes.exists(r => (0 until BloomHashes).forall { i =>
-        val pos = r.getLong(i)
-        (wm.getOrElse(pos / 64, 0L) & (1L << (pos % 64).toInt)) != 0L
-      })
-    }
-    val resolved = keep.map(rel => s"$tablePath/$rel")
-    val resolvable = keep.forall(_.startsWith("bucket=")) &&
-      resolved.forall(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
-    if (!resolvable)
-      return full()
-    if (resolved.isEmpty)
-      return full().limit(0)
+    def full() = loadState(spark, tablePath, state, meta.schema, meta.mapping)
+      .filter(pred)
+    val report = pointProbe(spark, tablePath, column, values)
+    if (report.relPaths.isEmpty) return full().limit(0)
+    if (report.prunedGens == 0) return full()
     val direct = spark.read.option("basePath", tablePath)
-      .parquet(resolved.toIndexedSeq: _*)
-    mapping.foldLeft(direct) { case (d, (logical, physical)) =>
+      .parquet(report.relPaths.map(rel => s"$tablePath/$rel"): _*)
+    meta.mapping.foldLeft(direct) { case (d, (logical, physical)) =>
       if (logical != physical && d.columns.contains(physical))
         d.withColumnRenamed(physical, logical)
       else d
@@ -866,18 +1038,12 @@ object Merge {
   private def schemaPath(table: org.apache.hadoop.fs.Path, version: Int) =
     new org.apache.hadoop.fs.Path(manifestDir(table), s"schema-v$version")
 
-  private def writeSchemaSidecar(fs: org.apache.hadoop.fs.FileSystem,
-      table: org.apache.hadoop.fs.Path, version: Int,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
-    val p = schemaPath(table, version)
-    val out = fs.create(p, true)
-    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
-  }
-
-  /** The schema a version committed — None for tables written before the
-    * sidecar existed (readers then fall back to footer inference). The
-    * committed schema is the LOGICAL one (user-facing names); physical
-    * parquet names are recovered through [[readMappingAt]]. */
+  /** LEGACY reader (pre-format-2 tables only — since round 14 the schema
+    * travels inside the manifest, [[readMetaAt]]): the schema a version
+    * committed — None for tables written before the sidecar existed
+    * (readers then fall back to footer inference). The committed schema
+    * is the LOGICAL one (user-facing names); physical parquet names are
+    * recovered through [[readMappingAt]]. */
   private def readSchemaAt(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, version: Int)
       : Option[org.apache.spark.sql.types.StructType] = {
@@ -907,19 +1073,9 @@ object Merge {
   private def mappingPath(table: org.apache.hadoop.fs.Path, version: Int) =
     new org.apache.hadoop.fs.Path(manifestDir(table), s"mapping-v$version")
 
-  private def writeMappingSidecar(fs: org.apache.hadoop.fs.FileSystem,
-      table: org.apache.hadoop.fs.Path, version: Int,
-      mapping: Map[String, String]): Unit =
-    if (mapping.nonEmpty) {
-      val p = mappingPath(table, version)
-      val out = fs.create(p, true)
-      try out.write(mapping.toSeq.sorted.map { case (l, ph) => s"$l,$ph" }
-        .mkString("", "\n", "\n").getBytes("UTF-8"))
-      finally out.close()
-    }
-
-  /** logical → physical for columns whose names diverged; identity
-    * entries are omitted (absent file = fully identity). */
+  /** LEGACY reader (pre-format-2 tables only): logical → physical for
+    * columns whose names diverged; identity entries are omitted (absent
+    * file = fully identity). */
   private def readMappingAt(fs: org.apache.hadoop.fs.FileSystem,
       table: org.apache.hadoop.fs.Path, version: Int): Map[String, String] = {
     val p = mappingPath(table, version)
@@ -944,18 +1100,24 @@ object Merge {
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
-    val schema = readSchemaAt(fs, table, version).getOrElse(
-      sys.error(s"renameColumn needs a schema sidecar on $tablePath"))
+    val meta0 = readMetaAt(fs, table, version)
+    val schema = meta0.schema.getOrElse(
+      sys.error(s"renameColumn needs a committed schema on $tablePath"))
     require(schema.fieldNames.contains(from), s"no column $from to rename")
     require(!schema.fieldNames.contains(to), s"column $to already exists")
-    val mapping = readMappingAt(fs, table, version)
+    val mapping = meta0.mapping
     val physical = mapping.getOrElse(from, from)
     val renamedSchema = org.apache.spark.sql.types.StructType(
       schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
-    writeSchemaSidecar(fs, table, round, renamedSchema)
-    writeMappingSidecar(fs, table, round, (mapping - from) + (to -> physical))
-    commitManifest(fs, table, round, current)
-    sweepRetention(fs, table, round, retainVersions)
+    // sidecar policy follows the rename (fragments already on disk keep
+    // the OLD logical name, so pruning on the renamed column degrades to
+    // keep-all for pre-rename generations — correctness is untouched)
+    def ren(cs: Seq[String]) = cs.map(c => if (c == from) to else c)
+    commitManifest(fs, table, round, current, meta0.copy(
+      schema = Some(renamedSchema),
+      mapping = (mapping - from) + (to -> physical),
+      statsCols = ren(meta0.statsCols), bloomCols = ren(meta0.bloomCols)))
+    sweepRetention(fs, table, round, retainVersions, meta0.takedownGrace)
   }
 
   /** Translate a LOGICAL frame to physical column names for writing. */
@@ -969,19 +1131,91 @@ object Merge {
   private def manifestDir(table: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(table, "_manifests")
 
-  /** Atomic commit: write `bucket,gen` lines to a temp file, rename to
-    * `manifest-v<version>` PUT-IF-ABSENT ([[ManifestIo.commitFile]] —
-    * round-12 verdict: the old delete-then-rename was last-write-wins, so
-    * a concurrent writer or stale retry silently replaced a committed
-    * version). A commit of an existing version now throws
-    * [[VersionConflictException]]; [[upsertRound]] catches it and retries
-    * at the next version when the conflict is benign (disjoint buckets). */
+  /** Everything a version commits BESIDES the bucket → gen map, embedded
+    * in the manifest file itself (round-14, ADVICE r13 #1): the previous
+    * design wrote schema/mapping as separate pre-commit sidecar files
+    * with overwrite, so a writer LOSING the put-if-absent manifest race
+    * had already replaced the winner's committed metadata — and the
+    * conflict check then read back the loser's own write. With the
+    * metadata inside the one put-if-absent manifest file, a version's
+    * schema/mapping/layout properties are atomic with its commit and
+    * structurally impossible to clobber (Delta keeps schema in the
+    * commit JSON for the same reason). `statsCols`/`bloomCols` are the
+    * table's skipping-sidecar policy: once a clustered rewrite sets them,
+    * every later writer maintains per-generation fragments for its new
+    * generation (round-13 verdict #5 — sidecars no longer die at the
+    * next version). `takedownGrace` is the compliance dial (verdict #7):
+    * when set, retention is clamped to at most that many pre-delete
+    * versions, bounding takedown-to-physical latency table-wide. */
+  private[graft] final case class TableMeta(
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      mapping: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      takedownGrace: Option[Int] = None)
+
+  /** Atomic commit: write `#`-prefixed metadata lines plus `bucket,gen`
+    * lines to a temp file, claim `manifest-v<version>` PUT-IF-ABSENT
+    * ([[ManifestIo.commitFile]] — round-12 verdict: the old
+    * delete-then-rename was last-write-wins, so a concurrent writer or
+    * stale retry silently replaced a committed version). A commit of an
+    * existing version throws [[VersionConflictException]];
+    * [[upsertRound]] catches it and retries at the next version when the
+    * conflict is benign (disjoint buckets). */
   private def commitManifest(
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
-      version: Int, state: Map[Int, Int]): Unit =
+      version: Int, state: Map[Int, Int], meta: TableMeta): Unit = {
+    val metaLines = Seq("#format 2") ++
+      meta.schema.map(s => s"#schema ${s.json}").toSeq ++
+      meta.mapping.toSeq.sorted.map { case (l, ph) => s"#mapping $l,$ph" } ++
+      (if (meta.statsCols.nonEmpty)
+        Seq(s"#statscols ${meta.statsCols.mkString(",")}") else Seq.empty) ++
+      (if (meta.bloomCols.nonEmpty)
+        Seq(s"#bloomcols ${meta.bloomCols.mkString(",")}") else Seq.empty) ++
+      meta.takedownGrace.map(g => s"#takedowngrace $g").toSeq
     ManifestIo.commitFile(fs, manifestDir(table), s"manifest-v$version",
-      state.toSeq.sorted.map { case (b, g) => s"$b,$g" }
+      (metaLines ++ state.toSeq.sorted.map { case (b, g) => s"$b,$g" })
         .mkString("", "\n", "\n"))
+  }
+
+  /** A version's committed metadata. Format-2 manifests carry it inline;
+    * legacy (round-13) tables fall back to their schema-v/mapping-v
+    * sidecar files, so persisted history tables stay readable. */
+  private[graft] def readMetaAt(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
+      version: Int): TableMeta = {
+    val lines = manifestLines(fs, table, version)
+    if (!lines.exists(_.startsWith("#format")))
+      TableMeta(readSchemaAt(fs, table, version), readMappingAt(fs, table, version))
+    else {
+      def tagged(tag: String): Seq[String] =
+        lines.filter(_.startsWith(s"#$tag ")).map(_.stripPrefix(s"#$tag "))
+      TableMeta(
+        schema = tagged("schema").headOption.map(j =>
+          org.apache.spark.sql.types.DataType.fromJson(j)
+            .asInstanceOf[org.apache.spark.sql.types.StructType]),
+        mapping = tagged("mapping").map { l =>
+          val Array(lo, ph) = l.split(','); lo -> ph }.toMap,
+        statsCols = tagged("statscols").headOption
+          .map(_.split(',').toSeq).getOrElse(Seq.empty),
+        bloomCols = tagged("bloomcols").headOption
+          .map(_.split(',').toSeq).getOrElse(Seq.empty),
+        takedownGrace = tagged("takedowngrace").headOption.map(_.trim.toInt))
+    }
+  }
+
+  private def manifestLines(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
+      version: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"manifest-v$version")
+    require(fs.exists(p),
+      s"version $version is expired or never committed (retained: " +
+        s"${committedVersions(fs, table).mkString(",")})")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    text.linesIterator.filter(_.nonEmpty).toSeq
+  }
 
   /** A fresh GENERATION label for one writer attempt at `round`: gen dirs
     * are write-once — no two attempts (crashed retries, or two concurrent
@@ -1017,48 +1251,67 @@ object Merge {
     * unreferenced gen dirs, and an in-flight writer's not-yet-committed
     * gens look unreferenced to it (the same reason Delta's VACUUM has a
     * retention window). */
+  /** ADVICE r13 #1 note: earlier revisions wrote schema/mapping sidecar
+    * FILES here before each commit attempt — with overwrite — so a losing
+    * writer clobbered the winner's committed metadata and the conflict
+    * check below read back its own write. Metadata now travels INSIDE the
+    * put-if-absent manifest ([[commitManifest]]), so the winner's is
+    * immutable and the comparison reads what the winner actually
+    * committed.
+    *
+    * `strict` (ADVICE r13 #3): a predicate DELETE's read set is the WHOLE
+    * table, not just the buckets it rewrote — a concurrent writer
+    * inserting predicate-matching rows into an untouched bucket would
+    * otherwise let the takedown commit a version that still contains
+    * matching rows (write skew; Delta fails DELETE on any concurrent
+    * change it cannot prove disjoint from the predicate). Strict mode
+    * refuses on ANY bucket change between this writer's base and the
+    * winner's state. */
   private def commitWithRetry(
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
       round: Int, base0: Map[Int, Int],
       newEntries: Map[Int, Int],
-      schema: org.apache.spark.sql.types.StructType,
-      mapping: Map[String, String],
-      removedBuckets: Seq[Int] = Seq.empty): (Int, Map[Int, Int]) = {
+      meta: TableMeta,
+      removedBuckets: Seq[Int] = Seq.empty,
+      strict: Boolean = false): (Int, Map[Int, Int]) = {
     var attemptVersion = round
     var base = base0
     var attempts = 0
     while (true) {
       val stateMap = (base -- removedBuckets) ++ newEntries
-      writeSchemaSidecar(fs, table, attemptVersion, schema)
-      writeMappingSidecar(fs, table, attemptVersion, mapping)
       try {
-        commitManifest(fs, table, attemptVersion, stateMap)
+        commitManifest(fs, table, attemptVersion, stateMap, meta)
         return (attemptVersion, stateMap)
       } catch {
         case c: VersionConflictException =>
           attempts += 1
           if (attempts > MaxCommitRetries) throw c
           val (wv, wstate) = readManifest(fs, table)
-          val overlap = (newEntries.keys.toSeq ++ removedBuckets)
-            .filter(b => wstate.get(b) != base0.get(b)).sorted
+          val overlap =
+            (if (strict) (wstate.keySet ++ base0.keySet).toSeq
+             else newEntries.keys.toSeq ++ removedBuckets)
+              .filter(b => wstate.get(b) != base0.get(b)).sorted
           if (overlap.nonEmpty)
             throw new VersionConflictException(
               s"concurrent writer rewrote bucket(s) ${overlap.mkString(",")} " +
-                s"of $table after this round read them — the merged rows are " +
-                "stale; re-run the round against the latest version")
+                s"of $table after this round read ${if (strict) "the table"
+                  else "them"} — the ${if (strict) "delete's predicate scan is"
+                  else "merged rows are"} stale; re-run against the latest version")
           // metadata check: the winner must have committed the SAME schema
           // this writer is about to (same field set/types — nullability is
           // normalized: a merge round makes every column nullable while an
-          // initial load may not) and the same mapping; a schema-evolving
-          // winner is a metadata conflict no manifest merge can reconcile
+          // initial load may not), mapping, and layout properties; a
+          // metadata-changing winner is a conflict no manifest merge can
+          // reconcile
           def norm(s: Option[org.apache.spark.sql.types.StructType]) =
             s.map(st => org.apache.spark.sql.types.StructType(st.fields.map(
               _.copy(nullable = true,
                 metadata = org.apache.spark.sql.types.Metadata.empty))))
-          if (norm(readSchemaAt(fs, table, wv)) != norm(Some(schema)) ||
-              readMappingAt(fs, table, wv) != mapping)
+          val wmeta = readMetaAt(fs, table, wv)
+          if (norm(wmeta.schema) != norm(meta.schema) ||
+              wmeta.copy(schema = None) != meta.copy(schema = None))
             throw new VersionConflictException(
-              s"concurrent writer changed the schema/mapping of $table — " +
+              s"concurrent writer changed the schema/mapping/layout of $table — " +
                 "metadata conflicts are not auto-merged; re-run the round")
           attemptVersion = wv + 1
           base = wstate
@@ -1089,21 +1342,14 @@ object Merge {
       .sorted
   }
 
-  /** One specific committed manifest's bucket → gen map. */
+  /** One specific committed manifest's bucket → gen map (metadata lines —
+    * `#`-prefixed — are parsed by [[readMetaAt]]). */
   private def readManifestAt(
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
-      version: Int): Map[Int, Int] = {
-    val p = new org.apache.hadoop.fs.Path(manifestDir(table), s"manifest-v$version")
-    require(fs.exists(p),
-      s"version $version is expired or never committed (retained: " +
-        s"${committedVersions(fs, table).mkString(",")})")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { l =>
+      version: Int): Map[Int, Int] =
+    manifestLines(fs, table, version).filterNot(_.startsWith("#")).map { l =>
       val Array(b, g) = l.split(','); b.toInt -> g.toInt
     }.toMap
-  }
 
   /** The versions of `tablePath` that are still time-travel-readable
     * (bounded by the writer's `retainVersions`). */
@@ -1121,8 +1367,8 @@ object Merge {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (version, state) = readManifest(fs, table)
-    loadState(spark, tablePath, state, readSchemaAt(fs, table, version),
-      readMappingAt(fs, table, version))
+    val meta = readMetaAt(fs, table, version)
+    loadState(spark, tablePath, state, meta.schema, meta.mapping)
   }
 
   /** TIME TRAVEL: read `tablePath` exactly as it stood when `version` was
@@ -1138,8 +1384,9 @@ object Merge {
   def readTableAt(spark: SparkSession, tablePath: String, version: Int): DataFrame = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = readMetaAt(fs, table, version)
     loadState(spark, tablePath, readManifestAt(fs, table, version),
-      readSchemaAt(fs, table, version), readMappingAt(fs, table, version))
+      meta.schema, meta.mapping)
   }
 
   /** `schema`: the version's committed LOGICAL schema (sidecar) — passing
@@ -1231,8 +1478,9 @@ object Merge {
     // both sides read under the TO version's schema: a column added
     // between the versions reads as null on the old side, so evolution
     // surfaces as ordinary updates (null -> value) with null preimages
-    val toSchema = readSchemaAt(fs, table, toVersion)
-    val toMapping = readMappingAt(fs, table, toVersion)
+    val toMeta = readMetaAt(fs, table, toVersion)
+    val toSchema = toMeta.schema
+    val toMapping = toMeta.mapping
     if (changed.isEmpty) {
       val empty = loadState(spark, tablePath, m2, toSchema, toMapping).limit(0)
       return empty.select(outCols(col(key), lit("insert"),
@@ -1537,6 +1785,92 @@ object Merge {
         .when(col("op") === "delete", -1L).otherwise(0L)).as("d_rows"),
       (sum(coalesce(col("playerCount"), lit(0L))) -
         sum(coalesce(col("pre_playerCount"), lit(0L)))).as("d_pc"))
+
+  // -------------------------------------------------------------------
+  // NON-INVERTIBLE IVM (round-13 verdict #6): count/sum views refresh by
+  // pure algebra (±1 row, ±f(pre)), but a DELETE of a group's current
+  // MIN/MAX cannot be maintained incrementally — the new extremum is not
+  // in the feed. Standard IVM practice: maintain candidates from the
+  // feed; when an extremum-carrying row LEAVES a group (a delete/update
+  // whose preimage ties the group's current extremum), mark the group
+  // dirty and recompute ONLY those groups from the table. Clean groups
+  // stay change-priced; the recompute prices the dirty groups' rows —
+  // at 100 TB with group keys aligned to a clustered column that scan is
+  // itself file-skippable.
+  // -------------------------------------------------------------------
+
+  /** The min/max view's creation aggregate — one full pass. */
+  def ivmMinMaxBase(snapshot: DataFrame): DataFrame =
+    ivmSharded(snapshot).groupBy(col("shard")).agg(
+      max(col("playerCount")).as("mx_pc"),
+      min(col("playerCount")).as("mn_pc"))
+
+  /** Per-shard candidates and evictions from one preimage feed — the
+    * SAME expression tree the streaming twin runs in complete mode.
+    * `cand_*`: extrema over surviving post-images (inserts + update
+    * posts); `evict_*`: extrema over departed preimages (deletes +
+    * update pres). A cumulative (multi-version) feed is handled by the
+    * same algebra: any departed candidate shows up in `evict_*`, so the
+    * dirty test below catches it (see [[ivmMinMaxApply]]). */
+  def ivmMinMaxDelta(changes: DataFrame): DataFrame =
+    ivmSharded(changes).groupBy(col("shard")).agg(
+      max(when(col("op") =!= "delete", col("playerCount"))).as("cand_mx"),
+      min(when(col("op") =!= "delete", col("playerCount"))).as("cand_mn"),
+      max(when(col("op") =!= "insert", col("pre_playerCount"))).as("evict_mx"),
+      min(when(col("op") =!= "insert", col("pre_playerCount"))).as("evict_mn"))
+
+  /** Fold one min/max delta into the view. A shard is DIRTY when a
+    * departed preimage reaches the view's current extremum (`evict_mx >=
+    * mx_pc` — the extremum row may have left; `>=` also covers a departed
+    * later-round candidate exceeding it, which makes the fold correct for
+    * cumulative feeds). Clean shards update as greatest/least(view,
+    * candidates) — exact, because every departed row is then strictly
+    * inside the kept range. Dirty shards recompute from `tableNow`
+    * restricted to them (left-semi on the |dirty-shards| keys); a fully
+    * deleted shard recomputes to no row and leaves the view, matching the
+    * direct aggregate. */
+  def ivmMinMaxApply(view: DataFrame, delta: DataFrame,
+      tableNow: DataFrame): DataFrame = {
+    val merged = view.alias("v").join(delta.alias("d"), Seq("shard"), "full_outer")
+      .select(col("shard"),
+        col("v.mx_pc").as("mx_pc"), col("v.mn_pc").as("mn_pc"),
+        col("d.cand_mx").as("cand_mx"), col("d.cand_mn").as("cand_mn"),
+        ((col("d.evict_mx").isNotNull && col("mx_pc").isNotNull &&
+          col("d.evict_mx") >= col("mx_pc")) ||
+         (col("d.evict_mn").isNotNull && col("mn_pc").isNotNull &&
+          col("d.evict_mn") <= col("mn_pc")) ||
+         // a shard the view has never seen whose feed already evicts rows
+         // (possible only on cumulative feeds) — recompute to be safe
+         (col("mx_pc").isNull && (col("d.evict_mx").isNotNull ||
+           col("d.evict_mn").isNotNull))).as("dirty"))
+    val clean = merged.filter(!col("dirty"))
+      .select(col("shard"),
+        greatest(col("mx_pc"), col("cand_mx")).as("mx_pc"),
+        least(col("mn_pc"), col("cand_mn")).as("mn_pc"))
+    val dirtyShards = merged.filter(col("dirty")).select(col("shard"))
+    val recomputed = ivmMinMaxBase(
+      ivmSharded(tableNow).join(broadcast(dirtyShards), Seq("shard"), "left_semi")
+        .drop("shard"))
+    clean.unionByName(recomputed)
+  }
+
+  /** `j1_merge_ivm_minmax`: the non-invertible-IVM gate. Per-shard
+    * min/max over playerCount, created at version [[ChangesFromVersion]]
+    * and refreshed through every later feed INCLUDING the delete version
+    * — the recompute-on-evict fallback must land it exactly on the
+    * oracle's direct aggregate over the post-delete state (MergeSpec pins
+    * a deterministic extremum eviction; the gate pins the end-to-end
+    * algebra on the shared delete-history table). */
+  def mergeIvmMinMax(spark: SparkSession, dir: String): DataFrame = {
+    val tablePath = ensureDeleteHistoryTable(spark, dir)
+    val base = ivmMinMaxBase(readTableAt(spark, tablePath, ChangesFromVersion))
+    ((ChangesFromVersion + 1) to DeleteVersion).foldLeft(base)((view, v) =>
+      ivmMinMaxApply(view,
+        ivmMinMaxDelta(readChanges(spark, tablePath, v - 1, v, "universeId",
+          withPreimage = true)),
+        readTableAt(spark, tablePath, v)))
+      .orderBy(col("shard"))
+  }
 
   /** Fold one delta frame into the view (|shards|-row join). */
   def ivmApply(view: DataFrame, delta: DataFrame): DataFrame =

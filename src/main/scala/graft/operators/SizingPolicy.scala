@@ -40,9 +40,19 @@ object SizingPolicy {
     * with. */
   def sizedStateBuckets(n: Long): Int = {
     var b = 16L
-    while (b * 128 < n) b <<= 1
+    while (b * 128 < n && b < MaxStateBuckets) b <<= 1
     b.toInt
   }
+
+  /** Upper cap on [[sizedStateBuckets]] (ADVICE r13 #5): without it, the
+    * doubling loop run on a 100 TB-scale population (n ≳ 2^38 rows —
+    * postings row counts get there) pushes `b` past Int.MaxValue and the
+    * `.toInt` truncation returns a negative/garbage bucket count. 2^20
+    * buckets × the 128-row occupancy target already addresses 2^27 rows
+    * per manifest line budget — past that the manifest itself (one line
+    * per bucket) is the binding constraint, so growth must move to
+    * per-bucket file counts, not more buckets. */
+  val MaxStateBuckets: Long = 1L << 20
 
   /** Routed-entry switch (round-10 verdict #1): above fixture scale the
     * fixed low-id entry set starts the beam nowhere near most queries —

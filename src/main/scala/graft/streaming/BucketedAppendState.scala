@@ -240,11 +240,21 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
 
   /** The union-committed map: every table of `current` carries forward
     * unless touched; touched tables (INCLUDING ones current never saw —
-    * ADVICE r12 #2) take their new entries. */
+    * ADVICE r12 #2) take their new entries — and take them WHOLE.
+    *
+    * ADVICE r13 #2: this used to merge per-bucket maps
+    * (`current(t) ++ replaced(t)`), which resurrected deleted rows two
+    * ways: a [[commitFull]] retrain whose rewrite left a bucket empty kept
+    * that bucket's OLD gen list, and a [[commitDelta]] whose deletes
+    * emptied a bucket (the emptied entry is filtered out of the caller's
+    * merged map) re-adopted the old gens from `current`. Both violate the
+    * takedown guarantee silently. Callers now pass the COMPLETE post-commit
+    * per-table map (commitDelta merges bucket-wise itself before calling),
+    * and a table present in `replaced` replaces its entry outright. */
   private def unionCommit(current: Map[String, Map[Int, Seq[Long]]],
       replaced: Map[String, Map[Int, Seq[Long]]]): Map[String, Map[Int, Seq[Long]]] =
     (current.keySet ++ replaced.keySet).map { t =>
-      t -> (current.getOrElse(t, Map.empty) ++ replaced.getOrElse(t, Map.empty))
+      t -> replaced.getOrElse(t, current(t))
     }.toMap
 
   /** Full write of every table at `version` — bootstrap and retrain-style

@@ -133,6 +133,40 @@ class BucketedAppendStateSpec extends AnyFunSuite {
     assert(st.read("vectors").count() === 39)
   }
 
+  test("no resurrection: retrain and bucket-emptying deletes drop old gens (ADVICE r13 #2)") {
+    // (a) commitFull retrain: a bucket that receives NO rows in the
+    // retrain dataset must NOT keep its old gen list — the exact case a
+    // post-heavy-deletion NSW rebuild routes through commitFull, where the
+    // old per-bucket merge silently resurrected taken-down rows
+    val root = Files.createTempDirectory("bas-resur").toString
+    val st = new BucketedAppendState(spark, root, buckets = 8,
+      keyed = Map("vectors" -> "vec_id"), keepVersions = 16)
+    st.commitFull(0L, Map("vectors" -> vecs(0L until 40L)))
+    st.commitFull(1L, Map("vectors" -> vecs(Seq(0L))))
+    val retained = st.read("vectors").select("vec_id").collect().map(_.getLong(0))
+    assert(retained.toSeq === Seq(0L),
+      s"retrain must replace the WHOLE table entry; got ${retained.length} rows")
+
+    // (b) commitDelta that empties a bucket: every row of one bucket
+    // deleted — the emptied bucket must stay empty, not re-adopt its old
+    // generations from the carried-forward manifest
+    val root2 = Files.createTempDirectory("bas-resur2").toString
+    val st2 = new BucketedAppendState(spark, root2, buckets = 8,
+      keyed = Map("vectors" -> "vec_id"), keepVersions = 16)
+    st2.commitFull(0L, Map("vectors" -> vecs(0L until 40L)))
+    val byBucket = spark.read.parquet(s"$root2/vectors")
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).groupBy(_._2)
+    val (b0, b0Rows) = byBucket.head
+    val b0Ids = b0Rows.map(_._1).toSeq
+    st2.commitDelta(1L, appends = Map.empty,
+      deleteKeys = Map("vectors" -> b0Ids.toDF("vec_id")))
+    val after = st2.read("vectors").select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(b0Ids.forall(id => !after.contains(id)),
+      s"bucket $b0 was fully deleted but rows resurrected")
+    assert(after.size === 40 - b0Ids.length)
+  }
+
   test("crash on either side of the manifest rename recovers exactly-once") {
     val root = Files.createTempDirectory("bas-crash").toString
     val boom = new RuntimeException("crash")

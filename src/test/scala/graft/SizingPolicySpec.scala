@@ -65,6 +65,10 @@ class SizingPolicySpec extends AnyFunSuite {
     // (~128 rows) — the PostingsMaintainerScale bytes-axis dial
     assert(SizingPolicy.sizedStateBuckets(20000L) === 256)
     assert(SizingPolicy.sizedStateBuckets(200000L) === 2048)
+    // ADVICE r13 #5: a 100 TB-scale population (n ≳ 2^38) must hit the
+    // cap, not overflow Int through the doubling loop's truncation
+    assert(SizingPolicy.sizedStateBuckets(1L << 40) === (1 << 20))
+    assert(SizingPolicy.sizedStateBuckets(Long.MaxValue) === (1 << 20))
   }
 
   test("the growth term floors at zero below its reference population") {
