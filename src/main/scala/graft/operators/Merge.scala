@@ -2050,6 +2050,16 @@ object Merge {
     deltas.foldLeft(base)(ivmApply).orderBy(col("shard"))
   }
 
+  val mergeIvmMinMaxSql: String = OracleViews.withGames(
+    s"""${mergeCtesSql(IncRounds)}
+       |SELECT universeId % 10 AS shard,
+       |       max(playerCount) AS mx_pc,
+       |       min(playerCount) AS mn_pc
+       |FROM m$IncRounds
+       |WHERE NOT (universeId % $DelMod = $DelRes)
+       |GROUP BY 1
+       |ORDER BY shard""".stripMargin)
+
   val mergeIvmDeleteSql: String = OracleViews.withGames(
     s"""${mergeCtesSql(IncRounds)}
        |SELECT universeId % 10 AS shard,
@@ -2176,6 +2186,7 @@ object Merge {
     "j1_merge_delete" -> mergeDelete,
     "j1_merge_changes_delete" -> mergeChangesDelete,
     "j1_merge_ivm_delete" -> mergeIvmDelete,
+    "j1_merge_ivm_minmax" -> mergeIvmMinMax,
     "j1_merge_point_read" -> mergePointRead
   )
 
@@ -2194,6 +2205,7 @@ object Merge {
     "j1_merge_delete" -> mergeDeleteSql,
     "j1_merge_changes_delete" -> mergeChangesDeleteSql,
     "j1_merge_ivm_delete" -> mergeIvmDeleteSql,
+    "j1_merge_ivm_minmax" -> mergeIvmMinMaxSql,
     "j1_merge_point_read" -> mergePointReadSql
   )
 }

@@ -51,4 +51,20 @@ object StreamingIvmView {
     * cumulative deltas. */
   def currentView(spark: SparkSession, base: DataFrame, deltaTable: String): DataFrame =
     Merge.ivmApply(base, spark.table(deltaTable))
+
+  /** MIN/MAX twin (round-13 verdict #6): the same candidates/evictions
+    * expression tree as the batch fold ([[Merge.ivmMinMaxDelta]]), run in
+    * complete mode over the CUMULATIVE feed — still |shards| state rows.
+    * The algebra is cumulative-safe: any departed candidate surfaces in
+    * the eviction extrema, so the serve-time dirty test catches it. */
+  def minMaxDeltaStream(feed: DataFrame): DataFrame = Merge.ivmMinMaxDelta(feed)
+
+  /** Served min/max view: clean shards = base ⊕ candidates (no table
+    * I/O); shards whose cumulative feed ever evicted a reigning extremum
+    * recompute from the CURRENT table, restricted to them — the per-group
+    * non-invertible-aggregate fallback, paid only at serve time and only
+    * for dirty groups. */
+  def currentMinMaxView(spark: SparkSession, base: DataFrame,
+      deltaTable: String, tableNow: DataFrame): DataFrame =
+    Merge.ivmMinMaxApply(base, spark.table(deltaTable), tableNow)
 }

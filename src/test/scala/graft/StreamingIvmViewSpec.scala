@@ -77,4 +77,57 @@ class StreamingIvmViewSpec extends AnyFunSuite {
       assert(spark.table("ivm_deltas").count() <= 10L)
     } finally q.stop()
   }
+
+  test("min/max view: a takedown that evicts a shard extremum recomputes exactly (verdict r13 #6)") {
+    val dropDir = Files.createTempDirectory("ivmm-drops").toString
+    val tableDir = Files.createTempDirectory("ivmm-table").toString + "/games"
+    val feedDir = Files.createTempDirectory("ivmm-feed").toString
+    val ckptW = Files.createTempDirectory("ivmm-ckpt-w").toString
+    val ckptV = Files.createTempDirectory("ivmm-ckpt-v").toString
+
+    // base: playerCount = id % 7 (max 6); the crawl inserts key 64 with
+    // playerCount 100 — shard 4's new maximum — and a later TAKEDOWN
+    // deletes it, so the true max falls BACK to the base value: the case
+    // a candidates-only view serves wrong (it would keep 100)
+    val initial = mk((0L until 60L).map(id =>
+      (id, id * 10, s"base-$id", Option.when(id % 3 == 0)(s"d$id"),
+        Option.when(id % 4 == 0)(s"g$id"), Some(id % 7))))
+    mk(Seq((64L, 640L, "sixty-four", None, None, Some(100L))))
+      .coalesce(1).write.parquet(s"$dropDir/a")
+
+    val cf = new StreamingChangeFeed(spark, tableDir, feedDir, initial,
+      "universeId", overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+      coalesceCols = Seq("description"), keepCols = Seq("gameplayDescription"),
+      buckets = 16, feedPreimages = true, retainVersions = 8)
+    val stream = spark.readStream.schema(Schemas.game)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+    cf.start(stream, ckptW).awaitTermination(120000L)
+    val st = cf.applyDelete(col("universeId") === 64L)
+    assert(st.deletedRows === 1)
+
+    val base = Merge.ivmMinMaxBase(Merge.readTableAt(spark, tableDir, 0)
+      .selectExpr(cols: _*))
+    val feedSchema = cf.feed().drop("version").schema
+    val q = StreamingIvmView.startComplete(
+      StreamingIvmView.minMaxDeltaStream(
+        StreamingIvmView.readFeed(spark, feedDir, feedSchema)),
+      "ivm_mm_deltas", ckptV)
+    q.processAllAvailable()
+    try {
+      val served = StreamingIvmView.currentMinMaxView(spark, base,
+        "ivm_mm_deltas", cf.currentTable())
+        .orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = Merge.ivmMinMaxBase(Merge.readTable(spark, tableDir)
+          .selectExpr(cols: _*))
+        .orderBy("shard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(served.toSeq === want.toSeq,
+        "served min/max view diverges from the batch recompute")
+      // the takedown's eviction is visible: shard 4's max is back at the
+      // base value, not the deleted crawl's 100
+      assert(served.find(_._1 === 4L).get._2 === 6L)
+      assert(spark.table("ivm_mm_deltas").count() <= 10L)
+    } finally q.stop()
+  }
 }
