@@ -757,6 +757,10 @@ object Nsw {
         cosineSimilarity(col("a.v"), col("b.v")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("cos"), col("node_id"))
     visited.unionByName(self)
+      // self-exclusion: a NEW node never meets itself in the pre-batch
+      // graph, but the edge-REPAIR path re-inserts nodes that are already
+      // members — without this their rank-1 "neighbor" is themselves
+      .filter(col("query_id") =!= col("node_id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= Degree)
       .select(col("query_id").as("src"), col("node_id").as("dst"))

@@ -132,7 +132,7 @@ object Similarity {
     * clustered-corpus recall harness. `queryLo` shifts the 5-query block
     * (default the canonical ids 0..4) so stored-artifact recall rows can
     * average several disjoint query sets without rebuilding anything. */
-  private[operators] def annBruteForceKOn(e: DataFrame, k: Int,
+  private[graft] def annBruteForceKOn(e: DataFrame, k: Int,
       queryLo: Long = 0L): DataFrame = {
     val queries = e.filter(col("vec_id") >= queryLo && col("vec_id") < queryLo + 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))

@@ -117,5 +117,41 @@ class StreamingNswIndexSpec extends AnyFunSuite {
       "a removed vector must stop being served")
     assert(index.search2().filter(col("neighbor_id") === victim).isEmpty,
       "a removed vector must stop being served by the 2-layer search")
+
+    // EDGE REPAIR (round-14, verdict r13 #4): take down a node that IS a
+    // stored adjacency target — repair re-links exactly the srcs that
+    // pointed at it and nothing else, the dangling references disappear
+    // from state, and a graph with nothing dangling burns no version
+    val victim2 = index.currentKnn()
+      .groupBy(col("dst")).count().orderBy(org.apache.spark.sql.functions.desc("count"))
+      .head().getLong(0)
+    index.removeBatch(Seq(victim2).toDF("vec_id"), 5L)
+    val survivorIds = index.currentVectors().select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    // same definition repairBatch uses: srcs with ANY dst no longer in
+    // the vectors table (victim2's danglers, plus any the earlier
+    // takedown left behind)
+    val danglingSrcs = index.currentKnn()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => !survivorIds.contains(p._2)).map(_._1).toSet
+    assert(danglingSrcs.nonEmpty, "the chosen victim had in-edges")
+    val preRepair = index.currentKnn()
+      .filter(!col("src").isin(danglingSrcs.toSeq.map(java.lang.Long.valueOf): _*))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rst = index.repairBatch(6L).get
+    assert(rst.touchedBuckets < rst.totalBuckets,
+      s"repair must be bucket-pruned: ${rst.touchedBuckets}/${rst.totalBuckets}")
+    val post = index.currentKnn().collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(post.forall(p => survivorIds.contains(p._2)),
+      "repair removes every dangling reference")
+    assert(!post.exists(p => p._1 == p._2), "repair never links a node to itself")
+    assert(post.filterNot(p => danglingSrcs.contains(p._1)).toSet === preRepair,
+      "repair replaces ONLY the affected srcs' rows")
+    assert(danglingSrcs.forall(s => post.exists(_._1 == s)),
+      "every affected src is re-linked")
+    // replay no-op, and a clean graph doesn't burn a version
+    assert(index.repairBatch(6L) === None)
+    assert(index.repairBatch(7L) === None,
+      "no dangling edges -> no version burned")
   }
 }
