@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+/** ONE INGEST SPINE for the vector index (round-14; the round-13 backlog
+  * item): the graph-ANN maintainer driven by the LAKE'S CHANGE FEED
+  * instead of a raw vector stream — the same ordered, exactly-once,
+  * preimage-bearing log that already feeds the postings index and the
+  * IVM views:
+  *
+  *   crawl → [[StreamingChangeFeed]] (lake version + CDC drain)
+  *     → feed log (`version=` parquet dirs)
+  *       → postings ([[StreamingPostingsIndex]]) — text tier
+  *       → IVM views ([[StreamingIvmView]]) — analytics tier
+  *       → THIS — the vector-serving tier
+  *
+  * Why it matters at 100 TB: every maintainer consuming one log means
+  * one ordering, one replay story, one takedown path — a delete commits
+  * ONCE in the lake and cascades everywhere, instead of N bespoke ingest
+  * pipes that can disagree about what exists.
+  *
+  * Feed semantics per micro-batch (a batch may bundle several lake
+  * versions — the per-key LAST op by feed `version` wins):
+  *   - `insert` → NSW insertion (search-then-connect, change-sized);
+  *   - `update` → REMOVE + RE-INSERT: graph edges bind to vector VALUES,
+  *     so a changed embedding must re-link (an in-place row update would
+  *     leave the graph's geometry stale — the postings maintainer
+  *     recomputes a doc's postings for the same reason);
+  *   - `delete` → [[StreamingNswIndex.removeBatch]] + the round-14
+  *     [[StreamingNswIndex.repairBatch]] edge repair, so sustained
+  *     takedowns do not erode serve recall (TakedownRecallScale's
+  *     measured cadence).
+  *
+  * Exactly-once: versions are derived from the foreachBatch id
+  * (3·id+1 remove, 3·id+2 insert, 3·id+3 repair), and every commit is
+  * replay-guarded by the store — a crashed batch re-applies only its
+  * missing sub-commits. */
+class StreamingCdcVectorIndex(spark: SparkSession, indexDir: String,
+    initial: DataFrame, key: String = "vec_id", vecCol: String = "v",
+    keepVersions: Int = 4) extends Serializable {
+
+  val index = new StreamingNswIndex(spark, indexDir,
+    initial.select(col(key).as("vec_id"), col(vecCol).as("v")),
+    keepVersions = keepVersions)
+
+  /** The feed log as a stream WITH its `version` partition column — the
+    * vector tier needs per-key ordering (delete-then-insert vs
+    * insert-then-delete differ), unlike the order-free IVM aggregation. */
+  def readFeed(feedDir: String, feedSchema: StructType): DataFrame =
+    spark.readStream
+      .schema(StructType(feedSchema.fields :+
+        org.apache.spark.sql.types.StructField("version", IntegerType)))
+      .option("basePath", feedDir)
+      .parquet(s"$feedDir/version=*")
+
+  /** Apply one feed micro-batch. Idempotent under foreachBatch replay:
+    * each sub-commit's version is derived from `batchId` and the store
+    * no-ops on already-committed versions. */
+  def applyFeedBatch(batch: Dataset[Row], batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    // a batch may bundle several drained versions: last op per key wins
+    val w = Window.partitionBy(col(key)).orderBy(desc("version"))
+    val last = batch.toDF()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val removed = last.filter(col("op") === "delete" || col("op") === "update")
+      .select(col(key).as("vec_id"))
+    val upserts = last.filter(col("op") =!= "delete")
+      .select(col(key).as("vec_id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    if (!removed.isEmpty)
+      index.removeBatch(removed, 3 * batchId + 1)
+    if (!upserts.isEmpty)
+      index.insertBatch(upserts, 3 * batchId + 1) // commits at 3·id+2
+    index.repairBatch(3 * batchId + 3)
+  }
+
+  def start(feedDir: String, feedSchema: StructType,
+      checkpointDir: String): StreamingQuery =
+    readFeed(feedDir, feedSchema).writeStream
+      .foreachBatch((b: Dataset[Row], id: Long) => applyFeedBatch(b, id))
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  def search(): DataFrame = index.search()
+  def currentVectors(): DataFrame = index.currentVectors()
+}

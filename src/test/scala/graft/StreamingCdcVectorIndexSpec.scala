@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Merge
+import graft.streaming.{StreamingCdcVectorIndex, StreamingChangeFeed}
+
+/** The ONE-INGEST-SPINE composition (round-14): the vector index
+  * maintained off the lake's CDC feed — inserts become NSW insertions,
+  * updates re-link (remove + re-insert: edges bind to vector values),
+  * deletes cascade as remove + edge repair. The lake's version sequence
+  * is the single source of truth for what the index serves. */
+class StreamingCdcVectorIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("feed-driven index tracks the lake through inserts, updates, and takedowns") {
+    val dropDir = Files.createTempDirectory("cvi-drops").toString
+    val tableDir = Files.createTempDirectory("cvi-table").toString + "/vectors"
+    val feedDir = Files.createTempDirectory("cvi-feed").toString
+    val idxDir = Files.createTempDirectory("cvi-idx").toString
+    val ckptW = Files.createTempDirectory("cvi-ckpt-w").toString
+    val ckptI = Files.createTempDirectory("cvi-ckpt-i").toString
+
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val initial = e.filter(col("vec_id") < 300)
+    // drop a: pure inserts; drop b: inserts + an UPDATE of id 5's vector
+    // (negated — the re-link must bind the graph to the NEW geometry)
+    e.filter(col("vec_id") >= 300 && col("vec_id") < 400)
+      .coalesce(1).write.parquet(s"$dropDir/a")
+    e.filter(col("vec_id") >= 400)
+      .unionByName(e.filter(col("vec_id") === 5L)
+        .select(col("vec_id"), expr("transform(v, x -> -x)").as("v")))
+      .coalesce(1).write.parquet(s"$dropDir/b")
+
+    val cf = new StreamingChangeFeed(spark, tableDir, feedDir, initial,
+      "vec_id", overwriteCols = Seq("v"), coalesceCols = Seq.empty,
+      keepCols = Seq.empty, buckets = 16, retainVersions = 8)
+    val vecSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))))
+    val stream = spark.readStream.schema(vecSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dropDir/*")
+    cf.start(stream, ckptW).awaitTermination(240000L)
+
+    val cvi = new StreamingCdcVectorIndex(spark, idxDir, initial)
+    val feedSchema = cf.feed().drop("version").schema
+    cvi.start(feedDir, feedSchema, ckptI).awaitTermination(240000L)
+
+    // the index's vector set IS the lake's current table
+    def lakeVecs() = Merge.readTable(spark, tableDir)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def idxVecs() = cvi.currentVectors().collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val (lk, ix) = (lakeVecs(), idxVecs())
+    assert(ix.keySet === lk.keySet, "index members == lake members")
+    val orig5 = e.filter(col("vec_id") === 5L).head().getSeq[Double](1)
+    assert(ix(5L) === lk(5L) && ix(5L) === orig5.map(x => -x),
+      "the update re-linked id 5 under its NEW (negated) vector")
+    // the re-inserted node is connected and never self-linked
+    val edges5 = cvi.index.currentKnn().filter(col("src") === 5L)
+      .select("dst").collect().map(_.getLong(0))
+    assert(edges5.nonEmpty && !edges5.contains(5L))
+
+    // TAKEDOWN: one lake delete cascades through the same feed — restart
+    // the index query on the same checkpoint; it drains only the new
+    // version
+    val victim = 304L
+    cf.applyDelete(col("vec_id") === victim)
+    cvi.start(feedDir, feedSchema, ckptI).awaitTermination(240000L)
+    assert(!idxVecs().keySet.contains(victim))
+    assert(cvi.search().filter(col("neighbor_id") === victim).isEmpty,
+      "a lake takedown must stop being served by the vector tier")
+    // repair left nothing dangling
+    val ids = cvi.currentVectors().select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val dsts = cvi.index.currentKnn().select("dst")
+      .collect().map(_.getLong(0)).toSet
+    assert(dsts.subsetOf(ids), "no dangling adjacency after the cascade")
+  }
+}
