@@ -162,6 +162,20 @@ class StreamingChangeFeed(
     st
   }
 
+  /** KEY-BASED takedown (round-14): [[Merge.deleteKeys]] — the find phase
+    * is served through the table's Bloom fragments when present, so a
+    * takedown request names its touched buckets without scanning the
+    * table. Same version axis and drain discipline as [[applyDelete]]. */
+  def applyDeleteKeys(column: String, values: Seq[Long]): Merge.DeleteStats = {
+    val next = Merge.tableVersions(spark, tablePath).max + 1
+    if (next - emittedVersion > retainVersions - 1)
+      drainFeed()
+    val st = Merge.deleteKeys(spark, tablePath, column, values,
+      retainVersions = retainVersions)
+    drainFeed()
+    st
+  }
+
   def currentTable(): DataFrame = Merge.readTable(spark, tablePath)
 
   /** Attach to a stream of fresh rows. */

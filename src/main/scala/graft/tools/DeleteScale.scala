@@ -77,11 +77,38 @@ object DeleteScale {
         f"$delS%6.1f")
     }
 
+    // bloomfind (round-14): the same fixed takedown with the FIND phase
+    // served through the Bloom fragments ([[Merge.deleteKeys]]) on a
+    // clustered table — the round-13 caveat was that `del_s` growth at
+    // scale is the find-matches SCAN, not the rewrite; the probe prices
+    // the find at the firing files instead of the table
+    def runBloom(tag: String, k: Int, buckets: Int): Unit = {
+      val path = s"$tmp/$tag-x$k/games"
+      Merge.upsertIncrementalRounds(spark, path,
+        gamesAt(k).repartition(col("universeId") % buckets),
+        Seq.empty, "universeId",
+        overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+        coalesceCols = Seq("description"),
+        keepCols = Seq("gameplayDescription"), buckets = buckets)
+      Merge.cluster(spark, path, "playerCount", filesPerBucket = 2,
+        bloomCols = Seq("universeId"))
+      val probe = Merge.pointProbe(spark, path, "universeId", takedownIds)
+      val t0 = System.nanoTime()
+      val st = Merge.deleteKeys(spark, path, "universeId", takedownIds)
+      val delS = (System.nanoTime() - t0) / 1e9
+      println(f"$tag%-7s $k%3d $buckets%8d ${st.touchedBuckets}%8d " +
+        f"${st.deletedRows}%8d ${st.rewrittenBytes}%12d ${st.tableBytes}%12d " +
+        f"$delS%6.1f  find_files=${probe.relPaths.length} " +
+        f"sidecar_rows=${probe.scannedSidecarRows}")
+    }
+
     val baseN = docs.count()
     val baseBuckets = SizingPolicy.sizedStateBuckets(baseN)
     run("sized", 1, baseBuckets)
     run("sized", factor, SizingPolicy.sizedStateBuckets(baseN * factor))
     run("pinned", factor, baseBuckets)
+    runBloom("bloomfind", 1, baseBuckets)
+    runBloom("bloomfind", factor, SizingPolicy.sizedStateBuckets(baseN * factor))
     spark.stop()
   }
 }

@@ -836,6 +836,50 @@ class MergeSpec extends AnyFunSuite {
     assert(Merge.readTable(spark, table).columns.contains("studio"))
   }
 
+  test("deleteKeys: Bloom-pruned find phase, identical semantics, fragment-less fallback (round 14)") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-delkeys").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, mkTT(0L until 480L, "base"),
+      Seq(mkTT(Seq(3L, 21L), "r1")), "universeId", over, coal, keep,
+      buckets = 8, retainVersions = 10)
+    Merge.cluster(spark, table, "playerCount", filesPerBucket = 8,
+      retainVersions = 10, bloomCols = Seq("universeId"))
+    val before = Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect()
+    val total = Merge.readTable(spark, table).inputFiles.length
+    // the find phase is fragment-pruned: the probe names strictly fewer
+    // files than the table holds (the ×100 del_s caveat's fix)
+    val ids = Seq(3L, 350L, 999999L) // two present (distinct buckets), one absent
+    val probe = Merge.pointProbe(spark, table, "universeId", ids)
+    assert(probe.prunedGens > 0 && probe.relPaths.length < total,
+      s"find phase must prune: ${probe.relPaths.length} of $total")
+    val st = Merge.deleteKeys(spark, table, "universeId", ids, retainVersions = 10)
+    assert(st.deletedRows === 2 && st.touchedBuckets === 2)
+    assert(Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() ===
+      before.filterNot(r => ids.contains(r.getLong(0))),
+      "deleteKeys == deleteWhere(IN) semantics")
+    // pre-delete version still time-travels complete
+    assert(Merge.readTableAt(spark, table, st.version - 1)
+      .selectExpr(ttCols: _*).orderBy("universeId").collect() === before)
+    // no matching keys -> no version burned
+    assert(Merge.deleteKeys(spark, table, "universeId", Seq(999999L))
+      .deletedRows === 0)
+    assert(Merge.tableVersions(spark, table).max === st.version)
+
+    // fragment-less table: deleteKeys falls back to the plain scan and
+    // stays correct
+    val table2 = s"$tmp/games2"
+    Merge.upsertIncrementalRounds(spark, table2, mkTT(0L until 60L, "base"),
+      Seq.empty, "universeId", over, coal, keep, buckets = 8, retainVersions = 10)
+    val st2 = Merge.deleteKeys(spark, table2, "universeId", Seq(7L, 11L))
+    assert(st2.deletedRows === 2)
+    assert(Merge.readTable(spark, table2).count() === 58)
+  }
+
   test("delete write skew: concurrent matching inserts conflict, never silently survive (ADVICE r13 #3)") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-skew").toString
     val table = s"$tmp/games"

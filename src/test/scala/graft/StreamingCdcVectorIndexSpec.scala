@@ -74,7 +74,9 @@ class StreamingCdcVectorIndexSpec extends AnyFunSuite {
     // the index query on the same checkpoint; it drains only the new
     // version
     val victim = 304L
-    cf.applyDelete(col("vec_id") === victim)
+    // through the key-based entry point: the compliance path a real
+    // takedown request takes (Bloom-pruned find when fragments exist)
+    cf.applyDeleteKeys("vec_id", Seq(victim))
     cvi.start(feedDir, feedSchema, ckptI).awaitTermination(240000L)
     assert(!idxVecs().keySet.contains(victim))
     assert(cvi.search().filter(col("neighbor_id") === victim).isEmpty,
