@@ -343,18 +343,15 @@ object Merge {
     // not-yet-committed data (the round-13 two-writer race made this
     // concrete); such orphans are reclaimed by [[vacuumOrphans]] under an
     // age gate instead, exactly Delta VACUUM's uncommitted-file rule.
+    // The dead set is computed FROM THE MANIFESTS (driver memory) and its
+    // paths deleted directly — round 14 removed the per-bucket directory
+    // walk this used to do, which was O(buckets) driver fs listings per
+    // commit (the DeleteScale ×100 caveat: at 10⁵ buckets the walk, not
+    // the data, was the sweep's cost); now the sweep is O(dead entries).
     val referenced: Set[(Int, Int)] = onDisk
       .flatMap(v => readManifestAt(fs, table, v).toSeq).toSet
-    fs.listStatus(table).filter(_.getPath.getName.startsWith("bucket="))
-      .foreach { bs =>
-        val b = bs.getPath.getName.stripPrefix("bucket=").toInt
-        fs.listStatus(bs.getPath).filter(_.getPath.getName.startsWith("gen="))
-          .foreach { gs =>
-            val g = gs.getPath.getName.stripPrefix("gen=").toInt
-            if (referenced.contains((b, g)) && !live.contains((b, g)))
-              fs.delete(gs.getPath, true)
-          }
-      }
+    (referenced -- live).foreach { case (b, g) =>
+      fs.delete(genPathOf(table, b, g), true) }
     fs.listStatus(manifestDir(table)).map(_.getPath)
       .filter(p => p.getName.startsWith("manifest-v") &&
         p.getName.stripPrefix("manifest-v").toInt < keepFrom)
