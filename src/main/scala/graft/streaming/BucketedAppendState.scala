@@ -389,37 +389,30 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
 
   /** Keep the last `keepVersions` manifests, every generation they
     * reference, and the small-table dirs they reference; delete the rest
-    * (replaced/collapsed generations, crashed-attempt leftovers, expired
-    * manifests). */
+    * (replaced/collapsed generations, expired manifests).
+    *
+    * Round 14: the dead set is computed FROM THE MANIFESTS (referenced
+    * by some on-disk manifest, live in no retained one) and its paths
+    * deleted directly — the previous per-bucket directory walk was
+    * O(buckets) driver fs listings per commit, which at the sized bucket
+    * counts (up to 2^20) would dominate a change-sized commit. A
+    * crashed-and-abandoned attempt's gen dir (never referenced by any
+    * manifest) is no longer swept here; a RETRIED attempt still clears
+    * its own leftovers in [[writeKeyedGen]] (the single-writer
+    * contract's recovery path), and abandoned leftovers are rare,
+    * bounded litter a maintenance pass may reclaim by age. */
   private def sweepRetention(version: Long): Unit = {
     val keepFrom = math.max(0L, version - keepVersions + 1)
-    val kept = committedVersions.filter(v => v >= keepFrom && v <= version)
-    val manifests = kept.map(readManifestAt)
-    val live: Set[(String, Int, Long)] = manifests
-      .flatMap(_.toSeq.flatMap { case (t, m) =>
+    val all = committedVersions
+    val manifests = all.map(v => v -> readManifestAt(v)).toMap
+    def entriesOf(vs: Seq[Long]): Set[(String, Int, Long)] =
+      vs.flatMap(v => manifests(v).toSeq.flatMap { case (t, m) =>
         m.toSeq.flatMap { case (b, gs) => gs.map(g => (t, b, g)) } }).toSet
-    keyed.keys.foreach { t =>
-      val tdir = new Path(root, t)
-      if (fs.exists(tdir))
-        fs.listStatus(tdir).filter(_.getPath.getName.startsWith("bucket="))
-          .foreach { bs =>
-            val b = bs.getPath.getName.stripPrefix("bucket=").toInt
-            fs.listStatus(bs.getPath).filter(_.getPath.getName.startsWith("gen="))
-              .foreach { gs =>
-                val g = gs.getPath.getName.stripPrefix("gen=").toLong
-                if (!live.contains((t, b, g))) fs.delete(gs.getPath, true)
-              }
-          }
-    }
-    // small tables: referenced-by-a-kept-manifest is what keeps a dir —
-    // a carried-forward table's dir may be older than keepFrom
-    val smallDir = "^(.+)-v(\\d+)$".r
-    fs.listStatus(root).foreach { st =>
-      st.getPath.getName match {
-        case smallDir(t, v) if !live.contains((t, -1, v.toLong)) =>
-          fs.delete(st.getPath, true)
-        case _ => ()
-      }
+    val live = entriesOf(all.filter(v => v >= keepFrom && v <= version))
+    val dead = entriesOf(all) -- live
+    dead.foreach {
+      case (t, -1, g) => fs.delete(smallPath(t, g), true)
+      case (t, b, g) => fs.delete(genPath(t, b, g), true)
     }
     fs.listStatus(manifestDir).map(_.getPath)
       .filter(p => p.getName.startsWith("manifest-v") &&
