@@ -207,35 +207,44 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     else fs.listStatus(p).map(st =>
       if (st.isDirectory) dirBytes(st.getPath) else st.getLen).sum
 
-  /** Write `rows` (already carrying `bucket`) as generation `version` of
-    * `table`, restricted to `touched`; returns the buckets that actually
-    * received data. Clears uncommitted leftovers of a crashed prior
-    * attempt at this version first (single-writer per store by design —
-    * the maintainer contract; version replay is guarded before any
-    * write). */
+  /** Write-once generation label for one writer attempt at `version`
+    * (round 14 — the lake's `freshGen` rule adopted by the stores, the
+    * last delete-then-write in the system): version in the high bits
+    * (readable lineage), random low salt per attempt, so no two attempts
+    * — crashed retries, or a contract-violating concurrent writer — can
+    * ever share a gen dir. A crashed attempt's leftovers become
+    * unreachable litter (no manifest names them) instead of data the
+    * retry must clear first. */
+  private def freshGen(version: Long): Long =
+    (version << 12) | scala.util.Random.nextInt(1 << 12).toLong
+
+  /** Write `rows` (already carrying `bucket`) as a fresh write-once
+    * generation of `table`; returns (gen, buckets that received data). */
   private def writeKeyedGen(version: Long, table: String,
-      rows: DataFrame, touched: Seq[Int], align: Boolean): Seq[Int] = {
-    touched.foreach(b => fs.delete(genPath(table, b, version), true))
+      rows: DataFrame, touched: Seq[Int], align: Boolean): (Long, Seq[Int]) = {
+    val gen = freshGen(version)
     (if (align) rows.repartition(col("bucket")) else rows)
-      .withColumn("gen", lit(version))
+      .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket", "gen")
       .parquet(s"$rootDir/$table")
-    touched.filter(b => fs.exists(genPath(table, b, version)))
+    (gen, touched.filter(b => fs.exists(genPath(table, b, gen))))
   }
 
-  private def stats(version: Long, touchedPerTable: Map[String, Seq[Int]],
+  /** `written`: the (bucket, gen) entries THIS commit produced per table
+    * (bucket −1 = the small-table dir at the commit's version). */
+  private def stats(version: Long, written: Map[String, Seq[(Int, Long)]],
       committed: Map[String, Map[Int, Seq[Long]]]): BucketedCommitStats = {
     def entryBytes(t: String, b: Int, g: Long): Long =
       if (b == -1) dirBytes(smallPath(t, g)) else dirBytes(genPath(t, b, g))
-    val written = touchedPerTable.map { case (t, bs) =>
-      bs.map(b => entryBytes(t, b, version)).sum }.sum
+    val writtenBytes = written.map { case (t, es) =>
+      es.map { case (b, g) => entryBytes(t, b, g) }.sum }.sum
     val total = committed.map { case (t, m) =>
       m.map { case (b, gs) => gs.map(g => entryBytes(t, b, g)).sum }.sum }.sum
-    val touched = touchedPerTable.collect {
-      case (t, bs) if keyed.contains(t) => bs.length }.sum
+    val touched = written.collect {
+      case (t, es) if keyed.contains(t) => es.length }.sum
     val totalBuckets = committed.collect {
       case (t, m) if keyed.contains(t) => m.size }.sum
-    BucketedCommitStats(version, touched, totalBuckets, written, total)
+    BucketedCommitStats(version, touched, totalBuckets, writtenBytes, total)
   }
 
   /** The union-committed map: every table of `current` carries forward
@@ -266,10 +275,10 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     if (latest.exists(_ >= version)) return None
     val current = latest.map(readManifestAt).getOrElse(Map.empty)
     val keyedEntries = keyed.collect { case (t, key) if tables.contains(t) =>
-      val present = writeKeyedGen(version, t,
+      val (gen, present) = writeKeyedGen(version, t,
         tables(t).withColumn("bucket", bucketOf(key)),
         (0 until bucketCount), align = true)
-      t -> present.map(b => b -> Seq(version)).toMap
+      t -> present.map(b => b -> Seq(gen)).toMap
     }
     val smallEntries = tables.keys.filterNot(keyed.contains).map { t =>
       tables(t).write.mode("overwrite").parquet(smallPath(t, version).toString)
@@ -279,13 +288,14 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     // a FULL write replaces the touched tables' entire entries (it is the
     // retrain path) but still carries forward tables it did not touch
     val committed = unionCommit(current, replaced)
-    val touchedPerTable = keyedEntries.map { case (t, m) => t -> m.keys.toSeq } ++
-      smallEntries.keys.map(_ -> Seq(-1))
+    val written = keyedEntries.map { case (t, m) =>
+      t -> m.toSeq.map { case (b, gs) => b -> gs.head } } ++
+      smallEntries.keys.map(_ -> Seq(-1 -> version))
     hooks.beforeCommit(version.toInt)
     commitManifest(version, committed)
     hooks.afterCommit(version.toInt)
     sweepRetention(version)
-    Some(stats(version, touchedPerTable, committed))
+    Some(stats(version, written, committed))
   }
 
   /** One append-only delta commit — see [[commitDelta]]. */
@@ -354,15 +364,16 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
         case (None, None) => None
       }
       val touched = (collapse ++ appendOnly).sorted
-      val present = toWrite.map(writeKeyedGen(version, t, _, touched, align = false))
-        .getOrElse(Seq.empty)
+      val written = toWrite.map(writeKeyedGen(version, t, _, touched, align = false))
+      val gen = written.map(_._1)
+      val present = written.map(_._2).getOrElse(Seq.empty)
       // collapsed buckets point at ONLY the new gen (empty rewrite drops
       // the bucket — every row deleted); append buckets gain a gen
       val entries =
-        collapse.filter(present.contains).map(b => b -> Seq(version)) ++
+        collapse.filter(present.contains).map(b => b -> Seq(gen.get)) ++
         collapse.filterNot(present.contains).map(b => b -> Seq.empty[Long]) ++
         appendOnly.filter(present.contains).map(b =>
-          b -> (oldEntries.getOrElse(b, Seq.empty) :+ version))
+          b -> (oldEntries.getOrElse(b, Seq.empty) :+ gen.get))
       Seq(t -> entries.toMap)
     }).flatten.toMap
     val smallEntries = touchedTables
@@ -378,13 +389,14 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
           .filter(_._2.nonEmpty)
         t -> merged
       } ++ smallEntries)
-    val touchedPerTable = keyedEntries.map { case (t, m) => t -> m.keys.toSeq } ++
-      smallEntries.keys.map(_ -> Seq(-1))
+    val written = keyedEntries.map { case (t, m) =>
+      t -> m.toSeq.collect { case (b, gs) if gs.nonEmpty => b -> gs.last } } ++
+      smallEntries.keys.map(_ -> Seq(-1 -> version))
     hooks.beforeCommit(version.toInt)
     commitManifest(version, committed)
     hooks.afterCommit(version.toInt)
     sweepRetention(version)
-    Some(stats(version, touchedPerTable, committed))
+    Some(stats(version, written, committed))
   }
 
   /** Keep the last `keepVersions` manifests, every generation they

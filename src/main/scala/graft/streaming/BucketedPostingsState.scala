@@ -148,16 +148,22 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
     else fs.listStatus(p).map(st =>
       if (st.isDirectory) dirBytes(st.getPath) else st.getLen).sum
 
-  /** Append `rows` (word, universeId, bucket) as generation `version` of
-    * both tables, restricted to `touched`; returns the buckets that
-    * actually received data (a bucket whose rewrite came out empty is
-    * dropped from the manifest — it no longer exists). */
+  /** Write-once generation label per writer attempt (round 14 — the
+    * lake's `freshGen` rule; no attempt can ever collide with a crashed
+    * retry's leftovers, which become unreachable litter instead of data
+    * the retry must pre-delete). */
+  private def freshGen(version: Int): Int = {
+    require(version < (1 << 19), s"generation label space exhausted at $version")
+    (version << 12) | scala.util.Random.nextInt(1 << 12)
+  }
+
+  /** Append `rows` (word, universeId, bucket) as a fresh write-once
+    * generation of both tables; returns (gen, buckets that actually
+    * received data — a bucket whose rewrite came out empty is dropped
+    * from the manifest, it no longer exists). */
   private def writeGen(version: Int, touched: Seq[Int], rows0: DataFrame,
-      align: Boolean = false): Seq[Int] = {
-    touched.foreach { b =>
-      fs.delete(genPath("postings", b, version), true)
-      fs.delete(genPath("dict", b, version), true)
-    }
+      align: Boolean = false): (Int, Seq[Int]) = {
+    val gen = freshGen(version)
     // bulk-load alignment (bootstrap only): hash-partition on the bucket
     // column so each bucket lands in one task — a wide unaligned write
     // fans every task into up to `buckets` partition dirs (open-writer
@@ -165,23 +171,24 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
     // upsertIncrementalRounds documents. Delta writes fan into only their
     // touched buckets and skip the shuffle.
     val rows = if (align) rows0.repartition(col("bucket")) else rows0
-    rows.withColumn("gen", lit(version))
+    rows.withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket", "gen")
       .parquet(s"$rootDir/postings")
     rows.select(col("bucket"), col("word")).distinct()
-      .withColumn("gen", lit(version))
+      .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket", "gen")
       .parquet(s"$rootDir/dict")
-    touched.filter(b => fs.exists(genPath("postings", b, version)))
+    (gen, touched.filter(b => fs.exists(genPath("postings", b, gen))))
   }
 
-  private def stats(version: Int, touched: Seq[Int],
+  /** `written`: the (bucket → gen) entries THIS commit produced. */
+  private def stats(version: Int, written: Map[Int, Int],
       committed: Map[Int, Int]): PostingsCommitStats = {
-    val written = touched.map(b =>
-      dirBytes(genPath("postings", b, version)) + dirBytes(genPath("dict", b, version))).sum
+    val writtenBytes = written.map { case (b, g) =>
+      dirBytes(genPath("postings", b, g)) + dirBytes(genPath("dict", b, g)) }.sum
     val total = committed.map { case (b, g) =>
       dirBytes(genPath("postings", b, g)) + dirBytes(genPath("dict", b, g)) }.sum
-    PostingsCommitStats(version, touched.length, committed.size, written, total)
+    PostingsCommitStats(version, written.size, committed.size, writtenBytes, total)
   }
 
   /** Full build at `version` — the ONE corpus-sized write the maintainer
@@ -191,13 +198,13 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
     val b = bucketCount // resolve the layout BEFORE wiping the old store
     fs.delete(root, true)
     val rows = postings.select(col("word"), col("universeId")).withColumn("bucket", bucketOf)
-    val present = writeGen(version, (0 until b), rows, align = true)
-    val committed = present.map(_ -> version).toMap
+    val (gen, present) = writeGen(version, (0 until b), rows, align = true)
+    val committed = present.map(_ -> gen).toMap
     hooks.beforeCommit(version)
     commitManifest(version, committed)
     hooks.afterCommit(version)
     sweepRetention(version)
-    stats(version, present, committed)
+    stats(version, committed, committed)
   }
 
   /** One delete-then-insert round: remove every (word, universeId) pair of
@@ -230,7 +237,7 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
       commitManifest(version, current)
       hooks.afterCommit(version)
       sweepRetention(version)
-      return Some(stats(version, touched, current))
+      return Some(stats(version, Map.empty, current))
     }
     val oldEntries = current.filter { case (b, _) => touched.contains(b) }
     val oldRows = load("postings", oldEntries, postingsSchema)
@@ -240,35 +247,35 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
       Seq("universeId"), "left_anti")
     val newRows = keptRows.select(col("word"), col("universeId"), col("bucket"))
       .unionByName(fresh)
-    val present = writeGen(version, touched, newRows)
-    val committed = (current -- touched) ++ present.map(_ -> version)
+    val (gen, present) = writeGen(version, touched, newRows)
+    val written = present.map(_ -> gen).toMap
+    val committed = (current -- touched) ++ written
     hooks.beforeCommit(version)
     commitManifest(version, committed)
     hooks.afterCommit(version)
     sweepRetention(version)
-    Some(stats(version, touched, committed))
+    Some(stats(version, written, committed))
   }
 
   /** Keep the last `keepVersions` manifests and every generation they
-    * reference; delete the rest — replaced generations, crashed-attempt
-    * leftovers, and expired manifests. O(buckets) driver fs calls. */
+    * reference; delete expired manifests and the generations only they
+    * referenced. Round 14: the dead set comes from the MANIFESTS
+    * (referenced minus live, both driver memory) and its paths are
+    * deleted directly — the per-bucket directory walk was O(buckets)
+    * driver listings per commit. A crashed-and-abandoned attempt's gen
+    * (never referenced) is unreachable litter a maintenance pass may
+    * reclaim by age; a RETRIED attempt writes a fresh salted gen and
+    * never collides with it. */
   private def sweepRetention(version: Int): Unit = {
     val keepFrom = math.max(0, version - keepVersions + 1)
-    val live: Set[(Int, Int)] = committedVersions
-      .filter(v => v >= keepFrom && v <= version)
-      .flatMap(v => readManifestAt(v).toSeq).toSet
-    Seq("postings", "dict").foreach { table =>
-      val tdir = new Path(root, table)
-      if (fs.exists(tdir))
-        fs.listStatus(tdir).filter(_.getPath.getName.startsWith("bucket="))
-          .foreach { bs =>
-            val b = bs.getPath.getName.stripPrefix("bucket=").toInt
-            fs.listStatus(bs.getPath).filter(_.getPath.getName.startsWith("gen="))
-              .foreach { gs =>
-                val g = gs.getPath.getName.stripPrefix("gen=").toInt
-                if (!live.contains((b, g))) fs.delete(gs.getPath, true)
-              }
-          }
+    val all = committedVersions
+    val manifests = all.map(v => v -> readManifestAt(v)).toMap
+    val live: Set[(Int, Int)] = all.filter(v => v >= keepFrom && v <= version)
+      .flatMap(v => manifests(v).toSeq).toSet
+    val referenced: Set[(Int, Int)] = all.flatMap(v => manifests(v).toSeq).toSet
+    (referenced -- live).foreach { case (b, g) =>
+      fs.delete(genPath("postings", b, g), true)
+      fs.delete(genPath("dict", b, g), true)
     }
     fs.listStatus(manifestDir).map(_.getPath)
       .filter(p => p.getName.startsWith("manifest-v") &&
