@@ -288,7 +288,7 @@ object Merge {
     // committed files are never touched, and no two attempts (crashed
     // retries or concurrent writers) can ever share a gen dir; stale
     // leftovers are manifest-invisible and swept by retention
-    val gen = freshGen(round)
+    val gen = freshGenFor(fs, table, round, touched)
     // new generations write under PHYSICAL names (stable across renames)
     toPhysical(merged, mapping).withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
@@ -542,7 +542,7 @@ object Merge {
     val touched = hit.keys.toSeq.sorted
     val deletedRows = hit.values.sum
     val touchedEntries = current.filter { case (b, _) => touched.contains(b) }
-    val gen = freshGen(round)
+    val gen = freshGenFor(fs, table, round, touched)
     toPhysical(
       loadState(spark, tablePath, touchedEntries, schema, mapping)
         .filter(!delPred).drop("gen").withColumn("gen", lit(gen)), mapping)
@@ -614,7 +614,7 @@ object Merge {
     val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
     if (oversized.isEmpty) // already compact — don't burn a version
       return CompactStats(version, 0, filesBefore, filesBefore)
-    val gen = freshGen(round)
+    val gen = freshGenFor(fs, table, round, oversized.keys)
     oversized.toSeq.sorted.foreach { case (b, g) =>
       spark.read.option("basePath", tablePath).parquet(s"$tablePath/bucket=$b/gen=$g")
         .drop("bucket", "gen").coalesce(targetFiles)
@@ -725,7 +725,7 @@ object Merge {
     def dataFiles(p: org.apache.hadoop.fs.Path): Long = dataFileCount(fs, p)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
-    val gen = freshGen(round)
+    val gen = freshGenFor(fs, table, round, current.keys)
     val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
     val meta0 = readMetaAt(fs, table, version)
     val mapping = meta0.mapping
@@ -898,7 +898,11 @@ object Merge {
     // per-GENERATION pruning: each gen with a stats fragment contributes
     // only its intersecting files; gens without one (written before the
     // sidecar policy, or by a writer that crashed mid-fragment) keep all
-    // their files — graceful degradation, never a correctness dependency
+    // their files — graceful degradation, never a correctness dependency.
+    // Job shape: one tiny read per gen, each file-count-sized and
+    // schema-gated per fragment (different gens may track different stat
+    // columns); gen count is bounded by compaction in practice — the
+    // rows-∝-table concern the point probe had does not apply here
     var anyPruned = false
     val relPaths: Seq[String] = state.groupBy(_._2).toSeq.sortBy(_._1)
       .flatMap { case (g, entries) =>
@@ -976,7 +980,15 @@ object Merge {
 
   /** Decide the file set for `column IN (values)` per generation: gens
     * with a Bloom fragment covering `column` contribute only their firing
-    * files; gens without one keep all their files. */
+    * files; gens without one keep all their files.
+    *
+    * Job shape (round-14 review finding): an incrementally-merged table's
+    * manifest references one generation PER PAST ROUND for untouched
+    * buckets, so a per-gen read-and-collect loop would run O(#gens)
+    * sequential driver-blocking jobs. Instead: ONE probe-positions job
+    * per DISTINCT filter width m (usually one), and ONE unioned scan of
+    * every covered fragment, collected once — per-gen work after that is
+    * driver arithmetic over the already-bounded row set. */
   private[graft] def pointProbe(spark: SparkSession, tablePath: String,
       column: String, values: Seq[Long]): PointProbeReport = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
@@ -988,52 +1000,69 @@ object Merge {
     val dt = meta.schema.flatMap(_.find(_.name == column)).map(_.dataType)
       .getOrElse(org.apache.spark.sql.types.LongType)
     import spark.implicits._
+    val byGen: Seq[(Int, Seq[Int])] = state.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (g, entries) => g -> entries.keys.toSeq.sorted }
+    // driver-side split: gens with a fragment covering the column vs whole
+    val fragged: Seq[(Int, Long)] = byGen.flatMap { case (g, _) =>
+      readBloomMeta(fsys, fragBloomMetaPath(table, g)) match {
+        case Some((m, cols)) if cols.contains(column) &&
+            fsys.exists(fragBloomPath(table, g)) => Some(g -> m)
+        case _ => None
+      }
+    }
+    val fraggedGens = fragged.map(_._1).toSet
+    // positions first (through the writer's own hash expressions — engine
+    // hash parity is structural): one tiny job per distinct m
+    val probesByM: Map[Long, Array[Array[Long]]] =
+      fragged.map(_._2).distinct.map { m =>
+        m -> values.toDF("v")
+          .select((0 until BloomHashes).map(i =>
+            pmod(xxhash64(col("v").cast(dt), lit(i)), lit(m)).as(s"p$i")): _*)
+          .collect().map(r => Array.tabulate(BloomHashes)(r.getLong))
+      }.toMap
+    // one unioned, word_idx-pushed scan over every covered fragment
+    val rowsByGen: Map[Int, Array[org.apache.spark.sql.Row]] =
+      if (fragged.isEmpty) Map.empty
+      else fragged.map { case (g, m) =>
+        val wordIdxs = probesByM(m).flatten.map(_ / 64).distinct
+        spark.read.parquet(fragBloomPath(table, g).toString)
+          .filter(col("col") === column &&
+            col("word_idx").isin(wordIdxs.map(java.lang.Long.valueOf): _*))
+          .select(lit(g).as("gen"), col("file"), col("word_idx"), col("bits"))
+      }.reduce(_ unionByName _).collect().groupBy(_.getInt(0))
     var scanned = 0L; var pruned = 0; var unfragmented = 0
-    val relPaths: Seq[String] = state.groupBy(_._2).toSeq.sortBy(_._1)
-      .flatMap { case (g, entries) =>
-        val whole = entries.keys.toSeq.sorted.map(b => s"bucket=$b/gen=$g")
-        readBloomMeta(fsys, fragBloomMetaPath(table, g)) match {
-          case Some((m, cols)) if cols.contains(column) &&
-              fsys.exists(fragBloomPath(table, g)) =>
-            // positions first (through the writer's own hash expressions —
-            // engine hash parity is structural), then the pushed-down scan
-            val probes: Array[Array[Long]] = values.toDF("v")
-              .select((0 until BloomHashes).map(i =>
-                pmod(xxhash64(col("v").cast(dt), lit(i)), lit(m)).as(s"p$i")): _*)
-              .collect().map(r => Array.tabulate(BloomHashes)(r.getLong))
-            val wordIdxs = probes.flatten.map(_ / 64).distinct
-            val rows = spark.read.parquet(fragBloomPath(table, g).toString)
-              .filter(col("col") === column &&
-                col("word_idx").isin(wordIdxs.map(java.lang.Long.valueOf): _*))
-              .select(col("file"), col("word_idx"), col("bits"))
-              .collect()
-            scanned += rows.length
-            val words: Map[String, Map[Long, Long]] = rows.groupBy(_.getString(0))
-              .map { case (f, rs) =>
-                f -> rs.map(r => r.getLong(1) -> r.getLong(2)).toMap }
-            // a file fires when EVERY probe bit of at least one value is
-            // set (no false negatives — a file absent from the filtered
-            // rows has none of the probe words set and cannot hold a value)
-            val keep = words.keys.toSeq.sorted.filter { f =>
-              val wm = words(f)
-              probes.exists(ps => ps.forall { pos =>
-                (wm.getOrElse(pos / 64, 0L) & (1L << (pos % 64).toInt)) != 0L
-              })
-            }
-            // malformed paths fall the gen back; entries for buckets since
-            // rewritten at a newer gen are dropped (their rows live in the
-            // newer generation, covered by its own piece of this loop)
-            if (keep.exists(rel => parseRelFile(rel).isEmpty)) {
-              unfragmented += 1; whole
-            } else {
-              pruned += 1
-              keep.filter(rel => parseRelFile(rel).exists {
-                case (b, g2) => g2 == g && state.get(b).contains(g) })
-            }
-          case _ =>
-            unfragmented += 1; whole
+    val relPaths: Seq[String] = byGen.flatMap { case (g, buckets) =>
+      val whole = buckets.map(b => s"bucket=$b/gen=$g")
+      if (!fraggedGens.contains(g)) { unfragmented += 1; whole }
+      else {
+        val m = fragged.find(_._1 == g).get._2
+        val probes = probesByM(m)
+        val rows = rowsByGen.getOrElse(g, Array.empty)
+        scanned += rows.length
+        val words: Map[String, Map[Long, Long]] = rows.groupBy(_.getString(1))
+          .map { case (f, rs) =>
+            f -> rs.map(r => r.getLong(2) -> r.getLong(3)).toMap }
+        // a file fires when EVERY probe bit of at least one value is set
+        // (no false negatives — a file absent from the filtered rows has
+        // none of the probe words set and cannot hold a value)
+        val keep = words.keys.toSeq.sorted.filter { f =>
+          val wm = words(f)
+          probes.exists(ps => ps.forall { pos =>
+            (wm.getOrElse(pos / 64, 0L) & (1L << (pos % 64).toInt)) != 0L
+          })
+        }
+        // malformed paths fall the gen back; entries for buckets since
+        // rewritten at a newer gen are dropped (their rows live in the
+        // newer generation, covered by its own piece of this loop)
+        if (keep.exists(rel => parseRelFile(rel).isEmpty)) {
+          unfragmented += 1; whole
+        } else {
+          pruned += 1
+          keep.filter(rel => parseRelFile(rel).exists {
+            case (b, g2) => g2 == g && state.get(b).contains(g) })
         }
       }
+    }
     PointProbeReport(relPaths, scanned, pruned, unfragmented)
   }
 
@@ -1288,6 +1317,25 @@ object Merge {
     (round << 12) | scala.util.Random.nextInt(1 << 12)
   }
 
+  /** [[freshGen]] hardened against the 12-bit salt space (round 14): a
+    * crashed attempt's leftover dirs share the salt space with its retry,
+    * and a same-salt draw (p = 2⁻¹²) would APPEND the retry's rows into
+    * the crashed attempt's dirs — the committed gen would then hold both
+    * attempts' rows. The label is redrawn while any probe dir or fragment
+    * for it already exists (O(touched) driver existence checks, one draw
+    * expected); the remaining check-to-write window is a concurrent
+    * writer drawing the same salt in the same instant — compounded
+    * probabilities no practical retry count reaches. */
+  private def freshGenFor(fs: org.apache.hadoop.fs.FileSystem,
+      table: org.apache.hadoop.fs.Path, round: Int,
+      probeBuckets: Iterable[Int]): Int = {
+    var g = freshGen(round)
+    while (probeBuckets.exists(b => fs.exists(genPathOf(table, b, g))) ||
+        fs.exists(fragStatsPath(table, g)) || fs.exists(fragBloomPath(table, g)))
+      g = freshGen(round)
+    g
+  }
+
   private val MaxCommitRetries = 5
 
   /** Commit `base ++ newEntries` with OPTIMISTIC CONCURRENCY (round-12
@@ -1406,6 +1454,24 @@ object Merge {
     manifestLines(fs, table, version).filterNot(_.startsWith("#")).map { l =>
       val Array(b, g) = l.split(','); b.toInt -> g.toInt
     }.toMap
+
+  /** The retention a writer's sweep will ACTUALLY enforce on `tablePath`:
+    * its own `retainVersions`, clamped by the table's persisted
+    * takedown-grace policy (round 14 — a writer coordinating drain lag
+    * with retention, like StreamingChangeFeed's backpressure guard, must
+    * budget against this, not its own dial: a once-persisted grace
+    * silently shrinks every later sweep, and a guard using the
+    * un-clamped value would let undrained versions expire and wedge the
+    * feed). */
+  def effectiveRetention(spark: SparkSession, tablePath: String,
+      retainVersions: Int): Int = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fsys = fs(spark, table)
+    val (version, _) = readManifest(fsys, table)
+    readMetaAt(fsys, table, version).takedownGrace
+      .fold(retainVersions)(g =>
+        math.min(retainVersions.toLong, g.toLong + 1L).toInt)
+  }
 
   /** The versions of `tablePath` that are still time-travel-readable
     * (bounded by the writer's `retainVersions`). */
@@ -1873,7 +1939,11 @@ object Merge {
       max(when(col("op") =!= "delete", col("playerCount"))).as("cand_mx"),
       min(when(col("op") =!= "delete", col("playerCount"))).as("cand_mn"),
       max(when(col("op") =!= "insert", col("pre_playerCount"))).as("evict_mx"),
-      min(when(col("op") =!= "insert", col("pre_playerCount"))).as("evict_mn"))
+      min(when(col("op") =!= "insert", col("pre_playerCount"))).as("evict_mn"),
+      // deletes of NULL-valued rows are invisible to the eviction extrema
+      // (max/min ignore null) but can still empty an all-null group — the
+      // dirty test needs the count
+      sum(when(col("op") === "delete", 1L).otherwise(0L)).as("n_del"))
 
   /** Fold one min/max delta into the view. A shard is DIRTY when a
     * departed preimage reaches the view's current extremum (`evict_mx >=
@@ -1895,10 +1965,13 @@ object Merge {
           col("d.evict_mx") >= col("mx_pc")) ||
          (col("d.evict_mn").isNotNull && col("mn_pc").isNotNull &&
           col("d.evict_mn") <= col("mn_pc")) ||
-         // a shard the view has never seen whose feed already evicts rows
-         // (possible only on cumulative feeds) — recompute to be safe
+         // a NULL view extremum means the shard is view-absent OR an
+         // all-null group — either way ANY departure (non-null eviction,
+         // or a delete of a null-valued row, which the eviction extrema
+         // can't see) may have emptied or reshaped it: recompute
          (col("mx_pc").isNull && (col("d.evict_mx").isNotNull ||
-           col("d.evict_mn").isNotNull))).as("dirty"))
+           col("d.evict_mn").isNotNull ||
+           coalesce(col("d.n_del"), lit(0L)) > 0))).as("dirty"))
     val clean = merged.filter(!col("dirty"))
       .select(col("shard"),
         greatest(col("mx_pc"), col("cand_mx")).as("mx_pc"),

@@ -214,15 +214,22 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     * — crashed retries, or a contract-violating concurrent writer — can
     * ever share a gen dir. A crashed attempt's leftovers become
     * unreachable litter (no manifest names them) instead of data the
-    * retry must clear first. */
-  private def freshGen(version: Long): Long =
-    (version << 12) | scala.util.Random.nextInt(1 << 12).toLong
+    * retry must clear first. The label is REDRAWN while any touched
+    * bucket already holds a dir for it — a same-salt draw against a
+    * crashed attempt (p = 2⁻²⁰) would otherwise append the retry's rows
+    * into the leftovers and commit both attempts' rows. */
+  private def freshGen(version: Long, table: String, touched: Seq[Int]): Long = {
+    def draw() = (version << 20) | scala.util.Random.nextInt(1 << 20).toLong
+    var g = draw()
+    while (touched.exists(b => fs.exists(genPath(table, b, g)))) g = draw()
+    g
+  }
 
   /** Write `rows` (already carrying `bucket`) as a fresh write-once
     * generation of `table`; returns (gen, buckets that received data). */
   private def writeKeyedGen(version: Long, table: String,
       rows: DataFrame, touched: Seq[Int], align: Boolean): (Long, Seq[Int]) = {
-    val gen = freshGen(version)
+    val gen = freshGen(version, table, touched)
     (if (align) rows.repartition(col("bucket")) else rows)
       .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket", "gen")
@@ -409,10 +416,9 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     * O(buckets) driver fs listings per commit, which at the sized bucket
     * counts (up to 2^20) would dominate a change-sized commit. A
     * crashed-and-abandoned attempt's gen dir (never referenced by any
-    * manifest) is no longer swept here; a RETRIED attempt still clears
-    * its own leftovers in [[writeKeyedGen]] (the single-writer
-    * contract's recovery path), and abandoned leftovers are rare,
-    * bounded litter a maintenance pass may reclaim by age. */
+    * manifest) is not swept here; the retry writes a FRESH salted gen
+    * (collision-checked — [[freshGen]]), so leftovers are unreachable,
+    * rare, bounded litter a maintenance pass may reclaim by age. */
   private def sweepRetention(version: Long): Unit = {
     val keepFrom = math.max(0L, version - keepVersions + 1)
     val all = committedVersions

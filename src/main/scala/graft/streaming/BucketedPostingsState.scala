@@ -149,12 +149,18 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
       if (st.isDirectory) dirBytes(st.getPath) else st.getLen).sum
 
   /** Write-once generation label per writer attempt (round 14 — the
-    * lake's `freshGen` rule; no attempt can ever collide with a crashed
-    * retry's leftovers, which become unreachable litter instead of data
-    * the retry must pre-delete). */
-  private def freshGen(version: Int): Int = {
+    * lake's `freshGen` rule): no attempt collides with a crashed retry's
+    * leftovers, which become unreachable litter instead of data the
+    * retry must pre-delete. Redrawn while any touched bucket already
+    * holds a dir for the label (a same-salt draw would append the
+    * retry's rows into the crashed attempt's dirs and commit both). */
+  private def freshGen(version: Int, touched: Seq[Int]): Int = {
     require(version < (1 << 19), s"generation label space exhausted at $version")
-    (version << 12) | scala.util.Random.nextInt(1 << 12)
+    def draw() = (version << 12) | scala.util.Random.nextInt(1 << 12)
+    var g = draw()
+    while (touched.exists(b => fs.exists(genPath("postings", b, g)) ||
+        fs.exists(genPath("dict", b, g)))) g = draw()
+    g
   }
 
   /** Append `rows` (word, universeId, bucket) as a fresh write-once
@@ -163,7 +169,7 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
     * from the manifest, it no longer exists). */
   private def writeGen(version: Int, touched: Seq[Int], rows0: DataFrame,
       align: Boolean = false): (Int, Seq[Int]) = {
-    val gen = freshGen(version)
+    val gen = freshGen(version, touched)
     // bulk-load alignment (bootstrap only): hash-partition on the bucket
     // column so each bucket lands in one task — a wide unaligned write
     // fans every task into up to `buckets` partition dirs (open-writer

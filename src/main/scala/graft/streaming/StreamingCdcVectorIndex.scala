@@ -62,20 +62,30 @@ class StreamingCdcVectorIndex(spark: SparkSession, indexDir: String,
     * no-ops on already-committed versions. */
   def applyFeedBatch(batch: Dataset[Row], batchId: Long): Unit = {
     if (batch.isEmpty) return
-    // a batch may bundle several drained versions: last op per key wins
+    // a batch may bundle several drained versions: the key's LAST op (by
+    // feed version) decides its final state, but a key whose bundle
+    // contains ANY departure (delete or update at any version) must be
+    // REMOVED first — a delete-then-reinsert bundle classified by its
+    // last op alone would neither remove nor insert (the insertion
+    // anti-join sees the key as already present) and serve the stale
+    // pre-delete vector forever
+    val df = batch.toDF()
     val w = Window.partitionBy(col(key)).orderBy(desc("version"))
-    val last = batch.toDF()
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-    val removed = last.filter(col("op") === "delete" || col("op") === "update")
-      .select(col(key).as("vec_id"))
+    val last = df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val removed = df.filter(col("op") === "delete" || col("op") === "update")
+      .select(col(key).as("vec_id")).distinct()
     val upserts = last.filter(col("op") =!= "delete")
       .select(col(key).as("vec_id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
-    if (!removed.isEmpty)
+    val anyRemoved = !removed.isEmpty
+    if (anyRemoved)
       index.removeBatch(removed, 3 * batchId + 1)
     if (!upserts.isEmpty)
       index.insertBatch(upserts, 3 * batchId + 1) // commits at 3·id+2
-    index.repairBatch(3 * batchId + 3)
+    // repair only when something departed — a pure-insert batch has no
+    // dangling edges to find, and the detection scan is not free
+    if (anyRemoved)
+      index.repairBatch(3 * batchId + 3)
   }
 
   def start(feedDir: String, feedSchema: StructType,

@@ -67,6 +67,15 @@ class StreamingChangeFeed(
   if (!fs.exists(emittedPointer))
     writeEmitted(Merge.tableVersions(spark, tablePath).max)
 
+  /** The retention the next sweep will ACTUALLY enforce — the writer's
+    * dial clamped by the table's persisted takedown-grace policy
+    * (round 14): the drain-lag backpressure guard must budget against
+    * this, or a grace persisted by any past delete would let undrained
+    * versions expire and wedge the feed. Re-read per commit — a delete
+    * may persist a grace at any version. */
+  private def effectiveRetain: Int =
+    Merge.effectiveRetention(spark, tablePath, retainVersions)
+
   /** Last version whose feed is fully emitted (committed pointer). */
   def emittedVersion: Int = {
     val in = fs.open(emittedPointer)
@@ -134,7 +143,7 @@ class StreamingChangeFeed(
   def applyBatch(batch: Dataset[Row], batchId: Long): Unit = {
     if (!batch.isEmpty) {
       val next = Merge.tableVersions(spark, tablePath).max + 1
-      if (next - emittedVersion > retainVersions - 1)
+      if (next - emittedVersion > effectiveRetain - 1)
         drainFeed() // catch up in place; throws only if retention already lost versions
       Merge.upsertRound(spark, tablePath, batch.toDF(), key,
         overwriteCols, coalesceCols, keepCols, buckets,
@@ -154,7 +163,7 @@ class StreamingChangeFeed(
     * one axis. */
   def applyDelete(predicate: org.apache.spark.sql.Column): Merge.DeleteStats = {
     val next = Merge.tableVersions(spark, tablePath).max + 1
-    if (next - emittedVersion > retainVersions - 1)
+    if (next - emittedVersion > effectiveRetain - 1)
       drainFeed()
     val st = Merge.deleteWhere(spark, tablePath, predicate,
       retainVersions = retainVersions)
@@ -168,7 +177,7 @@ class StreamingChangeFeed(
     * table. Same version axis and drain discipline as [[applyDelete]]. */
   def applyDeleteKeys(column: String, values: Seq[Long]): Merge.DeleteStats = {
     val next = Merge.tableVersions(spark, tablePath).max + 1
-    if (next - emittedVersion > retainVersions - 1)
+    if (next - emittedVersion > effectiveRetain - 1)
       drainFeed()
     val st = Merge.deleteKeys(spark, tablePath, column, values,
       retainVersions = retainVersions)

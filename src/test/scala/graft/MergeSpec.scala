@@ -772,6 +772,24 @@ class MergeSpec extends AnyFunSuite {
     val view4 = step(view3, 4)
     assert(rows(view4) === direct(4))
     assert(rows(view4).find(_.getLong(0) === 3L).get.getLong(1) === 99L)
+
+    // NULL-extremum shard: re-populate the emptied shard 7 with a single
+    // NULL-playerCount row (view row exists with null extrema), then
+    // delete it — the eviction extrema cannot see a null departure, so
+    // the n_del term must mark the shard dirty and the recompute must
+    // drop it instead of serving a spurious (7, null, null) row
+    Merge.upsertRound(spark, table,
+      mkTT(Seq(107L), "r5").withColumn("playerCount", lit(null).cast("long")),
+      "universeId", over, coal, keep, buckets = 16, retainVersions = 10)
+    val view5 = step(view4, 5)
+    assert(rows(view5) === direct(5))
+    assert(rows(view5).exists(r => r.getLong(0) === 7L && r.isNullAt(1)))
+    Merge.deleteWhere(spark, table, col("universeId") === 107L,
+      retainVersions = 10)
+    val view6 = step(view5, 6)
+    assert(rows(view6) === direct(6))
+    assert(!rows(view6).exists(_.getLong(0) === 7L),
+      "a null-row delete emptying an all-null shard must drop it from the view")
   }
 
   test("commitFile is atomic-exclusive across PROCESSES on local FS (verdict r13 #3)") {

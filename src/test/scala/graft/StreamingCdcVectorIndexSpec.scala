@@ -87,5 +87,20 @@ class StreamingCdcVectorIndexSpec extends AnyFunSuite {
     val dsts = cvi.index.currentKnn().select("dst")
       .collect().map(_.getLong(0)).toSet
     assert(dsts.subsetOf(ids), "no dangling adjacency after the cascade")
+
+    // DELETE-THEN-REINSERT bundled into ONE index micro-batch (two lake
+    // versions drained while the index query is down): the key's last op
+    // is an insert, but it must still be REMOVED first or the insertion
+    // anti-join keeps the stale pre-delete vector
+    val bounced = 310L
+    cf.applyDeleteKeys("vec_id", Seq(bounced))
+    cf.applyBatch(e.filter(col("vec_id") === bounced)
+      .select(col("vec_id"), expr("transform(v, x -> -x)").as("v")), 99L)
+    cvi.start(feedDir, feedSchema, ckptI).awaitTermination(240000L)
+    val bouncedVec = idxVecs()(bounced)
+    assert(bouncedVec === e.filter(col("vec_id") === bounced)
+      .head().getSeq[Double](1).map(x => -x),
+      "a delete+reinsert bundle must serve the REINSERTED vector")
+    assert(idxVecs().keySet === lakeVecs().keySet)
   }
 }
