@@ -406,6 +406,49 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     Some(stats(version, written, committed))
   }
 
+  /** Reclaim ORPHANED litter: gen dirs and small-table dirs no on-disk
+    * manifest references, older than `olderThanMs` — crashed-and-abandoned
+    * writer attempts (a RETRIED attempt writes a fresh salted gen and
+    * never reuses these). The routine sweep deliberately leaves them
+    * alone: a never-referenced dir is indistinguishable from an
+    * in-flight writer's not-yet-committed data, so reclaiming it safely
+    * needs an age gate covering the longest plausible write — the same
+    * rule as [[graft.operators.Merge.vacuumOrphans]]. Returns dirs
+    * deleted. */
+  def vacuumLitter(olderThanMs: Long = 24L * 3600 * 1000): Int = {
+    val referenced: Set[(String, Int, Long)] = committedVersions
+      .flatMap(v => readManifestAt(v).toSeq.flatMap { case (t, m) =>
+        m.toSeq.flatMap { case (b, gs) => gs.map(g => (t, b, g)) } }).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    var deleted = 0
+    keyed.keys.foreach { t =>
+      val tdir = new Path(root, t)
+      if (fs.exists(tdir))
+        fs.listStatus(tdir).filter(_.getPath.getName.startsWith("bucket="))
+          .foreach { bs =>
+            val b = bs.getPath.getName.stripPrefix("bucket=").toInt
+            fs.listStatus(bs.getPath).filter(_.getPath.getName.startsWith("gen="))
+              .foreach { gs =>
+                val g = gs.getPath.getName.stripPrefix("gen=").toLong
+                if (!referenced.contains((t, b, g)) &&
+                    gs.getModificationTime < cutoff) {
+                  fs.delete(gs.getPath, true); deleted += 1
+                }
+              }
+          }
+    }
+    val smallDir = "^(.+)-v(\\d+)$".r
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case smallDir(t, v) if !referenced.contains((t, -1, v.toLong)) &&
+            st.getModificationTime < cutoff =>
+          fs.delete(st.getPath, true); deleted += 1
+        case _ => ()
+      }
+    }
+    deleted
+  }
+
   /** Keep the last `keepVersions` manifests, every generation they
     * reference, and the small-table dirs they reference; delete the rest
     * (replaced/collapsed generations, expired manifests).

@@ -167,6 +167,30 @@ class BucketedAppendStateSpec extends AnyFunSuite {
     assert(after.size === 40 - b0Ids.length)
   }
 
+  test("vacuumLitter reclaims aged never-referenced dirs, keeps everything referenced") {
+    val root = Files.createTempDirectory("bas-litter").toString
+    val st = new BucketedAppendState(spark, root, buckets = 4,
+      keyed = Map("vectors" -> "vec_id"), keepVersions = 8)
+    st.commitFull(0L, Map("vectors" -> vecs(0L until 20L), "meta" -> cents("v0")))
+    // plant litter: a gen dir and a small-table dir no manifest references
+    // (a crashed-and-abandoned attempt's shape)
+    vecs(Seq(777L)).withColumn("bucket", org.apache.spark.sql.functions.lit(0))
+      .withColumn("gen", org.apache.spark.sql.functions.lit(999999L))
+      .write.mode("append")
+      .partitionBy("bucket", "gen").parquet(s"$root/vectors")
+    cents("orphan").write.parquet(s"$root/meta-v99")
+    // age gate: a FUTURE cutoff (negative age) makes everything "old
+    // enough"; a past cutoff (huge age) reclaims nothing
+    assert(st.vacuumLitter(olderThanMs = Long.MaxValue / 2) === 0,
+      "young litter survives the age gate")
+    val n = st.vacuumLitter(olderThanMs = -1000L)
+    assert(n === 2, s"expected the 2 planted orphans reclaimed, got $n")
+    assert(!new java.io.File(s"$root/meta-v99").exists)
+    // referenced data intact
+    assert(st.read("vectors").count() === 20)
+    assert(st.read("meta").select("tag").head().getString(0) === "v0")
+  }
+
   test("crash on either side of the manifest rename recovers exactly-once") {
     val root = Files.createTempDirectory("bas-crash").toString
     val boom = new RuntimeException("crash")
