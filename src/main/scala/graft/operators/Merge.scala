@@ -229,8 +229,10 @@ object Merge {
   /** One incremental round against an EXISTING manifest-committed table —
     * the resume entry point: the round number is derived from the latest
     * committed manifest (version + 1), so re-running after a crash (any
-    * window) picks up exactly where the last commit left off, clearing
-    * that round's uncommitted leftovers before re-appending. */
+    * window) picks up exactly where the last commit left off — the retry
+    * writes a FRESH atomically-claimed generation (never reusing a
+    * crashed attempt's dirs), and the leftovers stay manifest-invisible
+    * until the age-gated [[vacuumOrphans]] reclaims them. */
   def upsertRound(
       spark: SparkSession, tablePath: String, fresh0: DataFrame, key: String,
       overwriteCols: Seq[String], coalesceCols: Seq[String], keepCols: Seq[String],
@@ -288,7 +290,7 @@ object Merge {
     // committed files are never touched, and no two attempts (crashed
     // retries or concurrent writers) can ever share a gen dir; stale
     // leftovers are manifest-invisible and swept by retention
-    val gen = freshGenFor(fs, table, round, touched)
+    val gen = freshGenFor(fs, table, round)
     // new generations write under PHYSICAL names (stable across renames)
     toPhysical(merged, mapping).withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
@@ -381,7 +383,7 @@ object Merge {
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path)
       : Seq[(org.apache.hadoop.fs.Path, Int)] =
     fs.listStatus(manifestDir(table)).map(_.getPath).toSeq.flatMap { p =>
-      Seq("statsg-", "bloomg-", "bloomgmeta-")
+      Seq("statsg-", "bloomg-", "bloomgmeta-", "genmark-")
         .find(p.getName.startsWith)
         .map(prefix => p -> p.getName.stripPrefix(prefix).toInt)
     }
@@ -542,7 +544,7 @@ object Merge {
     val touched = hit.keys.toSeq.sorted
     val deletedRows = hit.values.sum
     val touchedEntries = current.filter { case (b, _) => touched.contains(b) }
-    val gen = freshGenFor(fs, table, round, touched)
+    val gen = freshGenFor(fs, table, round)
     toPhysical(
       loadState(spark, tablePath, touchedEntries, schema, mapping)
         .filter(!delPred).drop("gen").withColumn("gen", lit(gen)), mapping)
@@ -614,7 +616,7 @@ object Merge {
     val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
     if (oversized.isEmpty) // already compact — don't burn a version
       return CompactStats(version, 0, filesBefore, filesBefore)
-    val gen = freshGenFor(fs, table, round, oversized.keys)
+    val gen = freshGenFor(fs, table, round)
     oversized.toSeq.sorted.foreach { case (b, g) =>
       spark.read.option("basePath", tablePath).parquet(s"$tablePath/bucket=$b/gen=$g")
         .drop("bucket", "gen").coalesce(targetFiles)
@@ -725,7 +727,7 @@ object Merge {
     def dataFiles(p: org.apache.hadoop.fs.Path): Long = dataFileCount(fs, p)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
-    val gen = freshGenFor(fs, table, round, current.keys)
+    val gen = freshGenFor(fs, table, round)
     val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
     val meta0 = readMetaAt(fs, table, version)
     val mapping = meta0.mapping
@@ -1321,19 +1323,25 @@ object Merge {
     * crashed attempt's leftover dirs share the salt space with its retry,
     * and a same-salt draw (p = 2⁻¹²) would APPEND the retry's rows into
     * the crashed attempt's dirs — the committed gen would then hold both
-    * attempts' rows. The label is redrawn while any probe dir or fragment
-    * for it already exists (O(touched) driver existence checks, one draw
-    * expected); the remaining check-to-write window is a concurrent
-    * writer drawing the same salt in the same instant — compounded
-    * probabilities no practical retry count reaches. */
+    * attempts' rows. The label is CLAIMED atomically before any write: a
+    * put-if-absent `genmark-<gen>` marker under `_manifests` (ONE fs
+    * call per draw — existence-probing every touched dir would be
+    * O(buckets) serial RPCs on a clustered rewrite, and check-then-write
+    * still races a concurrent same-salt writer; the marker closes both).
+    * Markers expire with their generations through the same sweep rules
+    * as the fragments. */
   private def freshGenFor(fs: org.apache.hadoop.fs.FileSystem,
-      table: org.apache.hadoop.fs.Path, round: Int,
-      probeBuckets: Iterable[Int]): Int = {
-    var g = freshGen(round)
-    while (probeBuckets.exists(b => fs.exists(genPathOf(table, b, g))) ||
-        fs.exists(fragStatsPath(table, g)) || fs.exists(fragBloomPath(table, g)))
-      g = freshGen(round)
-    g
+      table: org.apache.hadoop.fs.Path, round: Int): Int = {
+    while (true) {
+      val g = freshGen(round)
+      try {
+        ManifestIo.commitFile(fs, manifestDir(table), s"genmark-$g", "")
+        return g
+      } catch {
+        case _: VersionConflictException => () // label taken — redraw
+      }
+    }
+    sys.error("unreachable")
   }
 
   private val MaxCommitRetries = 5

@@ -214,22 +214,32 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     * — crashed retries, or a contract-violating concurrent writer — can
     * ever share a gen dir. A crashed attempt's leftovers become
     * unreachable litter (no manifest names them) instead of data the
-    * retry must clear first. The label is REDRAWN while any touched
-    * bucket already holds a dir for it — a same-salt draw against a
-    * crashed attempt (p = 2⁻²⁰) would otherwise append the retry's rows
-    * into the leftovers and commit both attempts' rows. */
-  private def freshGen(version: Long, table: String, touched: Seq[Int]): Long = {
+    * retry must clear first. The label is CLAIMED atomically via a
+    * put-if-absent `genmark-` marker (ONE fs call per draw — probing
+    * every touched bucket would be O(buckets) serial RPCs on a
+    * commitFull at the sized bucket counts, and check-then-write still
+    * races); a same-salt draw against a crashed attempt (p = 2⁻²⁰) just
+    * redraws. */
+  private def freshGen(version: Long, table: String): Long = {
     def draw() = (version << 20) | scala.util.Random.nextInt(1 << 20).toLong
-    var g = draw()
-    while (touched.exists(b => fs.exists(genPath(table, b, g)))) g = draw()
-    g
+    while (true) {
+      val g = draw()
+      try {
+        graft.operators.ManifestIo.commitFile(fs, manifestDir,
+          s"genmark-$table-$g", "")
+        return g
+      } catch {
+        case _: graft.operators.VersionConflictException => () // taken — redraw
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Write `rows` (already carrying `bucket`) as a fresh write-once
     * generation of `table`; returns (gen, buckets that received data). */
   private def writeKeyedGen(version: Long, table: String,
       rows: DataFrame, touched: Seq[Int], align: Boolean): (Long, Seq[Int]) = {
-    val gen = freshGen(version, table, touched)
+    val gen = freshGen(version, table)
     (if (align) rows.repartition(col("bucket")) else rows)
       .withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket", "gen")
@@ -446,6 +456,14 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
         case _ => ()
       }
     }
+    // abandoned gen-claim markers (claimed, never committed)
+    val refGens = referenced.map { case (t, _, g) => (t, g) }
+    markerFiles().foreach { case (p, t, g) =>
+      if (!refGens.contains((t, g)) &&
+          fs.getFileStatus(p).getModificationTime < cutoff) {
+        fs.delete(p, false); deleted += 1
+      }
+    }
     deleted
   }
 
@@ -470,14 +488,34 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
       vs.flatMap(v => manifests(v).toSeq.flatMap { case (t, m) =>
         m.toSeq.flatMap { case (b, gs) => gs.map(g => (t, b, g)) } }).toSet
     val live = entriesOf(all.filter(v => v >= keepFrom && v <= version))
-    val dead = entriesOf(all) -- live
+    val referenced = entriesOf(all)
+    val dead = referenced -- live
     dead.foreach {
       case (t, -1, g) => fs.delete(smallPath(t, g), true)
       case (t, b, g) => fs.delete(genPath(t, b, g), true)
+    }
+    // gen-claim markers expire with their generations; never-referenced
+    // markers (in-flight or abandoned claims) age out via vacuumLitter
+    val liveGens = live.map { case (t, _, g) => (t, g) }
+    val refGens = referenced.map { case (t, _, g) => (t, g) }
+    markerFiles().foreach { case (p, t, g) =>
+      if (refGens.contains((t, g)) && !liveGens.contains((t, g)))
+        fs.delete(p, false)
     }
     fs.listStatus(manifestDir).map(_.getPath)
       .filter(p => p.getName.startsWith("manifest-v") &&
         p.getName.stripPrefix("manifest-v").toLong < keepFrom)
       .foreach(p => fs.delete(p, false))
   }
+
+  /** Every `genmark-<table>-<gen>` claim marker under `_manifests`. */
+  private def markerFiles(): Seq[(Path, String, Long)] =
+    fs.listStatus(manifestDir).map(_.getPath).toSeq
+      .filter(_.getName.startsWith("genmark-"))
+      .flatMap { p =>
+        val rest = p.getName.stripPrefix("genmark-")
+        val i = rest.lastIndexOf('-')
+        if (i <= 0) None
+        else rest.drop(i + 1).toLongOption.map(g => (p, rest.take(i), g))
+      }
 }

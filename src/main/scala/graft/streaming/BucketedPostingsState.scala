@@ -151,16 +151,22 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
   /** Write-once generation label per writer attempt (round 14 — the
     * lake's `freshGen` rule): no attempt collides with a crashed retry's
     * leftovers, which become unreachable litter instead of data the
-    * retry must pre-delete. Redrawn while any touched bucket already
-    * holds a dir for the label (a same-salt draw would append the
-    * retry's rows into the crashed attempt's dirs and commit both). */
-  private def freshGen(version: Int, touched: Seq[Int]): Int = {
+    * retry must pre-delete. The label is CLAIMED atomically via a
+    * put-if-absent `genmark-` marker — one fs call per draw, no
+    * check-then-write window, no per-bucket probing. */
+  private def freshGen(version: Int): Int = {
     require(version < (1 << 19), s"generation label space exhausted at $version")
     def draw() = (version << 12) | scala.util.Random.nextInt(1 << 12)
-    var g = draw()
-    while (touched.exists(b => fs.exists(genPath("postings", b, g)) ||
-        fs.exists(genPath("dict", b, g)))) g = draw()
-    g
+    while (true) {
+      val g = draw()
+      try {
+        graft.operators.ManifestIo.commitFile(fs, manifestDir, s"genmark-$g", "")
+        return g
+      } catch {
+        case _: graft.operators.VersionConflictException => () // taken — redraw
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Append `rows` (word, universeId, bucket) as a fresh write-once
@@ -169,7 +175,7 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
     * from the manifest, it no longer exists). */
   private def writeGen(version: Int, touched: Seq[Int], rows0: DataFrame,
       align: Boolean = false): (Int, Seq[Int]) = {
-    val gen = freshGen(version, touched)
+    val gen = freshGen(version)
     // bulk-load alignment (bootstrap only): hash-partition on the bucket
     // column so each bucket lands in one task — a wide unaligned write
     // fans every task into up to `buckets` partition dirs (open-writer
@@ -283,6 +289,17 @@ final class BucketedPostingsState(spark: SparkSession, rootDir: String,
       fs.delete(genPath("postings", b, g), true)
       fs.delete(genPath("dict", b, g), true)
     }
+    // gen-claim markers expire with their generations (never-referenced
+    // markers belong to in-flight or abandoned claims and are left alone)
+    val liveGens = live.map(_._2)
+    val refGens = referenced.map(_._2)
+    fs.listStatus(manifestDir).map(_.getPath)
+      .filter(_.getName.startsWith("genmark-"))
+      .foreach { p =>
+        p.getName.stripPrefix("genmark-").toIntOption.foreach { g =>
+          if (refGens.contains(g) && !liveGens.contains(g)) fs.delete(p, false)
+        }
+      }
     fs.listStatus(manifestDir).map(_.getPath)
       .filter(p => p.getName.startsWith("manifest-v") &&
         p.getName.stripPrefix("manifest-v").toInt < keepFrom)

@@ -73,8 +73,21 @@ class StreamingChangeFeed(
     * this, or a grace persisted by any past delete would let undrained
     * versions expire and wedge the feed. Re-read per commit — a delete
     * may persist a grace at any version. */
-  private def effectiveRetain: Int =
-    Merge.effectiveRetention(spark, tablePath, retainVersions)
+  private def effectiveRetain: Int = {
+    val eff = Merge.effectiveRetention(spark, tablePath, retainVersions)
+    // fail fast BEFORE minting a version (the guard runs first): a grace
+    // of 0 clamps retention to 1, the drain can never read v-1, and every
+    // batch would commit a version whose changes are immediately
+    // unrecoverable — the exact wedge-with-loss this guard exists to
+    // prevent. Grace 0 is valid for plain lake tables (immediate physical
+    // takedown, MergeSpec-pinned); a CDC-fed table needs grace >= 1.
+    require(eff >= 2,
+      s"the table's persisted takedownGrace clamps retention to $eff (< 2): " +
+        "a change feed needs v-1 readable to drain v — use " +
+        "takedownGraceVersions >= 1 on CDC-fed tables, or re-baseline " +
+        "consumers from a snapshot")
+    eff
+  }
 
   /** Last version whose feed is fully emitted (committed pointer). */
   def emittedVersion: Int = {
