@@ -37,15 +37,32 @@ final class VersionConflictException(message: String)
   *     is a non-atomic check-then-act.) The previous same-process JVM
   *     lock — which left two local processes able to clobber each other —
   *     is gone, along with its unbounded per-destination lock map.
-  *   - HDFS: no-overwrite `rename` returns false when the destination
-  *     exists — atomic on the NameNode. Object stores provide the
-  *     equivalent precondition-PUT.
+  *   - HDFS (and schemes with the same contract): no-overwrite `rename`
+  *     returns false when the destination exists — atomic on the
+  *     NameNode, so the exists check is only an early-out and the rename
+  *     itself decides the race.
+  *   - object stores (s3a/gcs/abfs — round-14 ADVICE #1): Hadoop's
+  *     connectors implement `rename` as a NON-atomic copy+delete with no
+  *     precondition-PUT, so exists-then-rename is check-then-act and two
+  *     processes racing one version could both "win". The claim there
+  *     falls back to a same-process lock around the check — correct for
+  *     one writer process per table (the maintainer contract), and the
+  *     cross-process limitation is explicit: multi-process writers on an
+  *     object store need an external commit coordinator (what Delta's
+  *     S3 LogStore does with DynamoDB), which this library does not
+  *     fabricate out of a filesystem that cannot express it.
   */
 private[graft] object ManifestIo {
 
-  /** Fallback lock for exotic local filesystems without hard-link support
-    * (link throws UnsupportedOperationException): same-process-only
-    * protection, the pre-round-14 behavior. One global object — commits
+  /** Schemes whose `FileSystem.rename` is atomic and refuses an existing
+    * destination — HDFS and its federated/views front-ends. Everything
+    * else (object-store connectors chiefly) goes through the locked
+    * claim below. */
+  private val AtomicRenameSchemes = Set("hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  /** Fallback lock for filesystems without an atomic claim primitive:
+    * exotic local FS without hard-link support, and object-store schemes
+    * whose rename is copy+delete. Same-process-only protection — commits
     * are rare and short, contention is irrelevant. */
   private val fallbackLock = new Object
 
@@ -60,10 +77,14 @@ private[graft] object ManifestIo {
     val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     val fin = new Path(dir, name)
+    val scheme = fs.getUri.getScheme
     val committed =
-      if (fs.getUri.getScheme == "file") claimLocal(fs, tmp, fin)
-      else if (fs.exists(fin)) false
-      else fs.rename(tmp, fin)
+      if (scheme == "file") claimLocal(fs, tmp, fin)
+      else if (AtomicRenameSchemes(scheme))
+        !fs.exists(fin) && fs.rename(tmp, fin)
+      else fallbackLock.synchronized {
+        !fs.exists(fin) && fs.rename(tmp, fin)
+      }
     if (!committed) {
       fs.delete(tmp, false)
       if (fs.exists(fin))
@@ -85,6 +106,14 @@ private[graft] object ManifestIo {
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+      // The NIO spec makes FileAlreadyExistsException an OPTIONAL
+      // "specific exception" for createLink — a filesystem may surface
+      // EEXIST as a plain FileSystemException instead, which would turn a
+      // benign retryable conflict into a hard IO failure in
+      // commitWithRetry (round-14 ADVICE #2). Classify by re-checking the
+      // destination: if it exists, somebody committed — a lost race.
+      case e: java.nio.file.FileSystemException =>
+        if (java.nio.file.Files.exists(f)) false else throw e
       case _: UnsupportedOperationException =>
         fallbackLock.synchronized {
           if (fs.exists(fin)) false else fs.rename(tmp, fin)

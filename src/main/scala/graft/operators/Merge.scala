@@ -423,6 +423,16 @@ object Merge {
         fs.delete(p, true); deleted += 1
       }
     }
+    // ManifestIo temp files a crashed commit attempt left behind (a
+    // decided claim deletes its temp on both the win and lose paths, so
+    // an aged `.tmp-` is always a crash leftover — round-14 ADVICE #4)
+    fs.listStatus(manifestDir(table)).map(_.getPath)
+      .filter(_.getName.startsWith(".tmp-"))
+      .foreach { p =>
+        if (fs.getFileStatus(p).getModificationTime < cutoff) {
+          fs.delete(p, false); deleted += 1
+        }
+      }
     deleted
   }
 

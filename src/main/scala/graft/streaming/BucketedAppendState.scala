@@ -56,7 +56,19 @@ final case class BucketedCommitStats(
   *
   * {{{
   * root/<table>/bucket=<b>/gen=<g>/    keyed tables (key-hash buckets)
-  * root/<table>-v<v>/                  small tables (rewritten whole)
+  * root/<table>-v<g>/                  small tables, rewritten whole; <g>
+  *                                     is a CLAIMED write-once label since
+  *                                     round 15 (version<<20|salt, drawn
+  *                                     through the same put-if-absent
+  *                                     genmark markers as keyed gens), so
+  *                                     two same-version racers can never
+  *                                     land bytes in one dir — the
+  *                                     manifest commit picks the single
+  *                                     winner whose label it records.
+  *                                     Pre-round-15 manifests recording
+  *                                     the bare version keep reading: the
+  *                                     dir name derives from the recorded
+  *                                     label either way
   * root/_manifests/manifest-v<v>       "table,bucket,gen" lines (one per
   *                                     LIVE generation; bucket -1 = small)
   * root/_manifests/buckets             the bucket count the layout uses
@@ -83,7 +95,9 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     buckets: Int = 16, keyed: Map[String, String] = Map.empty,
     keepVersions: Int = 3,
     maxGensPerBucket: Int = 8,
-    hooks: Merge.IncHooks = Merge.IncHooks.none) extends Serializable {
+    hooks: Merge.IncHooks = Merge.IncHooks.none,
+    litterVacuumEveryCommits: Int = 64,
+    litterVacuumAgeMs: Long = 24L * 3600 * 1000) extends Serializable {
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
   require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
   require(maxGensPerBucket >= 1, s"maxGensPerBucket must be >= 1")
@@ -235,6 +249,23 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     sys.error("unreachable")
   }
 
+  /** Write a small table whole at a CLAIMED write-once label (round 15 —
+    * closing the last last-write-wins write in the commit story: the
+    * previous shape overwrote `$table-v$version` with no claim, so two
+    * same-version racers shared one dir — the manifest commit picked one
+    * winner, but the LOSER's parquet overwrite could land after the
+    * winner's, leaving the committed version pointing at bytes the winner
+    * never wrote. The label is drawn through the same put-if-absent
+    * genmark claim as keyed generations, so every attempt writes its own
+    * dir write-once; a losing or crashed attempt's dir is unreferenced
+    * litter [[vacuumLitter]] reclaims by age). Returns the label the
+    * manifest records at bucket -1. */
+  private def writeSmall(version: Long, table: String, rows: DataFrame): Long = {
+    val label = freshGen(version, table)
+    rows.write.parquet(smallPath(table, label).toString)
+    label
+  }
+
   /** Write `rows` (already carrying `bucket`) as a fresh write-once
     * generation of `table`; returns (gen, buckets that received data). */
   private def writeKeyedGen(version: Long, table: String,
@@ -298,8 +329,7 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
       t -> present.map(b => b -> Seq(gen)).toMap
     }
     val smallEntries = tables.keys.filterNot(keyed.contains).map { t =>
-      tables(t).write.mode("overwrite").parquet(smallPath(t, version).toString)
-      t -> Map(-1 -> Seq(version))
+      t -> Map(-1 -> Seq(writeSmall(version, t, tables(t))))
     }.toMap
     val replaced = keyedEntries ++ smallEntries
     // a FULL write replaces the touched tables' entire entries (it is the
@@ -307,11 +337,12 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     val committed = unionCommit(current, replaced)
     val written = keyedEntries.map { case (t, m) =>
       t -> m.toSeq.map { case (b, gs) => b -> gs.head } } ++
-      smallEntries.keys.map(_ -> Seq(-1 -> version))
+      smallEntries.map { case (t, m) => t -> Seq(-1 -> m(-1).head) }
     hooks.beforeCommit(version.toInt)
     commitManifest(version, committed)
     hooks.afterCommit(version.toInt)
     sweepRetention(version)
+    maybeVacuumLitter(version)
     Some(stats(version, written, committed))
   }
 
@@ -395,8 +426,7 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
     }).flatten.toMap
     val smallEntries = touchedTables
       .filter(t => !keyed.contains(t) && appends.contains(t)).map { t =>
-        appends(t).write.mode("overwrite").parquet(smallPath(t, version).toString)
-        t -> Map(-1 -> Seq(version))
+        t -> Map(-1 -> Seq(writeSmall(version, t, appends(t))))
       }.toMap
     // merge keyed entries bucket-wise into current (empty lists drop the
     // bucket); small tables replace whole
@@ -408,13 +438,26 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
       } ++ smallEntries)
     val written = keyedEntries.map { case (t, m) =>
       t -> m.toSeq.collect { case (b, gs) if gs.nonEmpty => b -> gs.last } } ++
-      smallEntries.keys.map(_ -> Seq(-1 -> version))
+      smallEntries.map { case (t, m) => t -> Seq(-1 -> m(-1).head) }
     hooks.beforeCommit(version.toInt)
     commitManifest(version, committed)
     hooks.afterCommit(version.toInt)
     sweepRetention(version)
+    maybeVacuumLitter(version)
     Some(stats(version, written, committed))
   }
+
+  /** Age-gated litter vacuum ON the maintainer loop (round-14 ADVICE #4:
+    * nothing invoked [[vacuumLitter]] automatically, so a long-running
+    * streaming maintainer accumulated crashed-attempt dirs, abandoned
+    * claim markers, and ManifestIo `.tmp-` files without bound across
+    * crashes). Every `litterVacuumEveryCommits` commits — amortized so a
+    * change-sized commit is never dominated by the sweep's listings; 0
+    * disables it for callers running their own maintenance schedule. */
+  private def maybeVacuumLitter(version: Long): Unit =
+    if (litterVacuumEveryCommits > 0 &&
+        version % litterVacuumEveryCommits == 0 && version > 0)
+      vacuumLitter(litterVacuumAgeMs)
 
   /** Reclaim ORPHANED litter: gen dirs and small-table dirs no on-disk
     * manifest references, older than `olderThanMs` — crashed-and-abandoned
@@ -464,6 +507,18 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
         fs.delete(p, false); deleted += 1
       }
     }
+    // ManifestIo temp files a crashed commit attempt left behind: the
+    // winner/loser paths both delete their temp on a DECIDED claim, so an
+    // aged `.tmp-` under _manifests is always a crash leftover (round-14
+    // ADVICE #4: no sweep reclaimed these at all)
+    if (fs.exists(manifestDir))
+      fs.listStatus(manifestDir).map(_.getPath)
+        .filter(_.getName.startsWith(".tmp-"))
+        .foreach { p =>
+          if (fs.getFileStatus(p).getModificationTime < cutoff) {
+            fs.delete(p, false); deleted += 1
+          }
+        }
     deleted
   }
 

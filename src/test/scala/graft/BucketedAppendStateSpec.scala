@@ -59,7 +59,12 @@ class BucketedAppendStateSpec extends AnyFunSuite {
     assert(st.readAt("vectors", 1L).count() === 11)
     assert(st.readAt("vectors", 2L).count() === 12)
     assert(st.readAt("meta", 1L).select("tag").head().getString(0) === "v1")
-    assert(!new java.io.File(s"$root/meta-v0").exists, "expired small dir swept")
+    // small dirs are label-named (claimed write-once, round 15): the
+    // sweep leaves exactly the two retained versions' dirs
+    val metaDirs = new java.io.File(root).listFiles
+      .map(_.getName).filter(_.startsWith("meta-v"))
+    assert(metaDirs.length === 2,
+      s"expired small dir swept, got ${metaDirs.mkString(",")}")
   }
 
   test("delta commits write ONLY the delta; collapse bounds generations per bucket") {
@@ -189,6 +194,41 @@ class BucketedAppendStateSpec extends AnyFunSuite {
     // referenced data intact
     assert(st.read("vectors").count() === 20)
     assert(st.read("meta").select("tag").head().getString(0) === "v0")
+  }
+
+  test("two same-version small-table racers: one winner pointing at its own bytes (round-15 #1)") {
+    // The pre-round-15 shape wrote small tables mode(overwrite) at
+    // $table-v$version with no claim: two same-version racers shared ONE
+    // dir, so the manifest's winner could end up pointing at the LOSER's
+    // bytes (whichever parquet write landed last). Labels are now drawn
+    // through the same put-if-absent genmark claim as keyed generations —
+    // every attempt writes its own dir, so the winner's manifest
+    // structurally points at bytes the winner wrote itself.
+    val root = Files.createTempDirectory("bas-race").toString
+    def mk(hooks: Merge.IncHooks = Merge.IncHooks.none) = new BucketedAppendState(
+      spark, root, buckets = 4, keyed = Map("vectors" -> "vec_id"),
+      keepVersions = 8, hooks = hooks)
+    mk().commitFull(0L, Map("vectors" -> vecs(0L until 10L), "meta" -> cents("v0")))
+    // interleave: the loser has already WRITTEN its small-table bytes when
+    // the winner's whole commit (write + manifest) lands inside its window
+    val loser = mk(Merge.IncHooks(beforeCommit = v => if (v == 1) {
+      mk().commitAppend(1L, Map("meta" -> cents("winner"))); () }))
+    intercept[graft.operators.VersionConflictException](
+      loser.commitAppend(1L, Map("meta" -> cents("loser"))))
+    // the committed version resolves to the winner's OWN bytes
+    assert(mk().readAt("meta", 1L).select("tag").head().getString(0) === "winner")
+    // both attempts wrote distinct claimed dirs: v0's, the winner's, and
+    // the loser's unreferenced litter
+    val metaDirs = new java.io.File(root).listFiles
+      .map(_.getName).filter(_.startsWith("meta-v"))
+    assert(metaDirs.length === 3,
+      s"expected 3 distinct claimed dirs, got ${metaDirs.mkString(",")}")
+    // the loser's dir and its claim marker age out as litter; everything
+    // referenced survives
+    val reclaimed = mk().vacuumLitter(olderThanMs = -1000L)
+    assert(reclaimed === 2, s"loser dir + marker expected, got $reclaimed")
+    assert(mk().readAt("meta", 1L).select("tag").head().getString(0) === "winner")
+    assert(mk().readAt("meta", 0L).select("tag").head().getString(0) === "v0")
   }
 
   test("crash on either side of the manifest rename recovers exactly-once") {

@@ -817,6 +817,33 @@ class MergeSpec extends AnyFunSuite {
       dir.resolve("manifest-v2")), "UTF-8") === "1,1\n")
   }
 
+  test("non-atomic-rename schemes commit through the locked claim (ADVICE r14 #1)") {
+    // Object-store connectors (s3a/gcs/abfs) implement rename as
+    // NON-atomic copy+delete with no precondition-PUT, so the bare
+    // exists-then-rename was check-then-act: the loser could replace the
+    // winner's committed bytes. The commit path now gates the rename to
+    // schemes with an atomic no-overwrite contract (hdfs family) and
+    // routes everything else through the same-process lock. Simulated
+    // with a local-FS wrapper under a foreign scheme whose rename, like
+    // an object store's, replaces an existing destination.
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.mockstore.impl", classOf[graft.MockObjectStoreFs].getName)
+    conf.setBoolean("fs.mockstore.impl.disable.cache", true)
+    val dir = java.nio.file.Files.createTempDirectory("manifest-objstore")
+    val hp = new org.apache.hadoop.fs.Path("mockstore://" + dir.toString)
+    val hfs = hp.getFileSystem(conf)
+    assert(hfs.getUri.getScheme === "mockstore")
+    graft.operators.ManifestIo.commitFile(hfs, hp, "manifest-v1", "0,0\n")
+    val e = intercept[graft.operators.VersionConflictException] {
+      graft.operators.ManifestIo.commitFile(hfs, hp, "manifest-v1", "9,9\n")
+    }
+    assert(e.getMessage.contains("already committed"))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      dir.resolve("manifest-v1")), "UTF-8") === "0,0\n",
+      "the loser must not have replaced the committed bytes")
+  }
+
   test("metadata race: a losing writer can never clobber the winner's committed schema (ADVICE r13 #1)") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-meta-race").toString
     val table = s"$tmp/games"
@@ -993,4 +1020,13 @@ class MergeSpec extends AnyFunSuite {
       .orderBy("universeId").collect() ===
       expected.selectExpr(ttCols: _*).orderBy("universeId").collect())
   }
+}
+
+/** Test double for an object-store-like filesystem: a foreign scheme
+  * (not `file`, not in ManifestIo's atomic-rename set) whose `rename`
+  * replaces an existing destination — the behavior Hadoop's s3a/gcs
+  * connectors exhibit (copy+delete, no precondition). */
+class MockObjectStoreFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("mockstore:///")
+  override def getScheme: String = "mockstore"
 }
