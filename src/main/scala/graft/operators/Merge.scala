@@ -299,11 +299,12 @@ object Merge {
     // r13 #5 — point/range reads stay pruned between clustered rewrites);
     // gen labels are write-once per attempt, so fragment writes are
     // race-free even before the commit decides
-    writeGenFragments(spark, tablePath, table, gen,
+    val fragInfo = writeGenFragments(spark, tablePath, table, gen,
       touched.map(b => genPath(b, gen)).filter(fs.exists).map(_.toString),
       meta0)
     hooks.beforeCommit(round)
-    val meta = meta0.copy(schema = Some(mergedData.schema))
+    val meta = meta0.copy(schema = Some(mergedData.schema),
+      frags = meta0.frags ++ fragInfo.map(gen -> _))
     val (committedVersion, committed) = commitWithRetry(fs, table,
       round, current, touched.map(_ -> gen).toMap, meta)
     hooks.afterCommit(committedVersion)
@@ -563,7 +564,7 @@ object Merge {
     val present = touched.filter(b =>
       fs.exists(genPathOf(table, b, gen)))
     val rewritten = present.map(b => dirBytesOf(fs, genPathOf(table, b, gen))).sum
-    writeGenFragments(spark, tablePath, table, gen,
+    val fragInfo = writeGenFragments(spark, tablePath, table, gen,
       present.map(b => genPathOf(table, b, gen).toString), meta0)
     val dataSchema = org.apache.spark.sql.types.StructType(
       loadState(spark, tablePath, touchedEntries, schema, mapping)
@@ -575,7 +576,8 @@ object Merge {
       else Some(meta0.takedownGrace.fold(takedownGraceVersions)(
         math.min(_, takedownGraceVersions)))
     val meta = meta0.copy(schema = Some(schema.getOrElse(dataSchema)),
-      takedownGrace = grace)
+      takedownGrace = grace,
+      frags = meta0.frags ++ fragInfo.map(gen -> _))
     hooks.beforeCommit(round)
     // strict: a predicate delete's read set is the whole table (ADVICE
     // r13 #3) — any concurrent bucket change conflicts, never auto-merged
@@ -636,9 +638,10 @@ object Merge {
     // layout-only version: schema, mapping, and sidecar policy carry
     // forward unchanged; the compacted generation gets fresh fragments so
     // skipping reads stay pruned across an OPTIMIZE
-    val meta = readMetaAt(fs, table, version)
-    writeGenFragments(spark, tablePath, table, gen,
-      oversized.keys.toSeq.sorted.map(b => genPath(b, gen).toString), meta)
+    val meta0 = readMetaAt(fs, table, version)
+    val fragInfo = writeGenFragments(spark, tablePath, table, gen,
+      oversized.keys.toSeq.sorted.map(b => genPath(b, gen).toString), meta0)
+    val meta = meta0.copy(frags = meta0.frags ++ fragInfo.map(gen -> _))
     commitManifest(fs, table, round, committed, meta)
     sweepRetention(fs, table, round, retainVersions, meta.takedownGrace)
     val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
@@ -756,8 +759,9 @@ object Merge {
     // fragments for its own generation. A conflict-refused rewrite leaves
     // only attempt-unique fragments no manifest references — swept by the
     // age-gated vacuum, never readable (ADVICE r13 #1's second half).
-    val meta = meta0.copy(statsCols = statCols, bloomCols = bloomCols)
-    writeGenFragments(spark, tablePath, table, gen, genPaths, meta)
+    val metaPolicy = meta0.copy(statsCols = statCols, bloomCols = bloomCols)
+    val fragInfo = writeGenFragments(spark, tablePath, table, gen, genPaths, metaPolicy)
+    val meta = metaPolicy.copy(frags = metaPolicy.frags ++ fragInfo.map(gen -> _))
     val committed = current.keys.map(_ -> gen).toMap
     commitManifest(fs, table, round, committed, meta)
     sweepRetention(fs, table, round, retainVersions, meta.takedownGrace)
@@ -785,6 +789,14 @@ object Merge {
   // kept file is validated against the manifest's (bucket, gen) entries
   // before any I/O — a fragment can never route a read to a file the
   // committed version does not own.
+  //
+  // LEGACY NOTE (ADVICE r14 #3): pre-round-14 tables carry per-VERSION
+  // `stats-v`/`bloom-v` sidecars that no reader consults anymore — those
+  // tables read correctly but unpruned until either a clusterRewrite or
+  // (cheaper — no data rewrite) one [[refreshFragments]] call backfills
+  // per-generation fragments. Round-14 tables' on-disk fragments keep
+  // working through the FS-probe fallback, and refreshFragments adopts
+  // them into the manifest so reads stop paying the per-gen probes.
   // -------------------------------------------------------------------
 
   private def fragStatsPath(table: org.apache.hadoop.fs.Path, gen: Int) =
@@ -798,12 +810,14 @@ object Merge {
     * generation (no-op when the table has no sidecar policy). One read of
     * the new generation's files feeds both aggregations — the write-time
     * price of read-time skipping, now priced ∝ the generation instead of
-    * the table. */
+    * the table. Returns the generation's [[FragInfo]] for the caller to
+    * embed in its manifest commit (round-15: reads learn fragment layout
+    * from the manifest, not per-gen FS probes). */
   private def writeGenFragments(spark: SparkSession, tablePath: String,
       table: org.apache.hadoop.fs.Path, gen: Int, genPaths: Seq[String],
-      meta: TableMeta): Unit = {
+      meta: TableMeta): Option[FragInfo] = {
     if (genPaths.isEmpty || (meta.statsCols.isEmpty && meta.bloomCols.isEmpty))
-      return
+      return None
     def phys(c: String) = meta.mapping.getOrElse(c, c)
     val data = spark.read.option("basePath", tablePath).parquet(genPaths: _*)
     def fileKey = regexp_extract(input_file_name(), "bucket=.*$", 0).as("file")
@@ -815,7 +829,9 @@ object Merge {
         .coalesce(1)
         .write.mode("overwrite").parquet(fragStatsPath(table, gen).toString)
     }
-    if (meta.bloomCols.nonEmpty) {
+    if (meta.bloomCols.isEmpty)
+      Some(FragInfo(meta.statsCols, 0L, Seq.empty))
+    else {
       val counts = data.groupBy(fileKey).agg(count(lit(1)).as("n"))
         .agg(max(col("n")).as("mx"), sum(col("n")).as("total")).head()
       val maxRows = counts.getLong(0)
@@ -844,6 +860,7 @@ object Merge {
       try out.write(s"m=$m\ncols=${meta.bloomCols.mkString(",")}\n"
         .getBytes("UTF-8"))
       finally out.close()
+      Some(FragInfo(meta.statsCols, m, meta.bloomCols))
     }
   }
 
@@ -911,47 +928,64 @@ object Merge {
     // only its intersecting files; gens without one (written before the
     // sidecar policy, or by a writer that crashed mid-fragment) keep all
     // their files — graceful degradation, never a correctness dependency.
-    // Job shape: one tiny read per gen, each file-count-sized and
-    // schema-gated per fragment (different gens may track different stat
-    // columns); gen count is bounded by compaction in practice — the
-    // rows-∝-table concern the point probe had does not apply here
+    // Job shape (round-15, verdict r14 #8 + ADVICE #5): the per-gen
+    // fragment layout comes from the manifest's #frag entries (FS probes
+    // only for pre-round-15 gens), every contributing fragment joins ONE
+    // unioned scan with the keep-decision EVALUATED IN THE SCAN — the
+    // driver collects only surviving (gen, file) rows, never one row per
+    // file, and pays one job instead of O(#gens) sequential ones (an
+    // incrementally-merged table carries one surviving gen per past round
+    // between compactions).
+    val byGen = state.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (g, entries) => g -> entries.keys.toSeq.sorted }
+    // classify each gen: Some(statPreds) = prunable through its fragment,
+    // None = read whole (no fragment, or no overlap with the predicates)
+    val prunable: Seq[(Int, Seq[(String, Long, Long)])] = byGen.flatMap {
+      case (g, _) =>
+        val fragStatsCols: Option[Seq[String]] = meta.frags.get(g) match {
+          case Some(fi) => if (fi.statsCols.isEmpty) None else Some(fi.statsCols)
+          case None => // pre-round-15 gen: fall back to the FS + footer
+            val sp = fragStatsPath(table, g)
+            if (!fsys.exists(sp)) None
+            else Some(spark.read.parquet(sp.toString).columns.toSeq
+              .filter(_.startsWith("min_")).map(_.stripPrefix("min_")))
+        }
+        val statPreds = preds.filter(p => fragStatsCols.exists(_.contains(p._1)))
+        if (statPreds.isEmpty) None else Some(g -> statPreds)
+    }
+    // one unioned, predicate-pushed scan; only survivors reach the driver.
+    // NULL stats (an all-null file) make the conjunction NULL → filtered
+    // out → pruned, matching a BETWEEN's null semantics.
+    val keptByGen: Map[Int, Seq[String]] =
+      if (prunable.isEmpty) Map.empty
+      else prunable.map { case (g, sps) =>
+        val keepExpr = sps.map { case (c, lo, hi) =>
+          col(s"max_$c") >= lo && col(s"min_$c") <= hi }.reduce(_ && _)
+        spark.read.parquet(fragStatsPath(table, g).toString)
+          .filter(keepExpr).select(lit(g).as("gen"), col("file"))
+      }.reduce(_ unionByName _).collect()
+        .groupBy(_.getInt(0))
+        .map { case (g, rs) => g -> rs.map(_.getString(1)).toSeq }
+    val prunableGens = prunable.map(_._1).toSet
     var anyPruned = false
-    val relPaths: Seq[String] = state.groupBy(_._2).toSeq.sortBy(_._1)
-      .flatMap { case (g, entries) =>
-        val whole = entries.keys.toSeq.sorted.map(b => s"bucket=$b/gen=$g")
-        val sp = fragStatsPath(table, g)
-        if (!fsys.exists(sp)) whole
+    val relPaths: Seq[String] = byGen.flatMap { case (g, buckets) =>
+      val whole = buckets.map(b => s"bucket=$b/gen=$g")
+      if (!prunableGens.contains(g)) whole
+      else {
+        val keep = keptByGen.getOrElse(g, Seq.empty)
+        // a fragment can never route the read outside the committed
+        // version: a malformed path falls the gen back; a well-formed
+        // entry whose bucket has since been rewritten at a NEWER gen
+        // is simply dropped — that bucket's rows live in the newer
+        // generation, covered by its own piece of this loop
+        if (keep.exists(rel => parseRelFile(rel).isEmpty)) whole
         else {
-          val statsDf = spark.read.parquet(sp.toString)
-          val statPreds = preds.filter { case (c, _, _) =>
-            statsDf.columns.contains(s"min_$c") }
-          if (statPreds.isEmpty) whole
-          else {
-            // one row per file of THIS generation — manifest-order small
-            val keep = statsDf.collect().filter { r =>
-              statPreds.forall { case (c, lo, hi) =>
-                val iMin = r.fieldIndex(s"min_$c"); val iMax = r.fieldIndex(s"max_$c")
-                // Number-tolerant: min/max inherit each column's integral
-                // type (long here, int on a narrower column)
-                !r.isNullAt(iMin) && !r.isNullAt(iMax) &&
-                  r.getAs[Number](iMax).longValue >= lo &&
-                  r.getAs[Number](iMin).longValue <= hi
-              }
-            }.map(r => r.getString(r.fieldIndex("file"))).toSeq
-            // a fragment can never route the read outside the committed
-            // version: a malformed path falls the gen back; a well-formed
-            // entry whose bucket has since been rewritten at a NEWER gen
-            // is simply dropped — that bucket's rows live in the newer
-            // generation, covered by its own piece of this loop
-            if (keep.exists(rel => parseRelFile(rel).isEmpty)) whole
-            else {
-              anyPruned = true
-              keep.filter(rel => parseRelFile(rel).exists {
-                case (b, g2) => g2 == g && state.get(b).contains(g) })
-            }
-          }
+          anyPruned = true
+          keep.filter(rel => parseRelFile(rel).exists {
+            case (b, g2) => g2 == g && state.get(b).contains(g) })
         }
       }
+    }
     if (relPaths.isEmpty) return full().limit(0)
     if (!anyPruned) return full()
     val direct = spark.read.option("basePath", tablePath)
@@ -988,7 +1022,7 @@ object Merge {
     * this). */
   private[graft] final case class PointProbeReport(
       relPaths: Seq[String], scannedSidecarRows: Long,
-      prunedGens: Int, unfragmentedGens: Int)
+      prunedGens: Int, unfragmentedGens: Int, fsProbes: Int = 0)
 
   /** Decide the file set for `column IN (values)` per generation: gens
     * with a Bloom fragment covering `column` contribute only their firing
@@ -1014,12 +1048,26 @@ object Merge {
     import spark.implicits._
     val byGen: Seq[(Int, Seq[Int])] = state.groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (g, entries) => g -> entries.keys.toSeq.sorted }
-    // driver-side split: gens with a fragment covering the column vs whole
+    // driver-side split: gens with a fragment covering the column vs
+    // whole. Fragment layout comes from the manifest's #frag entries
+    // (round-15, verdict r14 #5) — ZERO per-gen FS round-trips for any
+    // generation a round-15+ writer committed; gens absent from the map
+    // (pre-upgrade tables) fall back to the per-gen FS probe, counted in
+    // the report so the spec can pin "≤ a constant" for fresh tables.
+    var fsProbes = 0
     val fragged: Seq[(Int, Long)] = byGen.flatMap { case (g, _) =>
-      readBloomMeta(fsys, fragBloomMetaPath(table, g)) match {
-        case Some((m, cols)) if cols.contains(column) &&
-            fsys.exists(fragBloomPath(table, g)) => Some(g -> m)
-        case _ => None
+      meta.frags.get(g) match {
+        case Some(fi) =>
+          if (fi.bloomM > 0 && fi.bloomCols.contains(column)) Some(g -> fi.bloomM)
+          else None
+        case None =>
+          fsProbes += 1
+          readBloomMeta(fsys, fragBloomMetaPath(table, g)) match {
+            case Some((m, cols)) if cols.contains(column) && {
+                fsProbes += 1; fsys.exists(fragBloomPath(table, g)) } =>
+              Some(g -> m)
+            case _ => None
+          }
       }
     }
     val fraggedGens = fragged.map(_._1).toSet
@@ -1075,7 +1123,7 @@ object Merge {
         }
       }
     }
-    PointProbeReport(relPaths, scanned, pruned, unfragmented)
+    PointProbeReport(relPaths, scanned, pruned, unfragmented, fsProbes)
   }
 
   /** POINT-LOOKUP skipping read: `column IN (values)` served through the
@@ -1104,6 +1152,71 @@ object Merge {
         d.withColumnRenamed(physical, logical)
       else d
     }.filter(pred)
+  }
+
+  /** BACKFILL data-skipping fragments WITHOUT rewriting data (round-15;
+    * ADVICE r14 #3's migration path): for every generation the current
+    * version references,
+    *
+    *   - a generation whose fragments exist on disk but are missing from
+    *     the manifest (written by a pre-round-15 writer) is ADOPTED: its
+    *     layout is read once from the FS and recorded as a `#frag` entry;
+    *   - a generation with no fragments at all gets them COMPUTED — one
+    *     read of that generation's files, same as any writer pays for its
+    *     new gen;
+    *
+    * then ONE metadata-only version commits the complete fragment map
+    * (and the sidecar policy, when `statsCols`/`bloomCols` set it for a
+    * table that never had one). This is the cheap way to (re)gain
+    * skipping on an existing table: no data rewrite (unlike [[cluster]]),
+    * and point reads need no clustering at all — Bloom fragments prune
+    * on ANY layout. Pre-round-14 tables (whose per-version `stats-v`
+    * sidecars stopped being consulted when fragments replaced them) run
+    * this once instead of re-clustering. Returns the number of
+    * generations backfilled or adopted; 0 commits nothing. */
+  def refreshFragments(spark: SparkSession, tablePath: String,
+      statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
+      retainVersions: Int = 2): Int = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fsys = fs(spark, table)
+    val (version, state) = readManifest(fsys, table)
+    val meta0 = readMetaAt(fsys, table, version)
+    val policy = meta0.copy(
+      statsCols = if (statsCols.nonEmpty) statsCols else meta0.statsCols,
+      bloomCols = if (bloomCols.nonEmpty) bloomCols else meta0.bloomCols)
+    require(policy.statsCols.nonEmpty || policy.bloomCols.nonEmpty,
+      s"$tablePath has no sidecar policy and none was given — nothing to backfill")
+    val byGen = state.groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (g, entries) => g -> entries.keys.toSeq.sorted }
+    val newFrags: Seq[(Int, FragInfo)] = byGen.flatMap { case (g, buckets) =>
+      if (meta0.frags.contains(g)) None
+      else {
+        // adopt an on-disk fragment set a pre-round-15 writer left behind
+        val statsOnDisk: Seq[String] =
+          if (!fsys.exists(fragStatsPath(table, g))) Seq.empty
+          else spark.read.parquet(fragStatsPath(table, g).toString)
+            .columns.toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+        val bloomOnDisk: Option[(Long, Seq[String])] =
+          readBloomMeta(fsys, fragBloomMetaPath(table, g))
+            .filter(_ => fsys.exists(fragBloomPath(table, g)))
+        if (statsOnDisk.nonEmpty || bloomOnDisk.nonEmpty)
+          Some(g -> FragInfo(statsOnDisk,
+            bloomOnDisk.map(_._1).getOrElse(0L),
+            bloomOnDisk.map(_._2).getOrElse(Seq.empty)))
+        else // nothing on disk: compute fragments for this generation
+          writeGenFragments(spark, tablePath, table, g,
+            buckets.map(b => genPathOf(table, b, g).toString), policy)
+            .map(g -> _)
+      }
+    }
+    if (newFrags.isEmpty &&
+        policy.statsCols == meta0.statsCols && policy.bloomCols == meta0.bloomCols)
+      return 0 // fully fragmented already — don't burn a version
+    val meta = policy.copy(frags = meta0.frags ++ newFrags)
+    val (committedVersion, _) =
+      commitWithRetry(fsys, table, version + 1, state, Map.empty, meta)
+    sweepRetention(fsys, table, committedVersion, retainVersions, meta.takedownGrace)
+    newFrags.size
   }
 
   // -------------------------------------------------------------------
@@ -1249,7 +1362,22 @@ object Merge {
       mapping: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      takedownGrace: Option[Int] = None)
+      takedownGrace: Option[Int] = None,
+      frags: Map[Int, FragInfo] = Map.empty)
+
+  /** Per-generation skipping-fragment metadata, embedded in the manifest
+    * (round-15 — verdict r14 #5): which stat columns the generation's
+    * `statsg-` fragment covers, and the Bloom fragment's bit width `m`
+    * (0 = no Bloom fragment) with its covered columns. With this in the
+    * manifest, a point or range read learns every generation's fragment
+    * layout from the ONE manifest file it already read — zero per-gen FS
+    * probes (the round-14 residual: [[pointProbe]] paid O(live
+    * generations) driver `exists`/`readBloomMeta` round-trips before its
+    * single pushed-down scan). Generations absent from the map (written
+    * by pre-round-15 code) fall back to the FS probe — and
+    * [[refreshFragments]] adopts them into the manifest. */
+  private[graft] final case class FragInfo(
+      statsCols: Seq[String], bloomM: Long, bloomCols: Seq[String])
 
   /** Atomic commit: write `#`-prefixed metadata lines plus `bucket,gen`
     * lines to a temp file, claim `manifest-v<version>` PUT-IF-ABSENT
@@ -1262,6 +1390,10 @@ object Merge {
   private def commitManifest(
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
       version: Int, state: Map[Int, Int], meta: TableMeta): Unit = {
+    // fragment entries only for generations this version references —
+    // entries for replaced gens would be dead weight in every later read
+    val liveGens = state.values.toSet
+    def colsOrDash(cs: Seq[String]) = if (cs.isEmpty) "-" else cs.mkString(",")
     val metaLines = Seq("#format 2") ++
       meta.schema.map(s => s"#schema ${s.json}").toSeq ++
       meta.mapping.toSeq.sorted.map { case (l, ph) => s"#mapping $l,$ph" } ++
@@ -1269,7 +1401,10 @@ object Merge {
         Seq(s"#statscols ${meta.statsCols.mkString(",")}") else Seq.empty) ++
       (if (meta.bloomCols.nonEmpty)
         Seq(s"#bloomcols ${meta.bloomCols.mkString(",")}") else Seq.empty) ++
-      meta.takedownGrace.map(g => s"#takedowngrace $g").toSeq
+      meta.takedownGrace.map(g => s"#takedowngrace $g").toSeq ++
+      meta.frags.toSeq.filter(kv => liveGens(kv._1)).sortBy(_._1)
+        .map { case (g, fi) =>
+          s"#frag $g ${fi.bloomM} ${colsOrDash(fi.statsCols)} ${colsOrDash(fi.bloomCols)}" }
     ManifestIo.commitFile(fs, manifestDir(table), s"manifest-v$version",
       (metaLines ++ state.toSeq.sorted.map { case (b, g) => s"$b,$g" })
         .mkString("", "\n", "\n"))
@@ -1297,7 +1432,12 @@ object Merge {
           .map(_.split(',').toSeq).getOrElse(Seq.empty),
         bloomCols = tagged("bloomcols").headOption
           .map(_.split(',').toSeq).getOrElse(Seq.empty),
-        takedownGrace = tagged("takedowngrace").headOption.map(_.trim.toInt))
+        takedownGrace = tagged("takedowngrace").headOption.map(_.trim.toInt),
+        frags = tagged("frag").map { l =>
+          val parts = l.split(' ')
+          def cols(s: String) = if (s == "-") Seq.empty[String] else s.split(',').toSeq
+          parts(0).toInt -> FragInfo(cols(parts(2)), parts(1).toLong, cols(parts(3)))
+        }.toMap)
     }
   }
 
@@ -1399,10 +1539,15 @@ object Merge {
     var attemptVersion = round
     var base = base0
     var attempts = 0
+    // fragment metadata is MERGED across racers, not compared: each
+    // writer knows only its own new generation's fragments, and the
+    // winner's gens (disjoint buckets) carry the winner's entries
+    var mergedFrags = meta.frags
     while (true) {
       val stateMap = (base -- removedBuckets) ++ newEntries
       try {
-        commitManifest(fs, table, attemptVersion, stateMap, meta)
+        commitManifest(fs, table, attemptVersion, stateMap,
+          meta.copy(frags = mergedFrags))
         return (attemptVersion, stateMap)
       } catch {
         case c: VersionConflictException =>
@@ -1431,12 +1576,15 @@ object Merge {
                 metadata = org.apache.spark.sql.types.Metadata.empty))))
           val wmeta = readMetaAt(fs, table, wv)
           if (norm(wmeta.schema) != norm(meta.schema) ||
-              wmeta.copy(schema = None) != meta.copy(schema = None))
+              wmeta.copy(schema = None, frags = Map.empty) !=
+                meta.copy(schema = None, frags = Map.empty))
             throw new VersionConflictException(
               s"concurrent writer changed the schema/mapping/layout of $table — " +
                 "metadata conflicts are not auto-merged; re-run the round")
           attemptVersion = wv + 1
           base = wstate
+          // this writer's own entries win for its own gens (it wrote them)
+          mergedFrags = wmeta.frags ++ meta.frags
       }
     }
     sys.error("unreachable")

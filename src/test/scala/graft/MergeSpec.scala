@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions.{col, lit, when}
+import scala.jdk.CollectionConverters._
 
 import graft.operators.Merge
 
@@ -562,6 +563,11 @@ class MergeSpec extends AnyFunSuite {
     assert(report.scannedSidecarRows <= 2L * 4 * total,
       s"probe collected ${report.scannedSidecarRows} sidecar rows for " +
         s"2 values * 4 hashes * $total files")
+    // fragment layout travels IN the manifest (round-15, verdict r14 #5):
+    // a probe against a round-15 table pays ZERO per-generation FS
+    // metadata calls before its single pushed-down scan
+    assert(report.fsProbes === 0,
+      s"expected manifest-served fragment metadata, paid ${report.fsProbes} FS probes")
 
     // a later merge round MAINTAINS the sidecar (round-13 verdict #5):
     // the new generation gets its own fragment at append time, so point
@@ -576,11 +582,38 @@ class MergeSpec extends AnyFunSuite {
       s"point read after a post-cluster merge round must stay pruned " +
         s"(opened ${after.inputFiles.length} of $totalAfter)")
 
-    // a generation WITHOUT a fragment (pre-policy data, or a writer that
-    // crashed mid-fragment) is read whole — pruning degrades gracefully,
-    // correctness never depends on it
+    // PRE-ROUND-15 tables: the manifest carries no #frag entries, but the
+    // fragments sit on disk — the probe falls back to per-gen FS metadata
+    // calls and stays pruned (the round-14 behavior, kept working)
     val tdir = new org.apache.hadoop.fs.Path(table, "_manifests")
     val hfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def stripFragLines(): Unit = {
+      val latest = hfs.listStatus(tdir).map(_.getPath.getName)
+        .filter(_.startsWith("manifest-v")).map(_.stripPrefix("manifest-v").toInt)
+        .max
+      val mf = java.nio.file.Paths.get(s"$table/_manifests/manifest-v$latest")
+      val kept = java.nio.file.Files.readAllLines(mf).asScala
+        .filterNot(_.startsWith("#frag")).asJava
+      java.nio.file.Files.write(mf, kept)
+    }
+    stripFragLines()
+    val legacyProbe = Merge.pointProbe(spark, table, "universeId", Seq(350L))
+    assert(legacyProbe.fsProbes > 0 && legacyProbe.prunedGens > 0,
+      "a pre-round-15 manifest must fall back to FS fragment probes and still prune")
+    val legacyRead = Merge.readTableWhereIn(spark, table, "universeId", Seq(350L))
+    assert(legacyRead.collect().map(_.getString(2)).toSeq === Seq("r2-350"))
+    // refreshFragments ADOPTS the on-disk fragments into the manifest —
+    // one metadata-only version, and probes stop paying FS round-trips
+    assert(Merge.refreshFragments(spark, table) > 0,
+      "refreshFragments must adopt the on-disk fragments")
+    val adopted = Merge.pointProbe(spark, table, "universeId", Seq(350L))
+    assert(adopted.fsProbes === 0 && adopted.prunedGens > 0,
+      "adopted fragments must serve probes from the manifest alone")
+
+    // a generation WITHOUT any fragment (pre-policy data on a pre-round-15
+    // table) is read whole — pruning degrades gracefully, correctness
+    // never depends on it
+    stripFragLines()
     hfs.listStatus(tdir).map(_.getPath)
       .filter(p => p.getName.startsWith("bloomg") )
       .foreach(p => hfs.delete(p, true))
@@ -588,6 +621,47 @@ class MergeSpec extends AnyFunSuite {
     assert(fb.collect().map(_.getString(2)).toSeq === Seq("r2-350"))
     assert(fb.inputFiles.length === totalAfter,
       "fragment-less generations must fall back to the full manifest read")
+  }
+
+  test("refreshFragments: skipping on an existing table with no rewrite (round 15)") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-refresh").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    // three rounds, NO sidecar policy ever set — three live generations
+    Merge.upsertIncrementalRounds(spark, table,
+      mkTT(0L until 120L, "base"),
+      Seq(mkTT(Seq(3L, 21L), "r1"), mkTT(Seq(40L, 77L), "r2")),
+      "universeId", over, coal, keep, buckets = 8, retainVersions = 10)
+    val before = Merge.readTable(spark, table)
+    val expected = before.selectExpr(ttCols: _*).orderBy("universeId").collect()
+    val dataBytesBefore = before.inputFiles.sorted.toSeq
+    val versionsBefore = Merge.tableVersions(spark, table).max
+    // backfill: computes fragments for every generation, commits ONE
+    // metadata-only version, rewrites no data files
+    val backfilled = Merge.refreshFragments(spark, table,
+      statsCols = Seq("playerCount"), bloomCols = Seq("universeId"))
+    assert(backfilled > 0, "expected generations to backfill")
+    assert(Merge.tableVersions(spark, table).max === versionsBefore + 1)
+    assert(Merge.readTable(spark, table).inputFiles.sorted.toSeq === dataBytesBefore,
+      "refreshFragments must not rewrite data files")
+    // point reads now prune via manifest-served Bloom fragments — no
+    // clustering needed, Bloom works on any layout
+    val probe = Merge.pointProbe(spark, table, "universeId", Seq(3L))
+    assert(probe.fsProbes === 0 && probe.prunedGens > 0 &&
+      probe.unfragmentedGens === 0)
+    val hit = Merge.readTableWhereIn(spark, table, "universeId", Seq(3L))
+    assert(hit.collect().map(_.getString(2)).toSeq === Seq("r1-3"))
+    assert(hit.inputFiles.length < Merge.readTable(spark, table).inputFiles.length)
+    // range reads answer correctly through the backfilled stats fragments
+    val ranged = Merge.readTableWhere(spark, table, "playerCount", 10L, 20L)
+    assert(ranged.selectExpr(ttCols: _*).orderBy("universeId").collect() ===
+      expected.filter { r =>
+        val pc = r.getLong(r.fieldIndex("playerCount")); pc >= 10L && pc <= 20L })
+    // idempotent: a second call finds nothing to do and burns no version
+    assert(Merge.refreshFragments(spark, table) === 0)
+    assert(Merge.tableVersions(spark, table).max === versionsBefore + 1)
   }
 
   test("deleteWhere: touched-bucket rewrite, time travel across the delete, VACUUM makes it physical") {
