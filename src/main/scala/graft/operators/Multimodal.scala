@@ -214,17 +214,142 @@ object Multimodal {
       |  ON f.doc_id = a.doc_id AND f.ts >= a.ts
       |ORDER BY f.doc_id, frame_idx""".stripMargin
 
+  // ------------------------------------------------ perceptual-hash dedup
+
+  /** dHash geometry: a 6×11 stub-decoded grayscale grid gives 6 rows × 10
+    * horizontal gradients = 60 signature bits — the same bit budget as
+    * [[Dedup.dedupSimhash]], so the proven 15-bit × 4-chunk banding (2^15
+    * buckets, occupancy corpus-hash-uniform) carries over unchanged. */
+  private val PhRows = 6
+  private val PhCols = 11
+  private val PhBits = PhRows * (PhCols - 1) // 60
+  private val PhChunkBits = 15
+  private val PhChunks = 4
+  private val PhHammingMax = 6
+
+  /** MULTIMODAL NEAR-DUP (round-15; verdict r14 #2): perceptual-hash
+    * (dHash — gradient-sign) banded image deduplication, closing the gap
+    * the dedup family had for image/frame columns (text is hash/minhash/
+    * simhash/substring; embeddings are cosine — pixels had nothing).
+    *
+    * The DECODE is the stub ([[decodeStub]]'s convention): a deterministic
+    * 6×11 "grayscale thumbnail" derived per document — pixel i is an
+    * md5-derived byte of the i-th token, padded deterministically past the
+    * text — so near-identical sources produce near-identical grids, the
+    * property a real thumbnail decode has and the reason dHash works. A
+    * real deployment swaps the grid for the codec's downsampled luma plane
+    * and nothing downstream moves. Everything AFTER the stub is the real
+    * operator, identical in shape to [[Dedup.dedupSimhash]]:
+    *
+    *   - dHash: bit (r,c) = 1 iff px(r,c) < px(r,c+1) — 60 bits packed
+    *     into one BIGINT per image;
+    *   - candidates: block on 15-bit signature chunks (4 bands, equi-join
+    *     on (band, chunk) — NO all-pairs anywhere, candidate volume tracks
+    *     similarity mass);
+    *   - verify: exact Hamming distance ≤ [[PhHammingMax]].
+    *
+    * Scale shape at 100 TB: one map pass per image for the hash, one
+    * shuffle on the 8-byte (band, chunk) key, exact verify only on
+    * colliding pairs — the same plan the text SimHash family already
+    * proved flat at ×10/×100 (SCALING.md NearDupSweep). */
+  def phashDedup(spark: SparkSession, dir: String): DataFrame =
+    phashPairs(phashFrame(spark, dir), PhHammingMax)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** (doc_id, phash): the stub decode + dHash signature pass. */
+  private[graft] def phashFrame(spark: SparkSession, dir: String): DataFrame = {
+    val grid = Dedup.corpus(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      // pixels past the text are DOC-DERIVED (first token ⊕ position), not
+      // a shared constant: a content-independent pad would put every short
+      // doc's high-order gradient rows into the SAME signature chunks —
+      // one Θ(corpus) LSH bucket, the all-pairs degeneracy the dedup
+      // family forbids (Dedup.scala's header invariant). Seeding the pad
+      // from the doc keeps unrelated docs in unrelated buckets while a
+      // doc and its near-duplicate (same leading content) still share it.
+      .withColumn("px", expr(
+        s"""transform(sequence(0, ${PhRows * PhCols - 1}), i ->
+           |  CASE WHEN i < size(toks)
+           |       THEN cast(conv(substring(md5(element_at(toks, i + 1)), 1, 2), 16, 10) as int)
+           |       ELSE cast(conv(substring(md5(concat(element_at(toks, 1), ':', cast(i as string))), 1, 2), 16, 10) as int) END)""".stripMargin))
+    val hashed = grid.select(col("doc_id"), expr(
+      s"""aggregate(sequence(0, ${PhBits - 1}), cast(0 as bigint), (acc, b) ->
+         |  acc + CASE WHEN element_at(px, cast((b div ${PhCols - 1}) * $PhCols + (b % ${PhCols - 1}) + 1 as int))
+         |                 < element_at(px, cast((b div ${PhCols - 1}) * $PhCols + (b % ${PhCols - 1}) + 2 as int))
+         |             THEN shiftleft(cast(1 as bigint), b) ELSE cast(0 as bigint) END)""".stripMargin)
+      .as("phash"))
+    hashed
+  }
+
+  /** Banded signature chunks of a (doc_id, phash) frame. */
+  private[graft] def phashChunks(hashed: DataFrame): DataFrame =
+    hashed
+      .select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(PhChunks - 1))).as("k"))
+      .withColumn("chunk",
+        expr(s"shiftright(phash, $PhChunkBits * k) & ${(1 << PhChunkBits) - 1}"))
+
+  /** Banded candidates → exact-Hamming verify at `maxHamming`. */
+  private[graft] def phashPairs(hashed: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = phashChunks(hashed)
+    val cand = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        col("x.phash").as("pa"), col("y.phash").as("pb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  val phashDedupSql: String =
+    s"""WITH ${Dedup.corpusSql},
+       |tk AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM corpus),
+       |pxs AS (
+       |  SELECT doc_id,
+       |         list_transform(generate_series(0, ${PhRows * PhCols - 1}), i ->
+       |           CASE WHEN i < len(toks)
+       |                THEN CAST('0x' || substring(md5(toks[i + 1]), 1, 2) AS INTEGER)
+       |                ELSE CAST('0x' || substring(md5(toks[1] || ':' || CAST(i AS VARCHAR)), 1, 2) AS INTEGER) END) AS px
+       |  FROM tk),
+       |hashes AS (
+       |  SELECT doc_id,
+       |         CAST(sum(CASE WHEN px[(b.b // ${PhCols - 1}) * $PhCols + (b.b % ${PhCols - 1}) + 1]
+       |                         < px[(b.b // ${PhCols - 1}) * $PhCols + (b.b % ${PhCols - 1}) + 2]
+       |                       THEN (CAST(1 AS BIGINT) << b.b) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS phash
+       |  FROM pxs CROSS JOIN (SELECT unnest(generate_series(0, ${PhBits - 1})) AS b) b
+       |  GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, phash, k.k AS k,
+       |         (phash >> ($PhChunkBits * k.k)) & ${(1 << PhChunkBits) - 1} AS chunk
+       |  FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, ${PhChunks - 1})) AS k) k),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+       |                  x.phash AS pa, y.phash AS pb
+       |  FROM chunks x
+       |  JOIN chunks y ON x.k = y.k AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(pa, pb)) AS INTEGER) AS hamming
+       |FROM cand
+       |WHERE bit_count(xor(pa, pb)) <= $PhHammingMax
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> decodeStub,
     "mm_frame_sample" -> frameSample,
     "mm_asof_align" -> asofAlign,
-    "f14_data_uri" -> dataUri
+    "f14_data_uri" -> dataUri,
+    "dedup_phash" -> phashDedup
   )
 
   val oracles: Map[String, String] = Map(
     "mm_decode_stub" -> decodeStubSql,
     "mm_frame_sample" -> frameSampleSql,
     "mm_asof_align" -> asofAlignSql,
-    "f14_data_uri" -> dataUriSql
+    "f14_data_uri" -> dataUriSql,
+    "dedup_phash" -> phashDedupSql
   )
 }
