@@ -39,8 +39,18 @@ import graft.operators.Nsw
   * maintainer's write shape. The insertion COMPUTE was already
   * batch-sized (the insertion search); now the commit is too.
   */
+/** @param rebuildAtDeletedFraction the REBUILD POLICY dial (round-15,
+  *   verdict r14 #3): when the cumulative fraction of the corpus deleted
+  *   since the last full build crosses this, [[maybeRebuild]] retrains
+  *   the graph over the survivors instead of repairing edges.
+  *   `TakedownRecallScale` measured why a policy must exist: per-batch
+  *   repair holds 0.244 recall@3 at 50 % deletion vs the rebuilt line's
+  *   0.289, and repair alone never recovers it — erosion is bounded only
+  *   by an occasional retrain. The serve tier's recall floor is exactly
+  *   this configuration. */
 class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
-    keepVersions: Int = 3, buckets: Int = 0) extends Serializable {
+    keepVersions: Int = 3, buckets: Int = 0,
+    rebuildAtDeletedFraction: Double = 0.5) extends Serializable {
 
   // buckets <= 0 → SIZED: an existing store keeps its recorded layout, a
   // fresh one derives buckets ∝ corpus (round-12 verdict #6 — per-bucket
@@ -58,7 +68,31 @@ class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame
       "knn" -> Nsw.knnEdgesOn(initial.select(col("vec_id"), col("v"))),
       "knn1" -> Nsw.knnEdgesOn(
         initial.select(col("vec_id"), col("v"))
-          .filter(col("vec_id") % Nsw.SampleMod === 0))))
+          .filter(col("vec_id") % Nsw.SampleMod === 0)),
+      "buildinfo" -> buildInfoDf(initial.count(), 0L)))
+
+  /** The rebuild-policy counters, a one-row small table: corpus size at
+    * the last full build, and rows deleted since. */
+  private def buildInfoDf(corpusAtBuild: Long, deletedSince: Long): DataFrame = {
+    import spark.implicits._
+    Seq((corpusAtBuild, deletedSince)).toDF("corpus_at_build", "deleted_since_build")
+  }
+
+  /** (corpus at last build, deleted since). Pre-round-15 stores have no
+    * buildinfo table — treat the current corpus as the build baseline
+    * (the policy starts counting from adoption). */
+  private[graft] def buildInfo(): (Long, Long) =
+    scala.util.Try {
+      val r = state.read("buildinfo").head()
+      (r.getLong(0), r.getLong(1))
+    }.getOrElse((currentVectors().count(), 0L))
+
+  /** Deleted fraction since the last full build — what [[maybeRebuild]]
+    * compares against the dial. */
+  def deletedFractionSinceBuild(): Double = {
+    val (atBuild, deleted) = buildInfo()
+    if (atBuild <= 0L) 0.0 else deleted.toDouble / atBuild
+  }
 
   def currentVectors(): DataFrame = state.read("vectors")
   def currentKnn(): DataFrame = state.read("knn")
@@ -126,11 +160,46 @@ class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame
     * through [[BucketedAppendState.commitFull]], same as IVF's retrain.
     * `version` shares the insert batches' axis — route takedowns through
     * the same single-writer loop. */
-  def removeBatch(ids: DataFrame, version: Long): Option[BucketedCommitStats] =
-    state.commitDelta(version, Map.empty, Map(
-      "vectors" -> ids.select(col("vec_id")),
-      "knn" -> ids.select(col("vec_id").as("src")),
-      "knn1" -> ids.select(col("vec_id").as("src"))))
+  def removeBatch(ids: DataFrame, version: Long): Option[BucketedCommitStats] = {
+    if (state.latest.exists(_ >= version)) return None
+    // count what actually leaves (ids may repeat or be already absent) so
+    // the rebuild policy's deleted-fraction is exact, not an upper bound
+    val actuallyLeaving = ids.select(col("vec_id")).distinct()
+      .join(currentVectors().select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .count()
+    val (atBuild, deleted) = buildInfo()
+    state.commitDelta(version,
+      appends = Map(
+        "buildinfo" -> buildInfoDf(atBuild, deleted + actuallyLeaving)),
+      deleteKeys = Map(
+        "vectors" -> ids.select(col("vec_id")),
+        "knn" -> ids.select(col("vec_id").as("src")),
+        "knn1" -> ids.select(col("vec_id").as("src"))))
+  }
+
+  /** REBUILD POLICY (round-15, verdict r14 #3): when the cumulative
+    * deleted fraction since the last full build has crossed
+    * `rebuildAtDeletedFraction`, retrain the graph over the survivors
+    * (the `commitFull` path heavy deletion always routed to — now a
+    * configured trigger instead of an operator judgment call) and reset
+    * the counter. Below the dial: no-op, no version burned. Run it after
+    * takedown batches in the same single-writer loop, the way
+    * [[repairBatch]] runs — per-batch repair bounds the between-rebuild
+    * erosion, the policy bounds how far the repaired line may drift from
+    * the rebuilt one. */
+  def maybeRebuild(version: Long): Option[BucketedCommitStats] = {
+    if (state.latest.exists(_ >= version)) return None
+    if (deletedFractionSinceBuild() < rebuildAtDeletedFraction) return None
+    val survivors = currentVectors().select(col("vec_id"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try state.commitFull(version, Map(
+      "vectors" -> survivors,
+      "knn" -> Nsw.knnEdgesOn(survivors),
+      "knn1" -> Nsw.knnEdgesOn(
+        survivors.filter(col("vec_id") % Nsw.SampleMod === 0)),
+      "buildinfo" -> buildInfoDf(survivors.count(), 0L)))
+    finally survivors.unpersist()
+  }
 
   /** EDGE REPAIR after takedowns (round-14 — the round-13 verdict asked
     * for the measurement, and it came back positive: dangling edges are

@@ -60,7 +60,7 @@ object DeleteScale {
       f"${"deleted"}%8s ${"rewritten_b"}%12s ${"table_b"}%12s ${"del_s"}%6s")
 
     val tmp = java.nio.file.Files.createTempDirectory("graft-delscale").toString
-    def run(tag: String, k: Int, buckets: Int): Unit = {
+    def run(tag: String, k: Int, buckets: Int): Long = {
       val path = s"$tmp/$tag-x$k/games"
       Merge.upsertIncrementalRounds(spark, path,
         gamesAt(k).repartition(col("universeId") % buckets),
@@ -75,6 +75,7 @@ object DeleteScale {
       println(f"$tag%-7s $k%3d $buckets%8d ${st.touchedBuckets}%8d " +
         f"${st.deletedRows}%8d ${st.rewrittenBytes}%12d ${st.tableBytes}%12d " +
         f"$delS%6.1f")
+      st.tableBytes
     }
 
     // bloomfind (round-14): the same fixed takedown with the FIND phase
@@ -104,9 +105,18 @@ object DeleteScale {
 
     val baseN = docs.count()
     val baseBuckets = SizingPolicy.sizedStateBuckets(baseN)
-    run("sized", 1, baseBuckets)
+    val baseBytes = run("sized", 1, baseBuckets)
     run("sized", factor, SizingPolicy.sizedStateBuckets(baseN * factor))
     run("pinned", factor, baseBuckets)
+    // BYTES-sized dial (round-15, verdict r14 #4): buckets from the
+    // table's estimated bytes at ×K (base measurement scaled — what a
+    // production writer reads off its first committed generation) under
+    // a fixture-scaled 1 MiB/bucket target standing in for the 1 GiB
+    // production unit. The row dial over-buckets this narrow-row table
+    // ~256× at ×100 (73 rows/bucket = pure parquet per-file overhead);
+    // the bytes dial sizes to the data.
+    run("bytesized", factor,
+      SizingPolicy.sizedStateBucketsForBytes(baseBytes * factor, 1L << 20))
     runBloom("bloomfind", 1, baseBuckets)
     runBloom("bloomfind", factor, SizingPolicy.sizedStateBuckets(baseN * factor))
     spark.stop()

@@ -93,10 +93,15 @@ object TakedownRecallScale {
       !col("vec_id").isin(protectedIds.toSeq.map(java.lang.Long.valueOf): _*))
       .select(col("vec_id"))
 
-    /** The 5-step deletion schedule against a fresh index; returns it. */
-    def runSchedule(tag: String, repairEach: Boolean): StreamingNswIndex = {
+    /** The 5-step deletion schedule against a fresh index; returns it.
+      * `rebuildAt` > 1 disables the round-15 rebuild policy (the eroded /
+      * repaired baselines); the `policy` schedule sets the dial so the
+      * maintainer loop itself triggers the retrain. */
+    def runSchedule(tag: String, repairEach: Boolean,
+        rebuildAt: Double = 2.0): StreamingNswIndex = {
       val idxDir = java.nio.file.Files.createTempDirectory(s"tdr-$tag").toString
-      val index = new StreamingNswIndex(spark, s"$idxDir/idx", e, keepVersions = 2)
+      val index = new StreamingNswIndex(spark, s"$idxDir/idx", e, keepVersions = 2,
+        rebuildAtDeletedFraction = rebuildAt)
       if (!repairEach) {
         val t0 = System.nanoTime()
         val r0 = recallOf(index.currentVectors(), index.servedEdges())
@@ -107,6 +112,10 @@ object TakedownRecallScale {
       (1 to 5).foreach { step =>
         index.removeBatch(band(step), version); version += 1
         if (repairEach) { index.repairBatch(version); version += 1 }
+        if (rebuildAt <= 1.0) {
+          val fired = index.maybeRebuild(version).nonEmpty; version += 1
+          if (fired) println(f"TAKEDOWNRECALL $tag%-10s rebuild fired after step $step")
+        }
         val t1 = System.nanoTime()
         val vs = index.currentVectors()
         val surv = vs.count()
@@ -139,6 +148,11 @@ object TakedownRecallScale {
 
     // the maintenance cadence: repair after every takedown batch
     runSchedule("repaired", repairEach = true)
+
+    // the round-15 POLICY schedule: repair each batch AND let the
+    // deleted-fraction dial (0.3) trigger the retrain from inside the
+    // maintainer loop — the configured recall floor, measured
+    runSchedule("policy", repairEach = true, rebuildAt = 0.3)
     CacheRegistry.releaseShared()
     spark.stop()
   }

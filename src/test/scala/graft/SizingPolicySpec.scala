@@ -77,4 +77,24 @@ class SizingPolicySpec extends AnyFunSuite {
     assert(SizingPolicy.doublings(2001L, 2000.0) === 1)
     assert(SizingPolicy.doublings(8000L, 2000.0) === 2)
   }
+
+  test("bytes-based bucket sizing targets per-bucket bytes, not rows (round 15)") {
+    import SizingPolicy.{sizedStateBucketsForBytes, DefaultBucketBytes, MaxStateBuckets}
+    // floor: any table under 16 target-units stays at the 16-bucket floor
+    // (every MB-scale fixture table under the production 1 GiB unit)
+    assert(sizedStateBucketsForBytes(0L) === 16)
+    assert(sizedStateBucketsForBytes(15L * DefaultBucketBytes) === 16)
+    // growth: next power of two with per-bucket bytes <= target
+    assert(sizedStateBucketsForBytes(17L * DefaultBucketBytes) === 32)
+    assert(sizedStateBucketsForBytes(100L * DefaultBucketBytes) === 128)
+    // 100 TB at the 1 GiB production unit: ~10^5 buckets, ~0.76 GiB each
+    val buckets100tb = sizedStateBucketsForBytes(100L * (1L << 40))
+    assert(buckets100tb === (1 << 17))
+    assert(100L * (1L << 40) / buckets100tb <= DefaultBucketBytes)
+    // cap: an exabyte-shaped input hits MaxStateBuckets, never Int overflow
+    assert(sizedStateBucketsForBytes(Long.MaxValue) === MaxStateBuckets.toInt)
+    // the unit is a parameter: probes pass a fixture-scaled stand-in and
+    // get the same arithmetic (80 MB at a 1 MiB unit -> 128 buckets)
+    assert(sizedStateBucketsForBytes(80L << 20, 1L << 20) === 128)
+  }
 }

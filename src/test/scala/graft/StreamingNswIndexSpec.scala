@@ -154,4 +154,40 @@ class StreamingNswIndexSpec extends AnyFunSuite {
     assert(index.repairBatch(7L) === None,
       "no dangling edges -> no version burned")
   }
+
+  test("rebuild policy: the deleted-fraction dial triggers a retrain and resets (round 15)") {
+    val idxDir = Files.createTempDirectory("graft-nsw-policy").toString
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.count()
+    val index = new StreamingNswIndex(spark, idxDir, e,
+      rebuildAtDeletedFraction = 0.3)
+    assert(index.deletedFractionSinceBuild() === 0.0)
+
+    // first takedown: 20% of the corpus — BELOW the dial, no retrain
+    val del1 = e.filter(col("vec_id") % 5 === 1).select(col("vec_id"))
+    val nDel1 = del1.count()
+    assert(index.removeBatch(del1, 1L).nonEmpty)
+    assert(math.abs(index.deletedFractionSinceBuild() - nDel1.toDouble / n) < 1e-9,
+      "the policy counter must track exactly what left")
+    assert(index.maybeRebuild(2L).isEmpty, "below the dial: no retrain")
+    // ...and it burned no version: version 2 is still claimable
+    val del2 = e.filter(col("vec_id") % 5 === 2).select(col("vec_id"))
+    val nDel2 = del2.count()
+    assert(index.removeBatch(del2, 2L).nonEmpty,
+      "a declined maybeRebuild must not burn its version")
+
+    // cumulative 40% — ABOVE the dial: retrain fires, counter resets
+    assert(index.deletedFractionSinceBuild() >= 0.3)
+    assert(index.maybeRebuild(3L).nonEmpty, "crossing the dial must retrain")
+    assert(index.deletedFractionSinceBuild() === 0.0,
+      "a rebuild resets the policy baseline to the survivor corpus")
+    assert(index.maybeRebuild(4L).isEmpty, "fresh build: nothing to do")
+    assert(index.currentVectors().count() === n - nDel1 - nDel2)
+    // the rebuilt graph is dangling-free: repair finds nothing to do
+    assert(index.repairBatch(4L).isEmpty)
+    // deleted ids are not served; survivors are searchable
+    assert(index.search().filter(col("neighbor_id") % 5 === 1).isEmpty)
+    assert(index.search().count() > 0)
+  }
 }
