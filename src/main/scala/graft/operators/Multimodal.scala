@@ -253,7 +253,17 @@ object Multimodal {
     * colliding pairs — the same plan the text SimHash family already
     * proved flat at ×10/×100 (SCALING.md NearDupSweep). */
   def phashDedup(spark: SparkSession, dir: String): DataFrame =
-    phashPairs(phashFrame(spark, dir), PhHammingMax)
+    // persist (tracked — the dedupNgramJaccard precedent) is LOAD-BEARING
+    // here, not a cache nicety: phash is an aggregate lambda over a
+    // DERIVED array column (px), and Catalyst's project collapse inlines
+    // px's 66-md5 transform into every one of the aggregate's 120
+    // element_at sites — the un-materialized plan recomputes the grid
+    // thousands of times per row (measured: 1431 s at sf0.1 vs ~10 s
+    // materialized). Persisting the (doc_id, phash) frame pins the
+    // signature pass to exactly one evaluation per image.
+    phashPairs(
+      graft.tools.CacheRegistry.persistTracked(phashFrame(spark, dir)),
+      PhHammingMax)
       .orderBy(col("a_id"), col("b_id"))
 
   /** (doc_id, phash): the stub decode + dHash signature pass. */

@@ -33,19 +33,26 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   *   - `delete` → [[StreamingNswIndex.removeBatch]] + the round-14
   *     [[StreamingNswIndex.repairBatch]] edge repair, so sustained
   *     takedowns do not erode serve recall (TakedownRecallScale's
-  *     measured cadence).
+  *     measured cadence) — and the round-15 REBUILD POLICY: when the
+  *     cumulative deleted fraction since the last full build crosses
+  *     `rebuildAtDeletedFraction`, [[StreamingNswIndex.maybeRebuild]]
+  *     retrains over the survivors from inside this same loop, so the
+  *     serve tier's recall floor is a configuration even when every
+  *     takedown arrives through the change feed.
   *
   * Exactly-once: versions are derived from the foreachBatch id
-  * (3·id+1 remove, 3·id+2 insert, 3·id+3 repair), and every commit is
-  * replay-guarded by the store — a crashed batch re-applies only its
-  * missing sub-commits. */
+  * (4·id+1 remove, 4·id+2 insert, 4·id+3 repair, 4·id+4 policy
+  * rebuild), and every commit is replay-guarded by the store — a
+  * crashed batch re-applies only its missing sub-commits. */
 class StreamingCdcVectorIndex(spark: SparkSession, indexDir: String,
     initial: DataFrame, key: String = "vec_id", vecCol: String = "v",
-    keepVersions: Int = 4) extends Serializable {
+    keepVersions: Int = 4,
+    rebuildAtDeletedFraction: Double = 0.5) extends Serializable {
 
   val index = new StreamingNswIndex(spark, indexDir,
     initial.select(col(key).as("vec_id"), col(vecCol).as("v")),
-    keepVersions = keepVersions)
+    keepVersions = keepVersions,
+    rebuildAtDeletedFraction = rebuildAtDeletedFraction)
 
   /** The feed log as a stream WITH its `version` partition column — the
     * vector tier needs per-key ordering (delete-then-insert vs
@@ -79,13 +86,17 @@ class StreamingCdcVectorIndex(spark: SparkSession, indexDir: String,
       .filter(col("v").isNotNull)
     val anyRemoved = !removed.isEmpty
     if (anyRemoved)
-      index.removeBatch(removed, 3 * batchId + 1)
+      index.removeBatch(removed, 4 * batchId + 1)
     if (!upserts.isEmpty)
-      index.insertBatch(upserts, 3 * batchId + 1) // commits at 3·id+2
+      index.insertBatch(upserts, 4 * batchId + 1) // commits at 4·id+2
     // repair only when something departed — a pure-insert batch has no
     // dangling edges to find, and the detection scan is not free
-    if (anyRemoved)
-      index.repairBatch(3 * batchId + 3)
+    if (anyRemoved) {
+      index.repairBatch(4 * batchId + 3)
+      // the rebuild dial: a cheap driver-side counter read per
+      // departure-bearing batch; retrains only when crossed
+      index.maybeRebuild(4 * batchId + 4)
+    }
   }
 
   def start(feedDir: String, feedSchema: StructType,

@@ -231,6 +231,61 @@ class BucketedAppendStateSpec extends AnyFunSuite {
     assert(mk().readAt("meta", 0L).select("tag").head().getString(0) === "v0")
   }
 
+  test("two REAL JVMs race one store: child wins, parent conflicts cleanly (round 15)") {
+    // the lake got its real fork this round (MergeSpec); the maintainer
+    // store's claims are the same ManifestIo primitives — this pins them
+    // across actual process boundaries too. The parent opens version 1,
+    // is held in its beforeCommit window while a forked Spark process
+    // commits version 1 (keyed rows + small table), then must lose with
+    // a clean VersionConflictException; the committed version serves the
+    // child's bytes, and the parent's claimed dirs are vacuumable litter.
+    val root = Files.createTempDirectory("bas-2jvm").toString
+    def mk(hooks: Merge.IncHooks = Merge.IncHooks.none) = new BucketedAppendState(
+      spark, root, buckets = 4, keyed = Map("vectors" -> "vec_id"),
+      keepVersions = 8, hooks = hooks)
+    mk().commitFull(0L, Map("vectors" -> vecs(0L until 10L), "meta" -> cents("v0")))
+
+    val goFile = java.nio.file.Paths.get(s"$root/go")
+    val doneFile = java.nio.file.Paths.get(s"$root/done")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    import scala.jdk.CollectionConverters._
+    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val opens = inArgs.zipWithIndex.collect {
+      case (a, i) if a == "--add-opens" && i + 1 < inArgs.size =>
+        Seq(a, inArgs(i + 1))
+    }.flatten
+    val childLog = new java.io.File(s"$root/child.log")
+    val child = new ProcessBuilder(
+      (Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
+        "graft.StateRaceWriterMain", root, goFile.toString, doneFile.toString)): _*)
+      .redirectErrorStream(true).redirectOutput(childLog).start()
+    try {
+      val parent = mk(Merge.IncHooks(beforeCommit = v => if (v == 1) {
+        java.nio.file.Files.writeString(goFile, "go")
+        val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+        while (!java.nio.file.Files.exists(doneFile) &&
+            System.nanoTime() < deadline) Thread.sleep(50)
+        assert(java.nio.file.Files.exists(doneFile),
+          s"child never finished; log:\n${scala.io.Source.fromFile(childLog).mkString}")
+      }))
+      intercept[graft.operators.VersionConflictException](
+        parent.commitAppend(1L,
+          Map("vectors" -> vecs(200L until 205L), "meta" -> cents("parent"))))
+      child.waitFor()
+      assert(java.nio.file.Files.readString(doneFile) === "committed",
+        s"child outcome; log:\n${scala.io.Source.fromFile(childLog).mkString}")
+      // the committed version serves the CHILD's bytes on both tables
+      assert(mk().readAt("meta", 1L).select("tag").head().getString(0) === "child")
+      assert(mk().readAt("vectors", 1L).count() === 11L) // 10 base + child's 1
+      // the parent's claimed dirs + markers are unreferenced litter
+      assert(mk().vacuumLitter(olderThanMs = -1000L) > 0,
+        "the refused parent attempt must be vacuumable litter")
+      assert(mk().readAt("meta", 1L).select("tag").head().getString(0) === "child")
+    } finally child.destroyForcibly()
+  }
+
   test("crash on either side of the manifest rename recovers exactly-once") {
     val root = Files.createTempDirectory("bas-crash").toString
     val boom = new RuntimeException("crash")
