@@ -303,8 +303,12 @@ object Merge {
       touched.map(b => genPath(b, gen)).filter(fs.exists).map(_.toString),
       meta0)
     hooks.beforeCommit(round)
+    // carry-over gens a pre-round-15 writer committed get their #frag
+    // lines recorded in this round's manifest (round-16: migration is
+    // automatic at the next write, not a manual refreshFragments call)
+    val adopted = adoptLegacyFrags(spark, fs, table, current, meta0.frags)
     val meta = meta0.copy(schema = Some(mergedData.schema),
-      frags = meta0.frags ++ fragInfo.map(gen -> _))
+      frags = meta0.frags ++ adopted ++ fragInfo.map(gen -> _))
     val (committedVersion, committed) = commitWithRetry(fs, table,
       round, current, touched.map(_ -> gen).toMap, meta)
     hooks.afterCommit(committedVersion)
@@ -577,7 +581,9 @@ object Merge {
         math.min(_, takedownGraceVersions)))
     val meta = meta0.copy(schema = Some(schema.getOrElse(dataSchema)),
       takedownGrace = grace,
-      frags = meta0.frags ++ fragInfo.map(gen -> _))
+      frags = meta0.frags ++
+        adoptLegacyFrags(spark, fs, table, current, meta0.frags) ++
+        fragInfo.map(gen -> _))
     hooks.beforeCommit(round)
     // strict: a predicate delete's read set is the whole table (ADVICE
     // r13 #3) — any concurrent bucket change conflicts, never auto-merged
@@ -641,7 +647,9 @@ object Merge {
     val meta0 = readMetaAt(fs, table, version)
     val fragInfo = writeGenFragments(spark, tablePath, table, gen,
       oversized.keys.toSeq.sorted.map(b => genPath(b, gen).toString), meta0)
-    val meta = meta0.copy(frags = meta0.frags ++ fragInfo.map(gen -> _))
+    val meta = meta0.copy(frags = meta0.frags ++
+      adoptLegacyFrags(spark, fs, table, current, meta0.frags) ++
+      fragInfo.map(gen -> _))
     commitManifest(fs, table, round, committed, meta)
     sweepRetention(fs, table, round, retainVersions, meta.takedownGrace)
     val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
@@ -1154,6 +1162,41 @@ object Merge {
     }.filter(pred)
   }
 
+  /** AUTO-ADOPT fragment metadata at the write round (round-16, verdict
+    * r15 #1 — kills the last sequential-jobs read shape): `#frag` entries
+    * for every generation `state` references that `knownFrags` does not
+    * yet describe. Pre-round-15 writers left fragment LAYOUT discoverable
+    * only by per-gen FS probes — [[pointProbe]]'s `exists`/readBloomMeta
+    * round-trips and [[readTableWhereAll]]'s sequential driver footer
+    * reads, O(#legacy gens) per read until someone remembered to call
+    * [[refreshFragments]]. Every upsert/delete/compact already commits a
+    * manifest, so adoption rides along: each legacy generation's on-disk
+    * layout is read ONCE (2–3 FS calls + at most one parquet footer) and
+    * recorded; after that commit the fallbacks are dead code for this
+    * table. A generation with NOTHING on disk is recorded as an
+    * explicitly-EMPTY [[FragInfo]] (`#frag g 0 - -`) so later reads and
+    * commits know definitively there is nothing to probe — and
+    * [[refreshFragments]] treats the empty entry as backfillable, so an
+    * explicit COMPUTE backfill still works after adoption. On a fully
+    * described table (every round-15+ write) the unknown set is empty and
+    * this costs nothing. */
+  private def adoptLegacyFrags(spark: SparkSession,
+      fsys: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
+      state: Map[Int, Int], knownFrags: Map[Int, FragInfo]): Map[Int, FragInfo] = {
+    val unknown = (state.values.toSet -- knownFrags.keySet).toSeq.sorted
+    unknown.map { g =>
+      val statsOnDisk: Seq[String] =
+        if (!fsys.exists(fragStatsPath(table, g))) Seq.empty
+        else spark.read.parquet(fragStatsPath(table, g).toString)
+          .columns.toSeq.filter(_.startsWith("min_")).map(_.stripPrefix("min_"))
+      val bloomOnDisk = readBloomMeta(fsys, fragBloomMetaPath(table, g))
+        .filter(_ => fsys.exists(fragBloomPath(table, g)))
+      g -> FragInfo(statsOnDisk,
+        bloomOnDisk.map(_._1).getOrElse(0L),
+        bloomOnDisk.map(_._2).getOrElse(Seq.empty))
+    }.toMap
+  }
+
   /** BACKFILL data-skipping fragments WITHOUT rewriting data (round-15;
     * ADVICE r14 #3's migration path): for every generation the current
     * version references,
@@ -1172,11 +1215,13 @@ object Merge {
     * and point reads need no clustering at all — Bloom fragments prune
     * on ANY layout. Pre-round-14 tables (whose per-version `stats-v`
     * sidecars stopped being consulted when fragments replaced them) run
-    * this once instead of re-clustering. Returns the number of
-    * generations backfilled or adopted; 0 commits nothing. */
+    * this once instead of re-clustering. Returns [[RefreshFragmentsStats]]
+    * — the generation count AND whether a version committed are separate
+    * fields (ADVICE r15 #4: the old Int return read 0 for a policy-only
+    * commit, misleading callers using it to detect "no version burned"). */
   def refreshFragments(spark: SparkSession, tablePath: String,
       statsCols: Seq[String] = Seq.empty, bloomCols: Seq[String] = Seq.empty,
-      retainVersions: Int = 2): Int = {
+      retainVersions: Int = 2): RefreshFragmentsStats = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fsys = fs(spark, table)
     val (version, state) = readManifest(fsys, table)
@@ -1189,7 +1234,11 @@ object Merge {
     val byGen = state.groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (g, entries) => g -> entries.keys.toSeq.sorted }
     val newFrags: Seq[(Int, FragInfo)] = byGen.flatMap { case (g, buckets) =>
-      if (meta0.frags.contains(g)) None
+      // an explicitly-EMPTY entry (auto-adopted by a write round for a gen
+      // with nothing on disk) is still backfillable — only a gen with real
+      // fragments recorded is done
+      if (meta0.frags.get(g).exists(fi => fi.statsCols.nonEmpty || fi.bloomM > 0))
+        None
       else {
         // adopt an on-disk fragment set a pre-round-15 writer left behind
         val statsOnDisk: Seq[String] =
@@ -1211,13 +1260,24 @@ object Merge {
     }
     if (newFrags.isEmpty &&
         policy.statsCols == meta0.statsCols && policy.bloomCols == meta0.bloomCols)
-      return 0 // fully fragmented already — don't burn a version
+      // fully fragmented already under an unchanged policy — don't burn a
+      // version
+      return RefreshFragmentsStats(0, None)
     val meta = policy.copy(frags = meta0.frags ++ newFrags)
     val (committedVersion, _) =
       commitWithRetry(fsys, table, version + 1, state, Map.empty, meta)
     sweepRetention(fsys, table, committedVersion, retainVersions, meta.takedownGrace)
-    newFrags.size
+    RefreshFragmentsStats(newFrags.size, Some(committedVersion))
   }
+
+  /** What one [[refreshFragments]] call did: `generations` adopted or
+    * backfilled, and the version it committed — None when the table was
+    * already fully fragmented under an unchanged policy (no version
+    * burned). A policy-only change reads as (0, Some(v)): no generation
+    * needed work, but a version DID commit to record the new sidecar
+    * policy for later writers. */
+  final case class RefreshFragmentsStats(
+      generations: Int, committedVersion: Option[Int])
 
   // -------------------------------------------------------------------
   // Schema in the log (Delta-style): each version commits its DATA

@@ -43,7 +43,20 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   * Exactly-once: versions are derived from the foreachBatch id
   * (4·id+1 remove, 4·id+2 insert, 4·id+3 repair, 4·id+4 policy
   * rebuild), and every commit is replay-guarded by the store — a
-  * crashed batch re-applies only its missing sub-commits. */
+  * crashed batch re-applies only its missing sub-commits.
+  *
+  * UPGRADE CONSTRAINT (ADVICE r15 #2): round 14 derived sub-versions as
+  * 3·id+k; round 15 widened to 4·id+k for the rebuild slot. The replay
+  * guard compares versions NUMERICALLY, so a checkpointed stream that
+  * crashed BETWEEN a store commit and its checkpoint commit and is then
+  * upgraded replays that batch at strictly larger versions — the guard
+  * no longer suppresses the re-application (inserts stay id-idempotent
+  * through the anti-join, but a delete-then-reinsert key would be
+  * re-removed and double-counted in the buildinfo deleted counter,
+  * firing the rebuild dial early). Operational rule: DRAIN the stream
+  * (let the last batch's checkpoint commit — Trigger.AvailableNow
+  * completes cleanly) before upgrading across a version-scheme change.
+  * A scheme change without a drain needs a fresh checkpoint directory. */
 class StreamingCdcVectorIndex(spark: SparkSession, indexDir: String,
     initial: DataFrame, key: String = "vec_id", vecCol: String = "v",
     keepVersions: Int = 4,

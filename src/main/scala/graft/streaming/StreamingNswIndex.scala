@@ -80,12 +80,17 @@ class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame
 
   /** (corpus at last build, deleted since). Pre-round-15 stores have no
     * buildinfo table — treat the current corpus as the build baseline
-    * (the policy starts counting from adoption). */
+    * (the policy starts counting from adoption). The fallback is gated on
+    * the table being ABSENT from the manifest, not on a catch-all Try
+    * (ADVICE r15 #3): a transient read failure of a committed buildinfo
+    * table must propagate, not silently zero the deleted-since counter
+    * and disable the configured recall floor. */
   private[graft] def buildInfo(): (Long, Long) =
-    scala.util.Try {
+    if (state.versionsOf("buildinfo").isEmpty) (currentVectors().count(), 0L)
+    else {
       val r = state.read("buildinfo").head()
       (r.getLong(0), r.getLong(1))
-    }.getOrElse((currentVectors().count(), 0L))
+    }
 
   /** Deleted fraction since the last full build — what [[maybeRebuild]]
     * compares against the dial. */

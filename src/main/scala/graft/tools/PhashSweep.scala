@@ -54,8 +54,15 @@ object PhashSweep {
       val pairs = Multimodal.phashPairs(hashed, h)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = pairs.count()
-      val exactFound = pairs.filter(col("b_id") - col("a_id") === 100000L).count()
-      val nearFound = pairs.filter(col("b_id") - col("a_id") === 200000L).count()
+      // identify planted pairs POSITIVELY (base id on the left): a doc
+      // divisible by 20 has BOTH a +100000 exact copy and a +200000 tail,
+      // so the (x+100000, x+200000) Hamming-close pair also differs by
+      // exactly 100000 — a difference-only test counts it as "exact" and
+      // the recall can read > 1.0 (ADVICE r15 #1)
+      val exactFound = pairs.filter(
+        col("a_id") < 100000L && col("b_id") === col("a_id") + 100000L).count()
+      val nearFound = pairs.filter(
+        col("a_id") < 100000L && col("b_id") === col("a_id") + 200000L).count()
       println(f"SWEEP $h%10d $n%8d ${exactFound.toDouble / exactPlanted}%12.3f ${nearFound.toDouble / nearPlanted}%11.3f")
       pairs.unpersist(blocking = true)
     }

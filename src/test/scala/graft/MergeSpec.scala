@@ -604,7 +604,7 @@ class MergeSpec extends AnyFunSuite {
     assert(legacyRead.collect().map(_.getString(2)).toSeq === Seq("r2-350"))
     // refreshFragments ADOPTS the on-disk fragments into the manifest —
     // one metadata-only version, and probes stop paying FS round-trips
-    assert(Merge.refreshFragments(spark, table) > 0,
+    assert(Merge.refreshFragments(spark, table).generations > 0,
       "refreshFragments must adopt the on-disk fragments")
     val adopted = Merge.pointProbe(spark, table, "universeId", Seq(350L))
     assert(adopted.fsProbes === 0 && adopted.prunedGens > 0,
@@ -642,7 +642,8 @@ class MergeSpec extends AnyFunSuite {
     // metadata-only version, rewrites no data files
     val backfilled = Merge.refreshFragments(spark, table,
       statsCols = Seq("playerCount"), bloomCols = Seq("universeId"))
-    assert(backfilled > 0, "expected generations to backfill")
+    assert(backfilled.generations > 0, "expected generations to backfill")
+    assert(backfilled.committedVersion.contains(versionsBefore + 1))
     assert(Merge.tableVersions(spark, table).max === versionsBefore + 1)
     assert(Merge.readTable(spark, table).inputFiles.sorted.toSeq === dataBytesBefore,
       "refreshFragments must not rewrite data files")
@@ -659,9 +660,65 @@ class MergeSpec extends AnyFunSuite {
     assert(ranged.selectExpr(ttCols: _*).orderBy("universeId").collect() ===
       expected.filter { r =>
         val pc = r.getLong(r.fieldIndex("playerCount")); pc >= 10L && pc <= 20L })
-    // idempotent: a second call finds nothing to do and burns no version
-    assert(Merge.refreshFragments(spark, table) === 0)
+    // idempotent: a second call finds nothing to do and burns no version —
+    // committedVersion (not the generation count) is the no-version-burned
+    // signal (ADVICE r15 #4: a policy-only change commits with 0 gens)
+    val again = Merge.refreshFragments(spark, table)
+    assert(again.generations === 0 && again.committedVersion.isEmpty)
     assert(Merge.tableVersions(spark, table).max === versionsBefore + 1)
+  }
+
+  test("auto-adopt: ONE write round records legacy #frag lines — next reads pay zero FS probes (round 16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-adopt").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    // a clustered table with on-disk fragments across several generations
+    Merge.upsertIncrementalRounds(spark, table,
+      mkTT(0L until 240L, "base"), Seq(mkTT(Seq(3L, 21L), "r1")),
+      "universeId", over, coal, keep, buckets = 8, retainVersions = 10)
+    Merge.cluster(spark, table, "playerCount", filesPerBucket = 4,
+      bloomCols = Seq("universeId"), retainVersions = 10)
+    Merge.upsertRound(spark, table, mkTT(Seq(40L, 77L), "r2"), "universeId",
+      over, coal, keep, buckets = 8, retainVersions = 10)
+    // simulate a pre-round-15 writer: strip every #frag line from the
+    // latest manifest, leaving layout discoverable only by FS probes
+    val tdir = new org.apache.hadoop.fs.Path(table, "_manifests")
+    val hfs = tdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val latest = hfs.listStatus(tdir).map(_.getPath.getName)
+      .filter(_.startsWith("manifest-v")).map(_.stripPrefix("manifest-v").toInt).max
+    val mf = java.nio.file.Paths.get(s"$table/_manifests/manifest-v$latest")
+    java.nio.file.Files.write(mf, java.nio.file.Files.readAllLines(mf).asScala
+      .filterNot(_.startsWith("#frag")).asJava)
+    assert(Merge.pointProbe(spark, table, "universeId", Seq(3L)).fsProbes > 0,
+      "setup: the stripped manifest must force the FS-probe fallback")
+
+    // ONE ordinary write round — adoption rides its manifest commit
+    Merge.upsertRound(spark, table, mkTT(Seq(199L), "r3"), "universeId",
+      over, coal, keep, buckets = 8, retainVersions = 10)
+    val probe = Merge.pointProbe(spark, table, "universeId", Seq(3L))
+    assert(probe.fsProbes === 0,
+      s"one write round must adopt legacy #frag lines (paid ${probe.fsProbes} FS probes)")
+    assert(probe.prunedGens > 0, "adopted bloom fragments must keep pruning")
+    // structural pin for ZERO legacy footer reads on range reads too:
+    // every generation the committed version references is described by
+    // the manifest, so readTableWhereAll's legacy branch is unreachable
+    val liveGens = Merge.readTable(spark, table)
+      .select("gen").distinct().collect().map(_.getInt(0)).toSet
+    val v = Merge.tableVersions(spark, table).max
+    val meta = Merge.readMetaAt(hfs, new org.apache.hadoop.fs.Path(table), v)
+    assert(liveGens.subsetOf(meta.frags.keySet),
+      s"adopted manifest must describe every live gen " +
+        s"(live $liveGens vs described ${meta.frags.keySet})")
+    // and the reads stay correct + pruned
+    val total = Merge.readTable(spark, table).inputFiles.length
+    val hit = Merge.readTableWhereIn(spark, table, "universeId", Seq(3L))
+    assert(hit.collect().map(_.getString(2)).toSeq === Seq("r1-3"))
+    assert(hit.inputFiles.length < total)
+    val ranged = Merge.readTableWhere(spark, table, "playerCount", 1L, 3L)
+    assert(ranged.inputFiles.length < total,
+      "adopted stats fragments must keep range pruning")
   }
 
   test("deleteWhere: touched-bucket rewrite, time travel across the delete, VACUUM makes it physical") {
