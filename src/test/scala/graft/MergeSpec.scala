@@ -1045,6 +1045,63 @@ class MergeSpec extends AnyFunSuite {
       "the loser must not have replaced the committed bytes")
   }
 
+  test("commit coordinator: one winner per version on a non-atomic-rename store; dead claims completed (round 16)") {
+    import graft.operators.{CommitCoordinator, ManifestIo, VersionConflictException}
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("fs.mockstore.impl", classOf[graft.MockObjectStoreFs].getName)
+    conf.setBoolean("fs.mockstore.impl.disable.cache", true)
+    val dir = java.nio.file.Files.createTempDirectory("manifest-coord")
+    val hp = new org.apache.hadoop.fs.Path("mockstore://" + dir.toString)
+    val hfs = hp.getFileSystem(conf)
+    // the fake atomic KV — the one linearizable primitive a real
+    // deployment gets from DynamoDB/ZooKeeper; everything else (the
+    // non-atomic mockstore rename) is what an object store gives you
+    val kv = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val coord = new CommitCoordinator {
+      def putIfAbsent(key: String, token: String): Boolean =
+        kv.putIfAbsent(key, token) == null
+      def get(key: String): Option[String] = Option(kv.get(key))
+    }
+    ManifestIo.setCommitCoordinator(coord)
+    try {
+      // two writers (each would previously have slipped through the
+      // same-process lock only if they shared a JVM — the coordinator
+      // seam arbitrates them regardless of process) race one version
+      val failures = new java.util.concurrent.ConcurrentHashMap[String, Throwable]()
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val racers = Seq("a", "b").map(id => new Thread(() => {
+        try { gate.await(); ManifestIo.commitFile(hfs, hp, "manifest-v7", s"$id\n") }
+        catch { case t: Throwable => failures.put(id, t) }
+      }))
+      racers.foreach(_.start()); racers.foreach(_.join())
+      assert(failures.size === 1, s"exactly one racer must lose: $failures")
+      assert(failures.values.iterator.next().isInstanceOf[VersionConflictException])
+      val winner = Seq("a", "b").filterNot(failures.containsKey).head
+      assert(new String(java.nio.file.Files.readAllBytes(
+        dir.resolve("manifest-v7")), "UTF-8") === s"$winner\n",
+        "the committed manifest must hold the winner's own bytes")
+
+      // claim-then-crash: a claimant that died between its coordinator
+      // claim and its rename left temp bytes + a recorded token but no
+      // final file; the NEXT writer completes the dead claimant's publish
+      // and surfaces its own conflict — the version is never wedged
+      val tmpName = ".tmp-manifest-v8-deadbeef"
+      java.nio.file.Files.write(dir.resolve(tmpName), "dead\n".getBytes("UTF-8"))
+      val key8 = hfs.makeQualified(new org.apache.hadoop.fs.Path(hp, "manifest-v8")).toString
+      assert(coord.putIfAbsent(key8, tmpName), "setup: the dead claim must record")
+      val e = intercept[VersionConflictException] {
+        ManifestIo.commitFile(hfs, hp, "manifest-v8", "late\n")
+      }
+      assert(e.getMessage.contains("already committed"))
+      assert(new String(java.nio.file.Files.readAllBytes(
+        dir.resolve("manifest-v8")), "UTF-8") === "dead\n",
+        "the later writer must complete the dead claimant's publish, not its own")
+    } finally ManifestIo.clearCommitCoordinator()
+    // default behavior unchanged: with no coordinator the scheme routes
+    // through the same-process locked claim (the r14 test above pins it)
+  }
+
   test("metadata race: a losing writer can never clobber the winner's committed schema (ADVICE r13 #1)") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-meta-race").toString
     val table = s"$tmp/games"
