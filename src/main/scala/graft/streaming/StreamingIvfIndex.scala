@@ -15,11 +15,17 @@ import graft.operators.IvfKMeans
   *     This is what production IVF systems do: ingest latency must not
   *     depend on corpus-sized training jobs.
   *   - '''Drift-triggered retrain''' (rare): frozen centroids slowly stop
-  *     describing a drifting corpus — recall decays silently. Each batch
-  *     therefore measures its own mean squared distance-to-centroid; when
-  *     it exceeds [[driftFactor]] × the training-time baseline, the index
-  *     retrains on the grown corpus and reassigns everything (the
-  *     compaction analog — corpus-sized, amortized over many batches).
+  *     describing a drifting corpus — recall decays silently. Two
+  *     triggers, two failure shapes: each batch measures its own mean
+  *     squared distance-to-centroid, and one exceeding [[driftFactor]] ×
+  *     the training-time baseline retrains immediately (ACUTE shift —
+  *     an out-of-distribution batch); committed corpus-wide counters
+  *     (`distinfo`, maintained change-sized) feed the
+  *     `retrainAtDistortionFactor` dial behind [[maybeRetrain]]
+  *     (CHRONIC shift — round-16, each batch under the acute bar while
+  *     the corpus walks away, or takedowns hollowing out cells). Either
+  *     way the retrain reassigns everything (the compaction analog —
+  *     corpus-sized, amortized over many batches).
   *
   * Storage is [[BucketedAppendState]] (round-12 refit): the assignment is
   * an id-bucketed, manifest-committed copy-on-write table whose
@@ -32,9 +38,25 @@ import graft.operators.IvfKMeans
   * retrain goes through [[BucketedAppendState.commitFull]]: corpus-sized
   * by nature, priced honestly as the rare amortized rewrite it is.
   */
+/** @param retrainAtDistortionFactor the RETRAIN POLICY dial (round-16,
+  *   verdict r15 #3 — the takedown study's lesson applied to the
+  *   quantizer tier): [[maybeRetrain]] retrains when the CORPUS-wide
+  *   mean squared distance-to-centroid has drifted past this factor of
+  *   the at-train baseline. The per-batch [[driftFactor]] check catches
+  *   ACUTE shift (one out-of-distribution batch); this dial catches
+  *   CHRONIC shift — each batch individually under the acute bar while
+  *   the corpus distribution walks away from the frozen centroids, or
+  *   takedowns hollowing out trained cells. The counters live in a
+  *   committed one-row `distinfo` table (n, Σd²) maintained
+  *   change-sized: retrain writes the exact corpus values, each ingest
+  *   adds its batch's, each takedown subtracts its leavers' — no
+  *   corpus-sized scan ever runs in the ingest path, and the quantizer's
+  *   fit floor becomes a configuration, like the NSW tier's recall
+  *   floor. */
 class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
     driftFactor: Double = 1.5, keepVersions: Int = 3,
-    buckets: Int = 0) extends Serializable {
+    buckets: Int = 0,
+    retrainAtDistortionFactor: Double = 2.0) extends Serializable {
 
   import spark.implicits._
 
@@ -66,28 +88,55 @@ class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame
     centroids.map { case (c, v) => (c, v.toSeq, baselineMsd) }
       .toDF("cluster", "cv", "baseline_msd")
 
+  /** The corpus-distortion counters, a one-row small table: row count and
+    * Σ squared distance-to-assigned-centroid under the FROZEN centroids.
+    * Maintained change-sized (ingest adds, takedown subtracts) so
+    * [[distortionSinceTrain]] is a driver arithmetic read, never a
+    * corpus scan. */
+  private def distInfoDf(n: Long, sumD2: Double): DataFrame =
+    Seq((n, sumD2)).toDF("dist_n", "dist_sum_d2")
+
+  /** (rows tracked, Σd²). Pre-round-16 stores have no distinfo table —
+    * start the counters at zero (the dial becomes an exact corpus
+    * measure at the first retrain; until then it tracks data ingested
+    * since adoption, a legitimate recent-drift signal). Gated on the
+    * table being absent from the manifest, not a catch-all Try — a
+    * transient read failure must propagate, not silently disable the
+    * policy (the ADVICE r15 #3 rule). */
+  private[graft] def distInfo(): (Long, Double) =
+    if (state.versionsOf("distinfo").isEmpty) (0L, 0.0)
+    else {
+      val r = state.read("distinfo").head()
+      (r.getLong(0), r.getDouble(1))
+    }
+
   /** Full Lloyd training on `e` + reassignment of everything → version n
     * (the one corpus-sized commit shape the maintainer retains — rare and
-    * amortized by design). */
-  private def retrain(e: DataFrame, n: Long): Unit = {
+    * amortized by design). Resets the drift counters to the exact
+    * corpus-wide values — the accumulated change-sized additions (and
+    * their floating-point error) are replaced wholesale. */
+  private def retrain(e: DataFrame, n: Long): Option[BucketedCommitStats] = {
     centroids = IvfKMeans.trainCentroids(e)
     val assigned = IvfKMeans.assign(e, centroids)
-    baselineMsd = meanSquaredDist(assigned)
-    state.commitFull(n, Map("assigned" -> assigned, "centroids" -> centroidsDf))
+    val (cnt, sumD2) = distSumCount(assigned)
+    baselineMsd = if (cnt > 0) sumD2 / cnt else 0.0
+    state.commitFull(n, Map("assigned" -> assigned, "centroids" -> centroidsDf,
+      "distinfo" -> distInfoDf(cnt, sumD2)))
   }
 
-  /** Mean squared L2 distance of assigned rows to their centroid — the
-    * quantization-error signal the drift trigger watches. Codegen dot
+  /** (count, Σ squared L2 distance to assigned centroid) of `assigned` —
+    * the quantization-error signal both drift triggers watch. Codegen dot
     * kernels (‖v‖² − 2·v·c + ‖c‖²) against the broadcast K-row centroid
     * table — no per-row UDF. */
-  private def meanSquaredDist(assigned: DataFrame): Double = {
+  private def distSumCount(assigned: DataFrame): (Long, Double) = {
     import graft.functions.VectorFunctions.dot
     val cdf = centroids.map { case (c, v) => (c, v.toSeq) }.toDF("cluster", "cv")
-    assigned.join(broadcast(cdf), Seq("cluster"))
+    val r = assigned.join(broadcast(cdf), Seq("cluster"))
       .select((dot(col("v"), col("v"))
         - lit(2.0) * dot(col("v"), col("cv"))
         + dot(col("cv"), col("cv"))).as("d2"))
-      .agg(avg(col("d2"))).head().getDouble(0)
+      .agg(count(lit(1)).as("n"), sum(col("d2")).as("s")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
   }
 
   def currentAssigned(): DataFrame = state.read("assigned")
@@ -106,15 +155,19 @@ class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame
       .join(currentAssigned().select(col("vec_id")), Seq("vec_id"), "left_anti")
     if (!fresh.isEmpty) {
       val assigned = IvfKMeans.assign(fresh, centroids)
-      val batchMsd = meanSquaredDist(assigned)
+      val (bn, bSumD2) = distSumCount(assigned)
+      val batchMsd = if (bn > 0) bSumD2 / bn else 0.0
       if (baselineMsd > 0 && batchMsd > driftFactor * baselineMsd) {
         retrains += 1
         retrain(currentAssigned().select(col("vec_id"), col("v")).unionByName(fresh), target)
       } else {
-        // steady state: append the batch's rows into their buckets only
+        // steady state: append the batch's rows into their buckets only,
+        // and roll its distortion into the committed counters
+        val (n0, s0) = distInfo()
         state.commitAppend(target, Map(
           "assigned" -> assigned,
-          "centroids" -> centroidsDf))
+          "centroids" -> centroidsDf,
+          "distinfo" -> distInfoDf(n0 + bn, s0 + bSumD2)))
       }
     }
   }
@@ -126,9 +179,49 @@ class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame
     * triggers retrain through the usual signal on the next ingest).
     * `version` shares the ingest batches' axis — route takedowns through
     * the same single-writer loop. */
-  def removeBatch(ids: DataFrame, version: Long): Option[BucketedCommitStats] =
-    state.commitDelta(version, Map.empty,
-      Map("assigned" -> ids.select(col("vec_id"))))
+  def removeBatch(ids: DataFrame, version: Long): Option[BucketedCommitStats] = {
+    if (state.latest.exists(_ >= version)) return None
+    // subtract the leavers' distortion from the committed counters —
+    // change-sized (scores only the departing rows), so the dial sees
+    // takedowns hollowing out cells without any corpus scan
+    val leaving = ids.select(col("vec_id")).distinct()
+      .join(currentAssigned(), Seq("vec_id"))
+    val (ln, lSumD2) = distSumCount(leaving)
+    val (n0, s0) = distInfo()
+    state.commitDelta(version,
+      appends = Map("distinfo" ->
+        distInfoDf(math.max(0L, n0 - ln), math.max(0.0, s0 - lSumD2))),
+      deleteKeys = Map("assigned" -> ids.select(col("vec_id"))))
+  }
+
+  /** Corpus distortion relative to the at-train baseline — what
+    * [[maybeRetrain]] compares against the dial. 1.0 = the corpus still
+    * fits the frozen centroids as well as at training; values above the
+    * dial mean the quantizer is describing a distribution it was not
+    * trained on. Neutral (1.0) when no counters exist yet or the
+    * baseline is degenerate. */
+  def distortionSinceTrain(): Double = {
+    val (n, s) = distInfo()
+    if (n <= 0 || baselineMsd <= 0) 1.0 else (s / n) / baselineMsd
+  }
+
+  /** RETRAIN POLICY (round-16, verdict r15 #3): when the committed
+    * corpus-distortion counters have drifted past
+    * `retrainAtDistortionFactor` × the at-train baseline, retrain the
+    * quantizer over the current corpus and reset the counters — the
+    * corpus-sized job the acute per-batch check cannot reach (chronic
+    * drift arrives a sub-threshold batch at a time; takedowns never
+    * enter insertBatch at all). Below the dial: no-op, no version
+    * burned. Run it from the same single-writer loop as the batches,
+    * the way [[graft.streaming.StreamingNswIndex.maybeRebuild]] runs
+    * after takedowns. The read is driver arithmetic over the one-row
+    * counters — checking the dial per batch costs nothing. */
+  def maybeRetrain(version: Long): Option[BucketedCommitStats] = {
+    if (state.latest.exists(_ >= version)) return None
+    if (distortionSinceTrain() < retrainAtDistortionFactor) return None
+    retrains += 1
+    retrain(currentAssigned().select(col("vec_id"), col("v")), version)
+  }
 
   /** Attach to a stream of (vec_id, v) rows; one ingest per micro-batch. */
   def start(vectorStream: DataFrame, checkpointDir: String): StreamingQuery =

@@ -63,6 +63,49 @@ class StreamingIvfIndexSpec extends AnyFunSuite {
     assert(resumed.currentAssigned().count() === e.count())
   }
 
+  test("chronic drift: committed distortion counters cross the dial, maybeRetrain restores fit (round 16)") {
+    val idxDir = Files.createTempDirectory("graft-ivf-idx3").toString
+    val e = vectors()
+    val initial = e.filter(col("vec_id") < 200)
+    // the acute per-batch check is disabled (huge driftFactor): every
+    // batch slips under it — exactly the failure shape the corpus-wide
+    // dial exists for
+    val index = new StreamingIvfIndex(spark, idxDir, initial,
+      driftFactor = 1e9, retrainAtDistortionFactor = 1.2)
+    assert(index.distortionSinceTrain() === 1.0,
+      "at-train counters must read exactly the baseline")
+
+    import org.apache.spark.sql.functions.expr
+    val shifted = e.filter(col("vec_id") >= 200 && col("vec_id") < 1000)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        expr("transform(v, x -> x + 1.5D)").as("v"))
+    (0 until 4).foreach { i =>
+      index.insertBatch(shifted.filter(col("vec_id") % 4 === i), i.toLong)
+    }
+    assert(index.retrains === 0, "no single batch may trip the acute trigger")
+    val drifted = index.distortionSinceTrain()
+    assert(drifted > 1.2, s"cumulative distortion must cross the dial, got $drifted")
+    // an already-committed version is a replay no-op even above the dial
+    assert(index.maybeRetrain(2L).isEmpty)
+    // the dial fires: full Lloyd retrain over the current corpus
+    assert(index.maybeRetrain(10L).nonEmpty)
+    assert(index.retrains === 1)
+    val restored = index.distortionSinceTrain()
+    assert(restored === 1.0, s"retrain must reset the counters to the new fit, got $restored")
+    assert(index.distInfo()._1 === index.currentAssigned().count())
+    // below the dial: no-op, no version burned
+    val v = index.maybeRetrain(11L)
+    assert(v.isEmpty)
+
+    // takedowns subtract the leavers' share change-sized — the dial sees
+    // cells hollowing out without any corpus scan
+    val leavers = index.currentAssigned().select(col("vec_id"))
+      .filter(col("vec_id") >= 100000L).limit(100)
+    assert(index.removeBatch(leavers, 12L).nonEmpty)
+    assert(index.distInfo()._1 === index.currentAssigned().count(),
+      "counters must track the surviving corpus after a takedown")
+  }
+
   test("an out-of-distribution batch trips the drift trigger and retrains on the grown corpus") {
     val dropDir = Files.createTempDirectory("graft-ivf-drops2").toString
     val idxDir = Files.createTempDirectory("graft-ivf-idx2").toString
