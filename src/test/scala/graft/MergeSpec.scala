@@ -1018,6 +1018,140 @@ class MergeSpec extends AnyFunSuite {
     } finally child.destroyForcibly()
   }
 
+  /** Fork a second Spark JVM running [[RaceWriterMain]]'s `op` on
+    * `table` (the round-15 two-JVM harness, shared by the round-16
+    * mixed-operation races). */
+  private def forkRacer(tmp: String, table: String, op: String) = {
+    val goFile = java.nio.file.Paths.get(s"$tmp/go")
+    val doneFile = java.nio.file.Paths.get(s"$tmp/done")
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val inArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+    val opens = inArgs.zipWithIndex.collect {
+      case (a, i) if a == "--add-opens" && i + 1 < inArgs.size =>
+        Seq(a, inArgs(i + 1))
+    }.flatten
+    val cmd = Seq(javaBin) ++ opens ++ Seq("-Xmx2g", "-cp", cp,
+      "graft.RaceWriterMain", table, goFile.toString, doneFile.toString, op)
+    val childLog = new java.io.File(s"$tmp/child.log")
+    val child = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true).redirectOutput(childLog).start()
+    (child, goFile, doneFile, childLog)
+  }
+
+  /** Hooks that release the forked child at this writer's pre-commit
+    * point and block until the child's whole commit has landed. */
+  private def raceHooks(goFile: java.nio.file.Path,
+      doneFile: java.nio.file.Path, childLog: java.io.File): Merge.IncHooks =
+    Merge.IncHooks(beforeCommit = _ => {
+      java.nio.file.Files.writeString(goFile, "go")
+      val deadline = System.nanoTime() + 180L * 1000 * 1000 * 1000
+      while (!java.nio.file.Files.exists(doneFile) &&
+          System.nanoTime() < deadline) Thread.sleep(50)
+      assert(java.nio.file.Files.exists(doneFile),
+        s"child never finished; log:\n${scala.io.Source.fromFile(childLog).mkString}")
+    })
+
+  test("two JVMs, mixed ops: upsert wins, deleteWhere conflicts, fragments follow the winner (round 16)") {
+    // verdict r15 #4: RaceWriterMain raced two upsertRounds; the strict-
+    // OCC surface most likely to hide a hole is a DELETE (whole-table
+    // read set) racing a writer that changes a bucket its predicate scan
+    // already read. Child commits an upsert of key 3 while this process
+    // holds a deleteWhere(universeId = 3) open across the child's whole
+    // commit — the delete MUST conflict (its scan is stale), never
+    // silently merge, and the committed table must serve the winner's
+    // bytes with its fragment metadata intact.
+    val tmp = java.nio.file.Files.createTempDirectory("merge-2jvm-updel").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, mkTT(0L until 30L, "base"),
+      Seq.empty, "universeId", over, coal, keep, buckets = 16,
+      retainVersions = 10)
+    // live sidecar policy, so the race also exercises fragment commits
+    Merge.cluster(spark, table, "playerCount", filesPerBucket = 2,
+      retainVersions = 10, bloomCols = Seq("universeId"))
+    val (child, goFile, doneFile, childLog) = forkRacer(tmp, table, "upsert")
+    try {
+      val ex = intercept[graft.operators.VersionConflictException] {
+        Merge.deleteWhere(spark, table, col("universeId") === 3L,
+          retainVersions = 10, hooks = raceHooks(goFile, doneFile, childLog))
+      }
+      assert(ex.getMessage.contains("concurrent writer"))
+      child.waitFor()
+      assert(java.nio.file.Files.readString(doneFile) === "committed",
+        s"child outcome; log:\n${scala.io.Source.fromFile(childLog).mkString}")
+      // the winner's row is served; the refused delete never applied
+      val latest = Merge.readTable(spark, table)
+        .filter(col("universeId") === 3L).collect()
+      assert(latest.length === 1 && latest.head.getString(2) === "proc2-3",
+        "the table must serve the winning upsert's bytes")
+      // every retained version still reads
+      Merge.tableVersions(spark, table).foreach { v =>
+        assert(Merge.readTableAt(spark, table, v).count() === 30L)
+      }
+      // fragments consistent with the winner: every live generation is
+      // described by the committed manifest (the winner's #frag entry
+      // landed with its commit), so probes pay zero FS round-trips and
+      // the pruned point read serves the winner's row
+      val report = Merge.pointProbe(spark, table, "universeId", Seq(3L))
+      assert(report.fsProbes === 0 && report.unfragmentedGens === 0,
+        s"winner's fragments must be manifest-served: $report")
+      val hit = Merge.readTableWhereIn(spark, table, "universeId", Seq(3L))
+      assert(hit.collect().map(_.getString(2)).toSeq === Seq("proc2-3"))
+    } finally child.destroyForcibly()
+  }
+
+  test("two JVMs, mixed ops: clusterRewrite wins, deleteWhere conflicts, the layout serves (round 16)") {
+    // the second round-16 mix: a layout rewrite (cluster — rewrites EVERY
+    // bucket and defines the sidecar policy) racing a delete whose
+    // predicate scan read the pre-rewrite layout. The delete must refuse;
+    // the winner's clustered layout, fragments, and policy must all serve.
+    val tmp = java.nio.file.Files.createTempDirectory("merge-2jvm-delclu").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, mkTT(0L until 30L, "base"),
+      Seq.empty, "universeId", over, coal, keep, buckets = 16,
+      retainVersions = 10)
+    val (child, goFile, doneFile, childLog) = forkRacer(tmp, table, "cluster")
+    try {
+      val ex = intercept[graft.operators.VersionConflictException] {
+        Merge.deleteWhere(spark, table, col("universeId") === 3L,
+          retainVersions = 10, hooks = raceHooks(goFile, doneFile, childLog))
+      }
+      assert(ex.getMessage.contains("concurrent writer"))
+      child.waitFor()
+      assert(java.nio.file.Files.readString(doneFile) === "committed",
+        s"child outcome; log:\n${scala.io.Source.fromFile(childLog).mkString}")
+      // the refused delete never applied; content is layout-invariant
+      val all = Merge.readTable(spark, table)
+      assert(all.count() === 30L)
+      assert(all.filter(col("universeId") === 3L).count() === 1L)
+      // every retained version still reads
+      Merge.tableVersions(spark, table).foreach { v =>
+        assert(Merge.readTableAt(spark, table, v).count() === 30L)
+      }
+      // fragments consistent with the winner: the cluster's generation is
+      // manifest-described, bloom point reads prune and serve, range
+      // reads prune with zero row drift
+      val report = Merge.pointProbe(spark, table, "universeId", Seq(3L))
+      assert(report.fsProbes === 0 && report.prunedGens > 0 &&
+        report.unfragmentedGens === 0, s"winner's fragments must serve: $report")
+      val total = all.inputFiles.length
+      val hit = Merge.readTableWhereIn(spark, table, "universeId", Seq(3L))
+      assert(hit.collect().map(_.getString(2)).toSeq === Seq("base-3"))
+      assert(hit.inputFiles.length < total)
+      val expected = all.filter(col("playerCount") >= 1L && col("playerCount") <= 3L)
+        .selectExpr(ttCols: _*).orderBy("universeId").collect()
+      val ranged = Merge.readTableWhere(spark, table, "playerCount", 1L, 3L)
+      assert(ranged.selectExpr(ttCols: _*).orderBy("universeId").collect() === expected)
+    } finally child.destroyForcibly()
+  }
+
   test("non-atomic-rename schemes commit through the locked claim (ADVICE r14 #1)") {
     // Object-store connectors (s3a/gcs/abfs) implement rename as
     // NON-atomic copy+delete with no precondition-PUT, so the bare
