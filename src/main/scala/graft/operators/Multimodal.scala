@@ -291,6 +291,106 @@ object Multimodal {
     hashed
   }
 
+  /** REAL-DECODE dHash (round-16, verdict r15 #5): the same 6×11 grid
+    * and gradient-sign packing as [[phashFrame]], fed by an actual image
+    * codec — `javax.imageio` (pure JVM, headless, no network) — over a
+    * `binaryFile` scan of the reference's blob layout
+    * (`<dir>/<universeId>/<kind>.png`, downloadImages.ts:15-58). Decode +
+    * downsample run inside `mapPartitions` like [[decodeStub]] (the
+    * per-batch codec-amortization point; one map pass per image, no
+    * shuffle); everything downstream — banding, candidate equi-join,
+    * exact-Hamming verify — is [[phashPairs]] UNCHANGED, which is what
+    * keeps the hash-matched stub oracle query (`dedup_phash`) the gate
+    * for the operator while a golden-signature spec pins the decode.
+    *
+    * The grid is a deterministic BOX AVERAGE of each cell's BT.601 luma
+    * (0.299 R + 0.587 G + 0.114 B over the cell's pixel block), NOT a
+    * Graphics2D scale — scaler interpolation varies across JVMs and
+    * platforms, and a perceptual signature must not. Undecodable blobs
+    * yield no row — a corrupt image cannot poison a band bucket. */
+  def phashFrameFromImages(images: DataFrame): DataFrame = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    val pat = "/(\\d+)/(?:icon|thumbnail)\\.png$"
+    images
+      .select(regexp_extract(col("path"), pat, 1).as("id_str"), col("content"))
+      .filter(col("id_str") =!= "")
+      .select(col("id_str").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.grouped(16).flatMap(_.flatMap { case (id, bytes) =>
+        dHashOfImage(bytes).map(id -> _)
+      }))
+      .toDF("doc_id", "phash")
+  }
+
+  /** Banded near-dup pairs over REAL decoded images: `dir` is a blob-store
+    * root in the reference layout; the persist pins one decode per image
+    * across the candidate join's two sides. */
+  def phashDedupImages(spark: SparkSession, imagesDir: String,
+      maxHamming: Int = PhHammingMax): DataFrame =
+    phashPairs(
+      graft.tools.CacheRegistry.persistTracked(phashFrameFromImages(
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.png")
+          .option("recursiveFileLookup", "true")
+          .load(imagesDir))),
+      maxHamming)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** The 60-bit dHash of one encoded image, None when the codec cannot
+    * decode the bytes. */
+  private[graft] def dHashOfImage(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException => None; case _: RuntimeException => None }
+    img.filter(i => i.getWidth > 0 && i.getHeight > 0).map { i =>
+      val px = grayGrid(i)
+      var acc = 0L
+      var b = 0
+      while (b < PhBits) {
+        val r = b / (PhCols - 1); val c = b % (PhCols - 1)
+        if (px(r * PhCols + c) < px(r * PhCols + c + 1)) acc |= 1L << b
+        b += 1
+      }
+      acc
+    }
+  }
+
+  /** [[PhRows]]×[[PhCols]] box-averaged BT.601 luma grid, row-major.
+    * Cell (r,c) averages the pixel block [r·h/R,(r+1)·h/R) ×
+    * [c·w/C,(c+1)·w/C) — images smaller than the grid reuse pixels
+    * (bounds are clamped to at least one pixel per cell). */
+  private def grayGrid(img: java.awt.image.BufferedImage): Array[Double] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = new Array[Double](PhRows * PhCols)
+    var r = 0
+    while (r < PhRows) {
+      val y0 = math.min(r * h / PhRows, h - 1)
+      val y1 = math.max(y0 + 1, (r + 1) * h / PhRows)
+      var c = 0
+      while (c < PhCols) {
+        val x0 = math.min(c * w / PhCols, w - 1)
+        val x1 = math.max(x0 + 1, (c + 1) * w / PhCols)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        out(r * PhCols + c) = sum / n
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** Banded signature chunks of a (doc_id, phash) frame. */
   private[graft] def phashChunks(hashed: DataFrame): DataFrame =
     hashed

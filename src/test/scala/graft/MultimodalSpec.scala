@@ -59,6 +59,60 @@ class MultimodalSpec extends AnyFunSuite {
       s"the carry window must partition by doc_id:\n$plan")
   }
 
+  test("real-decode phash: golden signatures and banded near-dup pairing over the blob layout (round 16)") {
+    // PNG fixtures in the reference layout <dir>/<id>/icon.png, written
+    // with a real codec (javax.imageio) — the decode under test reads
+    // them back. Golden signatures are ANALYTIC, not recorded: a strictly
+    // left-to-right-brightening image sets every gradient bit, a
+    // darkening one sets none.
+    val dir = java.nio.file.Files.createTempDirectory("phash-images")
+    def writePng(id: Long, px: (Int, Int) => Int, w: Int = 64, h: Int = 48): Unit = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = px(x, y) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val d = dir.resolve(id.toString)
+      java.nio.file.Files.createDirectories(d)
+      javax.imageio.ImageIO.write(img, "png", d.resolve("icon.png").toFile)
+    }
+    writePng(1, (x, _) => x * 4)        // monotone brighter → all 60 bits
+    writePng(2, (x, _) => 255 - x * 4)  // monotone darker → zero bits
+    // near-dup pair: identical texture, ONE pixel blown out — at most the
+    // one affected cell's gradient flips, so Hamming ≤ 1 and at least 3
+    // of the 4 bands collide exactly
+    def tex(x: Int, y: Int) = ((x * 37 + y * 101) ^ (x * y)) & 0xff
+    writePng(10, tex)
+    writePng(11, (x, y) => if (x == 0 && y == 0) 255 else tex(x, y))
+    writePng(20, (x, y) => ((x * 13) ^ (y * 7 * 29)) & 0xff) // unrelated
+
+    def blob(id: Long): Array[Byte] =
+      java.nio.file.Files.readAllBytes(dir.resolve(s"$id/icon.png"))
+    assert(Multimodal.dHashOfImage(blob(1)).contains((1L << 60) - 1),
+      "monotone-brightening image must set every gradient bit")
+    assert(Multimodal.dHashOfImage(blob(2)).contains(0L),
+      "monotone-darkening image must set no gradient bit")
+    // corrupt bytes yield no row — never a poisoned band bucket
+    assert(Multimodal.dHashOfImage("not a png".getBytes("UTF-8")).isEmpty)
+
+    // decode is bit-stable across calls (the golden property a perceptual
+    // signature needs; box-average, no platform-dependent scaler)
+    assert(Multimodal.dHashOfImage(blob(10)) === Multimodal.dHashOfImage(blob(10)))
+
+    // the banded pipeline over the REAL decode: same banding + verify as
+    // the oracle-gated stub query, candidates from (band, chunk)
+    // equi-joins only
+    val pairs = Multimodal.phashDedupImages(spark, dir.toString).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((10L, 11L)), s"near-dup pair must surface: $pairs")
+    assert(pairs((10L, 11L)) <= 1, "one blown-out pixel is at most one gradient flip")
+    assert(!pairs.keySet.exists { case (a, b) =>
+      Set(a, b).contains(20L) || (Set(a, b) == Set(1L, 2L)) },
+      s"unrelated/opposite images must not pair: $pairs")
+    graft.tools.CacheRegistry.release(blocking = true)
+  }
+
   test("decode stub and frame sample stay deterministic on the fixture") {
     val d1 = Multimodal.decodeStub(spark, SparkTestSession.Sf0001).collect()
     val d2 = Multimodal.decodeStub(spark, SparkTestSession.Sf0001).collect()
