@@ -922,7 +922,27 @@ object Merge {
     * at all falls back to the plain manifest read — pruning is an
     * optimization, never a correctness dependency. */
   def readTableWhereAll(spark: SparkSession, tablePath: String,
-      preds: Seq[(String, Long, Long)]): DataFrame = {
+      preds: Seq[(String, Long, Long)]): DataFrame =
+    readTableWhereAllTyped(spark, tablePath,
+      preds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) })
+
+  /** STRING-typed range pruning (round-16, verdict r15 #6): the same
+    * stats-fragment keep-decision with lexicographic bounds — the
+    * Delta/Iceberg norm for string column stats. Sound because the
+    * fragments store each file's FULL min/max value (`min(col)`/
+    * `max(col)` at write time — no prefix truncation, so there is no
+    * truncated-upper-bound subtlety to get wrong; a deployment that
+    * later truncates long strings for sidecar size must round the upper
+    * bound UP, Delta-style). Comparison collation is Spark's binary
+    * UTF8 ordering on BOTH sides — the same `>=`/`<=` the data filter
+    * uses, so pruning can never disagree with filtering. */
+  def readTableWhereStrings(spark: SparkSession, tablePath: String,
+      preds: Seq[(String, String, String)]): DataFrame =
+    readTableWhereAllTyped(spark, tablePath,
+      preds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) })
+
+  private def readTableWhereAllTyped(spark: SparkSession, tablePath: String,
+      preds: Seq[(String, Column, Column)]): DataFrame = {
     require(preds.nonEmpty, "readTableWhereAll needs at least one predicate")
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fsys = fs(spark, table)
@@ -948,7 +968,7 @@ object Merge {
       .map { case (g, entries) => g -> entries.keys.toSeq.sorted }
     // classify each gen: Some(statPreds) = prunable through its fragment,
     // None = read whole (no fragment, or no overlap with the predicates)
-    val prunable: Seq[(Int, Seq[(String, Long, Long)])] = byGen.flatMap {
+    val prunable: Seq[(Int, Seq[(String, Column, Column)])] = byGen.flatMap {
       case (g, _) =>
         val fragStatsCols: Option[Seq[String]] = meta.frags.get(g) match {
           case Some(fi) => if (fi.statsCols.isEmpty) None else Some(fi.statsCols)

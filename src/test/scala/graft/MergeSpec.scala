@@ -668,6 +668,45 @@ class MergeSpec extends AnyFunSuite {
     assert(Merge.tableVersions(spark, table).max === versionsBefore + 1)
   }
 
+  test("string-typed range pruning: lexicographic stats prune files, zero row drift (round 16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-strprune").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table,
+      mkTT(0L until 240L, "base"), Seq(mkTT(Seq(3L, 21L), "r1")),
+      "universeId", over, coal, keep, buckets = 8, retainVersions = 10)
+    // cluster on the STRING column: the rewrite range-splits by name and
+    // records full-value min/max string stats per file
+    Merge.cluster(spark, table, "name", filesPerBucket = 4, retainVersions = 10)
+    val all = Merge.readTable(spark, table)
+    val total = all.inputFiles.length
+    val (lo, hi) = ("base-10", "base-19")
+    val expected = all
+      .filter(col("name") >= lo && col("name") <= hi)
+      .selectExpr(ttCols: _*).orderBy("universeId").collect()
+    assert(expected.nonEmpty, "fixture sanity: the string range must match rows")
+    val pruned = Merge.readTableWhereStrings(spark, table, Seq(("name", lo, hi)))
+    // zero row drift vs the plain filter…
+    assert(pruned.selectExpr(ttCols: _*).orderBy("universeId").collect() === expected)
+    // …while opening strictly fewer files (the lexicographic keep-decision
+    // pruned through the same full-value stats the numeric path uses)
+    assert(pruned.inputFiles.nonEmpty && pruned.inputFiles.length < total,
+      s"expected string pruning, opened ${pruned.inputFiles.length} of $total")
+    // a later merge round maintains the string stats for its new gen, and
+    // the read still answers exactly (pruning is never a correctness
+    // dependency)
+    Merge.upsertRound(spark, table, mkTT(Seq(12L), "r2"), "universeId",
+      over, coal, keep, buckets = 8, retainVersions = 10)
+    val after = Merge.readTableWhereStrings(spark, table, Seq(("name", lo, hi)))
+    val expectedAfter = Merge.readTable(spark, table)
+      .filter(col("name") >= lo && col("name") <= hi)
+      .selectExpr(ttCols: _*).orderBy("universeId").collect()
+    assert(after.selectExpr(ttCols: _*).orderBy("universeId").collect() === expectedAfter)
+    assert(after.inputFiles.length < Merge.readTable(spark, table).inputFiles.length)
+  }
+
   test("auto-adopt: ONE write round records legacy #frag lines — next reads pay zero FS probes (round 16)") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-adopt").toString
     val table = s"$tmp/games"
