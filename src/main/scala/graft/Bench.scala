@@ -108,6 +108,28 @@ object Bench {
     // (ADVICE r12 #5: a swallowed OutOfMemoryError resurfaced later as
     // unrelated heap corruption); the measured loop still records the
     // query's own error.
+    // HOST-CONTENTION MARKER (round-16, verdict r15 #7): a fixed-work,
+    // single-threaded calibration loop timed before the setup pass and
+    // again after the measured loop. The work is pure register arithmetic
+    // (xorshift64), so its wall time moves ONLY with CPU contention /
+    // frequency scaling — never with code changes in the engine. Read:
+    // both markers near the NOTES-pinned idle value ⇒ per-query numbers
+    // are comparable across rounds; an inflated marker ⇒ the suite ran on
+    // a loaded host and drift verdicts belong to BENCH_STABLE, not this
+    // sample. The first (discarded) call absorbs the loop's own JIT.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      var x = 0x9e3779b97f4a7c15L
+      var i = 0L
+      while (i < 400000000L) {
+        x ^= x >>> 12; x ^= x << 25; x ^= x >>> 27
+        i += 1
+      }
+      if (x == 42L) System.err.println("calib") // defeat dead-code elision
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate()
+    val calibBefore = calibrate()
     val setupT0 = System.nanoTime()
     (buildQs ++ serveQs).foreach { case (name, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -146,7 +168,9 @@ object Bench {
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val stableFields = s""","repeats":$repeats,"setup_sec":$setupSec"""
+    val calibAfter = calibrate()
+    val stableFields = s""","repeats":$repeats,"setup_sec":$setupSec""" +
+      f""","calib_before_sec":$calibBefore%.3f,"calib_after_sec":$calibAfter%.3f"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$stableFields}"""
     // a filtered spot-check must not silently overwrite the committed
