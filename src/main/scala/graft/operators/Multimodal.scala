@@ -447,12 +447,178 @@ object Multimodal {
        |WHERE bit_count(xor(pa, pb)) <= $PhHammingMax
        |ORDER BY a_id, b_id""".stripMargin
 
+  // ------------------------------------------- clip-level video near-dup
+
+  /** Tokens per stub "frame": frame `f` of a clip is token window
+    * [f·[[VfWindow]], (f+1)·[[VfWindow]]) — windows TILE the text
+    * (`n_frames = ceil(len / window)`), so every frame's signature is
+    * computed over real content only. A padded-grid variant (dHash over
+    * the window extended with doc-derived pad, [[phashFrame]]'s shape)
+    * was measured first and REJECTED: thin trailing windows made the pad
+    * dominate the signature, and with the fixture's ~30-word vocabulary
+    * any two docs sharing the pad's seed token collided at Hamming ≤ 6 —
+    * 2,790 coincidental clip pairs at sf0.001 and a band bucket growing
+    * Θ(corpus/vocab), the quadratic blow-up the dedup family forbids.
+    * Signing only real window content keeps bucket mass = repeated
+    * window content = similarity mass. */
+  private val VfWindow = 16
+
+  /** Clip-overlap fraction at or above which two clips are near-dups:
+    * an exact re-encode matches every frame (frac 1.0); the planted
+    * tail-edited near-dup keeps all but its last frame(s) (frac ≥ 1/2 at
+    * the fixture's 1–7-frame clips); unrelated clips need half their
+    * frames to collide at Hamming ≤ [[PhHammingMax]] — chance ≈ 2⁻⁴⁰
+    * per frame pair. */
+  private val VfFracMin = 0.5
+
+  /** VIDEO NEAR-DUP (round-16 backlog): clip-level verdicts aggregated
+    * from per-frame perceptual hashes — the frame-sampled-video analogue
+    * of [[phashDedup]], closing the last multimodal dedup shape (image =
+    * phash, text = minhash/simhash, embeddings = cosine; CLIPS had
+    * nothing). A real pipeline decodes sampled frames ([[frameSample]]'s
+    * explode shape), phashes each, and asks "do enough of clip A's
+    * frames have a near-identical frame in clip B?" — offset-free SET
+    * semantics (re-encodes, trims and re-intros shift frame indices, so
+    * alignment must not be required), which is exactly what this
+    * computes:
+    *
+    *   - per-frame signature: a 60-bit simhash of the frame's token
+    *     window (codegen'd [[graft.functions.ArrayExpressions.simHash60]]
+    *     — the [[Dedup.dedupSimhash]] kernel, per frame instead of per
+    *     doc; stub decode — a real deployment swaps in a pHash of the
+    *     codec's per-frame luma plane and nothing downstream moves);
+    *   - frame-level candidates: the SAME 15-bit × 4-band equi-join as
+    *     [[phashPairs]] — candidates are (frame, frame) pairs from
+    *     bounded band buckets, NEVER clip × clip;
+    *   - frame verify: exact Hamming ≤ [[PhHammingMax]];
+    *   - clip aggregate: ONE `groupBy (a_id, b_id)` over verified frame
+    *     pairs — matched-frame counts per side, overlap fraction
+    *     `min(matched_a, matched_b) / min(n_a, n_b)`, verdict at
+    *     [[VfFracMin]].
+    *
+    * Scale shape at 100 TB: one map pass per frame for the signature
+    * (frames distribute like rows — the [[frameSample]] explode), one
+    * shuffle on the 8-byte band key, exact verify only on colliding
+    * frame pairs, and the clip aggregate shuffles only VERIFIED matches
+    * (similarity mass, not corpus mass). The persist is load-bearing for
+    * the same reason as [[phashDedup]]'s: the dHash aggregate lambda
+    * inlines the grid transform per reference site un-materialized. */
+  def videoDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OracleParity.pround
+    val frames = graft.tools.CacheRegistry.persistTracked(videoFrames(spark, dir))
+    val counts = frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_frames"))
+    val chunks = frames
+      .select(col("doc_id"), col("frame_idx"), col("fhash"),
+        explode(sequence(lit(0), lit(PhChunks - 1))).as("k"))
+      .withColumn("chunk",
+        expr(s"shiftright(fhash, $PhChunkBits * k) & ${(1 << PhChunkBits) - 1}"))
+    val matches = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.frame_idx").as("a_f"),
+        col("y.doc_id").as("b_id"), col("y.frame_idx").as("b_f"),
+        col("x.fhash").as("fa"), col("y.fhash").as("fb"))
+      .distinct()
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= PhHammingMax)
+    matches
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("a_f")).cast("int").as("ma"),
+        countDistinct(col("b_f")).cast("int").as("mb"))
+      .join(broadcast(counts.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_frames", "n_a")), "a_id")
+      .join(broadcast(counts.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_frames", "n_b")), "b_id")
+      .withColumn("matched_frames", least(col("ma"), col("mb")))
+      .withColumn("frac",
+        pround(col("matched_frames").cast("double") /
+          least(col("n_a"), col("n_b")), 4))
+      .filter(col("frac") >= VfFracMin)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+        col("matched_frames"), col("frac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** (doc_id, frame_idx, fhash): the per-frame stub decode + signature
+    * pass — frame `f`'s fhash is the 60-bit simhash of its token window
+    * `toks[f·W, (f+1)·W)`, computed by the codegen'd
+    * [[graft.functions.ArrayExpressions.simHash60]] kernel in one pass
+    * per frame (no 60-way explode, no interpreted lambda). */
+  private[graft] def videoFrames(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayExpressions
+    Dedup.corpus(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"sequence(0, cast(ceil(size(toks) / ${VfWindow}.0) as int) - 1)"))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx").cast("int").as("frame_idx"),
+        ArrayExpressions.simHash60(ArrayExpressions.hashedWords60(
+          expr(s"slice(toks, frame_idx * $VfWindow + 1, $VfWindow)")))
+          .as("fhash"))
+  }
+
+  val videoDedupSql: String =
+    s"""WITH ${Dedup.corpusSql},
+       |tk AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM corpus),
+       |fr AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(0, CAST(ceil(len(toks) / ${VfWindow}.0) AS INTEGER) - 1)) AS frame_idx
+       |  FROM tk),
+       |fw AS (
+       |  SELECT doc_id, frame_idx,
+       |         unnest(toks[frame_idx * $VfWindow + 1 : frame_idx * $VfWindow + $VfWindow]) AS w
+       |  FROM fr),
+       |th AS (
+       |  SELECT doc_id, frame_idx,
+       |         CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h FROM fw),
+       |bits AS (
+       |  SELECT doc_id, frame_idx, b.bit,
+       |         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, ${PhBits - 1})) AS bit) b
+       |  GROUP BY doc_id, frame_idx, b.bit),
+       |hashes AS (
+       |  SELECT doc_id, frame_idx,
+       |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT) AS fhash
+       |  FROM bits GROUP BY doc_id, frame_idx),
+       |counts AS (
+       |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_frames FROM hashes GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, frame_idx, fhash, k.k AS k,
+       |         (fhash >> ($PhChunkBits * k.k)) & ${(1 << PhChunkBits) - 1} AS chunk
+       |  FROM hashes CROSS JOIN (SELECT unnest(generate_series(0, ${PhChunks - 1})) AS k) k),
+       |matches AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, x.frame_idx AS a_f,
+       |                  y.doc_id AS b_id, y.frame_idx AS b_f,
+       |                  x.fhash AS fa, y.fhash AS fb
+       |  FROM chunks x
+       |  JOIN chunks y ON x.k = y.k AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT a_id, a_f, b_id, b_f FROM matches
+       |  WHERE bit_count(xor(fa, fb)) <= $PhHammingMax),
+       |agg AS (
+       |  SELECT a_id, b_id,
+       |         CAST(count(DISTINCT a_f) AS INTEGER) AS ma,
+       |         CAST(count(DISTINCT b_f) AS INTEGER) AS mb
+       |  FROM verified GROUP BY a_id, b_id)
+       |SELECT a_id, b_id, ca.n_frames AS n_a, cb.n_frames AS n_b,
+       |       CAST(least(ma, mb) AS INTEGER) AS matched_frames,
+       |       floor(CAST(least(ma, mb) AS DOUBLE) / least(ca.n_frames, cb.n_frames) * 10000 + 0.5) / 10000.0 AS frac
+       |FROM agg
+       |JOIN counts ca ON ca.doc_id = a_id
+       |JOIN counts cb ON cb.doc_id = b_id
+       |WHERE floor(CAST(least(ma, mb) AS DOUBLE) / least(ca.n_frames, cb.n_frames) * 10000 + 0.5) / 10000.0 >= $VfFracMin
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> decodeStub,
     "mm_frame_sample" -> frameSample,
     "mm_asof_align" -> asofAlign,
     "f14_data_uri" -> dataUri,
-    "dedup_phash" -> phashDedup
+    "dedup_phash" -> phashDedup,
+    "dedup_video" -> videoDedup
   )
 
   val oracles: Map[String, String] = Map(
@@ -460,6 +626,7 @@ object Multimodal {
     "mm_frame_sample" -> frameSampleSql,
     "mm_asof_align" -> asofAlignSql,
     "f14_data_uri" -> dataUriSql,
-    "dedup_phash" -> phashDedupSql
+    "dedup_phash" -> phashDedupSql,
+    "dedup_video" -> videoDedupSql
   )
 }

@@ -113,6 +113,48 @@ class MultimodalSpec extends AnyFunSuite {
     graft.tools.CacheRegistry.release(blocking = true)
   }
 
+  test("video dedup: clip verdicts from per-frame signatures (round 16)") {
+    import org.apache.spark.sql.functions._
+    val out = Multimodal.videoDedup(spark, SparkTestSession.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5)))
+      .toMap
+    graft.tools.CacheRegistry.release(blocking = true)
+    val nFrames = graft.operators.Dedup.corpus(spark, SparkTestSession.Sf0001)
+      .select(col("doc_id"),
+        expr("cast(ceil(size(split(lower(text), '\\\\s+')) / 16.0) as int)").as("nf"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val baseIds = nFrames.keySet.filter(_ < 100000L)
+    // every planted exact re-encode matches ALL its frames
+    val exactPlanted = baseIds.filter(_ % 4 == 0)
+    assert(exactPlanted.nonEmpty)
+    exactPlanted.foreach { id =>
+      val (na, nb, m, frac) = out.getOrElse((id, id + 100000L),
+        fail(s"exact pair $id missing"))
+      assert(frac === 1.0 && m === math.min(na, nb), s"exact pair $id: $m/$na/$nb")
+    }
+    // tail-edited near-dups: every clip with a second (unedited) frame is
+    // caught; 1-frame clips are edited in their only frame, so whether
+    // they match depends on the edit's Hamming distance — no assertion
+    val nearPlanted = baseIds.filter(_ % 5 == 0)
+    nearPlanted.foreach { id =>
+      if (nFrames(id) >= 2)
+        assert(out.contains((id, id + 200000L)), s"near pair $id missing (nf=${nFrames(id)})")
+    }
+    // verdict-threshold and ordering invariants
+    assert(out.keys.forall { case (a, b) => a < b })
+    assert(out.values.forall { case (na, nb, m, frac) =>
+      frac >= 0.5 && m >= 1 && m <= math.min(na, nb) })
+  }
+
+  test("video dedup plans banded equi-joins only, no all-pairs") {
+    val plan = Multimodal.videoDedup(spark, SparkTestSession.Sf0001)
+      .queryExecution.executedPlan.toString
+    graft.tools.CacheRegistry.release(blocking = true)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"video dedup must never plan a product join:\n$plan")
+  }
+
   test("decode stub and frame sample stay deterministic on the fixture") {
     val d1 = Multimodal.decodeStub(spark, SparkTestSession.Sf0001).collect()
     val d2 = Multimodal.decodeStub(spark, SparkTestSession.Sf0001).collect()
