@@ -134,12 +134,6 @@ object Merge {
     if (!fs.exists(p)) 0L
     else fs.listStatus(p).map(st =>
       if (st.isDirectory) dirBytesOf(fs, st.getPath) else st.getLen).sum
-  private def dataFileCount(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Long =
-    if (!fs.exists(p)) 0L
-    else fs.listStatus(p).count(st =>
-      st.isFile && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith(".")).toLong
 
   /** Per-round accounting of [[upsertIncrementalRounds]] — the evidence
     * for "rewritten bytes ∝ touched buckets, not table size". */
@@ -211,16 +205,19 @@ object Merge {
     // int, matching the type partition-discovery infers for `bucket=` dirs
     def withBucket(df: DataFrame): DataFrame =
       df.withColumn("bucket", pmod(col(key), lit(buckets)).cast("int"))
-    def dirBytes(p: org.apache.hadoop.fs.Path): Long = dirBytesOf(fs, p)
     def genPath(b: Int, g: Int) = genPathOf(table, b, g)
     fs.delete(table, true)
     withBucket(initial).withColumn("gen", lit(0))
       .write.partitionBy("bucket", "gen").parquet(tablePath)
-    // v0 manifest: every bucket the initial write produced, at gen 0
+    // v0 manifest: every bucket the initial write produced, at gen 0,
+    // with its per-bucket stats measured at the one moment the table is
+    // being created anyway (round 16 — later rounds never re-list)
     val initialBuckets = fs.listStatus(table).map(_.getPath.getName)
       .filter(_.startsWith("bucket=")).map(_.stripPrefix("bucket=").toInt)
+    val initialStats = initialBuckets.toSeq.flatMap(b =>
+      statOfGenDir(fs, genPath(b, 0)).map(b -> _)).toMap
     commitManifest(fs, table, 0, initialBuckets.map(_ -> 0).toMap,
-      TableMeta(schema = Some(initial.schema)))
+      TableMeta(schema = Some(initial.schema)), initialStats)
     freshRounds.map(fresh0 =>
       upsertRound(spark, tablePath, fresh0, key,
         overwriteCols, coalesceCols, keepCols, buckets, hooks, retainVersions))
@@ -294,26 +291,40 @@ object Merge {
     // new generations write under PHYSICAL names (stable across renames)
     toPhysical(merged, mapping).withColumn("gen", lit(gen))
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
-    val rewritten = touched.map(b => dirBytes(genPath(b, gen))).sum
+    // one listStatus per TOUCHED bucket prices this round's stats — the
+    // same listings the old `rewritten` accounting already paid; the
+    // values ride the manifest so no later operation re-lists (round 16)
+    val newStats: Map[Int, BucketStat] = touched.flatMap(b =>
+      statOfGenDir(fs, genPath(b, gen)).map(b -> _)).toMap
+    val rewritten = newStats.values.map(_.bytes).sum
     // maintain the skipping sidecars for the NEW generation only (verdict
     // r13 #5 — point/range reads stay pruned between clustered rewrites);
     // gen labels are write-once per attempt, so fragment writes are
     // race-free even before the commit decides
     val fragInfo = writeGenFragments(spark, tablePath, table, gen,
-      touched.map(b => genPath(b, gen)).filter(fs.exists).map(_.toString),
+      touched.filter(newStats.contains).map(b => genPath(b, gen).toString),
       meta0)
     hooks.beforeCommit(round)
     // carry-over gens a pre-round-15 writer committed get their #frag
     // lines recorded in this round's manifest (round-16: migration is
-    // automatic at the next write, not a manual refreshFragments call)
+    // automatic at the next write, not a manual refreshFragments call);
+    // same for carried buckets a pre-round-16 manifest committed without
+    // per-bucket stats — measured once here, recorded forever
     val adopted = adoptLegacyFrags(spark, fs, table, current, meta0.frags)
+    val stats0 = readBucketStatsAt(fs, table, version)
+    val adoptedStats = adoptLegacyBucketStats(fs, table,
+      current.filter { case (b, _) => !touched.contains(b) }, stats0)
     val meta = meta0.copy(schema = Some(mergedData.schema),
       frags = meta0.frags ++ adopted ++ fragInfo.map(gen -> _))
-    val (committedVersion, committed) = commitWithRetry(fs, table,
-      round, current, touched.map(_ -> gen).toMap, meta)
+    val (committedVersion, committed, statsAll) = commitWithRetry(fs, table,
+      round, current, touched.map(_ -> gen).toMap, meta,
+      carriedStats = stats0 ++ adoptedStats, newStats = newStats)
     hooks.afterCommit(committedVersion)
     sweepRetention(fs, table, committedVersion, retainVersions, meta.takedownGrace)
-    val tableBytes = committed.map { case (b, g) => dirBytes(genPath(b, g)) }.sum
+    // manifest-served; a bucket only a stats-less legacy writer committed
+    // (possible across a mixed-version race) falls back to one listing
+    val tableBytes = committed.map { case (b, g) =>
+      statsAll.get(b).map(_.bytes).getOrElse(dirBytes(genPath(b, g))) }.sum
     IncRoundStats(committedVersion, touched.length, buckets, rewritten, tableBytes)
   }
 
@@ -564,10 +575,12 @@ object Merge {
       loadState(spark, tablePath, touchedEntries, schema, mapping)
         .filter(!delPred).drop("gen").withColumn("gen", lit(gen)), mapping)
       .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
-    // a fully-deleted bucket writes no dir and leaves the manifest
-    val present = touched.filter(b =>
-      fs.exists(genPathOf(table, b, gen)))
-    val rewritten = present.map(b => dirBytesOf(fs, genPathOf(table, b, gen))).sum
+    // a fully-deleted bucket writes no dir and leaves the manifest; the
+    // presence check and the stats measurement are the same one listing
+    val newStats: Map[Int, BucketStat] = touched.flatMap(b =>
+      statOfGenDir(fs, genPathOf(table, b, gen)).map(b -> _)).toMap
+    val present = touched.filter(newStats.contains)
+    val rewritten = newStats.values.map(_.bytes).sum
     val fragInfo = writeGenFragments(spark, tablePath, table, gen,
       present.map(b => genPathOf(table, b, gen).toString), meta0)
     val dataSchema = org.apache.spark.sql.types.StructType(
@@ -585,23 +598,33 @@ object Merge {
         adoptLegacyFrags(spark, fs, table, current, meta0.frags) ++
         fragInfo.map(gen -> _))
     hooks.beforeCommit(round)
+    val stats0 = readBucketStatsAt(fs, table, version)
+    val adoptedStats = adoptLegacyBucketStats(fs, table,
+      current.filter { case (b, _) => !touched.contains(b) }, stats0)
     // strict: a predicate delete's read set is the whole table (ADVICE
     // r13 #3) — any concurrent bucket change conflicts, never auto-merged
-    val (committedVersion, committed) = commitWithRetry(fs, table,
+    val (committedVersion, committed, statsAll) = commitWithRetry(fs, table,
       round, current, present.map(_ -> gen).toMap, meta,
       removedBuckets = touched.filterNot(present.contains),
-      strict = true)
+      strict = true,
+      carriedStats = stats0 ++ adoptedStats, newStats = newStats)
     hooks.afterCommit(committedVersion)
     sweepRetention(fs, table, committedVersion, retainVersions, meta.takedownGrace)
     val tableBytes = committed.map { case (b, g) =>
-      dirBytesOf(fs, genPathOf(table, b, g)) }.sum
+      statsAll.get(b).map(_.bytes)
+        .getOrElse(dirBytesOf(fs, genPathOf(table, b, g))) }.sum
     DeleteStats(committedVersion, touched.length, deletedRows, rewritten, tableBytes)
   }
 
   /** Per-bucket accounting of [[compact]] — files before/after, so the
-    * small-file claim is a measurement. */
+    * small-file claim is a measurement. `statListings` counts the
+    * per-bucket listStatus fallbacks the PLANNING phase paid: 0 on a
+    * table whose manifest carries per-bucket stats (round 16 — planning
+    * is a driver-memory read), one per bucket a pre-round-16 writer
+    * committed without them (measured once, recorded at this commit). */
   final case class CompactStats(
-      version: Int, buckets: Int, filesBefore: Long, filesAfter: Long)
+      version: Int, buckets: Int, filesBefore: Long, filesAfter: Long,
+      statListings: Long = 0L)
 
   /** OPTIMIZE / small-file compaction: rewrite every committed bucket
     * whose gen dir holds more than `targetFiles` data files into a single
@@ -627,13 +650,22 @@ object Merge {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
     def genPath(b: Int, g: Int) = genPathOf(table, b, g)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Long = dataFileCount(fs, p)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
-    val oversized = current.filter { case (b, g) => dataFiles(genPath(b, g)) > targetFiles }
-    val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
+    // PLANNING is a manifest read (round 16): per-bucket file counts ride
+    // the bucket lines, so naming the oversized buckets costs zero FS
+    // calls on a stats-bearing table; buckets a pre-round-16 writer
+    // committed without stats are measured once here and recorded at this
+    // commit (the same one-write-round migration as fragment adoption)
+    val stats0 = readBucketStatsAt(fs, table, version)
+    val measured = scala.collection.mutable.Map.empty[Int, BucketStat]
+    def statOf(b: Int, g: Int): BucketStat =
+      stats0.getOrElse(b, measured.getOrElseUpdate(b,
+        statOfGenDir(fs, genPath(b, g)).getOrElse(BucketStat(0L, 0L))))
+    val oversized = current.filter { case (b, g) => statOf(b, g).files > targetFiles }
+    val filesBefore = current.map { case (b, g) => statOf(b, g).files }.sum
     if (oversized.isEmpty) // already compact — don't burn a version
-      return CompactStats(version, 0, filesBefore, filesBefore)
+      return CompactStats(version, 0, filesBefore, filesBefore, measured.size.toLong)
     val gen = freshGenFor(fs, table, round)
     oversized.toSeq.sorted.foreach { case (b, g) =>
       spark.read.option("basePath", tablePath).parquet(s"$tablePath/bucket=$b/gen=$g")
@@ -641,6 +673,8 @@ object Merge {
         .write.parquet(genPath(b, gen).toString)
     }
     val committed = current ++ oversized.keys.map(_ -> gen)
+    val newStats: Map[Int, BucketStat] = oversized.keys.toSeq.flatMap(b =>
+      statOfGenDir(fs, genPath(b, gen)).map(b -> _)).toMap
     // layout-only version: schema, mapping, and sidecar policy carry
     // forward unchanged; the compacted generation gets fresh fragments so
     // skipping reads stay pruned across an OPTIMIZE
@@ -650,10 +684,15 @@ object Merge {
     val meta = meta0.copy(frags = meta0.frags ++
       adoptLegacyFrags(spark, fs, table, current, meta0.frags) ++
       fragInfo.map(gen -> _))
-    commitManifest(fs, table, round, committed, meta)
+    val statsCommitted =
+      ((stats0 ++ measured) -- oversized.keys) ++ newStats
+    commitManifest(fs, table, round, committed, meta, statsCommitted)
     sweepRetention(fs, table, round, retainVersions, meta.takedownGrace)
-    val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
-    CompactStats(round, oversized.size, filesBefore, filesAfter)
+    // keysIterator, NOT keys.map — a Set would dedup equal counts
+    val filesAfter = committed.keysIterator.map(b =>
+      statsCommitted.get(b).map(_.files).getOrElse(0L)).sum
+    CompactStats(round, oversized.size, filesBefore, filesAfter,
+      measured.size.toLong)
   }
 
   /** OPTIMIZE-with-clustering (the ZORDER analogue for one dimension):
@@ -745,11 +784,17 @@ object Merge {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
     def genPath(b: Int, g: Int) = genPathOf(table, b, g)
-    def dataFiles(p: org.apache.hadoop.fs.Path): Long = dataFileCount(fs, p)
     val (version, current) = readManifest(fs, table)
     val round = version + 1
     val gen = freshGenFor(fs, table, round)
-    val filesBefore = current.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
+    // before-counts from the manifest's per-bucket stats; one listing per
+    // legacy (stats-less) bucket only
+    val stats0 = readBucketStatsAt(fs, table, version)
+    var planListed = 0L
+    val filesBefore = current.map { case (b, g) =>
+      stats0.get(b).map(_.files).getOrElse {
+        planListed += 1
+        statOfGenDir(fs, genPath(b, g)).fold(0L)(_.files) } }.sum
     val meta0 = readMetaAt(fs, table, version)
     val mapping = meta0.mapping
     toPhysical(
@@ -771,10 +816,14 @@ object Merge {
     val fragInfo = writeGenFragments(spark, tablePath, table, gen, genPaths, metaPolicy)
     val meta = metaPolicy.copy(frags = metaPolicy.frags ++ fragInfo.map(gen -> _))
     val committed = current.keys.map(_ -> gen).toMap
-    commitManifest(fs, table, round, committed, meta)
+    // a full rewrite measures every bucket it just wrote (∝ the change —
+    // it IS the whole table here) and records the stats at the commit
+    val newStats: Map[Int, BucketStat] = committed.keys.toSeq.flatMap(b =>
+      statOfGenDir(fs, genPath(b, gen)).map(b -> _)).toMap
+    commitManifest(fs, table, round, committed, meta, newStats)
     sweepRetention(fs, table, round, retainVersions, meta.takedownGrace)
-    val filesAfter = committed.map { case (b, g) => dataFiles(genPath(b, g)) }.sum
-    CompactStats(round, committed.size, filesBefore, filesAfter)
+    val filesAfter = newStats.values.map(_.files).sum
+    CompactStats(round, committed.size, filesBefore, filesAfter, planListed)
   }
 
   // -------------------------------------------------------------------
@@ -1284,8 +1333,9 @@ object Merge {
       // version
       return RefreshFragmentsStats(0, None)
     val meta = policy.copy(frags = meta0.frags ++ newFrags)
-    val (committedVersion, _) =
-      commitWithRetry(fsys, table, version + 1, state, Map.empty, meta)
+    val (committedVersion, _, _) =
+      commitWithRetry(fsys, table, version + 1, state, Map.empty, meta,
+        carriedStats = readBucketStatsAt(fsys, table, version))
     sweepRetention(fsys, table, committedVersion, retainVersions, meta.takedownGrace)
     RefreshFragmentsStats(newFrags.size, Some(committedVersion))
   }
@@ -1406,7 +1456,9 @@ object Merge {
     commitManifest(fs, table, round, current, meta0.copy(
       schema = Some(renamedSchema),
       mapping = (mapping - from) + (to -> physical),
-      statsCols = ren(meta0.statsCols), bloomCols = ren(meta0.bloomCols)))
+      statsCols = ren(meta0.statsCols), bloomCols = ren(meta0.bloomCols)),
+      // metadata-only commit: per-bucket stats carry forward untouched
+      readBucketStatsAt(fs, table, version))
     sweepRetention(fs, table, round, retainVersions, meta0.takedownGrace)
   }
 
@@ -1459,6 +1511,63 @@ object Merge {
   private[graft] final case class FragInfo(
       statsCols: Seq[String], bloomM: Long, bloomCols: Seq[String])
 
+  /** Per-bucket data-file count and byte size of the generation a manifest
+    * line commits, carried ON the line itself (`bucket,gen,files,bytes` —
+    * round 16; Delta's add-file `size`/Iceberg's manifest-entry stats).
+    * Writers know these numbers for free — they just wrote the files —
+    * and record them at commit; carried-over buckets copy the previous
+    * version's values (the gen is immutable, so they cannot stale). With
+    * them in the manifest, OPTIMIZE planning (which buckets exceed the
+    * file target), CompactStats' before/after accounting, and the
+    * per-round `tableBytes` report are all driver-memory reads — the last
+    * O(buckets)-listStatus-per-operation loops in the lake are gone (at a
+    * 10⁵-bucket table, compact() paid 3·10⁵ serial NameNode RPCs per run
+    * BEFORE it moved any data; the round-14 retention-sweep fix killed
+    * the same shape on the delete path). Two-field legacy lines read as
+    * stats-unknown and are adopted (measured once, recorded) by the next
+    * write round or compact — the [[refreshFragments]] migration story. */
+  private[graft] final case class BucketStat(files: Long, bytes: Long)
+
+  /** One listStatus of a gen dir → its data-file count and bytes; None
+    * when the dir does not exist (a fully-deleted or never-written
+    * bucket). The `_`/`.` filter keeps committed markers like _SUCCESS
+    * out of the file count (they are zero-length, so bytes are exact
+    * either way). */
+  private def statOfGenDir(
+      fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path)
+      : Option[BucketStat] =
+    if (!fs.exists(p)) None
+    else {
+      val data = fs.listStatus(p).filter(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      Some(BucketStat(data.length.toLong, data.map(_.getLen).sum))
+    }
+
+  /** The per-bucket stats a committed manifest carries (buckets on
+    * legacy two-field lines are simply absent — stats-unknown). */
+  private[graft] def readBucketStatsAt(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
+      version: Int): Map[Int, BucketStat] =
+    manifestLines(fs, table, version).filterNot(_.startsWith("#")).flatMap { l =>
+      val parts = l.split(',')
+      if (parts.length >= 4)
+        Some(parts(0).toInt -> BucketStat(parts(2).toLong, parts(3).toLong))
+      else None
+    }.toMap
+
+  /** Measure-and-record stats for carried-over buckets a pre-round-16
+    * manifest committed without them: one listStatus per missing bucket,
+    * ONCE — the recorded values ride every later manifest. */
+  private def adoptLegacyBucketStats(
+      fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
+      entries: Map[Int, Int], known: Map[Int, BucketStat])
+      : Map[Int, BucketStat] =
+    entries.collect {
+      case (b, g) if !known.contains(b) =>
+        statOfGenDir(fs, genPathOf(table, b, g)).map(b -> _)
+    }.flatten.toMap
+
   /** Atomic commit: write `#`-prefixed metadata lines plus `bucket,gen`
     * lines to a temp file, claim `manifest-v<version>` PUT-IF-ABSENT
     * ([[ManifestIo.commitFile]] — round-12 verdict: the old
@@ -1469,7 +1578,8 @@ object Merge {
     * conflict is benign (disjoint buckets). */
   private def commitManifest(
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
-      version: Int, state: Map[Int, Int], meta: TableMeta): Unit = {
+      version: Int, state: Map[Int, Int], meta: TableMeta,
+      stats: Map[Int, BucketStat] = Map.empty): Unit = {
     // fragment entries only for generations this version references —
     // entries for replaced gens would be dead weight in every later read
     val liveGens = state.values.toSet
@@ -1486,7 +1596,8 @@ object Merge {
         .map { case (g, fi) =>
           s"#frag $g ${fi.bloomM} ${colsOrDash(fi.statsCols)} ${colsOrDash(fi.bloomCols)}" }
     ManifestIo.commitFile(fs, manifestDir(table), s"manifest-v$version",
-      (metaLines ++ state.toSeq.sorted.map { case (b, g) => s"$b,$g" })
+      (metaLines ++ state.toSeq.sorted.map { case (b, g) =>
+        stats.get(b).fold(s"$b,$g")(st => s"$b,$g,${st.files},${st.bytes}") })
         .mkString("", "\n", "\n"))
   }
 
@@ -1615,7 +1726,10 @@ object Merge {
       newEntries: Map[Int, Int],
       meta: TableMeta,
       removedBuckets: Seq[Int] = Seq.empty,
-      strict: Boolean = false): (Int, Map[Int, Int]) = {
+      strict: Boolean = false,
+      carriedStats: Map[Int, BucketStat] = Map.empty,
+      newStats: Map[Int, BucketStat] = Map.empty)
+      : (Int, Map[Int, Int], Map[Int, BucketStat]) = {
     var attemptVersion = round
     var base = base0
     var attempts = 0
@@ -1623,12 +1737,18 @@ object Merge {
     // writer knows only its own new generation's fragments, and the
     // winner's gens (disjoint buckets) carry the winner's entries
     var mergedFrags = meta.frags
+    // same story for the per-bucket stats: on a benign (disjoint-bucket)
+    // retry, carried values re-read from the winner's manifest, this
+    // writer's own new gens keep its own measurements
+    var carried = carriedStats
     while (true) {
       val stateMap = (base -- removedBuckets) ++ newEntries
+      val statsMap = ((carried -- removedBuckets) ++ newStats)
+        .filter { case (b, _) => stateMap.contains(b) }
       try {
         commitManifest(fs, table, attemptVersion, stateMap,
-          meta.copy(frags = mergedFrags))
-        return (attemptVersion, stateMap)
+          meta.copy(frags = mergedFrags), statsMap)
+        return (attemptVersion, stateMap, statsMap)
       } catch {
         case c: VersionConflictException =>
           attempts += 1
@@ -1665,6 +1785,7 @@ object Merge {
           base = wstate
           // this writer's own entries win for its own gens (it wrote them)
           mergedFrags = wmeta.frags ++ meta.frags
+          carried = readBucketStatsAt(fs, table, wv)
       }
     }
     sys.error("unreachable")
@@ -1698,7 +1819,8 @@ object Merge {
       fs: org.apache.hadoop.fs.FileSystem, table: org.apache.hadoop.fs.Path,
       version: Int): Map[Int, Int] =
     manifestLines(fs, table, version).filterNot(_.startsWith("#")).map { l =>
-      val Array(b, g) = l.split(','); b.toInt -> g.toInt
+      // 2-field legacy lines and 4-field stats-bearing lines both parse
+      val parts = l.split(','); parts(0).toInt -> parts(1).toInt
     }.toMap
 
   /** The retention a writer's sweep will ACTUALLY enforce on `tablePath`:

@@ -1419,6 +1419,70 @@ class MergeSpec extends AnyFunSuite {
       "the persisted grace clamps every later writer's sweep")
   }
 
+  test("manifest-served OPTIMIZE planning: per-bucket stats ride the bucket lines (round 16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-bstats").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table,
+      mkTT(0L until 60L, "base").repartition(8),
+      Seq(mkTT(Seq(3L, 21L), "r1")), "universeId", over, coal, keep,
+      buckets = 16, retainVersions = 10)
+    val mdir = java.nio.file.Paths.get(s"$table/_manifests")
+    def latestManifest: java.nio.file.Path = {
+      val latest = java.nio.file.Files.list(mdir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("manifest-v"))
+        .map(_.stripPrefix("manifest-v").toInt).max
+      mdir.resolve(s"manifest-v$latest")
+    }
+    def bucketLines: Seq[Array[String]] =
+      java.nio.file.Files.readAllLines(latestManifest).asScala.toSeq
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map(_.split(','))
+    // every bucket line carries (files, bytes), and the recorded values
+    // equal a real listing of the committed gen dir — ground truth
+    val lines = bucketLines
+    assert(lines.nonEmpty && lines.forall(_.length === 4),
+      s"expected b,g,files,bytes lines, got ${lines.map(_.mkString(",")).mkString(" | ")}")
+    lines.foreach { parts =>
+      val dir = java.nio.file.Paths.get(s"$table/bucket=${parts(0)}/gen=${parts(1)}")
+      val data = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith(".")).toSeq
+      assert(parts(2).toLong === data.size.toLong,
+        s"file count drifted for bucket ${parts(0)}")
+      assert(parts(3).toLong === data.map(java.nio.file.Files.size).sum,
+        s"byte size drifted for bucket ${parts(0)}")
+    }
+    // OPTIMIZE planning is a manifest read: zero per-bucket listings
+    val before = Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect()
+    val st = Merge.compact(spark, table)
+    assert(st.buckets > 0 && st.statListings === 0L,
+      s"stats-bearing table must plan without listing, got $st")
+    assert(Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() === before, "compaction changed content")
+    // LEGACY manifest (pre-round-16 writer): strip the stats fields — the
+    // planner falls back to one listing per bucket, ONCE
+    java.nio.file.Files.write(latestManifest,
+      java.nio.file.Files.readAllLines(latestManifest).asScala.map { l =>
+        if (l.startsWith("#")) l else l.split(',').take(2).mkString(",")
+      }.asJava)
+    val st2 = Merge.compact(spark, table)
+    assert(st2.statListings > 0L,
+      s"stripped manifest must force the listing fallback, got $st2")
+    // one ordinary write round re-records stats for every carried bucket —
+    // the same one-write-round migration as fragment adoption
+    Merge.upsertRound(spark, table, mkTT(Seq(7L), "r2"), "universeId",
+      over, coal, keep, buckets = 16, retainVersions = 10)
+    assert(bucketLines.forall(_.length === 4),
+      "a write round must adopt stats for every carried-over bucket")
+    val st3 = Merge.compact(spark, table)
+    assert(st3.statListings === 0L,
+      s"post-migration OPTIMIZE must plan from the manifest again, got $st3")
+  }
+
   test("compaction: fewer files, identical contents, idempotent no-op when compact") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-cpt").toString
     val table = s"$tmp/games"
