@@ -89,6 +89,46 @@ object BucketedAppendState {
       finally in.close()
     }
   }
+
+  /** BYTES-measured bootstrap sizing (round 16 — closes the
+    * [[graft.operators.SizingPolicy.sizedStateBucketsForBytes]] wiring
+    * gap): the bytes dial is the one that matters at scale (DeleteScale's
+    * ×100 replay: the row dial inflated a narrow-row table 4.5× in pure
+    * per-file overhead and would overload a wide-row bucket 1000×), but a
+    * DataFrame's on-disk size is unknowable before its first write — so
+    * maintainers bootstrapped through the row dial. This measures it:
+    * write a bounded probe of the store's first table ONCE, read
+    * bytes-per-row off the probe files, project to `projectedRows`, and
+    * size through the bytes dial — all BEFORE the layout freezes at the
+    * store's first commit. An existing store's recorded layout always
+    * wins (reopen can never resize), and the probe dir is removed on
+    * every path.
+    *
+    * The estimate is a parquet-encoded probe of `probeRows` rows: footer
+    * overhead biases small probes slightly UP (more buckets — the safe
+    * direction), corpus-wide dictionary wins bias slightly down; both are
+    * second-order next to the 4.5×/1000× row-dial failure modes. */
+  def measuredBuckets(spark: SparkSession, rootDir: String,
+      sample: org.apache.spark.sql.DataFrame, projectedRows: Long,
+      targetBucketBytes: Long = graft.operators.SizingPolicy.DefaultBucketBytes,
+      probeRows: Int = 1024): Int =
+    recordedBuckets(spark, rootDir).getOrElse {
+      val dir = new Path(rootDir, ".sizing-probe")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      try {
+        sample.limit(probeRows).coalesce(1)
+          .write.mode("overwrite").parquet(dir.toString)
+        val bytes = fs.listStatus(dir).filter(st =>
+          st.isFile && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")).map(_.getLen).sum
+        val rows = spark.read.parquet(dir.toString).count() // footer-served
+        val perRow = if (rows <= 0L) 0.0 else bytes.toDouble / rows
+        val projectedBytes =
+          math.ceil(perRow * math.max(projectedRows, 1L)).toLong
+        graft.operators.SizingPolicy.sizedStateBucketsForBytes(
+          math.max(projectedBytes, 1L), targetBucketBytes)
+      } finally fs.delete(dir, true)
+    }
 }
 
 final class BucketedAppendState(spark: SparkSession, rootDir: String,

@@ -49,18 +49,30 @@ import graft.operators.Dedup
   */
 class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
     initialDocs: DataFrame, keepVersions: Int = 3,
-    buckets: Int = 0) extends Serializable {
+    buckets: Int = 0,
+    targetBucketBytes: Option[Long] = None) extends Serializable {
 
-  // buckets <= 0 → SIZED (round-12 verdict #6; recorded layout wins)
+  private lazy val initialShingles = Dedup.shingledOf(Dedup.toksOf(initialDocs))
+
+  // buckets <= 0 → SIZED (round-12 verdict #6; recorded layout wins).
+  // With `targetBucketBytes` set, sizing goes through the BYTES dial
+  // (round 16): a bounded probe of the store's dominant table (shingles)
+  // measures bytes-per-row before the layout freezes — the row dial
+  // stays the default so fixture-scale layouts (and their hash gates)
+  // are untouched.
   private val resolvedBuckets =
     if (buckets > 0) buckets
-    else BucketedAppendState.recordedBuckets(spark, baseDir).getOrElse(
-      graft.operators.SizingPolicy.sizedStateBuckets(initialDocs.count()))
+    else targetBucketBytes match {
+      case Some(t) => BucketedAppendState.measuredBuckets(spark, baseDir,
+        initialShingles, projectedRows = initialShingles.count(), t)
+      case None => BucketedAppendState.recordedBuckets(spark, baseDir).getOrElse(
+        graft.operators.SizingPolicy.sizedStateBuckets(initialDocs.count()))
+    }
   private val state = new BucketedAppendState(spark, baseDir, resolvedBuckets,
     keyed = Map("shingles" -> "doc_id", "bands" -> "doc_id"),
     keepVersions = keepVersions)
   if (state.latest.isEmpty) {
-    val sh = Dedup.shingledOf(Dedup.toksOf(initialDocs))
+    val sh = initialShingles
     state.commitFull(0L, Map(
       "shingles" -> sh,
       "bands" -> Dedup.bandedSignatures(sh)))

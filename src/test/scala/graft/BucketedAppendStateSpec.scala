@@ -314,4 +314,47 @@ class BucketedAppendStateSpec extends AnyFunSuite {
     assert(post.commitAppend(2L, Map("vectors" -> vecs(Seq(51L)))) === None)
     assert(post.read("vectors").count() === 12)
   }
+
+  test("bytes-measured bootstrap: wide rows get more buckets, recorded layout wins (round 16)") {
+    val target = 1L << 14 // fixture-scaled per-bucket byte unit
+    val n = 512L
+    val narrow = (0L until n).map(id => (id, "x")).toDF("doc_id", "payload")
+    // high-entropy payloads — a constant blob would dictionary-encode to
+    // nothing and the probe would (correctly!) report narrow bytes
+    val wide = (0L until n).map(id =>
+      (id, (0 until 256).map(i =>
+        java.lang.Long.toHexString((id * 256 + i + 1) * 0x9e3779b97f4a7c15L))
+        .mkString("-"))).toDF("doc_id", "payload")
+    val rootN = Files.createTempDirectory("bas-sized-n").toString
+    val rootW = Files.createTempDirectory("bas-sized-w").toString
+    val bN = BucketedAppendState.measuredBuckets(spark, rootN, narrow, n, target)
+    val bW = BucketedAppendState.measuredBuckets(spark, rootW, wide, n, target)
+    // same row count, ~100× the bytes: the bytes dial must see it — the
+    // row dial structurally cannot (this is DeleteScale's ×100 lesson)
+    assert(bW > bN, s"wide rows must size to more buckets: narrow=$bN wide=$bW")
+    assert(bN >= 16, "floor holds")
+    // the probe cleans up after itself on both paths
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(rootN, ".sizing-probe")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(rootW, ".sizing-probe")))
+    // an existing store's recorded layout always wins — reopen can never
+    // resize a frozen on-disk hash layout, whatever the sample says
+    val st = new BucketedAppendState(spark, rootW, buckets = 8,
+      keyed = Map("t" -> "doc_id"))
+    st.commitFull(0L, Map("t" -> wide))
+    assert(BucketedAppendState.measuredBuckets(spark, rootW, wide, n, target) === 8)
+
+    // the maintainer wiring: a store bootstrapped through the bytes dial
+    // records the measured count as its frozen layout
+    val dedupDir = Files.createTempDirectory("bas-sized-dedup").toString
+    val docs = (0L until 64L).map(id =>
+      (id, s"alpha beta gamma delta epsilon token$id", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+    new graft.streaming.StreamingIncrementalDedup(spark, dedupDir, docs,
+      targetBucketBytes = Some(target))
+    val recorded = BucketedAppendState.recordedBuckets(spark, dedupDir)
+    assert(recorded.nonEmpty && recorded.get >= 16,
+      s"bytes-dial bootstrap must freeze a recorded layout, got $recorded")
+  }
 }
