@@ -234,7 +234,8 @@ object Merge {
       spark: SparkSession, tablePath: String, fresh0: DataFrame, key: String,
       overwriteCols: Seq[String], coalesceCols: Seq[String], keepCols: Seq[String],
       buckets: Int, hooks: IncHooks = IncHooks.none,
-      retainVersions: Int = 1): IncRoundStats = {
+      retainVersions: Int = 1,
+      autoCompactAtFiles: Option[Int] = None): IncRoundStats = {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
@@ -325,6 +326,20 @@ object Merge {
     // (possible across a mixed-version race) falls back to one listing
     val tableBytes = committed.map { case (b, g) =>
       statsAll.get(b).map(_.bytes).getOrElse(dirBytes(genPath(b, g))) }.sum
+    // AUTO-COMPACT (round 16 — Delta's auto-OPTIMIZE, the policy the
+    // manifest stats make free): the dial decision reads the stats map
+    // this commit just produced — ZERO FS calls when every bucket is
+    // under the dial, which is the steady state — and only dial-crossing
+    // offenders are rewritten (selection via onlyAboveFiles, target 1
+    // file). A wide-shuffle round can leave a bucket holding one file
+    // per shuffle partition; unbounded, that is the small-file problem
+    // every read pays per-file open cost for. With the dial, files per
+    // bucket are a table POLICY, not an accident of write width.
+    autoCompactAtFiles.foreach { dial =>
+      if (statsAll.values.exists(_.files > dial))
+        compact(spark, tablePath, targetFiles = 1,
+          retainVersions = retainVersions, onlyAboveFiles = Some(dial))
+    }
     IncRoundStats(committedVersion, touched.length, buckets, rewritten, tableBytes)
   }
 
@@ -645,7 +660,8 @@ object Merge {
     * retention). The rewrite is per-bucket parallel Spark work — one
     * partition-pruned read + one single-file write per oversized bucket. */
   def compact(spark: SparkSession, tablePath: String,
-      targetFiles: Int = 1, retainVersions: Int = 1): CompactStats = {
+      targetFiles: Int = 1, retainVersions: Int = 1,
+      onlyAboveFiles: Option[Int] = None): CompactStats = {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
@@ -662,7 +678,11 @@ object Merge {
     def statOf(b: Int, g: Int): BucketStat =
       stats0.getOrElse(b, measured.getOrElseUpdate(b,
         statOfGenDir(fs, genPath(b, g)).getOrElse(BucketStat(0L, 0L))))
-    val oversized = current.filter { case (b, g) => statOf(b, g).files > targetFiles }
+    // onlyAboveFiles decouples the SELECTION dial from the rewrite
+    // target: the auto-compact policy rewrites only dial-crossing
+    // offenders, but rewrites them all the way down to `targetFiles`
+    val threshold = onlyAboveFiles.getOrElse(targetFiles)
+    val oversized = current.filter { case (b, g) => statOf(b, g).files > threshold }
     val filesBefore = current.map { case (b, g) => statOf(b, g).files }.sum
     if (oversized.isEmpty) // already compact — don't burn a version
       return CompactStats(version, 0, filesBefore, filesBefore, measured.size.toLong)

@@ -1483,6 +1483,61 @@ class MergeSpec extends AnyFunSuite {
       s"post-migration OPTIMIZE must plan from the manifest again, got $st3")
   }
 
+  test("auto-compact: files-per-bucket is a policy, decided from the committed stats (round 16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-autocpt").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    // bucket 0 only (ids ≡ 0 mod 4): the 4-partition merge shuffle leaves
+    // its gen holding several files — the small-file shape the dial bounds
+    Merge.upsertIncrementalRounds(spark, table,
+      mkTT(0L until 64L, "base").repartition(8),
+      Seq.empty, "universeId", over, coal, keep, buckets = 4,
+      retainVersions = 10)
+    def statsOfLatest(): Map[Int, Long] = {
+      val mdir = java.nio.file.Paths.get(s"$table/_manifests")
+      val latest = java.nio.file.Files.list(mdir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("manifest-v"))
+        .map(_.stripPrefix("manifest-v").toInt).max
+      java.nio.file.Files.readAllLines(mdir.resolve(s"manifest-v$latest")).asScala
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map(_.split(','))
+        .map(p => p(0).toInt -> p(2).toLong).toMap
+    }
+    // no policy: the round's write width decides files-per-bucket
+    Merge.upsertRound(spark, table, mkTT(Seq(0L, 4L, 8L, 12L), "r1"),
+      "universeId", over, coal, keep, buckets = 4, retainVersions = 10)
+    assert(statsOfLatest().values.max > 2,
+      s"precondition: a multi-file bucket, got ${statsOfLatest()}")
+    val vBefore = Merge.tableVersions(spark, table).max
+    // dial crossed: ONLY offenders rewritten (to 1 file), one extra
+    // layout-only version
+    Merge.upsertRound(spark, table, mkTT(Seq(0L, 4L, 8L, 12L), "r2"),
+      "universeId", over, coal, keep, buckets = 4, retainVersions = 10,
+      autoCompactAtFiles = Some(2))
+    val after = statsOfLatest()
+    assert(after.values.max <= 2,
+      s"auto-compact must bound files per bucket at the dial, got $after")
+    assert(Merge.tableVersions(spark, table).max === vBefore + 2,
+      "one merge version + one layout-only auto-compact version")
+    // dial NOT crossed: no layout version burned — the decision reads the
+    // just-committed stats map, zero FS calls in the steady state
+    val vQuiet = Merge.tableVersions(spark, table).max
+    Merge.upsertRound(spark, table, mkTT(Seq(1L), "r3"),
+      "universeId", over, coal, keep, buckets = 4, retainVersions = 10,
+      autoCompactAtFiles = Some(100))
+    assert(Merge.tableVersions(spark, table).max === vQuiet + 1,
+      "under the dial, the round commits exactly its merge version")
+    // the policy is a pure layout concern: contents match the unrolled merges
+    val expected = Seq(mkTT(Seq(0L, 4L, 8L, 12L), "r1"),
+      mkTT(Seq(0L, 4L, 8L, 12L), "r2"), mkTT(Seq(1L), "r3"))
+      .foldLeft(mkTT(0L until 64L, "base"))((a, f) =>
+        Merge.mergeUpsert(a, f, "universeId", over, coal, keep))
+    assert(Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() ===
+      expected.selectExpr(ttCols: _*).orderBy("universeId").collect())
+  }
+
   test("compaction: fewer files, identical contents, idempotent no-op when compact") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-cpt").toString
     val table = s"$tmp/games"
