@@ -138,6 +138,12 @@ object Bench {
       graft.tools.CacheRegistry.release(blocking = true)
     }
     val setupSec = (System.nanoTime() - setupT0) / 1e9
+    // third marker BETWEEN setup and the measured loop: round 16's first
+    // stable sample had idle endpoint markers (0.78 s both) yet a 1.8×
+    // setup — contention confined to the middle of the run is invisible
+    // to endpoint-only bracketing, so the window each marker pair brackets
+    // must be small enough to localize the noise
+    val calibMid = calibrate()
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted; s(s.length / 2)
     }
@@ -170,7 +176,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val calibAfter = calibrate()
     val stableFields = s""","repeats":$repeats,"setup_sec":$setupSec""" +
-      f""","calib_before_sec":$calibBefore%.3f,"calib_after_sec":$calibAfter%.3f"""
+      f""","calib_before_sec":$calibBefore%.3f,"calib_mid_sec":$calibMid%.3f""" +
+      f""","calib_after_sec":$calibAfter%.3f"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$stableFields}"""
     // a filtered spot-check must not silently overwrite the committed

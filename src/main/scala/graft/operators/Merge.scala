@@ -541,13 +541,36 @@ object Merge {
       takedownGraceVersions: Int = Int.MaxValue,
       hooks: IncHooks = IncHooks.none): DeleteStats = {
     require(values.nonEmpty, "deleteKeys needs at least one value")
+    deleteKeysCore(spark, tablePath,
+      col(column).isin(values.map(java.lang.Long.valueOf): _*),
+      () => pointProbe(spark, tablePath, column, values),
+      retainVersions, takedownGraceVersions, hooks)
+  }
+
+  /** [[deleteKeys]] for STRING keys (round 16): takedown requests are as
+    * often URL / content-hash / domain shaped as numeric-id shaped; the
+    * find phase rides the same Bloom fragments (built over the column's
+    * native values) through [[pointProbeStrings]], and the rewrite/commit
+    * tail is [[deleteKeys]]'s exactly. */
+  def deleteKeysStrings(spark: SparkSession, tablePath: String, column: String,
+      values: Seq[String], retainVersions: Int = 1,
+      takedownGraceVersions: Int = Int.MaxValue,
+      hooks: IncHooks = IncHooks.none): DeleteStats = {
+    require(values.nonEmpty, "deleteKeysStrings needs at least one value")
+    deleteKeysCore(spark, tablePath, col(column).isin(values: _*),
+      () => pointProbeStrings(spark, tablePath, column, values),
+      retainVersions, takedownGraceVersions, hooks)
+  }
+
+  private def deleteKeysCore(spark: SparkSession, tablePath: String,
+      pred: Column, probe: () => PointProbeReport, retainVersions: Int,
+      takedownGraceVersions: Int, hooks: IncHooks): DeleteStats = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fsys = fs(spark, table)
     val (version, current) = readManifest(fsys, table)
     val meta0 = readMetaAt(fsys, table, version)
-    val pred = col(column).isin(values.map(java.lang.Long.valueOf): _*)
     val delPred = coalesce(pred, lit(false))
-    val report = pointProbe(spark, tablePath, column, values)
+    val report = probe()
     val hit: Map[Int, Long] =
       if (report.prunedGens == 0)
         // no usable fragments anywhere: the plain predicate scan
@@ -1134,6 +1157,24 @@ object Merge {
     * driver arithmetic over the already-bounded row set. */
   private[graft] def pointProbe(spark: SparkSession, tablePath: String,
       column: String, values: Seq[Long]): PointProbeReport = {
+    import spark.implicits._
+    pointProbeDf(spark, tablePath, column, values.toDF("v"))
+  }
+
+  /** [[pointProbe]] for STRING keys (round 16): real takedown requests
+    * are as often URL / content-hash / domain shaped as numeric-id
+    * shaped, and the Bloom fragments already hash the column's NATIVE
+    * values ([[writeGenFragments]]'s `xxhash64(col, i)`), so the probe
+    * side only needs to hash the same way — the committed-type cast is a
+    * no-op for a string probe against a string column. */
+  private[graft] def pointProbeStrings(spark: SparkSession, tablePath: String,
+      column: String, values: Seq[String]): PointProbeReport = {
+    import spark.implicits._
+    pointProbeDf(spark, tablePath, column, values.toDF("v"))
+  }
+
+  private def pointProbeDf(spark: SparkSession, tablePath: String,
+      column: String, valuesDf: DataFrame): PointProbeReport = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fsys = fs(spark, table)
     val (version, state) = readManifest(fsys, table)
@@ -1142,7 +1183,6 @@ object Merge {
     // int column would hash differently)
     val dt = meta.schema.flatMap(_.find(_.name == column)).map(_.dataType)
       .getOrElse(org.apache.spark.sql.types.LongType)
-    import spark.implicits._
     val byGen: Seq[(Int, Seq[Int])] = state.groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (g, entries) => g -> entries.keys.toSeq.sorted }
     // driver-side split: gens with a fragment covering the column vs
@@ -1172,7 +1212,7 @@ object Merge {
     // hash parity is structural): one tiny job per distinct m
     val probesByM: Map[Long, Array[Array[Long]]] =
       fragged.map(_._2).distinct.map { m =>
-        m -> values.toDF("v")
+        m -> valuesDf
           .select((0 until BloomHashes).map(i =>
             pmod(xxhash64(col("v").cast(dt), lit(i)), lit(m)).as(s"p$i")): _*)
           .collect().map(r => Array.tabulate(BloomHashes)(r.getLong))
@@ -1232,14 +1272,28 @@ object Merge {
   def readTableWhereIn(spark: SparkSession, tablePath: String,
       column: String, values: Seq[Long]): DataFrame = {
     require(values.nonEmpty, "readTableWhereIn needs at least one value")
+    readTableWhereInCore(spark, tablePath,
+      col(column).isin(values.map(java.lang.Long.valueOf): _*),
+      pointProbe(spark, tablePath, column, values))
+  }
+
+  /** [[readTableWhereIn]] for STRING keys — same Bloom-served file set
+    * via [[pointProbeStrings]]. */
+  def readTableWhereInStrings(spark: SparkSession, tablePath: String,
+      column: String, values: Seq[String]): DataFrame = {
+    require(values.nonEmpty, "readTableWhereInStrings needs at least one value")
+    readTableWhereInCore(spark, tablePath, col(column).isin(values: _*),
+      pointProbeStrings(spark, tablePath, column, values))
+  }
+
+  private def readTableWhereInCore(spark: SparkSession, tablePath: String,
+      pred: Column, report: PointProbeReport): DataFrame = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fsys = fs(spark, table)
     val (version, state) = readManifest(fsys, table)
     val meta = readMetaAt(fsys, table, version)
-    val pred = col(column).isin(values.map(java.lang.Long.valueOf): _*)
     def full() = loadState(spark, tablePath, state, meta.schema, meta.mapping)
       .filter(pred)
-    val report = pointProbe(spark, tablePath, column, values)
     if (report.relPaths.isEmpty) return full().limit(0)
     if (report.prunedGens == 0) return full()
     val direct = spark.read.option("basePath", tablePath)

@@ -1483,6 +1483,49 @@ class MergeSpec extends AnyFunSuite {
       s"post-migration OPTIMIZE must plan from the manifest again, got $st3")
   }
 
+  test("string-keyed point reads and takedowns ride the Bloom fragments (round 16)") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-strkey").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, mkTT(0L until 120L, "base"),
+      Seq(mkTT(Seq(3L, 21L), "r1")), "universeId", over, coal, keep,
+      buckets = 8, retainVersions = 10)
+    // the clustered rewrite sets the Bloom policy over the STRING column
+    Merge.cluster(spark, table, "universeId", filesPerBucket = 3,
+      retainVersions = 10, bloomCols = Seq("name"))
+    val report = Merge.pointProbeStrings(spark, table, "name", Seq("base-7"))
+    assert(report.fsProbes === 0, "fragment layout must come from the manifest")
+    assert(report.prunedGens > 0, s"the string probe must prune, got $report")
+    val totalFiles = {
+      val mdir = java.nio.file.Paths.get(s"$table/_manifests")
+      val latest = java.nio.file.Files.list(mdir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("manifest-v"))
+        .map(_.stripPrefix("manifest-v").toInt).max
+      java.nio.file.Files.readAllLines(mdir.resolve(s"manifest-v$latest")).asScala
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+        .map(_.split(',')(2).toLong).sum
+    }
+    assert(report.relPaths.length < totalFiles,
+      s"pruned read must open fewer than all $totalFiles files, got ${report.relPaths.length}")
+    // pruning is never a correctness dependency: the Bloom-served read
+    // returns exactly the plain filter's rows
+    val served = Merge.readTableWhereInStrings(spark, table, "name", Seq("base-7"))
+      .selectExpr(ttCols: _*).orderBy("universeId").collect()
+    val plain = Merge.readTable(spark, table)
+      .filter(col("name") === "base-7")
+      .selectExpr(ttCols: _*).orderBy("universeId").collect()
+    assert(served === plain && plain.nonEmpty)
+    // string-keyed takedown: the find phase rides the same fragments
+    val st = Merge.deleteKeysStrings(spark, table, "name", Seq("base-7"),
+      retainVersions = 1, takedownGraceVersions = 0)
+    assert(st.deletedRows === 1L, s"expected one row down, got $st")
+    assert(Merge.readTable(spark, table).filter(col("name") === "base-7").isEmpty)
+    assert(Merge.readTable(spark, table).count() === 119L,
+      "only the named row leaves the 120-row table")
+  }
+
   test("auto-compact: files-per-bucket is a policy, decided from the committed stats (round 16)") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-autocpt").toString
     val table = s"$tmp/games"
