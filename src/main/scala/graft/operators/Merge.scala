@@ -1180,9 +1180,13 @@ object Merge {
     val (version, state) = readManifest(fsys, table)
     val meta = readMetaAt(fsys, table, version)
     // probe under the column's committed type (a long probe against an
-    // int column would hash differently)
+    // int column would hash differently); with no committed schema, the
+    // probe's OWN type — defaulting to LongType here would cast a string
+    // probe to null and hash garbage, a Bloom FALSE NEGATIVE (pruning
+    // must never be a correctness dependency, and a wrong-position probe
+    // breaks exactly that)
     val dt = meta.schema.flatMap(_.find(_.name == column)).map(_.dataType)
-      .getOrElse(org.apache.spark.sql.types.LongType)
+      .getOrElse(valuesDf.schema.head.dataType)
     val byGen: Seq[(Int, Seq[Int])] = state.groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (g, entries) => g -> entries.keys.toSeq.sorted }
     // driver-side split: gens with a fragment covering the column vs

@@ -526,10 +526,13 @@ object Multimodal {
       .groupBy(col("a_id"), col("b_id"))
       .agg(countDistinct(col("a_f")).cast("int").as("ma"),
         countDistinct(col("b_f")).cast("int").as("mb"))
-      .join(broadcast(counts.withColumnRenamed("doc_id", "a_id")
-        .withColumnRenamed("n_frames", "n_a")), "a_id")
-      .join(broadcast(counts.withColumnRenamed("doc_id", "b_id")
-        .withColumnRenamed("n_frames", "n_b")), "b_id")
+      // NO broadcast hint: `counts` is CORPUS-sized (one row per clip) —
+      // at fixture scale AQE broadcasts it anyway, at 100 TB it must
+      // shuffle-join against the similarity-mass-sized aggregate
+      .join(counts.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_frames", "n_a"), "a_id")
+      .join(counts.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_frames", "n_b"), "b_id")
       .withColumn("matched_frames", least(col("ma"), col("mb")))
       .withColumn("frac",
         pround(col("matched_frames").cast("double") /
