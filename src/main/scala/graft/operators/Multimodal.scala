@@ -520,8 +520,10 @@ object Multimodal {
       .select(col("x.doc_id").as("a_id"), col("x.frame_idx").as("a_f"),
         col("y.doc_id").as("b_id"), col("y.frame_idx").as("b_f"),
         col("x.fhash").as("fa"), col("y.fhash").as("fb"))
-      .distinct()
+      // verify before distinct — row-local filter shrinks the distinct's
+      // shuffle to the verified sliver (see audioDedup's note)
       .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= PhHammingMax)
+      .distinct()
     matches
       .groupBy(col("a_id"), col("b_id"))
       .agg(countDistinct(col("a_f")).cast("int").as("ma"),
@@ -615,13 +617,187 @@ object Multimodal {
        |WHERE floor(CAST(least(ma, mb) AS DOUBLE) / least(ca.n_frames, cb.n_frames) * 10000 + 0.5) / 10000.0 >= $VfFracMin
        |ORDER BY a_id, b_id""".stripMargin
 
+  // --------------------------------------------- audio near-dup (offset)
+
+  /** Chromaprint-shaped subfingerprint geometry: OVERLAPPING windows of
+    * [[AfWindow]] tokens at hop [[AfHop]] (hop < window — the temporal
+    * redundancy an audio fingerprinter relies on: a clip cut anywhere
+    * still shares most subfingerprints with its source, just at a shifted
+    * index). `n_subs = max(1, floor((len − window) / hop) + 1)`. */
+  private val AfWindow = 8
+  private val AfHop = 4
+
+  /** AUDIO NEAR-DUP (round 16): offset-voting alignment over overlapping
+    * subfingerprints — the chromaprint/Shazam shape, and deliberately
+    * DIFFERENT semantics from [[videoDedup]]'s set matching: audio
+    * re-uploads are typically the same stream with material ADDED AT THE
+    * EDGES (intros, prerolls, trims), so the operator must not just ask
+    * "do these clips share windows?" but "do the shared windows agree on
+    * ONE alignment?" — which is what distinguishes a true
+    * embed/re-upload from two clips sampling the same library:
+    *
+    *   - subfingerprints: 60-bit simhash per overlapping token window
+    *     (stub decode; a real deployment feeds filterbank-energy
+    *     gradients per FFT frame into the same banding and nothing
+    *     downstream moves);
+    *   - candidates: the proven 15-bit × 4-band equi-join at
+    *     subfingerprint level; exact-Hamming verify;
+    *   - OFFSET VOTING: verified matches vote `delta = a_idx − b_idx`;
+    *     one `groupBy (a, b, delta)` histogram, best delta per pair
+    *     (ties → smallest), score = aligned matches / min(n_subs);
+    *   - verdict at ≥ [[VfFracMin]], with `best_offset` in the output —
+    *     the alignment IS the evidence (a takedown reviewer needs "your
+    *     upload matches source X starting at 0:12", not just a score).
+    *
+    * The fixture plants a PREFIX-SHIFTED family (every 7th doc behind a
+    * 4-token intro = exactly one hop) alongside the exact and tail-edit
+    * families: the operator attributes every planted copy AND reports
+    * the shift (offset −1) — VideoSweep-style evidence in AudioSweep.
+    *
+    * Scale shape at 100 TB: identical to [[videoDedup]] through the
+    * verify (map pass per window, one shuffle on the band key), then the
+    * vote histogram and best-offset window both shuffle only VERIFIED
+    * matches — similarity mass. No clip×clip, no alignment DP (offset
+    * voting is the linear-cost alignment the quadratic
+    * subsequence-alignment alternatives approximate). */
+  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.OracleParity.pround
+    import org.apache.spark.sql.expressions.Window
+    val subs = graft.tools.CacheRegistry.persistTracked(audioSubs(spark, dir))
+    val counts = subs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_subs"))
+    val chunks = subs
+      .select(col("doc_id"), col("sub_idx"), col("fp"),
+        explode(sequence(lit(0), lit(PhChunks - 1))).as("k"))
+      .withColumn("chunk",
+        expr(s"shiftright(fp, $PhChunkBits * k) & ${(1 << PhChunkBits) - 1}"))
+    val verified = chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("x.sub_idx").as("a_s"),
+        col("y.doc_id").as("b_id"), col("y.sub_idx").as("b_s"),
+        col("x.fp").as("fa"), col("y.fp").as("fb"))
+      // verify BEFORE distinct: the Hamming test is a codegen'd row-local
+      // filter, the distinct is a shuffle — at sf0.1 the band join emits
+      // 15.2M candidate rows of which only the verified sliver survives,
+      // so filtering first shrinks the exchange by orders of magnitude
+      .filter(bit_count(col("fa").bitwiseXOR(col("fb"))) <= PhHammingMax)
+      .distinct()
+    val votes = verified
+      .groupBy(col("a_id"), col("b_id"), (col("a_s") - col("b_s")).as("delta"))
+      .agg(count(lit(1)).cast("int").as("matched"))
+    val best = votes.withColumn("rn",
+      row_number().over(Window.partitionBy(col("a_id"), col("b_id"))
+        .orderBy(col("matched").desc, col("delta").asc)))
+      .filter(col("rn") === 1)
+    best
+      // counts is corpus-sized: no broadcast hint (AQE decides at SF)
+      .join(counts.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n_subs", "n_a"), "a_id")
+      .join(counts.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n_subs", "n_b"), "b_id")
+      .withColumn("frac",
+        pround(col("matched").cast("double") / least(col("n_a"), col("n_b")), 4))
+      .filter(col("frac") >= VfFracMin)
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+        col("delta").cast("int").as("best_offset"), col("matched"), col("frac"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** (doc_id, sub_idx, fp): the overlapping-window subfingerprint pass
+    * over the audio corpus — [[Dedup.corpus]] plus a PREFIX-SHIFTED
+    * planted family (every 7th doc behind a 4-token intro, one hop
+    * exactly), so offset detection has ground truth. */
+  private[graft] def audioSubs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayExpressions
+    val base = Dedup.corpus(spark, dir).select(col("doc_id"), col("text"))
+    val shifted = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 300000L).as("doc_id"),
+        concat(lit("intro jingle preroll clip "), col("text")).as("text"))
+    base.unionByName(shifted)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(expr(
+          s"sequence(0, greatest(cast(floor((size(toks) - $AfWindow) / ${AfHop}.0) as int), 0))"))
+          .as("sub_idx"))
+      .select(col("doc_id"), col("sub_idx").cast("int").as("sub_idx"),
+        ArrayExpressions.simHash60(ArrayExpressions.hashedWords60(
+          expr(s"slice(toks, sub_idx * $AfHop + 1, $AfWindow)")))
+          .as("fp"))
+  }
+
+  val audioDedupSql: String =
+    s"""WITH ${Dedup.corpusSql},
+       |acorpus AS (
+       |  SELECT doc_id, text FROM corpus
+       |  UNION ALL
+       |  SELECT doc_id + 300000, 'intro jingle preroll clip ' || text
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |tk AS (
+       |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM acorpus),
+       |fr AS (
+       |  SELECT doc_id, toks,
+       |         unnest(generate_series(0, greatest(CAST(floor((len(toks) - $AfWindow) / ${AfHop}.0) AS INTEGER), 0))) AS sub_idx
+       |  FROM tk),
+       |fw AS (
+       |  SELECT doc_id, sub_idx,
+       |         unnest(toks[sub_idx * $AfHop + 1 : sub_idx * $AfHop + $AfWindow]) AS w
+       |  FROM fr),
+       |th AS (
+       |  SELECT doc_id, sub_idx,
+       |         CAST('0x' || substring(md5(w), 1, 15) AS BIGINT) AS h FROM fw),
+       |bits AS (
+       |  SELECT doc_id, sub_idx, b.bit,
+       |         sum(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, ${PhBits - 1})) AS bit) b
+       |  GROUP BY doc_id, sub_idx, b.bit),
+       |subs AS (
+       |  SELECT doc_id, sub_idx,
+       |         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS BIGINT) AS fp
+       |  FROM bits GROUP BY doc_id, sub_idx),
+       |counts AS (
+       |  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_subs FROM subs GROUP BY doc_id),
+       |chunks AS (
+       |  SELECT doc_id, sub_idx, fp, k.k AS k,
+       |         (fp >> ($PhChunkBits * k.k)) & ${(1 << PhChunkBits) - 1} AS chunk
+       |  FROM subs CROSS JOIN (SELECT unnest(generate_series(0, ${PhChunks - 1})) AS k) k),
+       |matches AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, x.sub_idx AS a_s,
+       |                  y.doc_id AS b_id, y.sub_idx AS b_s,
+       |                  x.fp AS fa, y.fp AS fb
+       |  FROM chunks x
+       |  JOIN chunks y ON x.k = y.k AND x.chunk = y.chunk AND x.doc_id < y.doc_id),
+       |verified AS (
+       |  SELECT a_id, a_s, b_id, b_s FROM matches
+       |  WHERE bit_count(xor(fa, fb)) <= $PhHammingMax),
+       |votes AS (
+       |  SELECT a_id, b_id, a_s - b_s AS delta, CAST(count(*) AS INTEGER) AS matched
+       |  FROM verified GROUP BY a_id, b_id, a_s - b_s),
+       |best AS (
+       |  SELECT a_id, b_id, delta, matched,
+       |         row_number() OVER (PARTITION BY a_id, b_id
+       |                            ORDER BY matched DESC, delta ASC) AS rn
+       |  FROM votes)
+       |SELECT a_id, b_id, ca.n_subs AS n_a, cb.n_subs AS n_b,
+       |       CAST(delta AS INTEGER) AS best_offset, matched,
+       |       floor(CAST(matched AS DOUBLE) / least(ca.n_subs, cb.n_subs) * 10000 + 0.5) / 10000.0 AS frac
+       |FROM best
+       |JOIN counts ca ON ca.doc_id = a_id
+       |JOIN counts cb ON cb.doc_id = b_id
+       |WHERE rn = 1
+       |  AND floor(CAST(matched AS DOUBLE) / least(ca.n_subs, cb.n_subs) * 10000 + 0.5) / 10000.0 >= $VfFracMin
+       |ORDER BY a_id, b_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_stub" -> decodeStub,
     "mm_frame_sample" -> frameSample,
     "mm_asof_align" -> asofAlign,
     "f14_data_uri" -> dataUri,
     "dedup_phash" -> phashDedup,
-    "dedup_video" -> videoDedup
+    "dedup_video" -> videoDedup,
+    "dedup_audio" -> audioDedup
   )
 
   val oracles: Map[String, String] = Map(
@@ -630,6 +806,7 @@ object Multimodal {
     "mm_asof_align" -> asofAlignSql,
     "f14_data_uri" -> dataUriSql,
     "dedup_phash" -> phashDedupSql,
-    "dedup_video" -> videoDedupSql
+    "dedup_video" -> videoDedupSql,
+    "dedup_audio" -> audioDedupSql
   )
 }

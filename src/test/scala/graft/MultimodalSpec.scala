@@ -155,6 +155,44 @@ class MultimodalSpec extends AnyFunSuite {
       s"video dedup must never plan a product join:\n$plan")
   }
 
+  test("audio dedup: offset voting attributes shifted copies with the shift (round 16)") {
+    val out = Multimodal.audioDedup(spark, SparkTestSession.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getDouble(6)))
+      .toMap
+    graft.tools.CacheRegistry.release(blocking = true)
+    val docIds = graft.io.Tables.documents(spark, SparkTestSession.Sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact re-encodes: full agreement at offset 0
+    docIds.filter(_ % 4 == 0).foreach { id =>
+      val (na, nb, off, m, frac) = out.getOrElse((id, id + 100000L),
+        fail(s"exact pair $id missing"))
+      assert(off === 0 && frac === 1.0 && m === math.min(na, nb),
+        s"exact pair $id: off=$off m=$m/$na/$nb")
+    }
+    // PREFIX-SHIFTED copies (the 4-token intro = exactly one hop): caught,
+    // and the reported alignment IS the shift — the evidence a set-based
+    // matcher cannot produce
+    docIds.filter(_ % 7 == 0).foreach { id =>
+      val (_, _, off, _, frac) = out.getOrElse((id, id + 300000L),
+        fail(s"shifted pair $id missing"))
+      assert(off === -1, s"shifted pair $id must align at one hop, got $off")
+      assert(frac >= 0.5)
+    }
+    // ordering + verdict invariants
+    assert(out.keys.forall { case (a, b) => a < b })
+    assert(out.values.forall { case (na, nb, _, m, frac) =>
+      frac >= 0.5 && m >= 1 && m <= math.min(na, nb) })
+  }
+
+  test("audio dedup plans banded equi-joins only, no all-pairs") {
+    val plan = Multimodal.audioDedup(spark, SparkTestSession.Sf0001)
+      .queryExecution.executedPlan.toString
+    graft.tools.CacheRegistry.release(blocking = true)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"audio dedup must never plan a product join:\n$plan")
+  }
+
   test("decode stub and frame sample stay deterministic on the fixture") {
     val d1 = Multimodal.decodeStub(spark, SparkTestSession.Sf0001).collect()
     val d2 = Multimodal.decodeStub(spark, SparkTestSession.Sf0001).collect()
