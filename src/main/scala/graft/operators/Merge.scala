@@ -509,7 +509,8 @@ object Merge {
   def deleteWhere(spark: SparkSession, tablePath: String, predicate: Column,
       retainVersions: Int = 1,
       takedownGraceVersions: Int = Int.MaxValue,
-      hooks: IncHooks = IncHooks.none): DeleteStats = {
+      hooks: IncHooks = IncHooks.none,
+      autoCompactAtFiles: Option[Int] = None): DeleteStats = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fsys = fs(spark, table)
     val (version, current) = readManifest(fsys, table)
@@ -521,7 +522,8 @@ object Merge {
       .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     deleteCommit(spark, tablePath, table, fsys, version, current, meta0,
-      delPred, hit, retainVersions, takedownGraceVersions, hooks)
+      delPred, hit, retainVersions, takedownGraceVersions, hooks,
+      autoCompactAtFiles)
   }
 
   /** KEY-BASED TAKEDOWN — [[deleteWhere]] specialized to
@@ -539,12 +541,13 @@ object Merge {
   def deleteKeys(spark: SparkSession, tablePath: String, column: String,
       values: Seq[Long], retainVersions: Int = 1,
       takedownGraceVersions: Int = Int.MaxValue,
-      hooks: IncHooks = IncHooks.none): DeleteStats = {
+      hooks: IncHooks = IncHooks.none,
+      autoCompactAtFiles: Option[Int] = None): DeleteStats = {
     require(values.nonEmpty, "deleteKeys needs at least one value")
     deleteKeysCore(spark, tablePath,
       col(column).isin(values.map(java.lang.Long.valueOf): _*),
       () => pointProbe(spark, tablePath, column, values),
-      retainVersions, takedownGraceVersions, hooks)
+      retainVersions, takedownGraceVersions, hooks, autoCompactAtFiles)
   }
 
   /** [[deleteKeys]] for STRING keys (round 16): takedown requests are as
@@ -555,16 +558,18 @@ object Merge {
   def deleteKeysStrings(spark: SparkSession, tablePath: String, column: String,
       values: Seq[String], retainVersions: Int = 1,
       takedownGraceVersions: Int = Int.MaxValue,
-      hooks: IncHooks = IncHooks.none): DeleteStats = {
+      hooks: IncHooks = IncHooks.none,
+      autoCompactAtFiles: Option[Int] = None): DeleteStats = {
     require(values.nonEmpty, "deleteKeysStrings needs at least one value")
     deleteKeysCore(spark, tablePath, col(column).isin(values: _*),
       () => pointProbeStrings(spark, tablePath, column, values),
-      retainVersions, takedownGraceVersions, hooks)
+      retainVersions, takedownGraceVersions, hooks, autoCompactAtFiles)
   }
 
   private def deleteKeysCore(spark: SparkSession, tablePath: String,
       pred: Column, probe: () => PointProbeReport, retainVersions: Int,
-      takedownGraceVersions: Int, hooks: IncHooks): DeleteStats = {
+      takedownGraceVersions: Int, hooks: IncHooks,
+      autoCompactAtFiles: Option[Int] = None): DeleteStats = {
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fsys = fs(spark, table)
     val (version, current) = readManifest(fsys, table)
@@ -590,7 +595,8 @@ object Merge {
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       }
     deleteCommit(spark, tablePath, table, fsys, version, current, meta0,
-      delPred, hit, retainVersions, takedownGraceVersions, hooks)
+      delPred, hit, retainVersions, takedownGraceVersions, hooks,
+      autoCompactAtFiles)
   }
 
   /** The shared rewrite-and-commit tail of both delete entry points:
@@ -600,7 +606,8 @@ object Merge {
       table: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
       version: Int, current: Map[Int, Int], meta0: TableMeta,
       delPred: Column, hit: Map[Int, Long], retainVersions: Int,
-      takedownGraceVersions: Int, hooks: IncHooks): DeleteStats = {
+      takedownGraceVersions: Int, hooks: IncHooks,
+      autoCompactAtFiles: Option[Int] = None): DeleteStats = {
     if (hit.isEmpty) return DeleteStats(version, 0, 0L)
     val round = version + 1
     val schema = meta0.schema
@@ -651,6 +658,16 @@ object Merge {
     val tableBytes = committed.map { case (b, g) =>
       statsAll.get(b).map(_.bytes)
         .getOrElse(dirBytesOf(fs, genPathOf(table, b, g))) }.sum
+    // same dial as upsertRound's (round 16): the delete's rewrite reads
+    // the touched buckets' prior files whole, so its write width is the
+    // READ's partition count — a wide bucket stays wide across takedowns
+    // without the policy; the decision is the same zero-FS-call check on
+    // the stats map this commit produced
+    autoCompactAtFiles.foreach { dial =>
+      if (statsAll.values.exists(_.files > dial))
+        compact(spark, tablePath, targetFiles = 1,
+          retainVersions = retainVersions, onlyAboveFiles = Some(dial))
+    }
     DeleteStats(committedVersion, touched.length, deletedRows, rewritten, tableBytes)
   }
 

@@ -1579,6 +1579,30 @@ class MergeSpec extends AnyFunSuite {
     assert(Merge.readTable(spark, table).selectExpr(ttCols: _*)
       .orderBy("universeId").collect() ===
       expected.selectExpr(ttCols: _*).orderBy("universeId").collect())
+    // the DELETE writers honor the same dial: a takedown against a table
+    // with wide buckets (8-way initial write) triggers the offender-only
+    // compaction right after its commit
+    val tableD = s"$tmp/games-del"
+    Merge.upsertIncrementalRounds(spark, tableD,
+      mkTT(0L until 64L, "base").repartition(8),
+      Seq.empty, "universeId", over, coal, keep, buckets = 4,
+      retainVersions = 10)
+    def statsOf(t: String): Map[Int, Long] = {
+      val mdir = java.nio.file.Paths.get(s"$t/_manifests")
+      val latest = java.nio.file.Files.list(mdir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("manifest-v"))
+        .map(_.stripPrefix("manifest-v").toInt).max
+      java.nio.file.Files.readAllLines(mdir.resolve(s"manifest-v$latest")).asScala
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map(_.split(','))
+        .map(p => p(0).toInt -> p(2).toLong).toMap
+    }
+    assert(statsOf(tableD).values.max > 2, "precondition: wide buckets")
+    Merge.deleteWhere(spark, tableD, col("universeId") === 8L,
+      retainVersions = 10, autoCompactAtFiles = Some(2))
+    assert(statsOf(tableD).values.max <= 2,
+      s"delete-side auto-compact must bound files, got ${statsOf(tableD)}")
+    assert(Merge.readTable(spark, tableD).filter(col("universeId") === 8L).isEmpty)
+    assert(Merge.readTable(spark, tableD).count() === 63L)
   }
 
   test("compaction: fewer files, identical contents, idempotent no-op when compact") {
