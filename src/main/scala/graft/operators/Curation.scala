@@ -1165,7 +1165,12 @@ object Curation {
   /** The initial vocab: unique words with frequency and the char-level
     * symbol sequence (space-joined, `</w>` end marker). */
   private def bpeVocab0(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    bpeVocab0Of(Tables.documents(spark, dir))
+
+  /** Frame-input face of [[bpeVocab0]] (round 17 — the streaming BPE
+    * maintainer trains on its own stored corpus, not a fixture dir). */
+  private[graft] def bpeVocab0Of(docs: DataFrame): DataFrame =
+    docs
       .select(explode(split(lower(col("text")), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -1186,48 +1191,78 @@ object Curation {
     * formerly a second driver-synchronized job per step, the exact
     * "driver job count dominates small iterative training" cost the PQ
     * trainer hit — disappears: K+2 jobs total instead of 2K. */
-  private def bpePairAgg(vocab: DataFrame): (String, Long, Long) = {
+  private def bpePairAgg(vocab: DataFrame): Option[(String, Long, Long)] = {
     val row = vocab
       .withColumn("l", split(col("seq"), " "))
+      // a FULLY-MERGED word (one symbol) has no adjacent pairs — and
+      // `sequence(0, -1)` is a DESCENDING sequence in Spark, so the
+      // unfiltered transform would index l[1] of a 1-element array
+      // (round 17: bit on an exhaustible digram corpus; the identity
+      // Σ freq·len = Σ pairs + Σ freq that prices the token curve is
+      // unaffected — a 1-symbol word contributes 0 pairs)
+      .filter(size(col("l")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(l) - 2), j -> concat(l[j], ' ', l[j+1]))"))
         .as("pair"), col("freq"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("c"))
       .agg(max(struct(col("c"), col("pair"))).as("m"), sum(col("c")).as("mass"))
       .collect()(0)
-    val m = row.getStruct(0)
-    (m.getString(1), m.getLong(0), row.getLong(1))
+    // an exhausted vocabulary (every word fully merged) has nothing left
+    // to learn — the trainer stops early instead of NPE-ing on the argmax
+    if (row.isNullAt(0)) None
+    else {
+      val m = row.getStruct(0)
+      Some((m.getString(1), m.getLong(0), row.getLong(1)))
+    }
   }
 
   private[graft] def bpeBuildSteps(spark: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) =
+    bpeBuildStepsOn(spark, bpeVocab0(spark, dir))
+
+  /** The same training loop from an arbitrary char-level vocab frame
+    * (round 17 — the retrain path of
+    * [[graft.streaming.StreamingBpeMaintainer]] feeds its stored corpus
+    * here). */
+  private[graft] def bpeBuildStepsOn(spark: SparkSession, vocab0: DataFrame,
+      maxMerges: Int = BpeMerges)
       : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
-    var vocab = graft.tools.CacheRegistry.persistTracked(bpeVocab0(spark, dir))
+    var vocab = graft.tools.CacheRegistry.persistTracked(vocab0)
     val totalFreq = vocab.agg(sum(col("freq"))).collect()(0).getLong(0)
-    val steps = Array.ofDim[(Int, String, String, Long, Long)](BpeMerges)
-    for (i <- 1 to BpeMerges) {
-      val (pair, c, mass) = bpePairAgg(vocab)
-      // this step's pair mass prices the PREVIOUS step's result: tokens of
-      // vocab_{i-1} = mass_i + totalFreq (backfilled; step K pays one
-      // final sum below)
-      if (i >= 2) {
-        val (s, p, m2, cc, _) = steps(i - 2)
-        steps(i - 2) = (s, p, m2, cc, mass + totalFreq)
+    val steps =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    var i = 1
+    var exhausted = false
+    while (i <= maxMerges && !exhausted) {
+      bpePairAgg(vocab) match {
+        case None => exhausted = true // every word fully merged (round 17)
+        case Some((pair, c, mass)) =>
+          // this step's pair mass prices the PREVIOUS step's result: tokens
+          // of vocab_{i-1} = mass_i + totalFreq (backfilled; the last
+          // learned step pays one final sum below)
+          if (i >= 2) {
+            val (s, p, m2, cc, _) = steps(i - 2)
+            steps(i - 2) = (s, p, m2, cc, mass + totalFreq)
+          }
+          val merged = pair.replace(" ", "")
+          // checkpointTracked, not persistTracked: round i+1's ANALYSIS cost
+          // grows with the chained-replace lineage even when execution reads
+          // the cache (measured 0.2 s -> 0.9 s/round by round 12 at sf0.1);
+          // the eager localCheckpoint truncates the plan — the pagerank /
+          // connected-components discipline
+          vocab = graft.tools.CacheRegistry.checkpointTracked(
+            vocab.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged)))
+          steps += ((i, pair, merged, c, 0L))
+          i += 1
       }
-      val merged = pair.replace(" ", "")
-      // checkpointTracked, not persistTracked: round i+1's ANALYSIS cost
-      // grows with the chained-replace lineage even when execution reads
-      // the cache (measured 0.2 s -> 0.9 s/round by round 12 at sf0.1);
-      // the eager localCheckpoint truncates the plan — the pagerank /
-      // connected-components discipline
-      vocab = graft.tools.CacheRegistry.checkpointTracked(
-        vocab.withColumn("seq", bpeApplyMerge(col("seq"), pair, merged)))
-      steps(i - 1) = (i, pair, merged, c, 0L)
     }
-    val finalTokens = vocab
-      .agg(sum(col("freq") * size(split(col("seq"), " ")).cast("long")))
-      .collect()(0).getLong(0)
-    val (s, p, m2, cc, _) = steps(BpeMerges - 1)
-    steps(BpeMerges - 1) = (s, p, m2, cc, finalTokens)
+    if (steps.nonEmpty) {
+      val finalTokens = vocab
+        .agg(sum(col("freq") * size(split(col("seq"), " ")).cast("long")))
+        .collect()(0).getLong(0)
+      val (s, p, m2, cc, _) = steps(steps.length - 1)
+      steps(steps.length - 1) = (s, p, m2, cc, finalTokens)
+    }
     // the last round's persisted frame IS the final vocab — hand it back so
     // the build stores it instead of re-deriving the chained-replace plan
     (steps.toSeq, vocab)

@@ -319,7 +319,8 @@ object Merge {
       frags = meta0.frags ++ adopted ++ fragInfo.map(gen -> _))
     val (committedVersion, committed, statsAll) = commitWithRetry(fs, table,
       round, current, touched.map(_ -> gen).toMap, meta,
-      carriedStats = stats0 ++ adoptedStats, newStats = newStats)
+      carriedStats = stats0 ++ adoptedStats, newStats = newStats,
+      adoptedStats = adoptedStats)
     hooks.afterCommit(committedVersion)
     sweepRetention(fs, table, committedVersion, retainVersions, meta.takedownGrace)
     // manifest-served; a bucket only a stats-less legacy writer committed
@@ -337,8 +338,15 @@ object Merge {
     // bucket are a table POLICY, not an accident of write width.
     autoCompactAtFiles.foreach { dial =>
       if (statsAll.values.exists(_.files > dial))
-        compact(spark, tablePath, targetFiles = 1,
-          retainVersions = retainVersions, onlyAboveFiles = Some(dial))
+        // BEST-EFFORT (ADVICE r16 #1): the round above already committed —
+        // a conflict here (another writer rewrote the offender bucket
+        // while the policy rewrite ran; disjoint-bucket winners are merged
+        // inside compact's own retry) must not surface as a failed round.
+        // The dial re-checks at the next write, so nothing is lost.
+        try compact(spark, tablePath, targetFiles = 1,
+          retainVersions = retainVersions, onlyAboveFiles = Some(dial),
+          hooks = hooks)
+        catch { case _: VersionConflictException => () }
     }
     IncRoundStats(committedVersion, touched.length, buckets, rewritten, tableBytes)
   }
@@ -652,7 +660,8 @@ object Merge {
       round, current, present.map(_ -> gen).toMap, meta,
       removedBuckets = touched.filterNot(present.contains),
       strict = true,
-      carriedStats = stats0 ++ adoptedStats, newStats = newStats)
+      carriedStats = stats0 ++ adoptedStats, newStats = newStats,
+      adoptedStats = adoptedStats)
     hooks.afterCommit(committedVersion)
     sweepRetention(fs, table, committedVersion, retainVersions, meta.takedownGrace)
     val tableBytes = committed.map { case (b, g) =>
@@ -665,8 +674,11 @@ object Merge {
     // the stats map this commit produced
     autoCompactAtFiles.foreach { dial =>
       if (statsAll.values.exists(_.files > dial))
-        compact(spark, tablePath, targetFiles = 1,
-          retainVersions = retainVersions, onlyAboveFiles = Some(dial))
+        // best-effort like the merge side's — the delete IS committed
+        try compact(spark, tablePath, targetFiles = 1,
+          retainVersions = retainVersions, onlyAboveFiles = Some(dial),
+          hooks = hooks)
+        catch { case _: VersionConflictException => () }
     }
     DeleteStats(committedVersion, touched.length, deletedRows, rewritten, tableBytes)
   }
@@ -701,7 +713,8 @@ object Merge {
     * partition-pruned read + one single-file write per oversized bucket. */
   def compact(spark: SparkSession, tablePath: String,
       targetFiles: Int = 1, retainVersions: Int = 1,
-      onlyAboveFiles: Option[Int] = None): CompactStats = {
+      onlyAboveFiles: Option[Int] = None,
+      hooks: IncHooks = IncHooks.none): CompactStats = {
     val hc = spark.sparkContext.hadoopConfiguration
     val table = new org.apache.hadoop.fs.Path(tablePath)
     val fs = table.getFileSystem(hc)
@@ -732,7 +745,6 @@ object Merge {
         .drop("bucket", "gen").coalesce(targetFiles)
         .write.parquet(genPath(b, gen).toString)
     }
-    val committed = current ++ oversized.keys.map(_ -> gen)
     val newStats: Map[Int, BucketStat] = oversized.keys.toSeq.flatMap(b =>
       statOfGenDir(fs, genPath(b, gen)).map(b -> _)).toMap
     // layout-only version: schema, mapping, and sidecar policy carry
@@ -744,14 +756,21 @@ object Merge {
     val meta = meta0.copy(frags = meta0.frags ++
       adoptLegacyFrags(spark, fs, table, current, meta0.frags) ++
       fragInfo.map(gen -> _))
-    val statsCommitted =
-      ((stats0 ++ measured) -- oversized.keys) ++ newStats
-    commitManifest(fs, table, round, committed, meta, statsCommitted)
-    sweepRetention(fs, table, round, retainVersions, meta.takedownGrace)
+    // OCC with benign-retry (ADVICE r16 #1): a concurrent DISJOINT-bucket
+    // writer landing between this planning read and the commit is merged
+    // like any merge round's — compaction only claims the buckets it
+    // rewrote. A winner that rewrote one of the OVERSIZED buckets is a
+    // real conflict (this rewrite's input is stale) and still throws.
+    hooks.beforeCommit(round)
+    val (committedVersion, committedAll, statsAll) = commitWithRetry(fs, table,
+      round, current, oversized.keys.map(_ -> gen).toMap, meta,
+      carriedStats = stats0 ++ measured, newStats = newStats,
+      adoptedStats = measured.toMap)
+    sweepRetention(fs, table, committedVersion, retainVersions, meta.takedownGrace)
     // keysIterator, NOT keys.map — a Set would dedup equal counts
-    val filesAfter = committed.keysIterator.map(b =>
-      statsCommitted.get(b).map(_.files).getOrElse(0L)).sum
-    CompactStats(round, oversized.size, filesBefore, filesAfter,
+    val filesAfter = committedAll.keysIterator.map(b =>
+      statsAll.get(b).map(_.files).getOrElse(0L)).sum
+    CompactStats(committedVersion, oversized.size, filesBefore, filesAfter,
       measured.size.toLong)
   }
 
@@ -780,9 +799,12 @@ object Merge {
       filesPerBucket, retainVersions, bloomCols)
 
   /** Z-ORDER (multi-column) clustering: rewrite every bucket with its rows
-    * range-split by the INTERLEAVED-BITS key of `zCols` — each column is
-    * rank-free-normalized to [[ZBits]] bits against its global [min, max]
-    * and the bits interleaved, so files become hyper-rectangles in the
+    * range-split by the INTERLEAVED-BITS key of `zCols` — each NUMERIC
+    * column is normalized to [[ZBits]] bits against its global [min, max],
+    * each STRING column is RANK-normalized against sampled
+    * equal-frequency cut points (round 17 — [[StringRankBucket]];
+    * min/max arithmetic is meaningless on a lexicographic domain), and
+    * the bits interleaved, so files become hyper-rectangles in the
     * z-curve's locality order and a predicate on ANY clustered column
     * prunes (one-dimension clustering only prunes its own column; a
     * second predicate scans everything). Same manifest-committed
@@ -797,14 +819,43 @@ object Merge {
       bloomCols: Seq[String] = Seq.empty): CompactStats = {
     require(zCols.nonEmpty, "clusterZ needs at least one column")
     val current = readTable(spark, tablePath)
-    val aggs = zCols.flatMap(c => Seq(
+    // STRING dimensions (round 17, verdict r16 #2): rank-normalized
+    // against sampled equal-frequency cut points instead of min/max
+    // arithmetic — a string domain has no usable span (URL/domain values
+    // cluster in a hair-thin lexicographic band), but its RANK is
+    // uniform by construction. Round 16 made the READ side string-typed
+    // (readTableWhereStrings / pointProbeStrings); this closes the
+    // write side: a table can now be Z-LAID-OUT for the takedown-shaped
+    // string predicates it already knows how to prune.
+    val isStr = zCols.map(c =>
+      c -> (current.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType)).toMap
+    val numCols = zCols.filterNot(isStr)
+    val strCols = zCols.filter(isStr)
+    // one agg row prices ALL dimensions' statistics: numeric global
+    // [min, max] plus each string column's non-null count (the sampling
+    // fraction's denominator)
+    val aggs = numCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"min_$c"),
-      max(col(c).cast("double")).as(s"max_$c")))
+      max(col(c).cast("double")).as(s"max_$c"))) ++
+      strCols.map(c => count(col(c)).as(s"cnt_$c"))
     val ranges = current.agg(aggs.head, aggs.tail: _*).head()
-    val zkey = zOrderKey(zCols.map { c =>
-      val lo = ranges.getAs[Double](s"min_$c")
-      val hi = ranges.getAs[Double](s"max_$c")
-      (col(c), lo, hi)
+    val cutsByCol: Map[String, Array[org.apache.spark.unsafe.types.UTF8String]] =
+      strCols.map(c => c ->
+        sampleStringCuts(current, c, ranges.getAs[Long](s"cnt_$c"))).toMap
+    val zkey = zInterleave(zCols.map { c =>
+      if (isStr(c)) {
+        val cuts = cutsByCol(c)
+        // rank ∈ [0, cuts.length] scaled onto the 16-bit lattice with
+        // monotone integer math (floor division preserves order)
+        val cells = math.max(cuts.length.toLong, 1L)
+        graft.functions.StringRankBucket.rank(col(c), cuts).cast("long") *
+          lit(((1L << ZBits) - 1) / cells)
+      } else {
+        val lo = ranges.getAs[Double](s"min_$c")
+        val hi = ranges.getAs[Double](s"max_$c")
+        zScaleNumeric(col(c), lo, hi)
+      }
     })
     clusterRewrite(spark, tablePath, Seq(zkey), zCols, filesPerBucket,
       retainVersions, bloomCols)
@@ -815,18 +866,52 @@ object Merge {
     * quantization never limits pruning. */
   private val ZBits = 16
 
-  /** The interleaved-bits key: each column scaled to [0, 2^ZBits) against
-    * its global range (nulls → 0: they sort first, and BETWEEN never
-    * matches null anyway), bit i of column j landing at position
-    * i·k + j. Pure integer arithmetic — stays inside whole-stage codegen. */
-  private def zOrderKey(cols: Seq[(Column, Double, Double)]): Column = {
-    val k = cols.size
-    val scaled = cols.map { case (c, lo, hi) =>
-      val span = math.max(hi - lo, 1e-12)
-      least(lit((1 << ZBits) - 1), greatest(lit(0),
-        ((coalesce(c.cast("double"), lit(lo)) - lit(lo)) / lit(span) *
-          lit((1 << ZBits) - 1)).cast("long")))
-    }
+  /** Equal-frequency cells per STRING z-dimension: 4096 (12 effective
+    * bits, spread over the 16-bit lattice) — still orders of magnitude
+    * above files-per-bucket, so quantization never limits pruning, while
+    * each cut point is estimated from ~32 sampled values. */
+  private val ZStrCells = 4096
+  private val ZStrSampleTarget = 131072L
+
+  /** Sampled equal-frequency cut points for one string column — the
+    * statistic `repartitionByRange` itself draws, made explicit so the
+    * rank lands inside the interleaved key. Bounded driver state: ≤
+    * [[ZStrSampleTarget]] sampled values, ≤ [[ZStrCells]]−1 cuts kept.
+    * Sorting happens on [[org.apache.spark.unsafe.types.UTF8String]]
+    * (binary UTF8 — Spark's string ordering and the fragment stats'),
+    * NOT java.lang.String's UTF-16 order, which diverges on
+    * supplementary characters. Sampling is seed-pinned; the cut set
+    * affects LAYOUT only, never content. */
+  private def sampleStringCuts(df: DataFrame, c: String, nonNull: Long)
+      : Array[org.apache.spark.unsafe.types.UTF8String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    if (nonNull <= 0L) return Array.empty
+    val fraction = math.min(1.0, ZStrSampleTarget.toDouble / nonNull)
+    val sampled = df.select(col(c)).where(col(c).isNotNull)
+      .sample(withReplacement = false, fraction, seed = 0x5eedL)
+      .collect().map(r => UTF8String.fromString(r.getString(0)))
+    if (sampled.isEmpty) return Array.empty
+    java.util.Arrays.sort(sampled.asInstanceOf[Array[Object]])
+    val k = math.min(ZStrCells.toLong, sampled.length.toLong)
+    (1L until k).map(i => sampled((i * sampled.length / k).toInt))
+      .distinct.toArray
+  }
+
+  /** One numeric dimension scaled to [0, 2^ZBits) against its global
+    * range (nulls → 0: they sort first, and BETWEEN never matches null
+    * anyway). Pure arithmetic — stays inside whole-stage codegen. */
+  private def zScaleNumeric(c: Column, lo: Double, hi: Double): Column = {
+    val span = math.max(hi - lo, 1e-12)
+    least(lit((1 << ZBits) - 1), greatest(lit(0),
+      ((coalesce(c.cast("double"), lit(lo)) - lit(lo)) / lit(span) *
+        lit((1 << ZBits) - 1)).cast("long")))
+  }
+
+  /** The interleaved-bits key over k pre-scaled [0, 2^ZBits) dimensions:
+    * bit i of column j lands at position i·k + j. Pure integer
+    * arithmetic — stays inside whole-stage codegen. */
+  private def zInterleave(scaled: Seq[Column]): Column = {
+    val k = scaled.size
     (for (i <- 0 until ZBits; j <- 0 until k) yield
       shiftleft(shiftright(scaled(j), i).bitwiseAND(lit(1L)), i * k + j))
       .reduce(_ bitwiseOR _)
@@ -1823,7 +1908,8 @@ object Merge {
       removedBuckets: Seq[Int] = Seq.empty,
       strict: Boolean = false,
       carriedStats: Map[Int, BucketStat] = Map.empty,
-      newStats: Map[Int, BucketStat] = Map.empty)
+      newStats: Map[Int, BucketStat] = Map.empty,
+      adoptedStats: Map[Int, BucketStat] = Map.empty)
       : (Int, Map[Int, Int], Map[Int, BucketStat]) = {
     var attemptVersion = round
     var base = base0
@@ -1865,10 +1951,17 @@ object Merge {
           // initial load may not), mapping, and layout properties; a
           // metadata-changing winner is a conflict no manifest merge can
           // reconcile
+          // field ORDER is also normalized (round 17): column identity is
+          // nominal end-to-end (mergeUpsert joins by name, loadState reads
+          // by name, fragments are keyed by column name), and a merge
+          // round legitimately reorders columns vs the initial load — a
+          // compact/cluster racing such a round carries the OLD order and
+          // must not read that as a schema change
           def norm(s: Option[org.apache.spark.sql.types.StructType]) =
             s.map(st => org.apache.spark.sql.types.StructType(st.fields.map(
               _.copy(nullable = true,
-                metadata = org.apache.spark.sql.types.Metadata.empty))))
+                metadata = org.apache.spark.sql.types.Metadata.empty))
+              .sortBy(_.name)))
           val wmeta = readMetaAt(fs, table, wv)
           if (norm(wmeta.schema) != norm(meta.schema) ||
               wmeta.copy(schema = None, frags = Map.empty) !=
@@ -1880,7 +1973,12 @@ object Merge {
           base = wstate
           // this writer's own entries win for its own gens (it wrote them)
           mergedFrags = wmeta.frags ++ meta.frags
-          carried = readBucketStatsAt(fs, table, wv)
+          // the winner's stats are authoritative for buckets IT committed,
+          // but this writer's adopted-legacy measurements must survive the
+          // rebase (ADVICE r16 #4): a benign conflict would otherwise
+          // re-commit legacy buckets stats-less — the one-round migration
+          // silently not completing, and the listings re-paid next round
+          carried = adoptedStats ++ readBucketStatsAt(fs, table, wv)
       }
     }
     sys.error("unreachable")

@@ -660,10 +660,22 @@ object Multimodal {
     * matches — similarity mass. No clip×clip, no alignment DP (offset
     * voting is the linear-cost alignment the quadratic
     * subsequence-alignment alternatives approximate). */
-  def audioDedup(spark: SparkSession, dir: String): DataFrame = {
+  def audioDedup(spark: SparkSession, dir: String): DataFrame =
+    audioPairsFromSubs(
+      graft.tools.CacheRegistry.persistTracked(audioSubs(spark, dir)))
+
+  /** The full banding + offset-voting pipeline over ANY
+    * `(doc_id, sub_idx, fp)` subfingerprint frame — shared by the stub
+    * tokenizer path ([[audioSubs]], the oracle-gated `dedup_audio`) and
+    * the real WAV decode ([[audioSubsFromWav]]), the same
+    * stub-vs-real-decode split [[phashFrame]]/[[phashFrameFromImages]]
+    * proved: the operator downstream of the signature pass is ONE code
+    * path, so the hash-matched stub query stays the gate for it. Callers
+    * persist `subs` — both candidate-join sides and the count aggregate
+    * replay it. */
+  private[graft] def audioPairsFromSubs(subs: DataFrame): DataFrame = {
     import graft.functions.OracleParity.pround
     import org.apache.spark.sql.expressions.Window
-    val subs = graft.tools.CacheRegistry.persistTracked(audioSubs(spark, dir))
     val counts = subs.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("int").as("n_subs"))
     val chunks = subs
@@ -727,6 +739,165 @@ object Multimodal {
           expr(s"slice(toks, sub_idx * $AfHop + 1, $AfWindow)")))
           .as("fp"))
   }
+
+  // ------------------------------------------ audio: REAL WAV decode path
+
+  /** Analysis-frame geometry for the real decode: 256-sample frames at
+    * hop 128 — one subfingerprint per hop, so a prefix of k·128 samples
+    * shifts `sub_idx` by exactly k and the offset histogram reads the
+    * alignment in hops. */
+  private[graft] val AfFrameLen = 256
+  private[graft] val AfFrameHop = 128
+  /** 61 filterbank bands → 60 gradient bits per subfingerprint. */
+  private val AfWavBands = PhBits + 1
+
+  /** REAL-DECODE audio subfingerprints (round 17, verdict r16 #3 — the
+    * [[phashFrameFromImages]] precedent applied to audio): decode
+    * PCM WAV via `javax.sound.sampled` (pure JVM, headless), compute
+    * chromaprint-shaped band-energy GRADIENT subfingerprints, and feed
+    * the UNCHANGED banding + Hamming verify + offset voting
+    * ([[audioPairsFromSubs]]).
+    *
+    * Signature per analysis frame f (from 1): band energies E[f][b] at
+    * [[AfWavBands]] log-spaced frequencies (Goertzel kernels over the
+    * 256-sample frame — deterministic pure-JVM arithmetic, no FFT
+    * library), then bit b = 1 iff
+    * (E[f][b] − E[f][b+1]) − (E[f−1][b] − E[f−1][b+1]) > 0 — the
+    * time-frequency double gradient the chromaprint classifier family
+    * uses, robust to level changes (gain cancels in both differences).
+    * Undecodable or non-PCM-16 blobs yield NO rows — a corrupt upload
+    * cannot poison a band bucket (the [[dHashOfImage]] rule).
+    *
+    * VIDEO stays stub by the same boundary [[phashFrameFromImages]]
+    * documents for its codec: the JVM ships an image codec (ImageIO) and
+    * a PCM audio codec (javax.sound.sampled) but NO video codec, so
+    * [[videoDedup]]'s decode remains the documented stub seam. */
+  private[graft] def wavSamples(bytes: Array[Byte]): Option[Array[Double]] = {
+    val in =
+      try Option(javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+        case _: RuntimeException => None
+      }
+    in.flatMap { ais =>
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = ais.readAllBytes()
+          val ch = math.max(fmt.getChannels, 1)
+          val be = fmt.isBigEndian
+          val n = data.length / (2 * ch)
+          val out = new Array[Double](n)
+          var f = 0
+          while (f < n) {
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val i = (f * ch + c) * 2
+              val v =
+                if (be) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+                else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+              s += v / 32768.0
+              c += 1
+            }
+            out(f) = s / ch
+            f += 1
+          }
+          Some(out)
+        }
+      } catch {
+        case _: java.io.IOException => None
+        case _: RuntimeException => None
+      } finally ais.close()
+    }
+  }
+
+  /** One 60-bit subfingerprint per analysis hop (see [[wavSamples]] doc
+    * for the classifier). Deterministic: log-spaced Goertzel bins
+    * k ∈ [2, 128] over each 256-sample frame, strict `> 0` gradient
+    * sign. Clips shorter than two frames produce nothing. */
+  private[graft] def wavSubfingerprints(samples: Array[Double]): Array[Long] = {
+    if (samples.length < AfFrameLen + AfFrameHop) return Array.empty
+    val nFrames = (samples.length - AfFrameLen) / AfFrameHop + 1
+    if (nFrames < 2) return Array.empty
+    // log-spaced analysis bins: k_b = 2 · 64^(b/(bands−1)) ∈ [2, 128]
+    val bins = Array.tabulate(AfWavBands)(b =>
+      2.0 * math.pow(64.0, b.toDouble / (AfWavBands - 1)))
+    val coeffs = bins.map(k => 2.0 * math.cos(2.0 * math.Pi * k / AfFrameLen))
+    val energies = Array.ofDim[Double](nFrames, AfWavBands)
+    var f = 0
+    while (f < nFrames) {
+      val off = f * AfFrameHop
+      var b = 0
+      while (b < AfWavBands) {
+        val coeff = coeffs(b)
+        var s1 = 0.0
+        var s2 = 0.0
+        var i = 0
+        while (i < AfFrameLen) {
+          val s0 = samples(off + i) + coeff * s1 - s2
+          s2 = s1
+          s1 = s0
+          i += 1
+        }
+        energies(f)(b) = s1 * s1 + s2 * s2 - coeff * s1 * s2
+        b += 1
+      }
+      f += 1
+    }
+    Array.tabulate(nFrames - 1) { j =>
+      val prev = energies(j)
+      val cur = energies(j + 1)
+      var acc = 0L
+      var b = 0
+      while (b < PhBits) {
+        if ((cur(b) - cur(b + 1)) - (prev(b) - prev(b + 1)) > 0.0)
+          acc |= 1L << b
+        b += 1
+      }
+      acc
+    }
+  }
+
+  /** `(doc_id, sub_idx, fp)` over a `binaryFile` scan of a WAV blob store
+    * (`<dir>/<id>.wav` — the reference's blob layout with an audio
+    * extension). Decode + signature run inside `mapPartitions` (the
+    * [[decodeStub]] codec-amortization point); everything downstream is
+    * [[audioPairsFromSubs]] UNCHANGED. */
+  def audioSubsFromWav(files: DataFrame): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    val pat = "/(\\d+)\\.wav$"
+    files
+      .select(regexp_extract(col("path"), pat, 1).as("id_str"), col("content"))
+      .filter(col("id_str") =!= "")
+      .select(col("id_str").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        wavSamples(bytes).toSeq.flatMap(s =>
+          wavSubfingerprints(s).iterator.zipWithIndex.map {
+            case (fp, i) => (id, i, fp)
+          })
+      })
+      .toDF("doc_id", "sub_idx", "fp")
+  }
+
+  /** Offset-voting near-dup over REAL decoded WAVs: `audioDir` is a
+    * blob-store root; the persist pins one decode per clip across the
+    * candidate join's two sides. Same output shape as `dedup_audio`
+    * (`best_offset` in HOPS of [[AfFrameHop]] samples). */
+  def audioDedupWav(spark: SparkSession, audioDir: String): DataFrame =
+    audioPairsFromSubs(
+      graft.tools.CacheRegistry.persistTracked(audioSubsFromWav(
+        spark.read.format("binaryFile")
+          .option("pathGlobFilter", "*.wav")
+          .option("recursiveFileLookup", "true")
+          .load(audioDir))))
 
   val audioDedupSql: String =
     s"""WITH ${Dedup.corpusSql},

@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Curation
+
+/** Tokenizer-vocabulary maintenance under streaming ingest — the policy
+  * member [[StreamingBpeMonitor]] was missing (round 17, verdict r16 #6),
+  * completing the retrain-dial family:
+  *
+  *   - NSW serve tier: `rebuildAtDeletedFraction` (round 15),
+  *   - IVF quantizer:  `retrainAtDistortionFactor` (round 16),
+  *   - BPE tokenizer:  `retrainAtFertilityFactor`  (THIS).
+  *
+  * The monitor watches fertility drift; this class OWNS the vocabulary
+  * and acts on the drift. Two triggers, the [[StreamingIvfIndex]] shape:
+  *
+  *   - '''Acute''' (per batch): a batch whose own fertility exceeds
+  *     [[acuteFertilityFactor]] × the at-train baseline retrains
+  *     immediately — an out-of-distribution source switched on.
+  *   - '''Chronic''' ([[maybeRetrain]] behind
+  *     [[retrainAtFertilityFactor]]): committed corpus-wide counters
+  *     (words, effective tokens) maintained CHANGE-SIZED — each batch
+  *     adds its own mass measured under the frozen vocab, no corpus
+  *     re-tokenization ever runs in the ingest path. The corpus drifts a
+  *     sub-acute batch at a time; the dial catches what the acute check
+  *     is blind to (the IvfDriftScale lesson).
+  *
+  * FERTILITY here is EFFECTIVE tokens per word: known words count their
+  * stored merge-sequence length, out-of-vocabulary words count their
+  * char-level fallback (`length(word) + 1` symbols — the `</w>`-marked
+  * sequence an untrained BPE assigns). A pure known-word fertility would
+  * be blind to exactly the drift that matters most (new domains arrive
+  * as OOV, not as badly-merged known words).
+  *
+  * Storage is [[BucketedAppendState]]: `docs` (doc_id-bucketed corpus —
+  * the retrain input; appends are batch-sized), `vocab` and `fertinfo`
+  * (small tables, rewritten per version — vocab is merge-table-sized,
+  * the few-MB driver boundary every broadcast tokenize already accepts).
+  * A retrain goes through `commitFull`: corpus-sized by nature, rare and
+  * amortized by design, resetting the counters to the exact corpus
+  * values under the NEW vocab (ratio returns to 1.0).
+  */
+/** @param merges training budget per (re)induction — the maintainer's
+  *   own dial, NOT the fixture's oracle-pinned 12: a vocabulary that
+  *   must absorb NEW morphology needs headroom beyond what the original
+  *   domain consumed (production vocabularies run 32k–100k; the loop is
+  *   the same, only the step count moves). */
+class StreamingBpeMaintainer(spark: SparkSession, baseDir: String,
+    initialDocs: DataFrame,
+    acuteFertilityFactor: Double = 1.5,
+    retrainAtFertilityFactor: Double = 1.2,
+    merges: Int = 32,
+    keepVersions: Int = 3, buckets: Int = 0) extends Serializable {
+
+  import spark.implicits._
+
+  private val resolvedBuckets =
+    if (buckets > 0) buckets
+    else BucketedAppendState.recordedBuckets(spark, baseDir).getOrElse(
+      graft.operators.SizingPolicy.sizedStateBuckets(initialDocs.count()))
+  private val state = new BucketedAppendState(spark, baseDir, resolvedBuckets,
+    keyed = Map("docs" -> "doc_id"), keepVersions = keepVersions)
+  /** Retrain count — observable so tests (and dashboards) can tell WHY
+    * the vocab changed. (In-memory only: resets to 0 on restart.) */
+  @volatile var retrains: Int = 0
+
+  if (state.latest.isEmpty)
+    retrain(initialDocs.select(col("doc_id"), col("text")), 0L)
+
+  def currentVocab(): DataFrame = state.read("vocab")
+  def currentDocs(): DataFrame = state.read("docs")
+
+  private def fertInfoDf(baseline: Double, words: Long, tokens: Long): DataFrame =
+    Seq((baseline, words, tokens)).toDF("baseline_fpw", "n_words", "n_tokens_eff")
+
+  /** (at-train fertility baseline, words counted, effective tokens). */
+  private[graft] def fertInfo(): (Double, Long, Long) = {
+    val r = state.read("fertinfo").head()
+    (r.getDouble(0), r.getLong(1), r.getLong(2))
+  }
+
+  /** (words, effective tokens) of `docs` under `vocab` — the broadcast
+    * tokenize-and-lookup the batch query uses
+    * ([[Curation.fertilityTokens]]), with the OOV char-level fallback. */
+  private def fertilityOf(docs: DataFrame, vocab: DataFrame): (Long, Long) = {
+    val r = Curation.fertilityTokens(
+        docs.withColumn("source", lit("stream")), vocab)
+      .agg(count(lit(1)).as("w"),
+        sum(coalesce(col("n_tok"), length(col("word")).cast("long") + 1L))
+          .as("t")).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** Full retrain on `docs` → version n: induce the vocabulary, measure
+    * the corpus's own fertility under it (the new baseline), commit all
+    * three tables. The one corpus-sized commit shape the maintainer
+    * retains — rare and amortized, exactly the IVF retrain. */
+  private def retrain(docs: DataFrame, n: Long): Option[BucketedCommitStats] = {
+    val kept = docs.select(col("doc_id"), col("text"))
+    val (_, vocab) = Curation.bpeBuildStepsOn(spark,
+      Curation.bpeVocab0Of(kept), maxMerges = merges)
+    val (w, t) = fertilityOf(kept, vocab)
+    val baseline = if (w > 0) t.toDouble / w else 0.0
+    state.commitFull(n, Map("docs" -> kept, "vocab" -> vocab,
+      "fertinfo" -> fertInfoDf(baseline, w, t)))
+  }
+
+  /** Corpus fertility relative to the at-train baseline — what
+    * [[maybeRetrain]] compares against the dial. 1.0 = the stream still
+    * tokenizes as well as the training corpus did. Neutral when counters
+    * or baseline are degenerate. */
+  def fertilitySinceTrain(): Double = {
+    val (baseline, w, t) = fertInfo()
+    if (w <= 0 || baseline <= 0) 1.0 else (t.toDouble / w) / baseline
+  }
+
+  /** Ingest one micro-batch of `(doc_id, text)`: measure its fertility
+    * under the FROZEN vocab (one broadcast join — batch-sized), retrain
+    * on acute drift, otherwise append the docs and roll the batch's mass
+    * into the committed counters. Replays and fully-redelivered batches
+    * no-op. */
+  def insertBatch(batch: Dataset[Row], batchId: Long): Unit = {
+    val target = batchId + 1
+    if (state.latest.exists(_ >= target)) return
+    val fresh = batch.toDF()
+      .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
+      .join(currentDocs().select(col("doc_id")), Seq("doc_id"), "left_anti")
+    if (fresh.isEmpty) return
+    val (baseline, w0, t0) = fertInfo()
+    val (bw, bt) = fertilityOf(fresh, currentVocab())
+    val batchF = if (bw > 0) bt.toDouble / bw else 0.0
+    if (baseline > 0 && batchF > acuteFertilityFactor * baseline) {
+      retrains += 1
+      retrain(currentDocs().unionByName(fresh), target)
+    } else {
+      state.commitAppend(target, Map(
+        "docs" -> fresh,
+        "fertinfo" -> fertInfoDf(baseline, w0 + bw, t0 + bt)))
+    }
+  }
+
+  /** RETRAIN POLICY (the [[StreamingIvfIndex.maybeRetrain]] shape): when
+    * the committed fertility counters drift past
+    * `retrainAtFertilityFactor` × the at-train baseline, re-induce the
+    * vocabulary over the stored corpus and reset the counters. Below the
+    * dial: no-op, no version burned. Run from the same single-writer
+    * loop as the batches. The check is driver arithmetic over the
+    * one-row counters — free per batch. */
+  def maybeRetrain(version: Long): Option[BucketedCommitStats] = {
+    if (state.latest.exists(_ >= version)) return None
+    if (fertilitySinceTrain() < retrainAtFertilityFactor) return None
+    retrains += 1
+    retrain(currentDocs(), version)
+  }
+
+  /** Attach to a `(doc_id, text)` stream: one ingest + one dial check per
+    * micro-batch (versions 2·id+1 ingest, 2·id+2 policy retrain). */
+  def start(docStream: DataFrame, checkpointDir: String): StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        insertBatch(b, 2 * id)
+        maybeRetrain(2 * id + 2)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}

@@ -52,22 +52,35 @@ class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
     buckets: Int = 0,
     targetBucketBytes: Option[Long] = None) extends Serializable {
 
-  private lazy val initialShingles = Dedup.shingledOf(Dedup.toksOf(initialDocs))
+  // The initial shingle frame feeds (at most) the sizing probe, its row
+  // count, AND the first commit's two table writes — persist across those
+  // uses (ADVICE r16 #3: the unpersisted frame was recomputed per use).
+  // Lazy + the `shinglesForced` flag: reopening an existing store must
+  // never compute shingles at all.
+  private var shinglesForced = false
+  private lazy val initialShingles = {
+    shinglesForced = true
+    Dedup.shingledOf(Dedup.toksOf(initialDocs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   // buckets <= 0 → SIZED (round-12 verdict #6; recorded layout wins).
   // With `targetBucketBytes` set, sizing goes through the BYTES dial
   // (round 16): a bounded probe of the store's dominant table (shingles)
   // measures bytes-per-row before the layout freezes — the row dial
   // stays the default so fixture-scale layouts (and their hash gates)
-  // are untouched.
+  // are untouched. The recorded-layout short-circuit comes FIRST (ADVICE
+  // r16 #3): reopening an existing store must not pay a full
+  // shingle-computation job whose result the recorded layout discards.
   private val resolvedBuckets =
     if (buckets > 0) buckets
-    else targetBucketBytes match {
-      case Some(t) => BucketedAppendState.measuredBuckets(spark, baseDir,
-        initialShingles, projectedRows = initialShingles.count(), t)
-      case None => BucketedAppendState.recordedBuckets(spark, baseDir).getOrElse(
-        graft.operators.SizingPolicy.sizedStateBuckets(initialDocs.count()))
-    }
+    else BucketedAppendState.recordedBuckets(spark, baseDir).getOrElse(
+      targetBucketBytes match {
+        case Some(t) => BucketedAppendState.measuredBuckets(spark, baseDir,
+          initialShingles, projectedRows = initialShingles.count(), t)
+        case None =>
+          graft.operators.SizingPolicy.sizedStateBuckets(initialDocs.count())
+      })
   private val state = new BucketedAppendState(spark, baseDir, resolvedBuckets,
     keyed = Map("shingles" -> "doc_id", "bands" -> "doc_id"),
     keepVersions = keepVersions)
@@ -77,6 +90,8 @@ class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
       "shingles" -> sh,
       "bands" -> Dedup.bandedSignatures(sh)))
   }
+  // bootstrap done — whatever the paths above pinned is released here
+  if (shinglesForced) initialShingles.unpersist()
 
   private val verdictSchema = StructType(Seq(
     StructField("delta_id", LongType), StructField("matched_id", LongType),

@@ -57,9 +57,13 @@ object AutoCompactScale {
         retainVersions = 2)
       (1 to rounds).foreach { r =>
         val t0 = System.nanoTime()
-        // every bucket touched, write fanned across the full shuffle width
+        // every bucket touched: stride 17 is CO-PRIME to the 64-bucket
+        // modulus, so the 241 ids cover all 64 residues (~3.8 per bucket).
+        // ADVICE r16 #2: the old stride 16 hit only residues {0,16,32,48} —
+        // 4 of 64 buckets per round — so "none"'s file count was mostly the
+        // initial write's width, not sustained wide-shuffle accumulation.
         Merge.upsertRound(spark, table,
-          mk(0L until 4096L by 16L, s"r$r").repartition(16), "universeId",
+          mk(0L until 4096L by 17L, s"r$r").repartition(16), "universeId",
           over, coal, keep, buckets = 64, retainVersions = 2,
           autoCompactAtFiles = dial)
         val roundS = (System.nanoTime() - t0) / 1e9

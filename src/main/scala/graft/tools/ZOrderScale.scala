@@ -84,6 +84,49 @@ object ZOrderScale {
           f"${opened.toDouble / total}%6.3f $rows%6d $sec%7.2f")
       }
     }
+
+    // STRING Z-dimension sweep (round 17): the same file-count dial with a
+    // takedown-shaped predicate on a shared-prefix domain column — the
+    // regime where min/max arithmetic is useless and only the rank
+    // normalization can lay the table out FOR the predicate. Control is
+    // the numeric 1-D layout (the pre-round-17 best): the string
+    // predicate filters but cannot prune a single file there.
+    def gamesStr: DataFrame = docs.select(
+      col("doc_id").as("universeId"),
+      (col("doc_id") + 1000000L).as("rootPlaceId"),
+      concat(lit("https://d"), lpad((col("doc_id") * 37 % n).cast("string"),
+        7, "0"), lit(".example.com")).as("name"),
+      col("text").as("description"),
+      lit(null).cast("string").as("gameplayDescription"),
+      (col("doc_id") * 53 % n).as("playerCount"))
+    val sLo = "https://d" + "%07d".format(0) + ".example.com"
+    val sHi = "https://d" + "%07d".format(n / 16 - 1) + ".example.com"
+    for (fpb <- Seq(8, 32, 64)) {
+      val path = s"$tmp/strz-fpb$fpb/games"
+      Merge.upsertIncrementalRounds(spark, path,
+        gamesStr.repartition(col("universeId") % buckets), Seq.empty,
+        "universeId",
+        overwriteCols = Seq("rootPlaceId", "name", "playerCount"),
+        coalesceCols = Seq("description"),
+        keepCols = Seq("gameplayDescription"), buckets = buckets)
+      for (layout <- Seq("1d-num", "z-str")) {
+        if (layout == "1d-num")
+          Merge.cluster(spark, path, "playerCount", filesPerBucket = fpb,
+            retainVersions = 1)
+        else
+          Merge.clusterZ(spark, path, Seq("name", "playerCount"),
+            filesPerBucket = fpb, retainVersions = 1)
+        val total = Merge.readTable(spark, path).inputFiles.length
+        val t0 = System.nanoTime()
+        val read = Merge.readTableWhereStrings(spark, path,
+          Seq(("name", sLo, sHi)))
+        val rows = read.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val opened = read.inputFiles.length
+        println(f"STRZ $fpb%4d $layout%7s $opened%6d $total%6d " +
+          f"${opened.toDouble / total}%6.3f $rows%6d $sec%7.2f")
+      }
+    }
     spark.stop()
   }
 }

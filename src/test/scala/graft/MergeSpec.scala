@@ -526,6 +526,70 @@ class MergeSpec extends AnyFunSuite {
       s"z kept ${z.inputFiles.length} files vs 1d control $files1d")
   }
 
+  test("string Z-order: a rank-normalized string dimension prunes takedown-shaped predicates (round 17)") {
+    // lower-bound semantics of the rank kernel itself: deterministic on
+    // ties, monotone, nulls handled by the Column face
+    import org.apache.spark.unsafe.types.UTF8String
+    val cuts = Array("b", "d", "d", "f").map(UTF8String.fromString)
+    def b(s: String) = graft.functions.StringRankBucket.bucketOf(cuts, UTF8String.fromString(s))
+    assert(b("a") === 0 && b("b") === 1 && b("c") === 1 && b("d") === 3 &&
+      b("e") === 3 && b("f") === 4 && b("z") === 4)
+    assert(Seq("a", "b", "c", "d", "e", "f", "z").map(b).sorted ===
+      Seq("a", "b", "c", "d", "e", "f", "z").map(b), "rank is monotone")
+
+    val tmp = java.nio.file.Files.createTempDirectory("merge-strz").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    // domain-shaped strings: every value shares the "https://d" prefix, so
+    // a min/max byte-scaled key would collapse the dimension — the rank
+    // normalization is what makes the layout usable. Axes decorrelated
+    // from the bucket key (×37, ×53 mod 960).
+    val n = 960L
+    val rows = (0L until n).map { id =>
+      (id, id * 10, f"https://d${id * 37 % n}%04d.example.com",
+        Option.when(id % 3 == 0)(s"d$id"), Option(s"g$id"), Some(id * 53 % n))
+    }.toDF("universeId", "rootPlaceId", "name", "description",
+      "gameplayDescription", "playerCount")
+    Merge.upsertIncrementalRounds(spark, table, rows, Seq.empty,
+      "universeId", over, coal, keep, buckets = 4)
+    val before = Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect()
+    val (lo, hi) = ("https://d0100.example.com", "https://d0199.example.com")
+    def want = before.filter { r =>
+      val s = r.getString(2); s >= lo && s <= hi
+    }
+    assert(want.length === 100, s"precondition: ${want.length}")
+
+    // control: numeric 1-D layout — the takedown-shaped string predicate
+    // has no stats column and cannot prune a single file
+    Merge.cluster(spark, table, "playerCount", filesPerBucket = 8)
+    val ctl = Merge.readTableWhereStrings(spark, table, Seq(("name", lo, hi)))
+    assert(ctl.selectExpr(ttCols: _*).orderBy("universeId").collect() === want)
+    val totalCtl = Merge.readTable(spark, table).inputFiles.length
+    assert(ctl.inputFiles.length === totalCtl,
+      s"control must be unable to prune, opened ${ctl.inputFiles.length}/$totalCtl")
+
+    // string+numeric Z layout: the same predicate now prunes, and the
+    // numeric dimension keeps pruning too — zero row drift on both
+    Merge.clusterZ(spark, table, Seq("name", "playerCount"), filesPerBucket = 8)
+    assert(Merge.readTable(spark, table).selectExpr(ttCols: _*)
+      .orderBy("universeId").collect() === before,
+      "clusterZ is a pure layout change")
+    val z = Merge.readTableWhereStrings(spark, table, Seq(("name", lo, hi)))
+    assert(z.selectExpr(ttCols: _*).orderBy("universeId").collect() === want)
+    val total = Merge.readTable(spark, table).inputFiles.length
+    assert(z.inputFiles.nonEmpty && z.inputFiles.length < total,
+      s"string z-dimension must prune, opened ${z.inputFiles.length} of $total")
+    val numPred = Seq(("playerCount", 0L, n / 4 - 1))
+    val zn = Merge.readTableWhereAll(spark, table, numPred)
+    assert(zn.inputFiles.length < total,
+      s"numeric co-dimension still prunes, opened ${zn.inputFiles.length} of $total")
+    assert(zn.selectExpr(ttCols: _*).orderBy("universeId").collect() ===
+      before.filter(r => !r.isNullAt(5) && r.getLong(5) < n / 4))
+  }
+
   test("bloom point reads: bounded distributed probe, absent keys open none, maintained across merge rounds, fragment-less fallback") {
     val tmp = java.nio.file.Files.createTempDirectory("merge-bloom").toString
     val table = s"$tmp/games"
@@ -1636,6 +1700,145 @@ class MergeSpec extends AnyFunSuite {
     assert(Merge.readTable(spark, table).selectExpr(ttCols: _*)
       .orderBy("universeId").collect() ===
       expected.selectExpr(ttCols: _*).orderBy("universeId").collect())
+  }
+
+  test("compact rides OCC: a disjoint-bucket writer landing inside the commit window is benign (ADVICE r17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-cptocc").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    // 8-bucket table whose initial rows land only in buckets 0–3, written
+    // 4-wide: those four buckets are the oversized set compact will claim
+    Merge.upsertIncrementalRounds(spark, table,
+      mkTT((0L until 32L).filter(_ % 8 < 4), "base").repartition(4),
+      Seq.empty, "universeId", over, coal, keep, buckets = 8,
+      retainVersions = 10)
+    // the racing writer lands BETWEEN compact's planning read and its
+    // commit (the only window a conflict can exist in — anything earlier
+    // is simply part of the state compact plans over): its row goes to
+    // bucket 5, disjoint from every oversized bucket, so compact must
+    // merge and commit, not throw out of an already-successful caller
+    var fired = false
+    val st = Merge.compact(spark, table, targetFiles = 1,
+      retainVersions = 10, onlyAboveFiles = Some(2),
+      hooks = Merge.IncHooks(beforeCommit = _ => if (!fired) {
+        fired = true
+        Merge.upsertRound(spark, table, mkTT(Seq(5L), "race"), "universeId",
+          over, coal, keep, buckets = 8, retainVersions = 10)
+      }))
+    assert(fired && st.buckets === 4,
+      s"compact must still rewrite the four oversized buckets, got $st")
+    // both writers' effects are in the final version: the racer's row AND
+    // the bounded buckets
+    val r = Merge.readTable(spark, table)
+    assert(r.filter(col("name") === "race-5").count() === 1L)
+    assert(r.count() === 17L)
+    val mdir = java.nio.file.Paths.get(s"$table/_manifests")
+    def statsOfLatest(): Map[Int, Long] = {
+      val latest = java.nio.file.Files.list(mdir).iterator().asScala
+        .map(_.getFileName.toString).filter(_.startsWith("manifest-v"))
+        .map(_.stripPrefix("manifest-v").toInt).max
+      java.nio.file.Files.readAllLines(mdir.resolve(s"manifest-v$latest")).asScala
+        .filter(l => l.nonEmpty && !l.startsWith("#")).map(_.split(','))
+        .map(p => p(0).toInt -> p(2).toLong).toMap
+    }
+    Seq(0, 1, 2, 3).foreach(b => assert(statsOfLatest()(b) === 1L,
+      s"bucket $b compacted to one file, got ${statsOfLatest()}"))
+  }
+
+  test("auto-compact is best-effort: a racer rewriting the offender bucket cannot fail a committed round (ADVICE r17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-acbe").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    // 8-wide initial write: every bucket starts above the dial, so the
+    // policy rewrite is guaranteed to run after the round's commit
+    Merge.upsertIncrementalRounds(spark, table,
+      mkTT(0L until 64L, "base").repartition(8),
+      Seq.empty, "universeId", over, coal, keep, buckets = 4,
+      retainVersions = 10)
+    // the round's own commit is hook call #1; the auto-compact's commit is
+    // hook call #2 — inject a racer that rewrites the OFFENDER bucket
+    // right there, making the policy rewrite genuinely stale. The round
+    // must still return success: its merge committed before the policy ran.
+    var calls = 0
+    val stats = Merge.upsertRound(spark, table,
+      mkTT(Seq(0L, 4L, 8L, 12L), "r1"), "universeId",
+      over, coal, keep, buckets = 4, retainVersions = 10,
+      autoCompactAtFiles = Some(2),
+      hooks = Merge.IncHooks(beforeCommit = _ => {
+        calls += 1
+        // id 5 → bucket 1: an OVERSIZED bucket (8-wide initial, untouched
+        // by r1), so the policy rewrite's input is genuinely stale
+        if (calls == 2)
+          Merge.upsertRound(spark, table, mkTT(Seq(5L), "race"), "universeId",
+            over, coal, keep, buckets = 4, retainVersions = 10)
+      }))
+    assert(calls >= 2, "the dial must have attempted the policy rewrite")
+    assert(stats.round > 0, "the merge round itself committed")
+    // no row lost on either side of the abandoned policy rewrite
+    val r = Merge.readTable(spark, table)
+    assert(r.filter(col("name") === "race-5").count() === 1L)
+    assert(r.filter(col("name") === "r1-0").count() === 1L)
+    assert(r.count() === 64L)
+    // the next dialed round (no racer) completes the deferred compaction
+    Merge.upsertRound(spark, table, mkTT(Seq(16L), "r2"), "universeId",
+      over, coal, keep, buckets = 4, retainVersions = 10,
+      autoCompactAtFiles = Some(2))
+    val mdir = java.nio.file.Paths.get(s"$table/_manifests")
+    val latest = java.nio.file.Files.list(mdir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("manifest-v"))
+      .map(_.stripPrefix("manifest-v").toInt).max
+    val after = java.nio.file.Files.readAllLines(
+      mdir.resolve(s"manifest-v$latest")).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map(_.split(','))
+      .map(p => p(0).toInt -> p(2).toLong).toMap
+    assert(after.values.max <= 2,
+      s"the dial re-checks at the next write and bounds the bucket, got $after")
+  }
+
+  test("benign commit retry keeps adopted legacy stats — the one-round migration completes under conflict (ADVICE r17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("merge-adstat").toString
+    val table = s"$tmp/games"
+    val over = Seq("rootPlaceId", "name", "playerCount")
+    val coal = Seq("description")
+    val keep = Seq("gameplayDescription")
+    Merge.upsertIncrementalRounds(spark, table, mkTT(0L until 64L, "base"),
+      Seq.empty, "universeId", over, coal, keep, buckets = 4,
+      retainVersions = 10)
+    val mdir = java.nio.file.Paths.get(s"$table/_manifests")
+    def latestN: Int = java.nio.file.Files.list(mdir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("manifest-v"))
+      .map(_.stripPrefix("manifest-v").toInt).max
+    def stripStats(p: java.nio.file.Path): Seq[String] =
+      java.nio.file.Files.readAllLines(p).asScala.toSeq.map { l =>
+        if (l.startsWith("#")) l else l.split(',').take(2).mkString(",")
+      }
+    // simulate a pre-round-16 table: the current manifest has no stats
+    java.nio.file.Files.write(mdir.resolve(s"manifest-v$latestN"),
+      stripStats(mdir.resolve(s"manifest-v$latestN")).asJava)
+    // the racing "winner" is an OLD-binary writer: it claims the next
+    // version with the SAME state but stats-less lines, so the rebased
+    // carried stats read back empty — only this writer's adopted
+    // measurements can complete the migration
+    var fired = false
+    Merge.upsertRound(spark, table, mkTT(Seq(0L), "r1"), "universeId",
+      over, coal, keep, buckets = 4, retainVersions = 10,
+      hooks = Merge.IncHooks(beforeCommit = _ => if (!fired) {
+        fired = true
+        val n = latestN
+        java.nio.file.Files.write(mdir.resolve(s"manifest-v${n + 1}"),
+          stripStats(mdir.resolve(s"manifest-v$n")).asJava)
+      }))
+    assert(fired)
+    val lines = java.nio.file.Files.readAllLines(
+      mdir.resolve(s"manifest-v$latestN")).asScala
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map(_.split(','))
+    assert(lines.nonEmpty && lines.forall(_.length === 4),
+      s"adopted legacy stats must survive the benign retry, got " +
+        lines.map(_.mkString(",")).mkString(" | "))
   }
 }
 

@@ -185,6 +185,78 @@ class MultimodalSpec extends AnyFunSuite {
       frac >= 0.5 && m >= 1 && m <= math.min(na, nb) })
   }
 
+  test("real-decode audio: WAV subfingerprints are gain-invariant, shift-equivariant, and attribute offsets (round 17)") {
+    // ANALYTIC golden properties of the band-gradient classifier (the
+    // phash precedent: properties, not recorded constants):
+    //   - GAIN INVARIANCE: energies scale uniformly, both differences
+    //     keep their sign → identical fingerprint;
+    //   - SHIFT EQUIVARIANCE: a prefix of exactly k·AfFrameHop samples
+    //     shifts every interior subfingerprint by k unchanged — the
+    //     property offset voting relies on.
+    def noise(seed: Long): () => Double = {
+      var s = seed
+      () => {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        ((s >>> 11).toDouble / (1L << 53).toDouble) - 0.5
+      }
+    }
+    def synth(nSamples: Int, seed: Long, f0: Double, fmPeriod: Double): Array[Double] = {
+      val nz = noise(seed)
+      Array.tabulate(nSamples) { t =>
+        val sweep = f0 + 3.0 * math.sin(2 * math.Pi * t / fmPeriod)
+        0.5 * math.sin(2 * math.Pi * sweep * t / 256.0) + 0.2 * nz()
+      }
+    }
+    val a = synth(8192, seed = 7L, f0 = 5.0, fmPeriod = 2000.0)
+    val fpA = graft.operators.Multimodal.wavSubfingerprints(a)
+    assert(fpA.length === (8192 - 256) / 128, s"got ${fpA.length}")
+    assert(graft.operators.Multimodal.wavSubfingerprints(a.map(_ * 0.25))
+      .sameElements(fpA), "uniform gain must not move a single bit")
+    val shifted = Array.fill(4 * 128)(0.0) ++ a
+    val fpS = graft.operators.Multimodal.wavSubfingerprints(shifted)
+    assert((0 until fpA.length).forall(i => fpS(i + 4) === fpA(i)),
+      "a 4-hop prefix shifts every interior subfingerprint by exactly 4")
+
+    // end-to-end over real RIFF/PCM bytes through javax.sound.sampled
+    val dir = java.nio.file.Files.createTempDirectory("audio-wavs")
+    def writeWav(id: Long, samples: Array[Double], sr: Int = 8000): Unit = {
+      val n = samples.length
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sr).putInt(sr * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(2 * n)
+      samples.foreach(s => bb.putShort(
+        math.max(-32768, math.min(32767, math.round(s * 32767.0))).toShort))
+      java.nio.file.Files.write(dir.resolve(s"$id.wav"), bb.array())
+    }
+    writeWav(1L, a)
+    writeWav(2L, a)                                    // exact re-upload
+    writeWav(3L, Array.fill(4 * 128)(0.0) ++ a)        // 4-hop intro
+    writeWav(9L, synth(8192, seed = 999L, f0 = 11.0, fmPeriod = 1700.0)) // unrelated
+    java.nio.file.Files.write(dir.resolve("8.wav"),
+      "definitely not RIFF".getBytes("UTF-8"))         // corrupt blob
+    assert(graft.operators.Multimodal.wavSamples(
+      "definitely not RIFF".getBytes("UTF-8")).isEmpty)
+
+    val out = graft.operators.Multimodal.audioDedupWav(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(4), r.getDouble(6))).toMap
+    graft.tools.CacheRegistry.release(blocking = true)
+    assert(out.contains((1L, 2L)), s"exact re-upload must pair: $out")
+    assert(out((1L, 2L))._1 === 0 && out((1L, 2L))._2 >= 0.99,
+      s"exact copy aligns at offset 0 with ~full overlap: ${out((1L, 2L))}")
+    assert(out.contains((1L, 3L)), s"intro-shifted copy must pair: $out")
+    assert(out((1L, 3L))._1 === -4,
+      s"the 4-hop intro must be attributed at offset −4: ${out((1L, 3L))}")
+    assert(!out.keySet.exists { case (x, y) =>
+      Set(x, y).contains(9L) || Set(x, y).contains(8L) },
+      s"unrelated and corrupt clips must not pair: $out")
+  }
+
   test("audio dedup plans banded equi-joins only, no all-pairs") {
     val plan = Multimodal.audioDedup(spark, SparkTestSession.Sf0001)
       .queryExecution.executedPlan.toString

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingBpeMaintainer
+
+/** The tokenizer retrain dial (round 17) — the policy family's third
+  * member: NSW has deleted-fraction, IVF has chronic-distortion, BPE now
+  * has chronic-fertility. */
+class StreamingBpeMaintainerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // digram-family corpora: 12 merges genuinely compress {ab,cd} words;
+  // {xy,zw} words are unseen morphology (char-level fallback fertility)
+  private def docsOf(ids: Seq[Long], digrams: Seq[String]) =
+    ids.map { id =>
+      val words = (1 to 12).map { j =>
+        val d = digrams(((id + j) % digrams.length).toInt)
+        d * (2 + ((id * 31 + j) % 4).toInt)
+      }
+      (id, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+  test("chronic fertility drift fires the dial; retrain restores the fit (round 17)") {
+    val dir = java.nio.file.Files.createTempDirectory("bpemaint").toString
+    val m = new StreamingBpeMaintainer(spark, dir,
+      docsOf(0L until 200L, Seq("ab", "cd")),
+      acuteFertilityFactor = 3.0, retrainAtFertilityFactor = 1.3)
+    assert(m.fertilitySinceTrain() === 1.0, "at train the ratio is exactly 1")
+    val (baseline0, _, _) = m.fertInfo()
+    // the digram corpus compresses COMPLETELY within the merge budget
+    // (fertility 1.0 — the trainer's early-stop on an exhausted vocab);
+    // anything near char fallback (~8) would mean training didn't bite
+    assert(baseline0 >= 1.0 && baseline0 < 4.0,
+      s"training must genuinely compress the digram corpus, got $baseline0")
+
+    // a same-domain batch moves nothing: no retrain, ratio stays ~1
+    m.insertBatch(docsOf(1000L until 1050L, Seq("ab", "cd")), 0L)
+    assert(m.maybeRetrain(2L).isEmpty && m.retrains === 0)
+    assert(math.abs(m.fertilitySinceTrain() - 1.0) < 0.1)
+
+    // drift batches: 20% unseen morphology each — individually under the
+    // 3.0 acute bar, chronically walking the corpus ratio up
+    var fired = false
+    var firedAt = -1
+    (1 to 8).foreach { i =>
+      if (!fired) {
+        val lo = 2000L + i * 100L
+        val batch = docsOf(lo until (lo + 10L), Seq("xy", "zw"))
+          .unionByName(docsOf((lo + 10L) until (lo + 50L), Seq("ab", "cd")))
+        m.insertBatch(batch, 2L * i)
+        assert(m.retrains === 0,
+          s"sub-acute batches must never trip the acute trigger (step $i)")
+        if (m.maybeRetrain(2L * i + 2).nonEmpty) { fired = true; firedAt = i }
+      }
+    }
+    assert(fired, "the chronic dial must fire as the corpus drifts")
+    assert(m.retrains === 1)
+    assert(m.fertilitySinceTrain() < 1.05,
+      s"retrain resets the counters to the new fit, got ${m.fertilitySinceTrain()}")
+    // the retrained vocabulary actually LEARNED the drifted morphology:
+    // a drift-domain word tokenizes below its char-level fallback
+    val drifted = m.currentVocab().filter(col("word").startsWith("xy"))
+      .select(col("word"), size(split(col("seq"), " ")).as("n"))
+      .collect()
+    assert(drifted.nonEmpty, "drift words entered the vocabulary")
+    assert(drifted.forall(r => r.getInt(1) < r.getString(0).length + 1),
+      s"merges must compress drift words below char fallback: ${drifted.mkString(",")}")
+
+    // replays stay suppressed across the retrain's version axis
+    val (b1, w1, t1) = m.fertInfo()
+    m.insertBatch(docsOf(2100L until 2150L, Seq("ab", "cd")), 2L * firedAt)
+    assert(m.fertInfo() === ((b1, w1, t1)), "replayed batch must no-op")
+  }
+
+  test("acute fertility shift retrains immediately (round 17)") {
+    val dir = java.nio.file.Files.createTempDirectory("bpemaint-acute").toString
+    val m = new StreamingBpeMaintainer(spark, dir,
+      docsOf(0L until 100L, Seq("ab", "cd")),
+      acuteFertilityFactor = 1.5, retrainAtFertilityFactor = 10.0)
+    // pure unseen morphology: char fallback fertility, far over 1.5×
+    m.insertBatch(docsOf(5000L until 5050L, Seq("xy", "zw")), 0L)
+    assert(m.retrains === 1, "an out-of-distribution batch is the acute case")
+    assert(m.fertilitySinceTrain() < 1.05)
+    graft.tools.CacheRegistry.release(blocking = true)
+  }
+}

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.operators.Merge
-import graft.streaming.{StreamingCdcVectorIndex, StreamingChangeFeed}
+import graft.streaming.{StreamingCdcVectorIndex, StreamingChangeFeed, SubCommitSchemeMismatch}
 
 /** The ONE-INGEST-SPINE composition (round-14): the vector index
   * maintained off the lake's CDC feed — inserts become NSW insertions,
@@ -102,5 +102,73 @@ class StreamingCdcVectorIndexSpec extends AnyFunSuite {
       .head().getSeq[Double](1).map(x => -x),
       "a delete+reinsert bundle must serve the REINSERTED vector")
     assert(idxVecs().keySet === lakeVecs().keySet)
+  }
+
+  test("version-scheme guard: an undrained upgrade gets a named refusal, not a double-apply (round 17)") {
+    val idxDir = Files.createTempDirectory("cvi-scheme").toString
+    val e = graft.io.Tables.embeddings(spark, SparkTestSession.Sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val initial = e.filter(col("vec_id") < 100)
+    val cvi = new StreamingCdcVectorIndex(spark, idxDir, initial)
+    assert(StreamingCdcVectorIndex.recordedScheme(spark, idxDir) ===
+      Some(StreamingCdcVectorIndex.SubCommitsPerBatch),
+      "a fresh store records the scheme it is written under")
+
+    // batch 0 carries a DELETE — the op whose replay is NOT idempotent
+    // past the version guard (the deleted counter double-counts and the
+    // rebuild dial fires early); apply it directly, which is exactly the
+    // state after a crash BETWEEN the store commit and the checkpoint
+    // commit: the store holds the batch, the checkpoint would replay it
+    val batch = e.filter(col("vec_id") === 5L)
+      .select(lit("delete").as("op"), col("vec_id"), col("v"),
+        lit(1).as("version"))
+      .unionByName(e.filter(col("vec_id") === 200L)
+        .select(lit("insert").as("op"), col("vec_id"), col("v"),
+          lit(1).as("version")))
+    cvi.applyFeedBatch(batch, 0L)
+    val (atBuild0, deleted0) = cvi.index.buildInfo()
+    assert(deleted0 === 1L, "the delete landed once")
+
+    // SAME-scheme replay (the crash-recovery path the guard must keep
+    // working): versions re-derive identically, the store no-ops
+    cvi.applyFeedBatch(batch, 0L)
+    assert(cvi.index.buildInfo() === ((atBuild0, deleted0)),
+      "a same-scheme replay is suppressed by the numeric version guard")
+
+    // "UPGRADE": the store was written by a binary deriving 3 sub-commits
+    // per batch (simulated by re-stamping the marker the old binary would
+    // have left); the undrained checkpoint still holds batch 0. The new
+    // binary must REFUSE to attach — under the wider scheme batch 0 would
+    // replay at strictly larger versions and slip past the guard.
+    val marker = java.nio.file.Paths.get(idxDir, "_subcommit_scheme")
+    // drop the checksum sidecar the Hadoop local FS wrote for the stamp —
+    // this simulation writes the marker bytes directly
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(idxDir, "._subcommit_scheme.crc"))
+    java.nio.file.Files.write(marker, "3\n".getBytes("UTF-8"))
+    val refusal = intercept[SubCommitSchemeMismatch] {
+      new StreamingCdcVectorIndex(spark, idxDir, initial)
+    }
+    assert(refusal.getMessage.contains("Drain") &&
+      refusal.getMessage.contains("acceptSchemeChange"),
+      s"the refusal must name the recovery rule, got: ${refusal.getMessage}")
+    // the refusal fired BEFORE any store access: nothing moved
+    assert(cvi.index.buildInfo() === ((atBuild0, deleted0)))
+
+    // drain acknowledged: the operator re-attaches explicitly, the marker
+    // is re-stamped, and the maintainer works — including the replay
+    // guard for post-drain batches
+    val cvi2 = new StreamingCdcVectorIndex(spark, idxDir, initial,
+      acceptSchemeChange = true)
+    assert(StreamingCdcVectorIndex.recordedScheme(spark, idxDir) ===
+      Some(StreamingCdcVectorIndex.SubCommitsPerBatch))
+    val batch1 = e.filter(col("vec_id") === 201L)
+      .select(lit("insert").as("op"), col("vec_id"), col("v"),
+        lit(2).as("version"))
+    cvi2.applyFeedBatch(batch1, 1L)
+    assert(cvi2.currentVectors().filter(col("vec_id") === 201L).count() === 1L)
+    cvi2.applyFeedBatch(batch1, 1L) // replay still no-ops
+    assert(cvi2.index.buildInfo() === ((atBuild0, deleted0)),
+      "post-drain replays stay suppressed")
   }
 }
