@@ -721,7 +721,19 @@ object Multimodal {
     * over the audio corpus — [[Dedup.corpus]] plus a PREFIX-SHIFTED
     * planted family (every 7th doc behind a 4-token intro, one hop
     * exactly), so offset detection has ground truth. */
-  private[graft] def audioSubs(spark: SparkSession, dir: String): DataFrame = {
+  /** `window`/`hop` are the candidate-mass dial (round 17 — the ×10
+    * SfScale replay measured banded candidates at 21.9× for a 10×
+    * corpus as the 2^15-bucket band space starts to saturate; halving
+    * the subfingerprint rate cuts candidate mass ~quadratically since
+    * both join sides thin). The hop=4 DEFAULT is justified by the same
+    * replay: an edit of g tokens is attributable only when hop ≤ g (the
+    * planted 4-token intro lands at exactly −1 hop at hop 4; at hop 8
+    * no window of the shifted clip coincides with ANY original window,
+    * the subfingerprints decorrelate, and the shifted family is lost —
+    * AudioSweep's hop-8 row). Widen the hop only when the catalog's
+    * minimal attributable edit is coarser. */
+  private[graft] def audioSubs(spark: SparkSession, dir: String,
+      window: Int = AfWindow, hop: Int = AfHop): DataFrame = {
     import graft.functions.ArrayExpressions
     val base = Dedup.corpus(spark, dir).select(col("doc_id"), col("text"))
     val shifted = Tables.documents(spark, dir)
@@ -732,11 +744,11 @@ object Multimodal {
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .select(col("doc_id"), col("toks"),
         explode(expr(
-          s"sequence(0, greatest(cast(floor((size(toks) - $AfWindow) / ${AfHop}.0) as int), 0))"))
+          s"sequence(0, greatest(cast(floor((size(toks) - $window) / ${hop}.0) as int), 0))"))
           .as("sub_idx"))
       .select(col("doc_id"), col("sub_idx").cast("int").as("sub_idx"),
         ArrayExpressions.simHash60(ArrayExpressions.hashedWords60(
-          expr(s"slice(toks, sub_idx * $AfHop + 1, $AfWindow)")))
+          expr(s"slice(toks, sub_idx * $hop + 1, $window)")))
           .as("fp"))
   }
 

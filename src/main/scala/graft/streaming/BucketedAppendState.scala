@@ -131,16 +131,49 @@ object BucketedAppendState {
     }
 }
 
+/** @param alignDeltaWrites repartition each delta write by bucket so a
+  *   touched bucket's generation lands as ONE file instead of one file
+  *   per shuffle task (round 17 — StateGrowthScale measured the
+  *   unaligned shape at ~16× the file count, with full-state reads
+  *   degrading 2.5→7 s across the gen cycle at 120 commit rounds; the
+  *   cost is one BATCH-sized shuffle per commit, which is the delta
+  *   commit's own size class). Off reproduces the legacy layout.
+  * @param collapseStagger extra per-bucket collapse headroom drawn
+  *   deterministically in [0, stagger] from the bucket id: under a
+  *   UNIFORM touch pattern every bucket's gen list grows in lockstep and
+  *   the maxGens collapse fires for ALL buckets in the SAME commit — a
+  *   corpus-sized stall (StateGrowthScale: rounds 40/80/120 cost
+  *   59/111/174 s while ordinary rounds cost ~5 s). Staggered thresholds
+  *   spread the rewrites across rounds — the classic compaction-stampede
+  *   fix. Read amplification stays bounded by
+  *   maxGensPerBucket + collapseStagger (documented bound; 0 keeps the
+  *   exact legacy contract). */
 final class BucketedAppendState(spark: SparkSession, rootDir: String,
     buckets: Int = 16, keyed: Map[String, String] = Map.empty,
     keepVersions: Int = 3,
     maxGensPerBucket: Int = 8,
     hooks: Merge.IncHooks = Merge.IncHooks.none,
     litterVacuumEveryCommits: Int = 64,
-    litterVacuumAgeMs: Long = 24L * 3600 * 1000) extends Serializable {
+    litterVacuumAgeMs: Long = 24L * 3600 * 1000,
+    alignDeltaWrites: Boolean = true,
+    collapseStagger: Int = 0) extends Serializable {
   require(buckets >= 1, s"buckets must be >= 1, got $buckets")
   require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
   require(maxGensPerBucket >= 1, s"maxGensPerBucket must be >= 1")
+  require(collapseStagger >= 0, s"collapseStagger must be >= 0")
+
+  /** Per-bucket collapse threshold: maxGens plus this bucket's share of
+    * the stagger span (a splitmix-style scramble so adjacent buckets draw
+    * unrelated offsets). */
+  private def collapseThreshold(b: Int): Int =
+    if (collapseStagger == 0) maxGensPerBucket
+    else {
+      var z = b.toLong + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      maxGensPerBucket + (((z ^ (z >>> 31)) & Long.MaxValue) %
+        (collapseStagger + 1)).toInt
+    }
 
   private val root = new Path(rootDir)
   @transient private lazy val fs =
@@ -421,7 +454,7 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
       // collapse where deletes apply, where the gen list is full, or
       // where a delete-bucket also takes appends; plain-append elsewhere
       val collapseBuckets = delBuckets ++ appendBuckets.filter(b =>
-        oldEntries.get(b).exists(_.length >= maxGensPerBucket))
+        oldEntries.get(b).exists(_.length >= collapseThreshold(b)))
       val appendOnly = (appendBuckets -- collapseBuckets).toSeq.sorted
       val collapse = collapseBuckets.toSeq.sorted
       def loadBuckets(bs: Seq[Int]): Option[DataFrame] = {
@@ -452,7 +485,8 @@ final class BucketedAppendState(spark: SparkSession, rootDir: String,
         case (None, None) => None
       }
       val touched = (collapse ++ appendOnly).sorted
-      val written = toWrite.map(writeKeyedGen(version, t, _, touched, align = false))
+      val written = toWrite.map(writeKeyedGen(version, t, _, touched,
+        align = alignDeltaWrites))
       val gen = written.map(_._1)
       val present = written.map(_._2).getOrElse(Seq.empty)
       // collapsed buckets point at ONLY the new gen (empty rewrite drops

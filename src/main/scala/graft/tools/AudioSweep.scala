@@ -14,13 +14,18 @@ import graft.operators.Multimodal
   * every caught shifted copy must align at exactly −1 hop, which is the
   * property set-based matching cannot produce.
   *
-  * `runMain graft.tools.AudioSweep [dir]` (default SPARK_GRAFT_SF_DIR /
-  * sf0.1). Deterministic end to end.
+  * `runMain graft.tools.AudioSweep [dir] [hop]` (default
+  * SPARK_GRAFT_SF_DIR / sf0.1, hop 4). The hop arg prices the
+  * candidate-mass dial (round 17): replays the whole pipeline at a
+  * coarser subfingerprint rate — candidate mass falls ~quadratically,
+  * and the shifted-family recall row shows what the coarser hop can no
+  * longer attribute (a 4-token intro is sub-hop at hop 8).
   */
 object AudioSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val hop = args.lift(1).flatMap(_.toIntOption).getOrElse(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,7 +36,7 @@ object AudioSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val subs = Multimodal.audioSubs(spark, dir)
+    val subs = Multimodal.audioSubs(spark, dir, hop = hop)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clips = subs.select(col("doc_id")).distinct().count()
     val nSubs = subs.count()
@@ -42,10 +47,10 @@ object AudioSweep {
       .agg(sum((col("count") * (col("count") - 1) / 2).cast("long")).as("cand"),
         max(col("count")).as("hottest"))
       .head()
-    println(s"AUDIO clips=$clips subfps=$nSubs " +
+    println(s"AUDIO hop=$hop clips=$clips subfps=$nSubs " +
       s"cand_pairs=${occ.getLong(0)} hottest_bucket=${occ.getLong(1)}")
 
-    val out = Multimodal.audioDedup(spark, dir)
+    val out = Multimodal.audioPairsFromSubs(subs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val verdicts = out.count()
     val nBase = graft.io.Tables.documents(spark, dir).count()

@@ -33,6 +33,12 @@ object AutoCompactScale {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", "16")
+      // keep the merge write's full 16-way shuffle width (round 17): the
+      // study models PRODUCTION-sized rounds, where every shuffle
+      // partition is genuinely loaded and AQE would not coalesce — on the
+      // fixture's tiny batches AQE folds the output to one partition and
+      // no wide-bucket regime exists to measure
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -54,9 +54,6 @@ object StateGrowthScale {
     import spark.implicits._
 
     val buckets = 32
-    val tmp = java.nio.file.Files.createTempDirectory("stategrowth").toString
-    val state = new BucketedAppendState(spark, s"$tmp/store", buckets,
-      keyed = Map("rows" -> "doc_id"), keepVersions = 3)
 
     def batch(round: Int, n: Int) = (0 until n).map { i =>
       val id = round.toLong * 100000L + i
@@ -64,9 +61,7 @@ object StateGrowthScale {
     }.toDF("doc_id", "text")
     def info(round: Int) = Seq((round.toLong, round * 1.5)).toDF("n", "s")
 
-    state.commitFull(0L, Map("rows" -> batch(0, 2048), "info" -> info(0)))
-
-    def walkFiles(): Long = {
+    def walkFiles(tmp: String): Long = {
       def rec(p: java.nio.file.Path): Long = {
         val s = java.nio.file.Files.list(p).iterator()
         var n = 0L
@@ -83,7 +78,7 @@ object StateGrowthScale {
       }
       rec(java.nio.file.Paths.get(tmp, "store"))
     }
-    def maxGens(): Int = {
+    def maxGens(tmp: String): Int = {
       // manifest-served: longest gen list across buckets of `rows`
       val mdir = new org.apache.hadoop.fs.Path(s"$tmp/store/_manifests")
       val hfs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -99,21 +94,36 @@ object StateGrowthScale {
       finally in.close()
     }
 
-    println(f"${"round"}%6s ${"files"}%7s ${"maxgens"}%8s ${"round_s"}%8s ${"read_s"}%7s")
-    (1 to rounds).foreach { r =>
-      val t0 = System.nanoTime()
-      // every bucket touched each round (ids dense in [0, 2048))
-      state.commitAppend(r.toLong,
-        Map("rows" -> batch(r, 2048), "info" -> info(r)))
-      val roundS = (System.nanoTime() - t0) / 1e9
-      if (r % 10 == 0 || r == rounds) {
-        val t1 = System.nanoTime()
-        val cnt = state.read("rows").count()
-        val readS = (System.nanoTime() - t1) / 1e9
-        println(f"STATEGROWTH $r%6d ${walkFiles()}%7d ${maxGens()}%8d " +
-          f"$roundS%8.2f $readS%7.2f rows=$cnt")
+    println(f"${"tag"}%-9s ${"round"}%6s ${"files"}%7s ${"maxgens"}%8s " +
+      f"${"round_s"}%8s ${"worst_s"}%8s ${"read_s"}%7s")
+    // legacy = the pre-round-17 layout (unaligned deltas, lockstep
+    // collapse); aligned flips the delta-write alignment; staggered adds
+    // the per-bucket collapse-threshold jitter on top
+    Seq(("legacy", false, 0), ("aligned", true, 0), ("staggered", true, 8))
+      .foreach { case (tag, align, stagger) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"stategrowth-$tag").toString
+        val state = new BucketedAppendState(spark, s"$tmp/store", buckets,
+          keyed = Map("rows" -> "doc_id"), keepVersions = 3,
+          alignDeltaWrites = align, collapseStagger = stagger)
+        state.commitFull(0L, Map("rows" -> batch(0, 2048), "info" -> info(0)))
+        var worst = 0.0
+        (1 to rounds).foreach { r =>
+          val t0 = System.nanoTime()
+          // every bucket touched each round (ids dense in [0, 2048))
+          state.commitAppend(r.toLong,
+            Map("rows" -> batch(r, 2048), "info" -> info(r)))
+          val roundS = (System.nanoTime() - t0) / 1e9
+          worst = math.max(worst, roundS)
+          if (r % 10 == 0 || r == rounds) {
+            val t1 = System.nanoTime()
+            val cnt = state.read("rows").count()
+            val readS = (System.nanoTime() - t1) / 1e9
+            println(f"STATEGROWTH $tag%-9s $r%6d ${walkFiles(tmp)}%7d " +
+              f"${maxGens(tmp)}%8d $roundS%8.2f $worst%8.2f $readS%7.2f rows=$cnt")
+            worst = 0.0
+          }
+        }
       }
-    }
     spark.stop()
   }
 }

@@ -357,4 +357,44 @@ class BucketedAppendStateSpec extends AnyFunSuite {
     assert(recorded.nonEmpty && recorded.get >= 16,
       s"bytes-dial bootstrap must freeze a recorded layout, got $recorded")
   }
+
+  test("aligned delta writes land one file per touched bucket; collapse stagger desynchronizes rewrites (round 17)") {
+    val root = Files.createTempDirectory("bas-align").toString
+    val st = new BucketedAppendState(spark, root, buckets = 8,
+      keyed = Map("vectors" -> "vec_id"), keepVersions = 32,
+      maxGensPerBucket = 2, collapseStagger = 3)
+    st.commitFull(0L, Map("vectors" -> vecs(0L until 400L)))
+    // ALIGNED delta (round 17 default): each touched bucket's new
+    // generation is exactly ONE file, not one per shuffle task — the
+    // StateGrowthScale finding (unaligned layout carried ~16× the files
+    // and full reads degraded ~3× across the gen cycle)
+    st.commitAppend(1L, Map("vectors" -> vecs(1000L until 1100L)))
+    val bucketDirs = new java.io.File(s"$root/vectors").listFiles
+      .filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { b =>
+      b.listFiles.filter(_.getName.startsWith("gen=")).foreach { g =>
+        val files = g.listFiles.filter(f => f.getName.endsWith(".parquet"))
+        assert(files.length === 1,
+          s"aligned gen must be one file, ${b.getName}/${g.getName} has ${files.length}")
+      }
+    }
+    // STAGGERED collapse: per-bucket thresholds sit in
+    // [maxGens, maxGens + stagger], so under UNIFORM all-bucket appends
+    // the gen lists do NOT collapse in lockstep — at least one
+    // intermediate round must show buckets at different depths, and the
+    // documented bound holds throughout
+    var sawDesync = false
+    (2L to 12L).foreach { v =>
+      st.commitAppend(v, Map("vectors" -> vecs((2000L + v * 100L) until (2000L + v * 100L + 100L))))
+      val counts = st.liveGenCounts("vectors").values.toSeq
+      assert(counts.max <= 2 + 3,
+        s"stagger bound maxGens+stagger violated: $counts")
+      if (counts.distinct.size > 1) sawDesync = true
+    }
+    assert(sawDesync,
+      "staggered thresholds must desynchronize collapses under uniform appends")
+    // contents stay exact across the staggered collapses
+    assert(st.read("vectors").count() === 400L + 100L * 12L)
+  }
 }
