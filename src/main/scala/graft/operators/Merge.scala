@@ -1135,6 +1135,19 @@ object Merge {
     readTableWhereAllTyped(spark, tablePath,
       preds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) })
 
+  /** MIXED-type skipping read (round 17): numeric and string range
+    * predicates prune TOGETHER in one keep-decision — the takedown-audit
+    * shape (`name BETWEEN … AND playerCount BETWEEN …`) the string-Z
+    * layout exists to serve. Both families route through the same
+    * unioned fragment scan; either list may be empty (degenerating to
+    * the single-type faces). */
+  def readTableWhereMixed(spark: SparkSession, tablePath: String,
+      numPreds: Seq[(String, Long, Long)],
+      strPreds: Seq[(String, String, String)]): DataFrame =
+    readTableWhereAllTyped(spark, tablePath,
+      numPreds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) } ++
+        strPreds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) })
+
   private def readTableWhereAllTyped(spark: SparkSession, tablePath: String,
       preds: Seq[(String, Column, Column)]): DataFrame = {
     require(preds.nonEmpty, "readTableWhereAll needs at least one predicate")

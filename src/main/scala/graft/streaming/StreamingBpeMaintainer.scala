@@ -53,7 +53,8 @@ class StreamingBpeMaintainer(spark: SparkSession, baseDir: String,
     acuteFertilityFactor: Double = 1.5,
     retrainAtFertilityFactor: Double = 1.2,
     merges: Int = 32,
-    keepVersions: Int = 3, buckets: Int = 0) extends Serializable {
+    keepVersions: Int = 3, buckets: Int = 0,
+    collapseStagger: Int = 0) extends Serializable {
 
   import spark.implicits._
 
@@ -62,7 +63,8 @@ class StreamingBpeMaintainer(spark: SparkSession, baseDir: String,
     else BucketedAppendState.recordedBuckets(spark, baseDir).getOrElse(
       graft.operators.SizingPolicy.sizedStateBuckets(initialDocs.count()))
   private val state = new BucketedAppendState(spark, baseDir, resolvedBuckets,
-    keyed = Map("docs" -> "doc_id"), keepVersions = keepVersions)
+    keyed = Map("docs" -> "doc_id"), keepVersions = keepVersions,
+    collapseStagger = collapseStagger)
   /** Retrain count — observable so tests (and dashboards) can tell WHY
     * the vocab changed. (In-memory only: resets to 0 on restart.) */
   @volatile var retrains: Int = 0

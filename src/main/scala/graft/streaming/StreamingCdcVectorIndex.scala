@@ -71,7 +71,8 @@ class StreamingCdcVectorIndex(spark: SparkSession, indexDir: String,
     initial: DataFrame, key: String = "vec_id", vecCol: String = "v",
     keepVersions: Int = 4,
     rebuildAtDeletedFraction: Double = 0.5,
-    acceptSchemeChange: Boolean = false) extends Serializable {
+    acceptSchemeChange: Boolean = false,
+    collapseStagger: Int = 0) extends Serializable {
 
   import StreamingCdcVectorIndex._
 
@@ -82,7 +83,8 @@ class StreamingCdcVectorIndex(spark: SparkSession, indexDir: String,
   val index = new StreamingNswIndex(spark, indexDir,
     initial.select(col(key).as("vec_id"), col(vecCol).as("v")),
     keepVersions = keepVersions,
-    rebuildAtDeletedFraction = rebuildAtDeletedFraction)
+    rebuildAtDeletedFraction = rebuildAtDeletedFraction,
+    collapseStagger = collapseStagger)
 
   /** The feed log as a stream WITH its `version` partition column — the
     * vector tier needs per-key ordering (delete-then-insert vs

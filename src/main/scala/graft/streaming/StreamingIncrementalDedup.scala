@@ -50,7 +50,8 @@ import graft.operators.Dedup
 class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
     initialDocs: DataFrame, keepVersions: Int = 3,
     buckets: Int = 0,
-    targetBucketBytes: Option[Long] = None) extends Serializable {
+    targetBucketBytes: Option[Long] = None,
+    collapseStagger: Int = 0) extends Serializable {
 
   // The initial shingle frame feeds (at most) the sizing probe, its row
   // count, AND the first commit's two table writes — persist across those
@@ -83,7 +84,7 @@ class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
       })
   private val state = new BucketedAppendState(spark, baseDir, resolvedBuckets,
     keyed = Map("shingles" -> "doc_id", "bands" -> "doc_id"),
-    keepVersions = keepVersions)
+    keepVersions = keepVersions, collapseStagger = collapseStagger)
   if (state.latest.isEmpty) {
     val sh = initialShingles
     state.commitFull(0L, Map(

@@ -56,7 +56,8 @@ import graft.operators.IvfKMeans
 class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
     driftFactor: Double = 1.5, keepVersions: Int = 3,
     buckets: Int = 0,
-    retrainAtDistortionFactor: Double = 2.0) extends Serializable {
+    retrainAtDistortionFactor: Double = 2.0,
+    collapseStagger: Int = 0) extends Serializable {
 
   import spark.implicits._
 
@@ -66,7 +67,8 @@ class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame
     else BucketedAppendState.recordedBuckets(spark, baseDir).getOrElse(
       graft.operators.SizingPolicy.sizedStateBuckets(initial.count()))
   private val state = new BucketedAppendState(spark, baseDir, resolvedBuckets,
-    keyed = Map("assigned" -> "vec_id"), keepVersions = keepVersions)
+    keyed = Map("assigned" -> "vec_id"), keepVersions = keepVersions,
+    collapseStagger = collapseStagger)
   @volatile private var centroids: Seq[(Int, Array[Double])] = Seq.empty
   @volatile private var baselineMsd: Double = 0.0
   /** Retrain count — observable so tests (and dashboards) can tell WHY an

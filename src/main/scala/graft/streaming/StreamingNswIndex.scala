@@ -50,7 +50,8 @@ import graft.operators.Nsw
   *   this configuration. */
 class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame,
     keepVersions: Int = 3, buckets: Int = 0,
-    rebuildAtDeletedFraction: Double = 0.5) extends Serializable {
+    rebuildAtDeletedFraction: Double = 0.5,
+    collapseStagger: Int = 0) extends Serializable {
 
   // buckets <= 0 → SIZED: an existing store keeps its recorded layout, a
   // fresh one derives buckets ∝ corpus (round-12 verdict #6 — per-bucket
@@ -61,7 +62,7 @@ class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame
       graft.operators.SizingPolicy.sizedStateBuckets(initial.count()))
   private val state = new BucketedAppendState(spark, baseDir, resolvedBuckets,
     keyed = Map("vectors" -> "vec_id", "knn" -> "src", "knn1" -> "src"),
-    keepVersions = keepVersions)
+    keepVersions = keepVersions, collapseStagger = collapseStagger)
   if (state.latest.isEmpty)
     state.commitFull(0L, Map(
       "vectors" -> initial,

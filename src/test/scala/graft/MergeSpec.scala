@@ -588,6 +588,20 @@ class MergeSpec extends AnyFunSuite {
       s"numeric co-dimension still prunes, opened ${zn.inputFiles.length} of $total")
     assert(zn.selectExpr(ttCols: _*).orderBy("universeId").collect() ===
       before.filter(r => !r.isNullAt(5) && r.getLong(5) < n / 4))
+    // MIXED read: both families prune in ONE keep-decision — the
+    // takedown-audit shape; never more files than either single-type
+    // face, zero row drift against the conjunction filter
+    val zm = Merge.readTableWhereMixed(spark, table, numPred,
+      Seq(("name", lo, hi)))
+    assert(zm.inputFiles.length <=
+      math.min(z.inputFiles.length, zn.inputFiles.length),
+      s"mixed pruning must be the intersection: ${zm.inputFiles.length} " +
+        s"vs str ${z.inputFiles.length} / num ${zn.inputFiles.length}")
+    assert(zm.selectExpr(ttCols: _*).orderBy("universeId").collect() ===
+      before.filter { r =>
+        val s = r.getString(2)
+        s >= lo && s <= hi && !r.isNullAt(5) && r.getLong(5) < n / 4
+      })
   }
 
   test("bloom point reads: bounded distributed probe, absent keys open none, maintained across merge rounds, fragment-less fallback") {

@@ -77,9 +77,12 @@ class StreamingBpeMaintainerSpec extends AnyFunSuite {
 
   test("acute fertility shift retrains immediately (round 17)") {
     val dir = java.nio.file.Files.createTempDirectory("bpemaint-acute").toString
+    // collapseStagger rides through every maintainer constructor to the
+    // store (round 17) — exercised here as a pass-through wiring check
     val m = new StreamingBpeMaintainer(spark, dir,
       docsOf(0L until 100L, Seq("ab", "cd")),
-      acuteFertilityFactor = 1.5, retrainAtFertilityFactor = 10.0)
+      acuteFertilityFactor = 1.5, retrainAtFertilityFactor = 10.0,
+      collapseStagger = 2)
     // pure unseen morphology: char fallback fertility, far over 1.5×
     m.insertBatch(docsOf(5000L until 5050L, Seq("xy", "zw")), 0L)
     assert(m.retrains === 1, "an out-of-distribution batch is the acute case")
