@@ -536,6 +536,19 @@ class MergeSpec extends AnyFunSuite {
       b("e") === 3 && b("f") === 4 && b("z") === 4)
     assert(Seq("a", "b", "c", "d", "e", "f", "z").map(b).sorted ===
       Seq("a", "b", "c", "d", "e", "f", "z").map(b), "rank is monotone")
+    // the rank expression must stay inside whole-stage codegen: the
+    // layout rewrite shuffles the whole table on this key (a Range
+    // source, not a local relation — ConvertToLocalRelation would
+    // otherwise fold the projection away before any plan forms)
+    val rankPlan = spark.range(4)
+      .select(col("id").cast("string").as("s"))
+      .select(graft.functions.StringRankBucket.rank(col("s"), cuts).as("r"))
+      .queryExecution.executedPlan.toString
+    // `*(n)` is the whole-stage-codegen stage marker in the physical
+    // plan's simple string — the rank projection must carry it
+    assert("\\*\\(\\d+\\) Project \\[stringrankbucket".r
+      .findFirstIn(rankPlan).isDefined,
+      s"StringRankBucket fell out of codegen:\n$rankPlan")
 
     val tmp = java.nio.file.Files.createTempDirectory("merge-strz").toString
     val table = s"$tmp/games"
