@@ -54,9 +54,20 @@ class StreamingBpeMaintainer(spark: SparkSession, baseDir: String,
     retrainAtFertilityFactor: Double = 1.2,
     merges: Int = 32,
     keepVersions: Int = 3, buckets: Int = 0,
-    collapseStagger: Int = 0) extends Serializable {
+    collapseStagger: Int = 0,
+    acceptSchemeChange: Boolean = false) extends Serializable {
 
   import spark.implicits._
+  import StreamingBpeMaintainer.SubCommitsPerBatch
+
+  // scheme gate BEFORE the store opens (round 18, verdict r17 #1: this
+  // maintainer shipped in round 17 with a 2-sub-commit scheme and NO
+  // marker — exactly the asymmetry the CDC guard exists to refuse). A
+  // future widening (a third slot, like CDC's own 3→4) now gets the
+  // mechanical SubCommitSchemeMismatch refusal instead of a silent
+  // crash-upgrade double-apply.
+  SubCommitScheme.checkOrStamp(spark, baseDir, SubCommitsPerBatch,
+    acceptSchemeChange, "bpe-maintainer")
 
   private val resolvedBuckets =
     if (buckets > 0) buckets
@@ -99,16 +110,23 @@ class StreamingBpeMaintainer(spark: SparkSession, baseDir: String,
   /** Full retrain on `docs` → version n: induce the vocabulary, measure
     * the corpus's own fertility under it (the new baseline), commit all
     * three tables. The one corpus-sized commit shape the maintainer
-    * retains — rare and amortized, exactly the IVF retrain. */
-  private def retrain(docs: DataFrame, n: Long): Option[BucketedCommitStats] = {
-    val kept = docs.select(col("doc_id"), col("text"))
-    val (_, vocab) = Curation.bpeBuildStepsOn(spark,
-      Curation.bpeVocab0Of(kept), maxMerges = merges)
-    val (w, t) = fertilityOf(kept, vocab)
-    val baseline = if (w > 0) t.toDouble / w else 0.0
-    state.commitFull(n, Map("docs" -> kept, "vocab" -> vocab,
-      "fertinfo" -> fertInfoDf(baseline, w, t)))
-  }
+    * retains — rare and amortized, exactly the IVF retrain.
+    *
+    * The trainer's ~merges+1 tracked intermediate frames are released
+    * when the commit lands (round 18, ADVICE r17 medium): a streaming
+    * maintainer never reaches a harness-level CacheRegistry.release, so
+    * without the scope each retrain permanently pinned executor storage
+    * — unbounded growth in the retrain count. */
+  private def retrain(docs: DataFrame, n: Long): Option[BucketedCommitStats] =
+    graft.tools.CacheRegistry.scopedRelease() {
+      val kept = docs.select(col("doc_id"), col("text"))
+      val (_, vocab) = Curation.bpeBuildStepsOn(spark,
+        Curation.bpeVocab0Of(kept), maxMerges = merges)
+      val (w, t) = fertilityOf(kept, vocab)
+      val baseline = if (w > 0) t.toDouble / w else 0.0
+      state.commitFull(n, Map("docs" -> kept, "vocab" -> vocab,
+        "fertinfo" -> fertInfoDf(baseline, w, t)))
+    }
 
   /** Corpus fertility relative to the at-train baseline — what
     * [[maybeRetrain]] compares against the dial. 1.0 = the stream still
@@ -127,21 +145,27 @@ class StreamingBpeMaintainer(spark: SparkSession, baseDir: String,
   def insertBatch(batch: Dataset[Row], batchId: Long): Unit = {
     val target = batchId + 1
     if (state.latest.exists(_ >= target)) return
+    // persisted for the scope of the batch (round 18, ADVICE r17 low #4:
+    // isEmpty, fertilityOf, and the commit write each re-ran the
+    // groupBy-dedup + anti-join — three-plus jobs per micro-batch)
     val fresh = batch.toDF()
       .groupBy(col("doc_id")).agg(min(col("text")).as("text"))
       .join(currentDocs().select(col("doc_id")), Seq("doc_id"), "left_anti")
-    if (fresh.isEmpty) return
-    val (baseline, w0, t0) = fertInfo()
-    val (bw, bt) = fertilityOf(fresh, currentVocab())
-    val batchF = if (bw > 0) bt.toDouble / bw else 0.0
-    if (baseline > 0 && batchF > acuteFertilityFactor * baseline) {
-      retrains += 1
-      retrain(currentDocs().unionByName(fresh), target)
-    } else {
-      state.commitAppend(target, Map(
-        "docs" -> fresh,
-        "fertinfo" -> fertInfoDf(baseline, w0 + bw, t0 + bt)))
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fresh.isEmpty) return
+      val (baseline, w0, t0) = fertInfo()
+      val (bw, bt) = fertilityOf(fresh, currentVocab())
+      val batchF = if (bw > 0) bt.toDouble / bw else 0.0
+      if (baseline > 0 && batchF > acuteFertilityFactor * baseline) {
+        retrains += 1
+        retrain(currentDocs().unionByName(fresh), target)
+      } else {
+        state.commitAppend(target, Map(
+          "docs" -> fresh,
+          "fertinfo" -> fertInfoDf(baseline, w0 + bw, t0 + bt)))
+      }
+    } finally fresh.unpersist()
   }
 
   /** RETRAIN POLICY (the [[StreamingIvfIndex.maybeRetrain]] shape): when
@@ -159,15 +183,25 @@ class StreamingBpeMaintainer(spark: SparkSession, baseDir: String,
   }
 
   /** Attach to a `(doc_id, text)` stream: one ingest + one dial check per
-    * micro-batch (versions 2·id+1 ingest, 2·id+2 policy retrain). */
+    * micro-batch (versions 2·id+1 ingest, 2·id+2 policy retrain — the
+    * scheme the constructor's [[SubCommitScheme]] gate records). */
   def start(docStream: DataFrame, checkpointDir: String): StreamingQuery =
     docStream.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        insertBatch(b, 2 * id)
-        maybeRetrain(2 * id + 2)
+        insertBatch(b, SubCommitsPerBatch * id)
+        maybeRetrain(SubCommitsPerBatch * id + 2)
         ()
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+}
+
+object StreamingBpeMaintainer {
+  /** Store-version slots one foreachBatch id expands into (ingest /
+    * policy retrain). CHANGING THIS IS A VERSION-SCHEME CHANGE — the
+    * constructor's [[SubCommitScheme.checkOrStamp]] gate refuses a
+    * mismatched attach; see that object's scaladoc for the
+    * crash-upgrade replay hazard and the drain recovery. */
+  val SubCommitsPerBatch: Int = 2
 }

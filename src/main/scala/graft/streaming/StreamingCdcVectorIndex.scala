@@ -143,12 +143,6 @@ class StreamingCdcVectorIndex(spark: SparkSession, indexDir: String,
   def currentVectors(): DataFrame = index.currentVectors()
 }
 
-/** Named refusal for the version-scheme guard: the maintainer binary's
-  * sub-commit scheme differs from the one the store records, and the
-  * operator has not acknowledged a drain (`acceptSchemeChange`). */
-final class SubCommitSchemeMismatch(msg: String)
-  extends IllegalStateException(msg)
-
 object StreamingCdcVectorIndex {
 
   /** Store-version slots one foreachBatch id expands into (remove /
@@ -158,55 +152,18 @@ object StreamingCdcVectorIndex {
     * attach — see the class scaladoc's upgrade constraint. */
   val SubCommitsPerBatch: Int = 4
 
-  private def markerPath(indexDir: String) =
-    new org.apache.hadoop.fs.Path(indexDir, "_subcommit_scheme")
-
   /** The scheme the store at `indexDir` was written under; None for a
-    * fresh (or pre-guard) store. */
+    * fresh (or pre-guard) store. Delegates to the shared guard
+    * ([[SubCommitScheme]] — round 18 hoisted the round-17 mechanism so
+    * every batchId-deriving maintainer stamps, not just this one). */
   private[graft] def recordedScheme(
-      spark: SparkSession, indexDir: String): Option[Int] = {
-    val p = markerPath(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
-      finally in.close()
-    }
-  }
+      spark: SparkSession, indexDir: String): Option[Int] =
+    SubCommitScheme.recorded(spark, indexDir)
 
-  private def stamp(spark: SparkSession, indexDir: String): Unit = {
-    val p = markerPath(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    try out.write(s"$SubCommitsPerBatch\n".getBytes("UTF-8"))
-    finally out.close()
-  }
-
-  /** The mechanical upgrade guard (round 17): refuse to attach a binary
-    * whose [[SubCommitsPerBatch]] differs from the store's recorded
-    * scheme — a checkpoint recorded under the old scheme could hold a
-    * store-committed-but-checkpoint-uncommitted batch whose replay at
-    * the new (numerically larger) versions would slip past the store's
-    * replay guard and re-apply (keys re-removed, deleted counter
-    * double-counted, rebuild dial fired early). `accept = true` is the
-    * operator's drain acknowledgement and re-stamps the marker. A store
-    * with NO marker (fresh, or pre-guard) adopts the current scheme. */
+  /** The mechanical upgrade guard — see [[SubCommitScheme.checkOrStamp]]
+    * (hoisted round 18; the refusal semantics are round 17's). */
   private[graft] def checkOrStampScheme(
       spark: SparkSession, indexDir: String, accept: Boolean): Unit =
-    recordedScheme(spark, indexDir) match {
-      case Some(s) if s == SubCommitsPerBatch => ()
-      case Some(s) if accept => stamp(spark, indexDir)
-      case Some(s) => throw new SubCommitSchemeMismatch(
-        s"vector-index store at $indexDir was written under sub-commit " +
-          s"scheme $s per batch; this binary derives $SubCommitsPerBatch " +
-          "per batch. A checkpointed batch that committed to the store " +
-          "but crashed before its checkpoint commit would RE-APPLY past " +
-          "the numeric replay guard under the new scheme (keys " +
-          "re-removed, deleted counter double-counted, rebuild dial " +
-          "fired early). Drain the stream under the previous binary " +
-          "(Trigger.AvailableNow completes cleanly), then re-attach " +
-          "with acceptSchemeChange = true — or rebuild the store fresh.")
-      case None => stamp(spark, indexDir)
-    }
+    SubCommitScheme.checkOrStamp(spark, indexDir, SubCommitsPerBatch,
+      accept, "vector-index")
 }

@@ -195,13 +195,19 @@ class StreamingIncrementalDedup(spark: SparkSession, baseDir: String,
     }
   }
 
-  /** Attach to a stream of crawl docs; one admission round per batch. */
-  def start(docStream: DataFrame, checkpointDir: String): StreamingQuery =
+  /** Attach to a stream of crawl docs; one admission round per batch
+    * (version = batchId + 1 — scheme factor 1, stamped at attach so any
+    * future widening gets the [[SubCommitScheme]] refusal — round 18). */
+  def start(docStream: DataFrame, checkpointDir: String,
+      acceptSchemeChange: Boolean = false): StreamingQuery = {
+    SubCommitScheme.checkOrStamp(spark, baseDir, 1, acceptSchemeChange,
+      "incremental-dedup")
     docStream.writeStream
       .foreachBatch((batch: Dataset[Row], id: Long) => admitBatch(batch, id))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** TAKEDOWN (round-13): remove `docIds` (a one-column `doc_id` frame)
     * from the admitted state — their shingle and band rows collapse out

@@ -225,11 +225,17 @@ class StreamingIvfIndex(spark: SparkSession, baseDir: String, initial: DataFrame
     retrain(currentAssigned().select(col("vec_id"), col("v")), version)
   }
 
-  /** Attach to a stream of (vec_id, v) rows; one ingest per micro-batch. */
-  def start(vectorStream: DataFrame, checkpointDir: String): StreamingQuery =
+  /** Attach to a stream of (vec_id, v) rows; one ingest per micro-batch
+    * (version = batchId + 1 — scheme factor 1, stamped at attach so any
+    * future widening gets the [[SubCommitScheme]] refusal — round 18). */
+  def start(vectorStream: DataFrame, checkpointDir: String,
+      acceptSchemeChange: Boolean = false): StreamingQuery = {
+    SubCommitScheme.checkOrStamp(spark, baseDir, 1, acceptSchemeChange,
+      "ivf-index")
     vectorStream.writeStream
       .foreachBatch((batch: Dataset[Row], id: Long) => insertBatch(batch, id))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

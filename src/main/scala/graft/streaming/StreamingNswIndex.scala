@@ -248,14 +248,24 @@ class StreamingNswIndex(spark: SparkSession, baseDir: String, initial: DataFrame
       deleteKeys = Map("knn" -> aff0, "knn1" -> aff1))
   }
 
-  /** Attach to a stream of (vec_id, v) rows; one insertion per micro-batch. */
-  def start(vectorStream: DataFrame, checkpointDir: String): StreamingQuery =
+  /** Attach to a stream of (vec_id, v) rows; one insertion per micro-batch
+    * (version = batchId + 1 — scheme factor 1, stamped at attach so any
+    * future widening, or attaching this loop to a dir a multi-sub-commit
+    * maintainer owns (the CDC wrapper stamps 4 on this same store class's
+    * dirs), gets the [[SubCommitScheme]] refusal — round 18). The stamp
+    * lives HERE and not the constructor because the scheme belongs to the
+    * foreachBatch→version mapping, which the CDC wrapper replaces. */
+  def start(vectorStream: DataFrame, checkpointDir: String,
+      acceptSchemeChange: Boolean = false): StreamingQuery = {
+    SubCommitScheme.checkOrStamp(spark, baseDir, 1, acceptSchemeChange,
+      "nsw-index")
     vectorStream.writeStream
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         insertBatch(batch, id); () }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Top-3 neighbors for the 5 fixture queries over the grown graph —
     * the per-batch search shape, for comparing against a from-scratch

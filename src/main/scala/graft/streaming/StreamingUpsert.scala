@@ -40,11 +40,17 @@ class StreamingUpsert(spark: SparkSession, baseDir: String, initial: DataFrame,
     }
   }
 
-  /** Attach to a stream of fresh game rows; one file per micro-batch. */
-  def start(freshStream: DataFrame, checkpointDir: String): StreamingQuery =
+  /** Attach to a stream of fresh game rows; one file per micro-batch
+    * (version = batchId + 1 — scheme factor 1, stamped at attach so any
+    * future widening gets the [[SubCommitScheme]] refusal — round 18). */
+  def start(freshStream: DataFrame, checkpointDir: String,
+      acceptSchemeChange: Boolean = false): StreamingQuery = {
+    SubCommitScheme.checkOrStamp(spark, baseDir, 1, acceptSchemeChange,
+      "streaming-upsert")
     freshStream.writeStream
       .foreachBatch((batch: Dataset[Row], id: Long) => mergeBatch(batch, id))
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

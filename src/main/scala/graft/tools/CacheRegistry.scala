@@ -95,6 +95,46 @@ object CacheRegistry {
     sharedObjects.clear()
   }
 
+  /** Run `body` in a tracked-frame SCOPE: frames registered DURING the
+    * body are unpersisted and dropped from the registry when it returns
+    * (success or failure); frames registered before are left alone.
+    *
+    * Round 18 (ADVICE r17 medium): a long-running streaming maintainer
+    * that calls an iterative builder (BPE retrain →
+    * `Curation.bpeBuildStepsOn`, ~merges+1 persisted/localCheckpointed
+    * frames per call) never reaches a harness [[release]], so the
+    * registry's strong references pinned executor storage — AND kept the
+    * localCheckpointed RDDs reachable, blocking the ContextCleaner from
+    * reclaiming their blocks — growing without bound in the retrain
+    * count. Scoping drops the references once the retrain's output is
+    * committed, which is what lets checkpoint blocks be GC-reclaimed.
+    *
+    * Single-writer assumption (the maintainer loops already hold it): a
+    * CONCURRENT thread registering frames during the body would see them
+    * released with the scope. Harness runners are sequential, so the
+    * assumption holds everywhere this is called. */
+  def scopedRelease[T](blocking: Boolean = false)(body: => T): T = {
+    val before = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Dataset[_], java.lang.Boolean]())
+    tracked.forEach(d => before.add(d))
+    try body
+    finally {
+      val keep = new java.util.ArrayList[Dataset[_]]()
+      var d = tracked.poll()
+      while (d != null) {
+        if (before.contains(d)) keep.add(d)
+        else { try d.unpersist(blocking) catch { case _: Throwable => () } }
+        d = tracked.poll()
+      }
+      keep.forEach(k => tracked.add(k))
+    }
+  }
+
+  /** Registered per-query frame count — observability for the scoped
+    * release (tests pin "a retrain leaves the registry where it found
+    * it"). */
+  def trackedCount: Int = tracked.size()
+
   /** Unpersist everything registered since the last call. Bench passes
     * `blocking = true` so a query never competes for storage memory with
     * the previous query's still-draining cached blocks — eviction noise

@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-import graft.streaming.StreamingBpeMaintainer
+import graft.streaming.{StreamingBpeMaintainer, SubCommitScheme, SubCommitSchemeMismatch}
 
 /** The tokenizer retrain dial (round 17) — the policy family's third
   * member: NSW has deleted-fraction, IVF has chronic-distortion, BPE now
@@ -87,6 +87,113 @@ class StreamingBpeMaintainerSpec extends AnyFunSuite {
     m.insertBatch(docsOf(5000L until 5050L, Seq("xy", "zw")), 0L)
     assert(m.retrains === 1, "an out-of-distribution batch is the acute case")
     assert(m.fertilitySinceTrain() < 1.05)
+    graft.tools.CacheRegistry.release(blocking = true)
+  }
+
+  test("a retrain leaves the cache registry where it found it (round 18, ADVICE r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("bpemaint-scope").toString
+    graft.tools.CacheRegistry.release(blocking = true)
+    val before = graft.tools.CacheRegistry.trackedCount
+    // the constructor bootstrap IS a retrain (bpeBuildStepsOn registers
+    // ~merges+1 persisted/checkpointed frames); without the scope each
+    // one stays pinned in the registry for the process lifetime —
+    // unbounded executor-storage growth in a long-running stream
+    val m = new StreamingBpeMaintainer(spark, dir,
+      docsOf(0L until 100L, Seq("ab", "cd")),
+      acuteFertilityFactor = 1.5, retrainAtFertilityFactor = 10.0)
+    assert(graft.tools.CacheRegistry.trackedCount === before,
+      "bootstrap retrain must release every frame it tracked")
+    // an acute retrain (the long-running path) releases its frames too
+    m.insertBatch(docsOf(5000L until 5050L, Seq("xy", "zw")), 0L)
+    assert(m.retrains === 1)
+    assert(graft.tools.CacheRegistry.trackedCount === before,
+      "a streamed retrain must release every frame it tracked")
+    // and the released plan still serves: the committed vocab reads back
+    assert(m.currentVocab().count() > 0)
+  }
+
+  test("version-scheme guard: an undrained upgrade gets a named refusal, not a double-apply (round 18)") {
+    val dir = java.nio.file.Files.createTempDirectory("bpemaint-scheme").toString
+    val m = new StreamingBpeMaintainer(spark, dir,
+      docsOf(0L until 100L, Seq("ab", "cd")),
+      acuteFertilityFactor = 5.0, retrainAtFertilityFactor = 10.0)
+    assert(SubCommitScheme.recorded(spark, dir) ===
+      Some(StreamingBpeMaintainer.SubCommitsPerBatch),
+      "a fresh store records the scheme it is written under")
+
+    // batch 0 at the stream's derived version (2·id → target 2·id+1):
+    // the state after a crash BETWEEN the store commit and the
+    // checkpoint commit — the store holds the batch, the checkpoint
+    // would replay it
+    m.insertBatch(docsOf(1000L until 1050L, Seq("ab", "cd")),
+      StreamingBpeMaintainer.SubCommitsPerBatch * 0L)
+    val (b0, w0, t0) = m.fertInfo()
+
+    // SAME-scheme replay (the crash-recovery path the guard must keep
+    // working): versions re-derive identically, the store no-ops
+    m.insertBatch(docsOf(1000L until 1050L, Seq("ab", "cd")), 0L)
+    assert(m.fertInfo() === ((b0, w0, t0)),
+      "a same-scheme replay is suppressed by the numeric version guard")
+
+    // "UPGRADE": the store was written by a binary deriving 1 sub-commit
+    // per batch (simulated by re-stamping the marker the old binary
+    // would have left); the undrained checkpoint still holds batch 0.
+    // The new binary must REFUSE to attach — under the wider scheme
+    // batch 0 would replay at strictly larger versions (2·0+1 > a
+    // factor-1 store's 0+1) and re-apply past the numeric guard,
+    // double-counting the fertility mass and re-appending the docs
+    val marker = java.nio.file.Paths.get(dir, "_subcommit_scheme")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._subcommit_scheme.crc"))
+    java.nio.file.Files.write(marker, "1\n".getBytes("UTF-8"))
+    val refusal = intercept[SubCommitSchemeMismatch] {
+      new StreamingBpeMaintainer(spark, dir,
+        docsOf(0L until 100L, Seq("ab", "cd")))
+    }
+    assert(refusal.getMessage.contains("Drain") &&
+      refusal.getMessage.contains("acceptSchemeChange"),
+      s"the refusal must name the recovery rule, got: ${refusal.getMessage}")
+    // the refusal fired BEFORE any store access: nothing moved
+    assert(m.fertInfo() === ((b0, w0, t0)))
+
+    // drain acknowledged: the operator re-attaches explicitly, the
+    // marker is re-stamped, and the maintainer works — including the
+    // replay guard for post-drain batches
+    val m2 = new StreamingBpeMaintainer(spark, dir,
+      docsOf(0L until 100L, Seq("ab", "cd")),
+      acceptSchemeChange = true)
+    assert(SubCommitScheme.recorded(spark, dir) ===
+      Some(StreamingBpeMaintainer.SubCommitsPerBatch))
+    m2.insertBatch(docsOf(1100L until 1120L, Seq("ab", "cd")), 2L)
+    val after = m2.fertInfo()
+    assert(after._2 > w0 && after._3 > t0, "the post-drain batch landed")
+    m2.insertBatch(docsOf(1100L until 1120L, Seq("ab", "cd")), 2L)
+    assert(m2.fertInfo() === after, "post-drain replays stay suppressed")
+    graft.tools.CacheRegistry.release(blocking = true)
+  }
+
+  test("a corrupt scheme marker is the named refusal, not a bare parse error (round 18, ADVICE r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("bpemaint-corrupt").toString
+    new StreamingBpeMaintainer(spark, dir, docsOf(0L until 50L, Seq("ab", "cd")))
+    val marker = java.nio.file.Paths.get(dir, "_subcommit_scheme")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._subcommit_scheme.crc"))
+    // a truncated/partial write of the non-atomic stamp
+    java.nio.file.Files.write(marker, "".getBytes("UTF-8"))
+    val refusal = intercept[SubCommitSchemeMismatch] {
+      new StreamingBpeMaintainer(spark, dir, docsOf(0L until 50L, Seq("ab", "cd")))
+    }
+    assert(refusal.getMessage.contains("_subcommit_scheme") &&
+      refusal.getMessage.contains("unreadable"),
+      s"must name the marker and the failure, got: ${refusal.getMessage}")
+    // an unreadable marker must not silently pass as "no marker" — but
+    // the drain acknowledgement recovers it, re-stamping this binary's
+    // scheme (a drained stream has no crashed batch left to replay)
+    new StreamingBpeMaintainer(spark, dir,
+      docsOf(0L until 50L, Seq("ab", "cd")), acceptSchemeChange = true)
+    assert(SubCommitScheme.recorded(spark, dir) ===
+      Some(StreamingBpeMaintainer.SubCommitsPerBatch),
+      "the acknowledged re-attach re-stamps the marker")
     graft.tools.CacheRegistry.release(blocking = true)
   }
 }
