@@ -1990,8 +1990,18 @@ object Merge {
           // but this writer's adopted-legacy measurements must survive the
           // rebase (ADVICE r16 #4): a benign conflict would otherwise
           // re-commit legacy buckets stats-less — the one-round migration
-          // silently not completing, and the listings re-paid next round
-          carried = adoptedStats ++ readBucketStatsAt(fs, table, wv)
+          // silently not completing, and the listings re-paid next round.
+          // ONLY for buckets the winner left at this writer's base gen,
+          // though (ADVICE r17 #2): an adopted measurement describes the
+          // gen this writer READ — if the winner rewrote that bucket
+          // (old-binary racer, no stats), re-attaching the old gen's
+          // file/byte stats to the winner's NEW gen would carry a wrong
+          // measurement forward until the bucket's next rewrite; dropping
+          // it leaves the bucket stats-less and re-measured, the honest
+          // pre-adoption behavior
+          carried = adoptedStats.filter { case (b, _) =>
+            wstate.get(b) == base0.get(b) } ++
+            readBucketStatsAt(fs, table, wv)
       }
     }
     sys.error("unreachable")
