@@ -20,6 +20,23 @@ import org.apache.spark.sql.SparkSession
   * single line is self-describing even on partial failure.
   */
 object Bench {
+
+  /** Default result-file resolution. A filtered spot-check must not
+    * silently overwrite the committed full-suite snapshot — each (mode ×
+    * subset) combination owns its file, so the driver's single-pass
+    * snapshot, the regression-tracking stable snapshot, and isolated-JVM
+    * subset re-reads never mix. Round 18 (verdict r17 #3): subset +
+    * repeats previously wrote `BENCH_STABLE.json` — a 3-query stable
+    * spot-check CLOBBERED the 154-query regression artifact in place
+    * (bit the builder in round 17). `BENCH_JSON_OUT` overrides all four. */
+  private[graft] def defaultOutFile(repeats: Int, subset: Boolean): String =
+    (repeats > 1, subset) match {
+      case (true, true) => "BENCH_SUBSET_STABLE.json"
+      case (true, false) => "BENCH_STABLE.json"
+      case (false, true) => "BENCH_SUBSET.json"
+      case (false, false) => "BENCH_RESULT.json"
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -180,13 +197,8 @@ object Bench {
       f""","calib_after_sec":$calibAfter%.3f"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"$stableFields}"""
-    // a filtered spot-check must not silently overwrite the committed
-    // full-suite snapshot — give it its own default file; the stable
-    // (median-of-N) mode likewise gets its own, so the driver's
-    // single-pass snapshot and the regression-tracking snapshot never mix
     val outPath = sys.env.getOrElse("BENCH_JSON_OUT",
-      if (repeats > 1) "BENCH_STABLE.json"
-      else if (only.isDefined) "BENCH_SUBSET.json" else "BENCH_RESULT.json")
+      defaultOutFile(repeats, only.isDefined))
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
