@@ -63,9 +63,13 @@ object Bench {
     // slowed by accumulated JVM/catalog state; one that diverges is).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+    // the bench registry = the oracle-gated suite plus the benchOnly
+    // real-decode entries (round 18 — priced here, hash-gated by their
+    // stub twins; see SparkEntry.benchOnlyQueries)
+    val registry = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
+    only.foreach(_.diff(registry.keySet).foreach(n =>
       System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY names unknown query: $n")))
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val selected = registry.filter { case (n, _) => only.forall(_.contains(n)) }
     // Subset-mode attribution guards (ADVICE r9): an empty subset writes a
     // vacuous result file; a serve query spot-checked without its
     // index_build_* sibling absorbs the whole build into its measured time

@@ -56,4 +56,23 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.iterator.map(_._2).reduce(_ ++ _)
+
+  /** PRICED but not oracle-gated (round 18, verdict r17 #6): the
+    * real-decode operators' correctness gates are their stub twins
+    * (`dedup_phash` / `dedup_audio` hash-gate the identical banding +
+    * verify pipeline) plus the golden-signature specs (MultimodalSpec's
+    * analytic decode properties); these entries price the REAL codec
+    * paths — ImageIO PNG decode → dHash, javax.sound WAV decode →
+    * Goertzel band energies — over [[graft.tools.MediaFixture]]'s
+    * deterministic generated blobs. Kept OUT of [[queries]] so the
+    * driver's correctness set stays 100 % hash-gated; only Bench runs
+    * these (a decode-bound entry is also a CPU-bound canary next to the
+    * xorshift calibration markers). */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "benchonly_dedup_phash_real" -> ((s, _) =>
+      Multimodal.phashDedupImages(s,
+        graft.tools.MediaFixture.ensure() + "/images")),
+    "benchonly_dedup_audio_wav" -> ((s, _) =>
+      Multimodal.audioDedupWav(s,
+        graft.tools.MediaFixture.ensure() + "/audio")))
 }
