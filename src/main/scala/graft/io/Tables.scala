@@ -16,8 +16,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Inferred schema per fixture file, cached for the life of the JVM.
+    *
+    * Why (round 18, optimization guide §1.2 "per-task work" at the driver):
+    * every `spark.read.parquet(path)` WITHOUT an explicit schema runs a
+    * footer-inference Spark job before the query's own jobs — ~30-80 ms of
+    * job + scheduling gap per call, and operators read these tables
+    * hundreds of times across a suite run. The fixture files are immutable
+    * inputs (the driver regenerates them only between runs), so one
+    * inference per (path) is exact; later reads pass the cached schema and
+    * skip the job. Keyed by the resolved path string — distinct sfDirs
+    * cache independently. The nanosAsLong session flag is identical across
+    * all graft sessions, so the inferred type per path never varies. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

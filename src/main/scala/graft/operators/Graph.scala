@@ -81,11 +81,17 @@ object Graph {
     // broadcast-scalar crossJoin here would re-run the count aggregate
     // inside every iteration's plan (6 extra jobs, measured)
     val n = deg.count()
+    // edges ⋈ deg is ITERATION-INVARIANT (deg is a function of edges) —
+    // round 18 (guide §1.2: don't recompute what a loop never changes):
+    // joining it inside the loop rebuilt the same hash join 5×. Hoisted
+    // and cached once; both inputs are already hash-partitioned by src,
+    // so the join is exchange-free and the cached frame keeps src
+    // partitioning for every iteration's rank join.
+    val edgeDeg = CacheRegistry.persistTracked(edges.join(deg, Seq("src")))
     var pr = CacheRegistry.checkpointTracked(
       deg.select(col("src").as("node"), pround(lit(1.0 / n), 9).as("pr")))
     for (_ <- 1 to Iters) {
-      val mass = edges
-        .join(deg, Seq("src"))
+      val mass = edgeDeg
         // shuffle-hash: the O(nodes) rank frame is the only moving side;
         // a sort-merge join would re-sort the stationary adjacency every
         // round, a broadcast would not survive a 100M-node rank table

@@ -26,6 +26,18 @@ import graft.io.{OracleViews, Tables}
   */
 object Merge {
 
+  /** Job-description label for one write-path phase (optimization guide
+    * §1.5): the merge machinery runs several Spark actions per round, and
+    * unlabeled jobs make per-phase attribution guesswork in any listener/UI
+    * view. Thread-local, restored on exit, so nested phases keep the
+    * innermost label. */
+  private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(prev)
+  }
+
   /** Parameterized merge-upsert. All column sets exclude the key. */
   def mergeUpsert(
       existing: DataFrame,
@@ -207,8 +219,10 @@ object Merge {
       df.withColumn("bucket", pmod(col(key), lit(buckets)).cast("int"))
     def genPath(b: Int, g: Int) = genPathOf(table, b, g)
     fs.delete(table, true)
-    withBucket(initial).withColumn("gen", lit(0))
-      .write.partitionBy("bucket", "gen").parquet(tablePath)
+    labeled(spark, "merge:initial-write") {
+      withBucket(initial).withColumn("gen", lit(0))
+        .write.partitionBy("bucket", "gen").parquet(tablePath)
+    }
     // v0 manifest: every bucket the initial write produced, at gen 0,
     // with its per-bucket stats measured at the one moment the table is
     // being created anyway (round 16 — later rounds never re-list)
@@ -247,8 +261,10 @@ object Merge {
     val mapping = meta0.mapping
     val fresh = fresh0.withColumn("bucket",
       pmod(col(key), lit(buckets)).cast("int"))
-    val touched = fresh.select(col("bucket")).distinct()
-      .collect().map(_.getInt(0)).sorted
+    val touched = labeled(spark, "merge:touched-buckets") {
+      fresh.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted
+    }
     val existingTouched = readTable(spark, tablePath)
       .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
       .drop("bucket", "gen")
@@ -290,8 +306,10 @@ object Merge {
     // leftovers are manifest-invisible and swept by retention
     val gen = freshGenFor(fs, table, round)
     // new generations write under PHYSICAL names (stable across renames)
-    toPhysical(merged, mapping).withColumn("gen", lit(gen))
-      .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
+    labeled(spark, "merge:merged-write") {
+      toPhysical(merged, mapping).withColumn("gen", lit(gen))
+        .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
+    }
     // one listStatus per TOUCHED bucket prices this round's stats — the
     // same listings the old `rewritten` accounting already paid; the
     // values ride the manifest so no later operation re-lists (round 16)
@@ -302,16 +320,20 @@ object Merge {
     // r13 #5 — point/range reads stay pruned between clustered rewrites);
     // gen labels are write-once per attempt, so fragment writes are
     // race-free even before the commit decides
-    val fragInfo = writeGenFragments(spark, tablePath, table, gen,
-      touched.filter(newStats.contains).map(b => genPath(b, gen).toString),
-      meta0)
+    val fragInfo = labeled(spark, "merge:gen-fragments") {
+      writeGenFragments(spark, tablePath, table, gen,
+        touched.filter(newStats.contains).map(b => genPath(b, gen).toString),
+        meta0)
+    }
     hooks.beforeCommit(round)
     // carry-over gens a pre-round-15 writer committed get their #frag
     // lines recorded in this round's manifest (round-16: migration is
     // automatic at the next write, not a manual refreshFragments call);
     // same for carried buckets a pre-round-16 manifest committed without
     // per-bucket stats — measured once here, recorded forever
-    val adopted = adoptLegacyFrags(spark, fs, table, current, meta0.frags)
+    val adopted = labeled(spark, "merge:adopt-legacy") {
+      adoptLegacyFrags(spark, fs, table, current, meta0.frags)
+    }
     val stats0 = readBucketStatsAt(fs, table, version)
     val adoptedStats = adoptLegacyBucketStats(fs, table,
       current.filter { case (b, _) => !touched.contains(b) }, stats0)
@@ -740,10 +762,12 @@ object Merge {
     if (oversized.isEmpty) // already compact — don't burn a version
       return CompactStats(version, 0, filesBefore, filesBefore, measured.size.toLong)
     val gen = freshGenFor(fs, table, round)
-    oversized.toSeq.sorted.foreach { case (b, g) =>
-      spark.read.option("basePath", tablePath).parquet(s"$tablePath/bucket=$b/gen=$g")
-        .drop("bucket", "gen").coalesce(targetFiles)
-        .write.parquet(genPath(b, gen).toString)
+    labeled(spark, "compact:rewrite") {
+      oversized.toSeq.sorted.foreach { case (b, g) =>
+        spark.read.option("basePath", tablePath).parquet(s"$tablePath/bucket=$b/gen=$g")
+          .drop("bucket", "gen").coalesce(targetFiles)
+          .write.parquet(genPath(b, gen).toString)
+      }
     }
     val newStats: Map[Int, BucketStat] = oversized.keys.toSeq.flatMap(b =>
       statOfGenDir(fs, genPath(b, gen)).map(b -> _)).toMap
@@ -942,13 +966,15 @@ object Merge {
         statOfGenDir(fs, genPath(b, g)).fold(0L)(_.files) } }.sum
     val meta0 = readMetaAt(fs, table, version)
     val mapping = meta0.mapping
-    toPhysical(
-      loadState(spark, tablePath, current, meta0.schema,
-        mapping).drop("gen")
-        .repartitionByRange(current.size * filesPerBucket,
-          col("bucket") +: sortKeys: _*)
-        .withColumn("gen", lit(gen)), mapping)
-      .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
+    labeled(spark, "cluster:rewrite-write") {
+      toPhysical(
+        loadState(spark, tablePath, current, meta0.schema,
+          mapping).drop("gen")
+          .repartitionByRange(current.size * filesPerBucket,
+            col("bucket") +: sortKeys: _*)
+          .withColumn("gen", lit(gen)), mapping)
+        .write.mode("append").partitionBy("bucket", "gen").parquet(tablePath)
+    }
     val genPaths = current.keys.toSeq.sorted.map(b => s"$tablePath/bucket=$b/gen=$gen")
     // the clustered rewrite DEFINES the table's sidecar policy: these
     // columns' fragments are maintained by every later writer's new
@@ -958,7 +984,9 @@ object Merge {
     // only attempt-unique fragments no manifest references — swept by the
     // age-gated vacuum, never readable (ADVICE r13 #1's second half).
     val metaPolicy = meta0.copy(statsCols = statCols, bloomCols = bloomCols)
-    val fragInfo = writeGenFragments(spark, tablePath, table, gen, genPaths, metaPolicy)
+    val fragInfo = labeled(spark, "cluster:gen-fragments") {
+      writeGenFragments(spark, tablePath, table, gen, genPaths, metaPolicy)
+    }
     val meta = metaPolicy.copy(frags = metaPolicy.frags ++ fragInfo.map(gen -> _))
     val committed = current.keys.map(_ -> gen).toMap
     // a full rewrite measures every bucket it just wrote (∝ the change —
@@ -1027,15 +1055,19 @@ object Merge {
       val aggs = meta.statsCols.flatMap(c =>
         Seq(min(col(phys(c))).as(s"min_$c"), max(col(phys(c))).as(s"max_$c")))
       // one row per file of THIS generation — manifest-order small
-      data.groupBy(fileKey).agg(aggs.head, aggs.tail: _*)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(fragStatsPath(table, gen).toString)
+      labeled(spark, "frag:stats-write") {
+        data.groupBy(fileKey).agg(aggs.head, aggs.tail: _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(fragStatsPath(table, gen).toString)
+      }
     }
     if (meta.bloomCols.isEmpty)
       Some(FragInfo(meta.statsCols, 0L, Seq.empty))
     else {
-      val counts = data.groupBy(fileKey).agg(count(lit(1)).as("n"))
-        .agg(max(col("n")).as("mx"), sum(col("n")).as("total")).head()
+      val counts = labeled(spark, "frag:bloom-count") {
+        data.groupBy(fileKey).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).as("mx"), sum(col("n")).as("total")).head()
+      }
       val maxRows = counts.getLong(0)
       val totalRows = counts.getLong(1)
       var m = 64L
@@ -1045,17 +1077,19 @@ object Merge {
       // point read's `word_idx IN (probes)` scan prunes whole files and
       // row groups; partition count scales with the fragment's rows
       val parts = math.max(1L, math.min(512L, totalRows / 4 / 1000000L)).toInt
-      meta.bloomCols.map { lc =>
-        data.select(fileKey, col(phys(lc)).as("v")).where(col("v").isNotNull)
-          .select(col("file"), explode(array((0 until BloomHashes).map(i =>
-            pmod(xxhash64(col("v"), lit(i)), lit(m))): _*)).as("pos"))
-          .groupBy(col("file"), (col("pos") / 64).cast("long").as("word_idx"))
-          .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
-          .select(col("file"), lit(lc).as("col"), col("word_idx"), col("bits"))
-      }.reduce(_ unionByName _)
-        .repartitionByRange(parts, col("col"), col("word_idx"))
-        .sortWithinPartitions(col("col"), col("word_idx"))
-        .write.mode("overwrite").parquet(fragBloomPath(table, gen).toString)
+      labeled(spark, "frag:bloom-write") {
+        meta.bloomCols.map { lc =>
+          data.select(fileKey, col(phys(lc)).as("v")).where(col("v").isNotNull)
+            .select(col("file"), explode(array((0 until BloomHashes).map(i =>
+              pmod(xxhash64(col("v"), lit(i)), lit(m))): _*)).as("pos"))
+            .groupBy(col("file"), (col("pos") / 64).cast("long").as("word_idx"))
+            .agg(expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").as("bits"))
+            .select(col("file"), lit(lc).as("col"), col("word_idx"), col("bits"))
+        }.reduce(_ unionByName _)
+          .repartitionByRange(parts, col("col"), col("word_idx"))
+          .sortWithinPartitions(col("col"), col("word_idx"))
+          .write.mode("overwrite").parquet(fragBloomPath(table, gen).toString)
+      }
       // fragment header (driver-readable without a Spark job): the bit
       // width and covered columns the probe needs BEFORE the heavy scan
       val out = fs(spark, table).create(fragBloomMetaPath(table, gen), true)
@@ -1147,6 +1181,42 @@ object Merge {
     readTableWhereAllTyped(spark, tablePath,
       numPreds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) } ++
         strPreds.map { case (c, lo, hi) => (c, lit(lo), lit(hi)) })
+
+  /** Committed data-file count at the current version, manifest-served:
+    * the per-bucket stats lines carry file counts, so the usual cost is
+    * ZERO Spark jobs and zero listings (one listStatus only per
+    * legacy stats-less bucket). Round 18: the skipping gates' printed
+    * `files_total` used `readTable(...).inputFiles`, which built a whole
+    * file index (a parallel-listing Spark job at >32 dirs) just to count
+    * files the manifest already knows. */
+  def tableFileCount(spark: SparkSession, tablePath: String): Long = {
+    val table = new org.apache.hadoop.fs.Path(tablePath)
+    val fsys = fs(spark, table)
+    val (version, state) = readManifest(fsys, table)
+    val stats = readBucketStatsAt(fsys, table, version)
+    state.map { case (b, g) =>
+      stats.get(b).map(_.files).getOrElse(
+        statOfGenDir(fsys, genPathOf(table, b, g)).fold(0L)(_.files))
+    }.sum
+  }
+
+  /** The stats fragment's schema, derived from the table's committed
+    * schema: `file` plus (min_c, max_c) in the generation's statsCols
+    * order, each typed as its source column (round 18 — passing it skips
+    * the per-read footer-inference job the bare `spark.read.parquet`
+    * paid on every skipping read). */
+  private def fragStatsSchema(meta: TableMeta, statsCols: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    meta.schema.map { st =>
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType) +:
+          statsCols.flatMap { c =>
+            val dt = st(c).dataType
+            Seq(org.apache.spark.sql.types.StructField(s"min_$c", dt),
+              org.apache.spark.sql.types.StructField(s"max_$c", dt))
+          })
+    }
 
   private def readTableWhereAllTyped(spark: SparkSession, tablePath: String,
       preds: Seq[(String, Column, Column)]): DataFrame = {
